@@ -1,0 +1,63 @@
+"""SparkSession factory tuned for the engine's workload.
+
+Mirrors the reference's process-boot stage (anonymizer/src/main.rs:26-89)
+where config is loaded and subsystems are wired; in Spark the equivalent
+is a configured ``SparkSession``. Defaults are chosen for the 100 TB
+design point (AQE on, skew-join handling, explicit shuffle parallelism)
+while remaining correct on ``local[*]`` test runs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "http-log-anonymizer-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    Scale notes (design point: 1000 executors / 100 TB):
+
+    - AQE is on: runtime coalescing of post-shuffle partitions and skew
+      join splitting replace hand-tuned partition counts.
+    - ``spark.sql.shuffle.partitions`` is only an upper bound under AQE;
+      locally we keep it at the core count so tests don't create
+      thousands of empty partitions. On a cluster this should be
+      ~2-3x total cores; AQE coalesces down.
+    - Arrow is enabled for pandas UDF exchange (the capnp decoder and
+      IPv6 anonymizer are the only Python-side hot paths; everything
+      else stays in whole-stage codegen).
+    - Broadcast threshold is raised to 64 MiB: the dimension tables
+      (region/nation/customer/supplier/part) are tiny relative to the
+      fact tables at any scale factor, and broadcasting them removes
+      full shuffles from every join in the registry.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", cpus))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
