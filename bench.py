@@ -1,0 +1,63 @@
+"""Benchmark harness: runs the registry's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed to completion via a count over its result (no
+driver-side collect of the payload). A warmup run of the flagship query
+absorbs JVM/codegen startup so per-query numbers measure the plan, not
+the JIT.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from http_log_anonymizer_spark.plans import REGISTRY
+from http_log_anonymizer_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="hla-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    bench_queries = {n: q for n, q in REGISTRY.items() if q.bench}
+    if not bench_queries:
+        bench_queries = dict(REGISTRY)
+
+    # Warmup: run the first query once to pay JVM/codegen startup.
+    first = next(iter(bench_queries.values()))
+    first.spark_fn(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name, q in bench_queries.items():
+        t0 = time.perf_counter()
+        df = q.spark_fn(spark, sf_dir)
+        df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "registry_bench_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

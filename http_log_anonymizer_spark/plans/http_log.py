@@ -1,0 +1,242 @@
+"""Reference-parity queries (SURVEY.md §2.2/§2.4: T1-T6, A1-A4, F9).
+
+The driver's tables have no raw http_log parquet, so these queries first
+derive a deterministic ``http_log`` view from the ``events`` table
+(FIXTURES.md §1: events is the streaming-shaped stand-in). The derivation
+uses only integer arithmetic + CASE so the Spark and DuckDB versions are
+bit-identical. Schema mirrors anonymizer/src/http_log.rs:17-29.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from http_log_anonymizer_spark.functions import anonymize_ip_fast
+from http_log_anonymizer_spark.plans.registry import register
+from http_log_anonymizer_spark.sources.batch import load_table
+
+# ---------------------------------------------------------------------------
+# Derived http_log view (identical logic in Spark and SQL)
+# ---------------------------------------------------------------------------
+
+# DuckDB CTE — keep in lockstep with http_log_view() below.
+HTTP_LOG_SQL = """
+http_log AS (
+  SELECT
+    ts AS timestamp,
+    user_id % 50 AS resource_id,
+    CAST(floor(value * 1000) AS BIGINT) AS bytes_sent,
+    event_id % 1000 AS request_time_milli,
+    CASE event_type WHEN 'error' THEN 500 WHEN 'signup' THEN 201 ELSE 200 END
+      AS response_status,
+    CASE event_id % 3 WHEN 0 THEN 'HIT' WHEN 1 THEN 'MISS' ELSE 'EXPIRED' END
+      AS cache_status,
+    CASE event_type WHEN 'purchase' THEN 'POST' WHEN 'signup' THEN 'PUT' ELSE 'GET' END
+      AS method,
+    '198.51.' || CAST(user_id % 100 AS VARCHAR) || '.' || CAST(event_id % 256 AS VARCHAR)
+      AS remote_addr,
+    '/r/' || CAST(user_id % 50 AS VARCHAR) AS url
+  FROM events
+)
+"""
+
+
+def http_log_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events -> http_log projection (T1 analog); see HTTP_LOG_SQL."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        F.col("ts").alias("timestamp"),
+        (F.col("user_id") % 50).alias("resource_id"),
+        F.floor(F.col("value") * 1000).alias("bytes_sent"),
+        (F.col("event_id") % 1000).alias("request_time_milli"),
+        F.when(F.col("event_type") == "error", 500)
+        .when(F.col("event_type") == "signup", 201)
+        .otherwise(200)
+        .alias("response_status"),
+        F.when(F.col("event_id") % 3 == 0, "HIT")
+        .when(F.col("event_id") % 3 == 1, "MISS")
+        .otherwise("EXPIRED")
+        .alias("cache_status"),
+        F.when(F.col("event_type") == "purchase", "POST")
+        .when(F.col("event_type") == "signup", "PUT")
+        .otherwise("GET")
+        .alias("method"),
+        F.concat(
+            F.lit("198.51."),
+            (F.col("user_id") % 100).cast("string"),
+            F.lit("."),
+            (F.col("event_id") % 256).cast("string"),
+        ).alias("remote_addr"),
+        F.concat(F.lit("/r/"), (F.col("user_id") % 50).cast("string")).alias("url"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1+A2+A3 — the canonical delegated query (anonymizer/src/lib.rs:119-125)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "http_totals",
+    oracle=f"""
+WITH {HTTP_LOG_SQL}
+SELECT
+  regexp_replace(remote_addr, '[0-9]+$', 'x') AS remote_addr,
+  response_status,
+  count(*) AS cnt,
+  sum(bytes_sent) AS traffic
+FROM http_log
+GROUP BY 1, 2
+ORDER BY remote_addr, cnt DESC
+""",
+    bench=True,
+)
+def http_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical grouped-totals query (lib.rs:119-125, README.md:59-63):
+    anonymize remote_addr (T4/T5), group, count + traffic, ordered.
+    Scale: single shuffle on the group key; anonymization stays in
+    whole-stage codegen (anonymize_ip_fast, no Python)."""
+    log = http_log_view(spark, sf_dir)
+    return (
+        log.withColumn("remote_addr", anonymize_ip_fast("remote_addr"))
+        .groupBy("remote_addr", "response_status")
+        .agg(F.count("*").alias("cnt"), F.sum("bytes_sent").alias("traffic"))
+        .orderBy("remote_addr", F.desc("cnt"))
+    )
+
+
+@register(
+    "http_totals_cube",
+    oracle=f"""
+WITH {HTTP_LOG_SQL}
+SELECT
+  resource_id, response_status, cache_status,
+  count(*) AS cnt,
+  sum(bytes_sent) AS traffic
+FROM http_log
+GROUP BY CUBE (resource_id, response_status, cache_status)
+""",
+)
+def http_totals_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 'any combination of dimensions' (README.md:59-63) as grouping
+    sets: one pass computes totals for every subset of the dims instead
+    of 8 separate scans. Map-side partial aggregation keeps the shuffle
+    proportional to group cardinality, not input rows."""
+    log = http_log_view(spark, sf_dir)
+    return log.cube("resource_id", "response_status", "cache_status").agg(
+        F.count("*").alias("cnt"), F.sum("bytes_sent").alias("traffic")
+    )
+
+
+@register(
+    "http_dedup_final",
+    oracle=f"""
+WITH {HTTP_LOG_SQL},
+dup_stream AS (
+  SELECT * FROM http_log
+  UNION ALL
+  SELECT * FROM http_log WHERE request_time_milli % 10 = 0
+),
+final AS (SELECT DISTINCT * FROM dup_stream)
+SELECT response_status, count(*) AS cnt, sum(bytes_sent) AS traffic
+FROM final
+GROUP BY response_status
+ORDER BY response_status
+""",
+)
+def http_dedup_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9/A2 — ReplacingMergeTree FINAL semantics (http_log.rs:105-107,
+    lib.rs:99-125): at-least-once delivery produces duplicates (simulated
+    by re-appending 10% of rows); dedup collapses them before totals, so
+    results equal exactly-once processing. Key-based streaming dedup
+    lives in streaming/pipeline.py; here full-row distinct suffices since
+    replayed rows are bit-identical."""
+    log = http_log_view(spark, sf_dir)
+    dup = log.unionAll(log.filter(F.col("request_time_milli") % 10 == 0))
+    return (
+        dup.dropDuplicates()
+        .groupBy("response_status")
+        .agg(F.count("*").alias("cnt"), F.sum("bytes_sent").alias("traffic"))
+        .orderBy("response_status")
+    )
+
+
+@register(
+    "http_monthly",
+    oracle=f"""
+WITH {HTTP_LOG_SQL}
+SELECT
+  strftime(timestamp, '%Y%m') AS month,
+  count(*) AS cnt,
+  sum(bytes_sent) AS traffic
+FROM http_log
+GROUP BY 1
+ORDER BY month
+""",
+)
+def http_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 — monthly bucketing, the toYYYYMM(timestamp) partition analog
+    (http_log.rs:106). On write this column becomes partitionBy('month')
+    so reads get partition pruning."""
+    log = http_log_view(spark, sf_dir)
+    return (
+        log.groupBy(F.date_format("timestamp", "yyyyMM").alias("month"))
+        .agg(F.count("*").alias("cnt"), F.sum("bytes_sent").alias("traffic"))
+        .orderBy("month")
+    )
+
+
+@register(
+    "http_anonymize_rows",
+    oracle=f"""
+WITH {HTTP_LOG_SQL}
+SELECT
+  request_time_milli,
+  remote_addr,
+  regexp_replace(remote_addr, '[0-9]+$', 'x') AS remote_addr_anon,
+  url
+FROM http_log
+""",
+)
+def http_anonymize_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4/T5 row-level transform: per-row anonymization output (the
+    pipeline's hot path, source.rs:125-126), no aggregation — verifies
+    the scalar function over every row in the table."""
+    log = http_log_view(spark, sf_dir)
+    return log.select(
+        "request_time_milli",
+        "remote_addr",
+        anonymize_ip_fast("remote_addr").alias("remote_addr_anon"),
+        "url",
+    )
+
+
+@register(
+    "http_top_ips",
+    oracle=f"""
+WITH {HTTP_LOG_SQL},
+by_ip AS (
+  SELECT
+    regexp_replace(remote_addr, '[0-9]+$', 'x') AS remote_addr,
+    count(*) AS cnt,
+    sum(bytes_sent) AS traffic
+  FROM http_log GROUP BY 1
+)
+SELECT * FROM by_ip
+ORDER BY traffic DESC, remote_addr
+LIMIT 100
+""",
+    bench=True,
+)
+def http_top_ips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 — ordered top-k over the totals (ORDER BY + LIMIT). Spark
+    executes as TakeOrderedAndProject: per-partition top-100 then a
+    single driver merge — no global sort shuffle."""
+    log = http_log_view(spark, sf_dir)
+    return (
+        log.groupBy(anonymize_ip_fast("remote_addr").alias("remote_addr"))
+        .agg(F.count("*").alias("cnt"), F.sum("bytes_sent").alias("traffic"))
+        .orderBy(F.desc("traffic"), "remote_addr")
+        .limit(100)
+    )

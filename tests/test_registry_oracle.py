@@ -1,0 +1,32 @@
+"""Oracle-parity test over the whole registry: every query that declares
+oracle SQL must match DuckDB at sf0.01 (same gate the driver runs);
+queries without an oracle must at least execute and return a stable
+schema."""
+
+from __future__ import annotations
+
+import pytest
+
+from http_log_anonymizer_spark.plans import REGISTRY
+from tests.conftest import SF_ORACLE
+from tests.oracle import compare
+
+ORACLE_QUERIES = sorted(n for n, q in REGISTRY.items() if q.oracle)
+ROWS_ONLY = sorted(n for n, q in REGISTRY.items() if not q.oracle)
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_oracle_parity(spark, duck, name):
+    q = REGISTRY[name]
+    sdf = q.spark_fn(spark, SF_ORACLE)
+    ddf = duck.sql(q.oracle).df()
+    ok, msg = compare(sdf, ddf)
+    assert ok, f"{name}: {msg}"
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_runs(spark, name):
+    q = REGISTRY[name]
+    sdf = q.spark_fn(spark, SF_ORACLE)
+    assert len(sdf.schema.fields) > 0
+    assert sdf.count() >= 0
