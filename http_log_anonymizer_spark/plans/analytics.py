@@ -1,1 +1,485 @@
-"""Placeholder — populated in later milestones."""
+"""Analytics operator coverage (SURVEY.md §2.5 gaps the engine must fill:
+joins of every flavor, window functions, set ops, rollup/grouping sets,
+sessionization, JSON extraction, percentiles).
+
+The reference delegates all analytics to ClickHouse (README.md:59-63);
+these queries are the engine-native replacements, exercised on the
+driver's TPC-H-ish tables. Scale notes per query docstring; dimension
+joins rely on the session's 64 MiB broadcast threshold + AQE.
+
+Floating-point policy: every double aggregate is wrapped in round(…, 2)
+(or 4 for averages) in BOTH engines so partial-aggregation order can't
+flip the value hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from http_log_anonymizer_spark.plans.registry import register
+from http_log_anonymizer_spark.sources.batch import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Aggregation-heavy scan (TPC-H Q1 analog)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pricing_summary",
+    oracle="""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  round(sum(l_quantity), 2) AS sum_qty,
+  round(sum(l_extendedprice), 2) AS sum_base_price,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+  round(avg(l_quantity), 4) AS avg_qty,
+  round(avg(l_extendedprice), 4) AS avg_price,
+  round(avg(l_discount), 4) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+    bench=True,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 analog: wide scan + arithmetic + grouped aggregates.
+    The shipdate predicate reaches the parquet scan (PushedFilters) and
+    the 4-group output keeps the shuffle tiny — the query is scan-bound,
+    which is exactly what you want at 100 TB."""
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "shipping_priority",
+    oracle="""
+SELECT
+  l.l_orderkey,
+  round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+  o.o_orderdate,
+  o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-03-15'
+  AND l.l_shipdate > TIMESTAMP '1996-03-15'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+    bench=True,
+)
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 analog: selective dim filter + two joins + grouped
+    revenue + deterministic top-10 (ties broken by orderkey). The
+    filtered customer side broadcasts; lineitem never shuffles for the
+    join, only for the final (small) aggregation."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-03-15").cast("timestamp")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "nation_volume",
+    oracle="""
+SELECT
+  r.r_name,
+  n.n_name,
+  round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+  count(*) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name
+ORDER BY r.r_name, revenue DESC, n.n_name
+""",
+    bench=True,
+)
+def nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 analog: a 5-table star join. All dimension tables
+    broadcast (customer is the largest at ~15 MB even at sf1); the fact
+    table streams through map-side hash joins with zero shuffle until
+    the 25-group aggregate."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("r_name", F.desc("revenue"), "n_name")
+    )
+
+
+@register(
+    "orders_without_lineitems",
+    oracle="""
+SELECT o.o_orderstatus, count(*) AS cnt, round(sum(o.o_totalprice), 2) AS lost_value
+FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+GROUP BY o.o_orderstatus
+ORDER BY o.o_orderstatus
+""",
+)
+def orders_without_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join (NOT EXISTS): orders with no line items. Spark's
+    left_anti against the (broadcastable) distinct key set — at scale
+    the key side stays a bloom/hash build, never a full shuffle of the
+    fact table when AQE picks broadcast."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey, "left_anti")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("o_totalprice"), 2).alias("lost_value"))
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "customers_with_high_value_orders",
+    oracle="""
+SELECT c.c_mktsegment, count(*) AS n_customers
+FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+)
+GROUP BY c.c_mktsegment
+ORDER BY c.c_mktsegment
+""",
+)
+def customers_with_high_value_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join (EXISTS): customers owning at least one order above a
+    price threshold; dedup-free by construction (semi join emits each
+    left row once)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000).select("o_custkey")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "top_orders_per_customer",
+    oracle="""
+SELECT * FROM (
+  SELECT
+    o_custkey,
+    o_orderkey,
+    o_totalprice,
+    row_number() OVER (
+      PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+    ) AS rn
+  FROM orders
+) WHERE rn <= 3
+""",
+    bench=True,
+)
+def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via row_number window (deterministic tie-break on
+    orderkey). One shuffle on the partition key; at scale prefer this
+    over groupBy+collect_list since it never materializes a group in
+    memory."""
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "customer_running_revenue",
+    oracle="""
+SELECT
+  o_custkey,
+  o_orderkey,
+  round(sum(o_totalprice) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ), 2) AS running_total,
+  rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS order_seq
+FROM orders
+""",
+)
+def customer_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-frame window aggregate + rank over the same partitioning:
+    Catalyst reuses a single sort+shuffle for both window expressions."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2).alias(
+            "running_total"
+        ),
+        F.rank().over(w).alias("order_seq"),
+    )
+
+
+@register(
+    "sessionize_events",
+    oracle="""
+WITH deltas AS (
+  SELECT
+    user_id,
+    ts,
+    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              > INTERVAL 30 MINUTE
+         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessions AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS session_id
+  FROM deltas
+)
+SELECT user_id, count(DISTINCT session_id) AS n_sessions, count(*) AS n_events
+FROM sessions
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-minute inactivity gap splits sessions (lag +
+    running sum of boundaries). The batch analog of the streaming
+    session-window operator in streaming/; one shuffle on user_id
+    shared by both window steps."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    deltas = e.select(
+        "user_id",
+        "ts",
+        F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0).alias("new_session"),
+    )
+    ws = Window.partitionBy("user_id").orderBy("ts").rowsBetween(Window.unboundedPreceding, 0)
+    sessions = deltas.select("user_id", F.sum("new_session").over(ws).alias("session_id"))
+    return (
+        sessions.groupBy("user_id")
+        .agg(F.count_distinct("session_id").alias("n_sessions"), F.count("*").alias("n_events"))
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "user_cohort_setops",
+    oracle="""
+WITH purchasers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+     erroring AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error'),
+     signups AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'signup')
+SELECT 'purchase_and_error' AS cohort, count(*) AS n FROM
+  (SELECT user_id FROM purchasers INTERSECT SELECT user_id FROM erroring)
+UNION ALL
+SELECT 'purchase_not_signup' AS cohort, count(*) AS n FROM
+  (SELECT user_id FROM purchasers EXCEPT SELECT user_id FROM signups)
+UNION ALL
+SELECT 'any_of_three' AS cohort, count(*) AS n FROM
+  (SELECT user_id FROM purchasers UNION SELECT user_id FROM erroring
+   UNION SELECT user_id FROM signups)
+ORDER BY cohort
+""",
+)
+def user_cohort_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION over user cohorts, summarized as
+    counts. Spark plans these as aggregate + semi/anti joins; the
+    distinct inputs keep every branch key-partitioned once."""
+    e = _t(spark, sf_dir, "events")
+
+    def cohort(et: str) -> DataFrame:
+        return e.filter(F.col("event_type") == et).select("user_id").distinct()
+
+    purchasers, erroring, signups = cohort("purchase"), cohort("error"), cohort("signup")
+    rows = [
+        purchasers.intersect(erroring)
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("purchase_and_error").alias("cohort"), "n"),
+        purchasers.exceptAll(signups.distinct())
+        .distinct()
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("purchase_not_signup").alias("cohort"), "n"),
+        purchasers.union(erroring)
+        .union(signups)
+        .distinct()
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("any_of_three").alias("cohort"), "n"),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out.orderBy("cohort")
+
+
+# ---------------------------------------------------------------------------
+# Rollup / grouping sets
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rollup_region_nation",
+    oracle="""
+SELECT
+  r.r_name,
+  n.n_name,
+  count(*) AS n_customers,
+  round(sum(c.c_acctbal), 2) AS total_balance
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP (r.r_name, n.n_name)
+""",
+)
+def rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (region -> nation -> grand total) in one
+    pass over the joined dims."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON + percentiles
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "json_props_stats",
+    oracle="""
+SELECT
+  event_type,
+  round(avg(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS INT)), 4) AS avg_k,
+  max(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS INT)) AS max_k,
+  count(*) AS cnt
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction (events.props is a JSON object). Spark
+    uses native get_json_object (JVM, codegen); the oracle mirrors it
+    with a regexp so it doesn't depend on DuckDB's json extension."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.round(F.avg(k), 4).alias("avg_k"),
+            F.max(k).alias("max_k"),
+            F.count("*").alias("cnt"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "value_percentiles",
+    oracle="""
+SELECT
+  event_type,
+  round(quantile_cont(value, 0.5), 4) AS p50,
+  round(quantile_cont(value, 0.9), 4) AS p90,
+  round(quantile_cont(value, 0.99), 4) AS p99
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark `percentile` ==
+    DuckDB `quantile_cont`). At 100 TB swap to approx_percentile with a
+    documented error bound — kept exact here for oracle parity."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+            F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
