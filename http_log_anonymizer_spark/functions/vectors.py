@@ -1,0 +1,53 @@
+"""Vector column functions for similarity search over
+``array<float>`` embedding columns.
+
+All operations are Catalyst higher-order functions (zip_with/aggregate)
+evaluated in whole-stage codegen — no Python, no UDFs. Elements are cast
+to double before arithmetic so results are bit-identical to the DuckDB
+oracle's explicit-double formulation (and stable under reordering-free
+left folds).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def _d(col: Column | str) -> Column:
+    return _c(col).cast("array<double>")
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Sequential left-fold dot product in double precision."""
+    prods = F.zip_with(_d(a), _d(b), lambda x, y: x * y)
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: Column | str) -> Column:
+    return F.sqrt(F.aggregate(_d(a), F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def dot_sql(a: str, b: str, dim: int) -> str:
+    """DuckDB SQL mirror of :func:`dot` (index-order left fold via
+    list_sum over generate_series, double precision)."""
+    return (
+        f"list_sum(list_transform(generate_series(1, {dim}), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+
+
+def norm_sql(a: str, dim: int) -> str:
+    return f"sqrt(list_sum(list_transform(generate_series(1, {dim}), i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))"
+
+
+def cosine_sql(a: str, b: str, dim: int) -> str:
+    return f"({dot_sql(a, b, dim)} / ({norm_sql(a, dim)} * {norm_sql(b, dim)}))"

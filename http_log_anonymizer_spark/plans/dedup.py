@@ -1,1 +1,332 @@
-"""Placeholder — populated in later milestones."""
+"""Deduplication operators over ``documents`` (engine-grade extensions:
+exact hash dedup, MinHash+LSH, SimHash, n-gram Jaccard).
+
+Design for 100 TB:
+
+- Exact dedup is a hash-groupBy — one shuffle on the fingerprint.
+- MinHash+LSH is the scale path for near-dup: signatures are computed
+  array-natively per document (no per-shingle shuffle), candidates come
+  from equi-joins on band keys (shuffle proportional to candidate
+  count, never all-pairs), and only candidates pay the exact-Jaccard
+  verification.
+- The brute-force n-gram Jaccard query is the small-scale oracle of
+  record for the LSH pipeline; its all-pairs-sharing-a-shingle join is
+  quadratic in shingle frequency and exists to validate, not to scale.
+- SimHash packs a document into one 64-bit word; candidate pairing via
+  hamming distance. (All-pairs here for verifiability; at scale one
+  would band the simhash bits exactly like LSH.)
+
+Determinism: every hash is the md5-based ``hash64`` (functions/text.py)
+so DuckDB reproduces signatures bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from http_log_anonymizer_spark.functions.text import (
+    hash64,
+    hash64_sql,
+    shingles,
+    shingles_sql,
+    tokens_ws,
+)
+from http_log_anonymizer_spark.plans.registry import register
+from http_log_anonymizer_spark.sources.batch import load_table
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+WITH fp AS (
+  SELECT md5(lower(trim(text))) AS f FROM documents
+),
+g AS (SELECT f, count(*) AS c FROM fp GROUP BY f)
+SELECT
+  CAST(sum(c) AS BIGINT) AS n_docs,
+  count(*) AS n_distinct,
+  CAST(sum(c - 1) AS BIGINT) AS n_duplicate_docs,
+  CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups
+FROM g
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via normalized-text hash groupBy: one shuffle on the
+    128-bit fingerprint, partial map-side counts. The canonical first
+    pass of any training-data pipeline."""
+    d = load_table(spark, sf_dir, "documents")
+    g = (
+        d.select(F.md5(F.lower(F.trim(F.col("text")))).alias("f"))
+        .groupBy("f")
+        .agg(F.count("*").alias("c"))
+    )
+    return g.agg(
+        F.sum("c").alias("n_docs"),
+        F.count("*").alias("n_distinct"),
+        F.sum(F.col("c") - 1).alias("n_duplicate_docs"),
+        F.sum(F.when(F.col("c") > 1, 1).otherwise(0)).alias("n_dup_groups"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup (the scale path)
+# ---------------------------------------------------------------------------
+
+_N_HASHES = 8
+_BAND_R = 2  # rows per band -> 4 bands
+_JACCARD_THRESHOLD = 0.5
+
+
+def _shingle_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, s): distinct word-3-gram shingles per document."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.explode(F.array_distinct(shingles("text"))).alias("s")
+    )
+
+
+_EDGES_SQL = f"""
+t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+e AS (
+  SELECT doc_id, unnest(list_distinct({shingles_sql('toks')})) AS s FROM t
+)
+"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+WITH {_EDGES_SQL},
+sig AS (
+  SELECT doc_id,
+         {", ".join(f"min({hash64_sql('s', i)}) AS mh{i}" for i in range(_N_HASHES))}
+  FROM e GROUP BY doc_id
+),
+bands AS (
+  {" UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band_id, "
+    f"CAST(mh{2 * b} AS VARCHAR) || '_' || CAST(mh{2 * b + 1} AS VARCHAR) AS bkey FROM sig"
+    for b in range(_N_HASHES // _BAND_R)
+  )}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+sz AS (SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id),
+inter AS (
+  SELECT c.da, c.db, count(*) AS i
+  FROM cand c
+  JOIN e ea ON ea.doc_id = c.da
+  JOIN e eb ON eb.doc_id = c.db AND ea.s = eb.s
+  GROUP BY c.da, c.db
+)
+SELECT
+  i.da AS doc_a,
+  i.db AS doc_b,
+  round(i.i * 1.0 / (sa.n + sb.n - i.i), 3) AS jaccard
+FROM inter i
+JOIN sz sa ON sa.doc_id = i.da
+JOIN sz sb ON sb.doc_id = i.db
+WHERE i.i * 1.0 / (sa.n + sb.n - i.i) >= {_JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+""",
+    bench=True,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(8)+LSH(4 bands x 2) near-duplicate detection with exact
+    Jaccard verification of candidates.
+
+    Pipeline: shingle -> minhash signature (single groupBy, 8 map-side
+    mins) -> band keys -> equi-join on (band, key) for candidates ->
+    exact Jaccard only on candidates. At 100 TB the only all-pairs step
+    is within LSH buckets — the verify join is proportional to true
+    near-duplicates, not the corpus square.
+    """
+    e = _shingle_edges(spark, sf_dir).cache()
+    sig = e.groupBy("doc_id").agg(
+        *[F.min(hash64("s", i)).alias(f"mh{i}") for i in range(_N_HASHES)]
+    )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.concat_ws("_", F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}")).alias("bkey"),
+        )
+        for b in range(_N_HASHES // _BAND_R)
+    ]
+    bands = sig.select("doc_id", F.explode(F.array(*band_structs)).alias("band")).select(
+        "doc_id", "band.band_id", "band.bkey"
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .distinct()
+    )
+    sz = e.groupBy("doc_id").agg(F.count("*").alias("n"))
+    ea, eb = e.alias("ea"), e.alias("eb")
+    inter = (
+        cand.join(ea, F.col("ea.doc_id") == F.col("da"))
+        .join(eb, (F.col("eb.doc_id") == F.col("db")) & (F.col("ea.s") == F.col("eb.s")))
+        .groupBy("da", "db")
+        .agg(F.count("*").alias("i"))
+    )
+    j = (
+        inter.join(sz.alias("sa"), F.col("sa.doc_id") == F.col("da"))
+        .join(sz.alias("sb"), F.col("sb.doc_id") == F.col("db"))
+        .select(
+            F.col("da").alias("doc_a"),
+            F.col("db").alias("doc_b"),
+            (F.col("i") * 1.0 / (F.col("sa.n") + F.col("sb.n") - F.col("i"))).alias("jr"),
+        )
+    )
+    return (
+        j.filter(F.col("jr") >= _JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round("jr", 3).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Brute-force n-gram Jaccard (oracle-of-record for LSH; small scale only)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH {_EDGES_SQL},
+sz AS (SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT
+  i.da AS doc_a,
+  i.db AS doc_b,
+  round(i.i * 1.0 / (sa.n + sb.n - i.i), 3) AS jaccard
+FROM inter i
+JOIN sz sa ON sa.doc_id = i.da
+JOIN sz sb ON sb.doc_id = i.db
+WHERE i.i * 1.0 / (sa.n + sb.n - i.i) >= 0.6
+ORDER BY doc_a, doc_b
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing at least
+    one shingle. Quadratic in per-shingle frequency — this is the
+    correctness baseline the LSH path is validated against, not the
+    scale path (see dedup_minhash_lsh)."""
+    e = _shingle_edges(spark, sf_dir).cache()
+    sz = e.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = e.alias("a"), e.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.count("*").alias("i"))
+    )
+    j = (
+        inter.join(sz.alias("sa"), F.col("sa.doc_id") == F.col("da"))
+        .join(sz.alias("sb"), F.col("sb.doc_id") == F.col("db"))
+        .select(
+            F.col("da").alias("doc_a"),
+            F.col("db").alias("doc_b"),
+            (F.col("i") * 1.0 / (F.col("sa.n") + F.col("sb.n") - F.col("i"))).alias("jr"),
+        )
+    )
+    return (
+        j.filter(F.col("jr") >= 0.6)
+        .select("doc_a", "doc_b", F.round("jr", 3).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+_SIMHASH_BITS = 32
+_HAMMING_MAX = 4
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tk FROM documents
+),
+h AS (SELECT doc_id, {hash64_sql('tk', 'sim')} AS hv FROM tok),
+bits AS (
+  SELECT doc_id,
+         {", ".join(
+           f"sum(CASE WHEN (hv >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+           for j in range(_SIMHASH_BITS)
+         )}
+  FROM h GROUP BY doc_id
+),
+sig AS (
+  SELECT doc_id,
+         {" + ".join(
+           f"(CASE WHEN s{j} >= 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+           for j in range(_SIMHASH_BITS)
+         )} AS simhash
+  FROM bits
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {_HAMMING_MAX}
+ORDER BY doc_a, doc_b
+""",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: each document folds to a {_SIMHASH_BITS}-bit
+    signature (per-bit majority vote over token hashes); pairs within
+    hamming distance {_HAMMING_MAX} are near-duplicates. The signature
+    computation is one groupBy; the all-pairs comparison is kept for
+    oracle verifiability — at scale, band the signature bits and
+    equi-join like LSH."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.array_distinct(tokens_ws("text"))).alias("tk"))
+    hv = hash64("tk", "sim")
+    bits = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(hv, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"s{j}")
+            for j in range(_SIMHASH_BITS)
+        ]
+    )
+    simhash = reduce(
+        lambda acc, j: acc
+        + F.when(F.col(f"s{j}") >= 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long")),
+        range(1, _SIMHASH_BITS),
+        F.when(F.col("s0") >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")),
+    )
+    sig = bits.select("doc_id", simhash.alias("simhash"))
+    a, b = sig.alias("a"), sig.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(ham <= _HAMMING_MAX)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

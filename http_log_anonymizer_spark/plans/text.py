@@ -1,1 +1,210 @@
-"""Placeholder — populated in later milestones."""
+"""Text-analysis operators over the ``documents`` table (engine-grade
+extensions for training-data pipelines: token counting, language ID,
+quality scoring, document fingerprinting).
+
+All implementations are pure Catalyst expressions (split/transform/
+aggregate higher-order functions) — the entire text path stays in
+whole-stage codegen; there is no Python in any of these plans. Each
+query's oracle mirrors the arithmetic exactly (see functions/text.py for
+the cross-engine determinism contracts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from http_log_anonymizer_spark.functions.text import (
+    count_occurrences,
+    count_occurrences_sql,
+    hash64,
+    hash64_sql,
+    shingles,
+    shingles_sql,
+    tokens_re,
+    tokens_ws,
+)
+from http_log_anonymizer_spark.plans.registry import register
+from http_log_anonymizer_spark.sources.batch import load_table
+
+
+@register(
+    "token_stats",
+    oracle="""
+SELECT
+  lang,
+  count(*) AS n_docs,
+  sum(len(string_split(text, ' '))) AS total_tokens_ws,
+  round(avg(len(string_split(text, ' '))), 4) AS avg_tokens_ws,
+  sum(len(string_split_regex(text, '[^a-z0-9]+'))) AS total_tokens_re,
+  round(avg(n_chars), 4) AS avg_chars
+FROM documents
+GROUP BY lang
+ORDER BY lang
+""",
+    bench=True,
+)
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish alphanumeric-run regex) with
+    per-language stats. Scan-bound single aggregation; the split arrays
+    never materialize beyond the size() call."""
+    d = load_table(spark, sf_dir, "documents")
+    n_ws = F.size(tokens_ws("text"))
+    n_re = F.size(tokens_re("text"))
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(n_ws).alias("total_tokens_ws"),
+            F.round(F.avg(n_ws), 4).alias("avg_tokens_ws"),
+            F.sum(n_re).alias("total_tokens_re"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+# Marker-based language heuristic — deliberately simple, deterministic and
+# identical in both engines. Real language ID would use char-n-gram
+# models; the synthetic corpus is English-vocabulary word salad, so the
+# heuristic's value here is exercising the classification plumbing.
+_LANG_MARKERS = [
+    ("de", ["% der %", "% und %", "% nicht %"]),
+    ("fr", ["% le %", "% la %", "% est %"]),
+    ("es", ["% el %", "% los %", "% es %"]),
+]
+
+
+def _predict_lang_spark(col):
+    expr = F.lit("en")
+    for lang, pats in reversed(_LANG_MARKERS):
+        cond = F.lit(False)
+        for p in pats:
+            cond = cond | col.like(p)
+        expr = F.when(cond, lang).otherwise(expr)
+    return expr
+
+
+def _predict_lang_sql(expr: str) -> str:
+    branches = []
+    for lang, pats in _LANG_MARKERS:
+        cond = " OR ".join(f"{expr} LIKE '{p}'" for p in pats)
+        branches.append(f"WHEN {cond} THEN '{lang}'")
+    return "CASE " + " ".join(branches) + " ELSE 'en' END"
+
+
+@register(
+    "lang_id_confusion",
+    oracle=f"""
+SELECT
+  lang,
+  {_predict_lang_sql("text")} AS predicted,
+  count(*) AS n
+FROM documents
+GROUP BY 1, 2
+ORDER BY lang, predicted
+""",
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (stopword-marker n-grams) evaluated as a
+    confusion matrix against the labeled ``lang`` column."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("lang", _predict_lang_spark(F.col("text")).alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang", "predicted")
+    )
+
+
+@register(
+    "quality_histogram",
+    oracle=f"""
+WITH scored AS (
+  SELECT
+    lang,
+    len(string_split(text, ' ')) AS n_tokens,
+    {count_occurrences_sql("text", "the")} AS the_cnt,
+    n_chars
+  FROM documents
+),
+q AS (
+  SELECT
+    lang,
+    least(1.0, n_tokens / 150.0) * 0.6
+      + least(1.0, (the_cnt * 10.0) / n_tokens) * 0.2
+      + least(1.0, n_chars / 600.0) * 0.2 AS score
+  FROM scored
+)
+SELECT
+  lang,
+  CAST(floor(score * 10) AS BIGINT) AS bucket,
+  count(*) AS n,
+  round(avg(score), 4) AS avg_score
+FROM q
+GROUP BY 1, 2
+ORDER BY lang, bucket
+""",
+)
+def quality_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring: length + stopword-density + char-count
+    components combined into [0,1], histogrammed per language. All
+    integer/double arithmetic — bit-identical across engines."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(tokens_ws("text"))
+    the_cnt = count_occurrences("text", "the")
+    score = (
+        F.least(F.lit(1.0), n_tokens / F.lit(150.0)) * 0.6
+        + F.least(F.lit(1.0), (the_cnt * 10.0) / n_tokens) * 0.2
+        + F.least(F.lit(1.0), F.col("n_chars") / F.lit(600.0)) * 0.2
+    )
+    return (
+        d.select("lang", score.alias("score"))
+        .groupBy("lang", F.floor(F.col("score") * 10).alias("bucket"))
+        .agg(F.count("*").alias("n"), F.round(F.avg("score"), 4).alias("avg_score"))
+        .orderBy("lang", "bucket")
+    )
+
+
+@register(
+    "doc_fingerprints",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, source, text, string_split(text, ' ') AS toks FROM documents
+),
+f AS (
+  SELECT
+    doc_id,
+    source,
+    md5(text) AS full_fp,
+    list_min(list_transform({shingles_sql("toks")}, s -> {hash64_sql("s")})) AS min_shingle_fp
+  FROM t
+)
+SELECT
+  source,
+  count(*) AS n_docs,
+  count(DISTINCT full_fp) AS distinct_full,
+  count(DISTINCT min_shingle_fp) AS distinct_min_shingle
+FROM f
+GROUP BY source
+ORDER BY source
+""",
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 of the full text plus a rolling-hash
+    style min-shingle fingerprint (min over word-3-gram hashes — the
+    1-permutation MinHash). distinct_min_shingle < n_docs exposes
+    near-duplicate clusters that the exact fingerprint misses."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = shingles("text")
+    min_fp = F.array_min(F.transform(sh, lambda s: hash64(s)))
+    return (
+        d.select("source", F.md5("text").alias("full_fp"), min_fp.alias("min_shingle_fp"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_distinct("full_fp").alias("distinct_full"),
+            F.count_distinct("min_shingle_fp").alias("distinct_min_shingle"),
+        )
+        .orderBy("source")
+    )
