@@ -1,0 +1,88 @@
+"""Multimodal column handling: opaque ``binary`` payloads + typed
+metadata, decoded via Arrow-batched ``mapInPandas``.
+
+The container has no image/audio libraries, so the actual pixel/sample
+decode is STUBBED (import-gated; see ``_real_decode``). What IS real and
+tested is everything Spark-side: the binary column plumbing, the
+mapInPandas batch iteration, the output schema contract, and the
+deterministic fallback decoder — which is pure arithmetic on the bytes
+so the DuckDB oracle can verify the full pipeline end-to-end.
+
+At 100 TB: binary payloads ride in parquet as BYTE_ARRAY; mapInPandas
+streams Arrow batches so one task never holds more than
+``spark.sql.execution.arrow.maxRecordsPerBatch`` rows of media.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+DECODED_META_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("source", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("media_format", StringType()),
+    ]
+)
+
+_FORMATS = ["jpeg", "png", "webp"]
+
+
+def _real_decode(payload: bytes) -> tuple[int, int, str]:  # pragma: no cover
+    """Real image decode — requires PIL, which this container lacks."""
+    try:
+        import io
+
+        from PIL import Image  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "image decode requires Pillow; container provides no media libs — "
+            "using the deterministic fake decoder instead"
+        ) from exc
+    img = Image.open(io.BytesIO(payload))
+    return img.width, img.height, (img.format or "unknown").lower()
+
+
+def fake_decode(n_bytes: int) -> tuple[int, int, str]:
+    """Deterministic fake decode from payload length (pure integer
+    arithmetic — mirrored by the SQL oracle in plans/multimodal.py)."""
+    width = n_bytes % 640 + 1
+    height = (n_bytes * 7) % 480 + 1
+    fmt = _FORMATS[n_bytes % 3]
+    return width, height, fmt
+
+
+def decode_media_meta(df: DataFrame) -> DataFrame:
+    """mapInPandas decode of a (doc_id, source, data binary) DataFrame
+    into typed media metadata. Batch shape: pandas DataFrames of Arrow
+    batch size; constant memory per task regardless of corpus size."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = pdf["data"].map(len)
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "source": pdf["source"],
+                    "n_bytes": n.astype("int64"),
+                    "width": (n % 640 + 1).astype("int32"),
+                    "height": ((n * 7) % 480 + 1).astype("int32"),
+                    "media_format": (n % 3).map(dict(enumerate(_FORMATS))),
+                }
+            )
+            yield out
+
+    return df.mapInPandas(decode, DECODED_META_SCHEMA)

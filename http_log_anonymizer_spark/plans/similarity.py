@@ -1,1 +1,287 @@
-"""Placeholder — populated in later milestones."""
+"""Similarity search over the ``embeddings`` table (array<float>, 64-d).
+
+Three tiers, mirroring what a 100 TB training-data pipeline needs:
+
+- ``ann_brute_topk``: exact top-k cosine — the correctness baseline.
+  Queries broadcast; every executor scans only its candidate partition
+  (BroadcastNestedLoopJoin), so the work is embarrassingly parallel and
+  never shuffles the corpus.
+- ``ann_lsh_topk``: random-hyperplane LSH — the scale path. Bucket by
+  sign bits against deterministic hyperplanes, then search only within
+  the bucket (equi-join on bucket id instead of a cross join).
+- ``embed_neardup``: embedding-cosine near-duplicate pairs (threshold).
+
+All vector math is Catalyst higher-order functions in double precision
+(functions/vectors.py); hyperplanes are derived from md5 so Python,
+Spark and DuckDB generate identical constants.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from http_log_anonymizer_spark.functions.vectors import cosine, cosine_sql
+from http_log_anonymizer_spark.plans.registry import register
+from http_log_anonymizer_spark.sources.batch import load_table
+
+_DIM = 64
+_TOPK = 5
+_NEARDUP_THRESHOLD = 0.45
+_N_PLANES = 4
+
+
+def _hyperplanes() -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-1, 1)^64 from md5 —
+    reproducible by any engine, inlined as literals on both sides."""
+    planes = []
+    for p in range(_N_PLANES):
+        row = []
+        for d in range(_DIM):
+            h = int(hashlib.md5(f"plane|{p}:{d}".encode()).hexdigest()[:15], 16)
+            row.append(h / 2**59 - 1.0)
+        planes.append(row)
+    return planes
+
+
+_PLANES = _hyperplanes()
+
+
+def _plane_dot_spark(vec_col: str, plane: list[float]) -> F.Column:
+    """Explicit left-to-right sum chain (same association as the SQL
+    rendering, so results are bit-identical)."""
+    terms = [
+        F.element_at(F.col(vec_col), d + 1).cast("double") * F.lit(c)
+        for d, c in enumerate(plane)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def _plane_dot_sql(vec: str, plane: list[float]) -> str:
+    return " + ".join(
+        f"CAST({vec}[{d + 1}] AS DOUBLE) * {c!r}" for d, c in enumerate(plane)
+    )
+
+
+def _bucket_spark(vec_col: str) -> F.Column:
+    out = F.lit(0)
+    for p, plane in enumerate(_PLANES):
+        out = out + F.when(_plane_dot_spark(vec_col, plane) >= 0, F.lit(1 << p)).otherwise(0)
+    return out
+
+
+def _bucket_sql(vec: str) -> str:
+    return " + ".join(
+        f"(CASE WHEN {_plane_dot_sql(vec, plane)} >= 0 THEN {1 << p} ELSE 0 END)"
+        for p, plane in enumerate(_PLANES)
+    )
+
+
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ann_brute_topk",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 100 = 0),
+c AS (SELECT vec_id, embedding FROM embeddings),
+scored AS (
+  SELECT
+    q.query_id,
+    c.vec_id AS neighbor_id,
+    round({cosine_sql('q.qe', 'c.embedding', _DIM)}, 4) AS cos
+  FROM q JOIN c ON c.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+  ) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, cos FROM ranked WHERE rank <= {_TOPK}
+ORDER BY query_id, rank
+""",
+    bench=True,
+)
+def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-{_TOPK} cosine neighbors for each query vector
+    (vec_id % 100 == 0). The query set broadcasts; candidates never
+    shuffle for the scoring — only the tiny per-query top-k shuffles for
+    the window. Ranking uses the rounded cosine with neighbor-id
+    tie-break so order is reproducible across engines."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    c = e.select("vec_id", "embedding")
+    scored = (
+        c.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine("qe", "embedding"), 4).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        scored.select("*", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= _TOPK)
+        .orderBy("query_id", "rank")
+    )
+
+
+@register(
+    "ann_lsh_topk",
+    oracle=f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, embedding AS qe, bucket FROM b WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT
+    q.query_id,
+    c.vec_id AS neighbor_id,
+    round({cosine_sql('q.qe', 'c.embedding', _DIM)}, 4) AS cos
+  FROM q JOIN b c ON c.bucket = q.bucket AND c.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+  ) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, cos FROM ranked WHERE rank <= {_TOPK}
+ORDER BY query_id, rank
+""",
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-{_TOPK}: random-hyperplane LSH ({_N_PLANES} bits ->
+    {1 << _N_PLANES} buckets), search restricted to the query's bucket.
+    The cross join of the brute-force path becomes an equi-join on
+    bucket — at scale this is the difference between O(N*Q) and
+    O(N*Q/2^bits) comparisons, with recall tunable via multiple tables
+    (band OR-construction)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    b = e.select("vec_id", "embedding", _bucket_spark("embedding").alias("bucket"))
+    q = b.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("bucket").alias("qbucket"),
+    )
+    scored = (
+        b.join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine("qe", "embedding"), 4).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        scored.select("*", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= _TOPK)
+        .orderBy("query_id", "rank")
+    )
+
+
+@register(
+    "embed_neardup",
+    oracle=f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings)
+SELECT
+  a.vec_id AS vec_a,
+  b.vec_id AS vec_b,
+  round({cosine_sql('a.embedding', 'b.embedding', _DIM)}, 4) AS cos
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round({cosine_sql('a.embedding', 'b.embedding', _DIM)}, 4) >= {_NEARDUP_THRESHOLD}
+ORDER BY vec_a, vec_b
+""",
+)
+def embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs above a threshold
+    (all-pairs here for oracle verifiability; the scale path reuses the
+    LSH bucketing of ann_lsh_topk to prune candidates first)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    cos = F.round(cosine("ea", "eb"), 4)
+    return (
+        pairs.select("vec_a", "vec_b", cos.alias("cos"))
+        .filter(F.col("cos") >= _NEARDUP_THRESHOLD)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+@register(
+    "ivf_cluster_stats",
+    oracle=f"""
+WITH comp AS (
+  SELECT label, vec_id,
+         generate_subscripts(embedding, 1) AS pos,
+         unnest(embedding) AS v
+  FROM embeddings
+),
+-- integer-quantized centroid: exact integer sums -> deterministic
+cent AS (
+  SELECT label, pos,
+         sum(CAST(floor(CAST(v AS DOUBLE) * 1000) AS BIGINT)) AS sq,
+         count(*) AS n
+  FROM comp GROUP BY label, pos
+),
+dist AS (
+  SELECT c.label, c.vec_id,
+         sum(pow(CAST(c.v AS DOUBLE) - (ct.sq / (ct.n * 1000.0)), 2)) AS d2
+  FROM comp c JOIN cent ct ON c.label = ct.label AND c.pos = ct.pos
+  GROUP BY c.label, c.vec_id
+)
+SELECT label,
+       count(*) AS n_vectors,
+       round(avg(sqrt(d2)), 4) AS avg_dist,
+       round(max(sqrt(d2)), 4) AS max_dist
+FROM dist
+GROUP BY label
+ORDER BY label
+""",
+)
+def ivf_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style coarse clustering stats: per-label centroids (the
+    'inverted file' cell centers) and member distance distribution.
+    Centroids use integer-quantized sums so both engines agree exactly;
+    this is the assignment/refinement primitive an IVF ANN index builds
+    on."""
+    e = load_table(spark, sf_dir, "embeddings")
+    comp = e.select(
+        "label", "vec_id", F.posexplode(F.col("embedding").cast("array<double>"))
+    ).withColumnRenamed("pos", "pos0").select(
+        "label", "vec_id", (F.col("pos0") + 1).alias("pos"), F.col("col").alias("v")
+    )
+    cent = comp.groupBy("label", "pos").agg(
+        F.sum(F.floor(F.col("v") * 1000).cast("long")).alias("sq"),
+        F.count("*").alias("n"),
+    )
+    dist = (
+        comp.alias("c")
+        .join(cent.alias("ct"), ["label", "pos"])
+        .groupBy("label", "vec_id")
+        .agg(
+            F.sum(
+                F.pow(F.col("v") - (F.col("sq") / (F.col("n") * 1000.0)), 2)
+            ).alias("d2")
+        )
+    )
+    return (
+        dist.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.round(F.avg(F.sqrt("d2")), 4).alias("avg_dist"),
+            F.round(F.max(F.sqrt("d2")), 4).alias("max_dist"),
+        )
+        .orderBy("label")
+    )
