@@ -1,0 +1,8 @@
+from http_log_anonymizer_spark.streaming.limiter import RequestLimiter
+from http_log_anonymizer_spark.streaming.pipeline import (
+    PipelineSpec,
+    build_streaming_query,
+    json_decoder,
+)
+
+__all__ = ["RequestLimiter", "PipelineSpec", "build_streaming_query", "json_decoder"]

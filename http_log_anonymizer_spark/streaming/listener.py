@@ -1,0 +1,69 @@
+"""Metrics bridge — StreamingQueryListener counterpart of the
+reference's Prometheus telemetry (anonymizer/src/telemetry.rs:21-54).
+
+Metric mapping (reference -> here):
+
+  anonymizer_pipeline_messages_total{status=received}  -> received
+  anonymizer_pipeline_messages_total{status=rejected}  -> rejected
+      (from the decoder's observe() metrics, streaming/pipeline.py)
+  anonymizer_pipeline_inserts_total                    -> batches
+  anonymizer_pipeline_message_latency_seconds          -> batch duration
+  anonymizer_pipeline_output_duration_seconds          -> sink commit ms
+
+Counters are plain in-process values; export to Prometheus would hang a
+text endpoint off ``snapshot()`` (prometheus_client is not in this
+container, so exporting is left to the deployment).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql.streaming import StreamingQueryListener
+
+
+@dataclass
+class PipelineMetrics:
+    received: int = 0
+    rejected: int = 0
+    batches: int = 0
+    rows_written: int = 0
+    batch_duration_ms: list = field(default_factory=list)
+
+    def snapshot(self) -> dict:
+        durations = self.batch_duration_ms
+        return {
+            "received": self.received,
+            "rejected": self.rejected,
+            "batches": self.batches,
+            "rows_written": self.rows_written,
+            "avg_batch_ms": (sum(durations) / len(durations)) if durations else 0.0,
+        }
+
+
+class MetricsListener(StreamingQueryListener):
+    """Attach with ``spark.streams.addListener(listener)``."""
+
+    def __init__(self) -> None:
+        self.metrics = PipelineMetrics()
+
+    def onQueryStarted(self, event) -> None:  # noqa: N802
+        pass
+
+    def onQueryProgress(self, event) -> None:  # noqa: N802
+        p = event.progress
+        self.metrics.batches += 1
+        self.metrics.rows_written += p.sink.numOutputRows or 0
+        if p.batchDuration is not None:
+            self.metrics.batch_duration_ms.append(p.batchDuration)
+        observed = p.observedMetrics or {}
+        decode = observed.get("decode")
+        if decode is not None:
+            self.metrics.received += decode["received"] or 0
+            self.metrics.rejected += decode["rejected"] or 0
+
+    def onQueryIdle(self, event) -> None:  # noqa: N802
+        pass
+
+    def onQueryTerminated(self, event) -> None:  # noqa: N802
+        pass
