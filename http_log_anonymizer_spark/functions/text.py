@@ -43,14 +43,19 @@ def hash64_sql(expr: str, seed: int | str = 0) -> str:
     return f"CAST(('0x' || substr(md5('{seed}|' || {expr}), 1, 15)) AS BIGINT)"
 
 
-def shingles(col: Column | str, k: int = 3) -> Column:
-    """Word k-gram shingles as an array column, computed array-natively
-    (no explode/shuffle): ``transform(sequence(1, n-k+1), i -> ...)``.
-    Documents shorter than k tokens yield an empty array.
+def shingles(token_col: Column | str, k: int = 3) -> Column:
+    """Word k-gram shingles over a *token array* column, computed
+    array-natively (no explode/shuffle): ``transform(sequence(1, n-k+1),
+    i -> ...)``. Documents shorter than k tokens yield an empty array.
+
+    Callers must materialize the token array in its own projection
+    first (``df.select(tokens_ws("text").alias("toks"))``) — embedding
+    ``split()`` in the lambda re-evaluates it per element (~4x slower;
+    Catalyst does not CSE through LambdaFunction).
 
     Mirrors :func:`shingles_sql`.
     """
-    t = tokens_ws(col)
+    t = _c(token_col)
     make = F.transform(
         F.sequence(F.lit(1), F.size(t) - (k - 1)),
         lambda i: F.concat_ws(

@@ -84,12 +84,19 @@ _BAND_R = 2  # rows per band -> 4 bands
 _JACCARD_THRESHOLD = 0.5
 
 
-def _shingle_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, s): distinct word-3-gram shingles per document."""
+def _shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sh): distinct word-3-gram shingle array per document.
+    Tokens materialize in their own projection (see functions/text.py
+    shingles docstring re: CSE through lambdas)."""
     d = load_table(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id", F.explode(F.array_distinct(shingles("text"))).alias("s")
+    return d.select("doc_id", tokens_ws("text").alias("toks")).select(
+        "doc_id", F.array_distinct(shingles("toks")).alias("sh")
     )
+
+
+def _shingle_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, s): exploded distinct shingles per document."""
+    return _shingle_arrays(spark, sf_dir).select("doc_id", F.explode("sh").alias("s"))
 
 
 _EDGES_SQL = f"""
@@ -145,15 +152,22 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(8)+LSH(4 bands x 2) near-duplicate detection with exact
     Jaccard verification of candidates.
 
-    Pipeline: shingle -> minhash signature (single groupBy, 8 map-side
-    mins) -> band keys -> equi-join on (band, key) for candidates ->
-    exact Jaccard only on candidates. At 100 TB the only all-pairs step
-    is within LSH buckets — the verify join is proportional to true
-    near-duplicates, not the corpus square.
+    Pipeline: shingle -> minhash signature (array-native: transform +
+    array_min per seed, zero shuffle) -> band keys -> equi-join on
+    (band, key) for candidates -> exact Jaccard via array_intersect on
+    the two shingle arrays (JVM set ops, no explode). At 100 TB the
+    only all-pairs step is within LSH buckets, and verification cost is
+    proportional to true near-duplicates, not the corpus square.
     """
-    e = _shingle_edges(spark, sf_dir).cache()
-    sig = e.groupBy("doc_id").agg(
-        *[F.min(hash64("s", i)).alias(f"mh{i}") for i in range(_N_HASHES)]
+    d = _shingle_arrays(spark, sf_dir).cache()
+    # NB: the transform lambda must take exactly one parameter — a second
+    # parameter makes PySpark pass the element *index*, silently replacing
+    # the seed.
+    def _mh(seed: int):
+        return F.array_min(F.transform("sh", lambda s: hash64(s, seed)))
+
+    sig = d.select(
+        "doc_id", *[_mh(i).alias(f"mh{i}") for i in range(_N_HASHES)]
     )
     band_structs = [
         F.struct(
@@ -162,8 +176,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for b in range(_N_HASHES // _BAND_R)
     ]
-    bands = sig.select("doc_id", F.explode(F.array(*band_structs)).alias("band")).select(
-        "doc_id", "band.band_id", "band.bkey"
+    # Cache the band index: it is both sides of the candidate self-join,
+    # and (like any LSH index) is built once and probed many times.
+    # Without this, Spark re-derives the md5 signature pipeline inside
+    # the join — measured ~10x slower than probing the cached index.
+    bands = (
+        sig.select("doc_id", F.explode(F.array(*band_structs)).alias("band"))
+        .select("doc_id", "band.band_id", "band.bkey")
+        .cache()
     )
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
@@ -176,22 +196,21 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
         .distinct()
     )
-    sz = e.groupBy("doc_id").agg(F.count("*").alias("n"))
-    ea, eb = e.alias("ea"), e.alias("eb")
-    inter = (
-        cand.join(ea, F.col("ea.doc_id") == F.col("da"))
-        .join(eb, (F.col("eb.doc_id") == F.col("db")) & (F.col("ea.s") == F.col("eb.s")))
-        .groupBy("da", "db")
-        .agg(F.count("*").alias("i"))
-    )
-    j = (
-        inter.join(sz.alias("sa"), F.col("sa.doc_id") == F.col("da"))
-        .join(sz.alias("sb"), F.col("sb.doc_id") == F.col("db"))
+    pairs = (
+        cand.join(d.select(F.col("doc_id").alias("da"), F.col("sh").alias("sh_a")), "da")
+        .join(d.select(F.col("doc_id").alias("db"), F.col("sh").alias("sh_b")), "db")
         .select(
             F.col("da").alias("doc_a"),
             F.col("db").alias("doc_b"),
-            (F.col("i") * 1.0 / (F.col("sa.n") + F.col("sb.n") - F.col("i"))).alias("jr"),
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("i"),
+            F.size("sh_a").alias("na"),
+            F.size("sh_b").alias("nb"),
         )
+    )
+    j = pairs.select(
+        "doc_a",
+        "doc_b",
+        (F.col("i") * 1.0 / (F.col("na") + F.col("nb") - F.col("i"))).alias("jr"),
     )
     return (
         j.filter(F.col("jr") >= _JACCARD_THRESHOLD)

@@ -195,9 +195,10 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     style min-shingle fingerprint (min over word-3-gram hashes — the
     1-permutation MinHash). distinct_min_shingle < n_docs exposes
     near-duplicate clusters that the exact fingerprint misses."""
-    d = load_table(spark, sf_dir, "documents")
-    sh = shingles("text")
-    min_fp = F.array_min(F.transform(sh, lambda s: hash64(s)))
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", "text", tokens_ws("text").alias("toks")
+    )
+    min_fp = F.array_min(F.transform(shingles("toks"), lambda s: hash64(s)))
     return (
         d.select("source", F.md5("text").alias("full_fp"), min_fp.alias("min_shingle_fp"))
         .groupBy("source")
