@@ -483,3 +483,104 @@ def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Session windows (native) + cardinality
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "session_window_agg",
+    oracle="""
+WITH marks AS (
+  SELECT user_id, ts, value,
+    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              > INTERVAL 30 MINUTE
+         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+numbered AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS session_id
+  FROM marks
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events,
+       round(sum(value), 2) AS session_value
+FROM numbered
+GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+""",
+)
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows (F.session_window, 30-min gap): Spark's
+    built-in gap-merge operator, the batch twin of the streaming
+    session-window aggregation. The oracle reproduces the same sessions
+    with lag + running-sum SQL — proving the two formulations agree.
+    Spark's session end == last event + gap by definition."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+@register(
+    "distinct_users_exact",
+    oracle="""
+SELECT event_type,
+       count(DISTINCT user_id) AS n_users,
+       count(*) AS n_events
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def distinct_users_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct cardinality per group (two-phase: partial distinct
+    per partition, then merge — Catalyst expands automatically)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register("distinct_users_approx", oracle=None)
+def distinct_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ cardinality sketch (approx_count_distinct, 1%
+    rsd): the 100 TB path where an exact distinct would shuffle every
+    key. Engine-specific sketch values can't be oracle-matched in
+    DuckDB -> rows-only check; accuracy is asserted against the exact
+    count in tests/test_operators.py instead."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.01).alias("n_users_approx"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )

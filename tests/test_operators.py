@@ -1,0 +1,81 @@
+"""Operator-level assertions that the oracle can't express:
+approx-sketch accuracy, synthetic source determinism, schema/DDL
+generation, config env round-trip."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from http_log_anonymizer_spark.config import ClickHouseConfig, EngineConfig, KafkaConfig
+from http_log_anonymizer_spark.plans import REGISTRY
+from http_log_anonymizer_spark.schema import (
+    HTTP_LOG_SCHEMA,
+    SORT_KEY,
+    clickhouse_insert_ddl,
+    clickhouse_table_ddl,
+)
+from http_log_anonymizer_spark.sources.synthetic import synthetic_http_log_batch
+from tests.conftest import SF_ORACLE
+
+
+def test_approx_distinct_within_rsd(spark):
+    exact = {
+        r["event_type"]: r["n_users"]
+        for r in REGISTRY["distinct_users_exact"].spark_fn(spark, SF_ORACLE).collect()
+    }
+    approx = {
+        r["event_type"]: r["n_users_approx"]
+        for r in REGISTRY["distinct_users_approx"].spark_fn(spark, SF_ORACLE).collect()
+    }
+    assert exact.keys() == approx.keys()
+    for k, v in exact.items():
+        assert abs(approx[k] - v) / v < 0.05, (k, v, approx[k])
+
+
+def test_synthetic_batch_matches_http_log_schema(spark):
+    df = synthetic_http_log_batch(spark, 1000)
+    assert [f.name for f in df.schema.fields] == [f.name for f in HTTP_LOG_SCHEMA.fields]
+    # planted invalid/ipv6 addrs exist (dead-letter + v6 path coverage)
+    kinds = df.select(
+        F.sum(F.when(F.col("remote_addr") == "not-an-ip", 1).otherwise(0)).alias("bad"),
+        F.sum(F.when(F.col("remote_addr").contains(":"), 1).otherwise(0)).alias("v6"),
+    ).collect()[0]
+    assert kinds.bad > 0 and kinds.v6 > 0
+    # deterministic: same seed -> same rows
+    a = df.orderBy("timestamp", "bytes_sent").limit(5).collect()
+    b = synthetic_http_log_batch(spark, 1000).orderBy("timestamp", "bytes_sent").limit(5).collect()
+    assert a == b
+
+
+def test_clickhouse_ddl_mirrors_reference():
+    ddl = clickhouse_table_ddl("http_log")
+    assert "ReplacingMergeTree" in ddl
+    assert "PARTITION BY toYYYYMM(timestamp)" in ddl
+    assert f"ORDER BY ({', '.join(SORT_KEY)})" in ddl
+    assert "LowCardinality(String)" in ddl
+    ins = clickhouse_insert_ddl("http_log")
+    assert ins.startswith("INSERT INTO http_log (timestamp, resource_id")
+
+
+def test_config_env_roundtrip(monkeypatch):
+    monkeypatch.setenv("KAFKA__TOPIC", "other_topic")
+    monkeypatch.setenv("KAFKA__GROUP_ID", "g1")
+    monkeypatch.setenv("CH__MAX_BLOCK_SIZE", "1024")
+    monkeypatch.setenv("CH__RATE_LIMIT", "65")
+    cfg = EngineConfig.from_env()
+    assert cfg.kafka.topic == "other_topic"
+    assert cfg.kafka.group_id == "g1"
+    assert cfg.ch.max_block_size == 1024
+    assert cfg.ch.rate_limit_s == 65
+
+
+def test_config_defaults_match_reference():
+    # defaults from anonymizer/.envrc / config.rs when env is absent
+    k = KafkaConfig()
+    assert k.retries == 3 and k.retry_delay_ms == 2000
+    ch = ClickHouseConfig()
+    assert ch.max_block_size == 4096
+    # reference falls back to 10 s when CH__RATE_LIMIT unset (sink.rs:264-266)
+    assert ch.default_rate_limit_s == 10

@@ -1,0 +1,49 @@
+"""Physical-plan regression tests: the properties that make these
+queries survive a 100x scale-up are asserted here so a refactor can't
+silently lose them (predicate pushdown, broadcast joins, top-k without
+global sort, JVM-only text path)."""
+
+from __future__ import annotations
+
+from http_log_anonymizer_spark.plans import REGISTRY
+from tests.conftest import SF_ORACLE
+
+
+def _plan(spark, name: str) -> str:
+    df = REGISTRY[name].spark_fn(spark, SF_ORACLE)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pricing_summary_pushes_filter_to_scan(spark):
+    plan = _plan(spark, "pricing_summary")
+    assert "PushedFilters: [" in plan
+    assert "LessThanOrEqual(l_shipdate" in plan.replace("IsNotNull(l_shipdate), ", "")
+
+
+def test_pricing_summary_prunes_columns(spark):
+    plan = _plan(spark, "pricing_summary")
+    # ReadSchema must not include unused columns like l_comment-ish ones
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" not in read and "l_partkey" not in read
+
+
+def test_nation_volume_broadcasts_dimensions(spark):
+    plan = _plan(spark, "nation_volume")
+    assert plan.count("BroadcastHashJoin") >= 3  # customer, nation, region
+    assert "SortMergeJoin" not in plan or plan.count("SortMergeJoin") <= 1
+
+
+def test_top_ips_uses_take_ordered(spark):
+    plan = _plan(spark, "http_top_ips")
+    assert "TakeOrderedAndProject" in plan  # no global sort for LIMIT
+
+
+def test_text_queries_stay_jvm_side(spark):
+    for name in ("token_stats", "quality_histogram", "doc_fingerprints", "dedup_minhash_lsh"):
+        plan = _plan(spark, name)
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, name
+
+
+def test_ann_brute_broadcasts_queries(spark):
+    plan = _plan(spark, "ann_brute_topk")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
