@@ -1,0 +1,3 @@
+from http_log_anonymizer_spark.operators.asof import asof_join
+
+__all__ = ["asof_join"]

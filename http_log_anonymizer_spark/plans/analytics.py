@@ -584,3 +584,224 @@ def distinct_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# As-of join (custom operator; operators/asof.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "asof_last_purchase",
+    oracle="""
+WITH err AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+),
+pur AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+)
+SELECT
+  err.event_id,
+  err.user_id,
+  err.ts AS error_ts,
+  pur.ts AS purchase_ts,
+  pur.value AS purchase_value
+FROM err ASOF LEFT JOIN pur
+  ON err.user_id = pur.user_id AND err.ts >= pur.ts
+ORDER BY event_id
+""",
+)
+def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): for every error event, the most
+    recent purchase by the same user at or before the error. Implemented
+    as the union-sort trick (one shuffle on user_id, no range-join
+    explosion); the oracle uses DuckDB's native ASOF LEFT JOIN —
+    agreement proves the operator's point-in-time semantics."""
+    from http_log_anonymizer_spark.operators import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    err = e.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", F.col("ts").alias("error_ts")
+    )
+    pur = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("purchase_ts"), F.col("value").alias("purchase_value")
+    )
+    joined = asof_join(
+        err, pur, on=["user_id"], left_ts="error_ts", right_ts="purchase_ts"
+    )
+    return joined.select(
+        "event_id", "user_id", "error_ts", "purchase_ts", "purchase_value"
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# Pivot, outer join, stats, terms
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pivot_event_counts",
+    oracle="""
+SELECT
+  user_id % 10 AS cohort,
+  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
+  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+FROM events
+GROUP BY 1
+ORDER BY cohort
+""",
+)
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long -> wide) with an explicit value list: naming the
+    pivot values up front avoids the extra distinct-values job Spark
+    otherwise runs, and makes the output schema static — both matter
+    when the input is 100 TB."""
+    e = _t(spark, sf_dir, "events")
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    return (
+        e.groupBy((F.col("user_id") % 10).alias("cohort"))
+        .pivot("event_type", kinds)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, kinds)
+        .orderBy("cohort")
+    )
+
+
+@register(
+    "order_fill_outer",
+    oracle="""
+SELECT
+  o.o_orderpriority,
+  count(*) AS n_orders,
+  sum(CASE WHEN l.l_orderkey IS NULL THEN 1 ELSE 0 END) AS n_unfilled,
+  round(sum(coalesce(l.qty, 0)), 2) AS total_qty
+FROM orders o
+LEFT JOIN (
+  SELECT l_orderkey, sum(l_quantity) AS qty FROM lineitem GROUP BY l_orderkey
+) l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+""",
+)
+def order_fill_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join against a pre-aggregated child table: aggregate
+    BEFORE the join so the join input is one row per key (at scale this
+    turns a fact-fact join into fact-dim), then null-aware rollup."""
+    o = _t(spark, sf_dir, "orders")
+    lq = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    return (
+        o.join(lq, o.o_orderkey == lq.l_orderkey, "left")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.when(F.col("l_orderkey").isNull(), 1).otherwise(0)).alias("n_unfilled"),
+            F.round(F.sum(F.coalesce(F.col("qty"), F.lit(0))), 2).alias("total_qty"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "value_stats",
+    oracle="""
+SELECT
+  event_type,
+  round(stddev_samp(value), 4) AS sd,
+  round(corr(value, CAST(user_id AS DOUBLE)), 4) AS corr_user,
+  round(covar_samp(value, CAST(user_id AS DOUBLE)), 4) AS covar_user,
+  round(min(value), 2) AS vmin,
+  round(max(value), 2) AS vmax
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (stddev/corr/covar) per group — one pass,
+    map-side partials."""
+    e = _t(spark, sf_dir, "events")
+    u = F.col("user_id").cast("double")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.round(F.stddev_samp("value"), 4).alias("sd"),
+            F.round(F.corr("value", u), 4).alias("corr_user"),
+            F.round(F.covar_samp("value", u), 4).alias("covar_user"),
+            F.round(F.min("value"), 2).alias("vmin"),
+            F.round(F.max("value"), 2).alias("vmax"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "top_terms_per_lang",
+    oracle="""
+WITH tok AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents
+),
+counts AS (
+  SELECT lang, term, count(*) AS n FROM tok GROUP BY lang, term
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY n DESC, term) AS rnk
+  FROM counts
+)
+SELECT lang, term, n, rnk FROM ranked WHERE rnk <= 10
+ORDER BY lang, rnk
+""",
+)
+def top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode + grouped count + per-group top-k: the term-frequency
+    primitive. The explode fans out tokens but the count aggregates
+    map-side before the (lang, term) shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("lang", F.explode(F.split("text", " ")).alias("term"))
+    counts = tok.groupBy("lang", "term").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), "term")
+    return (
+        counts.select("*", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 10)
+        .orderBy("lang", "rnk")
+    )
+
+
+@register(
+    "grouping_sets_totals",
+    oracle="""
+SELECT
+  o_orderstatus,
+  o_orderpriority,
+  grouping(o_orderstatus) + 2 * grouping(o_orderpriority) AS gid,
+  count(*) AS cnt,
+  round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+ORDER BY gid, o_orderstatus, o_orderpriority
+""",
+)
+def grouping_sets_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping() disambiguation of the
+    NULL markers — the general form behind cube/rollup."""
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT
+          o_orderstatus,
+          o_orderpriority,
+          CAST(grouping(o_orderstatus) + 2 * grouping(o_orderpriority) AS BIGINT) AS gid,
+          count(*) AS cnt,
+          round(sum(o_totalprice), 2) AS total
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY gid, o_orderstatus, o_orderpriority
+        """
+    )
