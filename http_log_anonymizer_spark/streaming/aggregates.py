@@ -1,0 +1,54 @@
+"""Streaming pre-aggregated totals — Stage 3 of the build plan
+(SURVEY.md §7): the Spark-native version of the ClickHouse rollup the
+reference README demands ("ready-made totals of served traffic for any
+combination of resource ID, HTTP status, cache status and IP address",
+README.md:59-63), maintained incrementally instead of merge-on-read.
+
+The watermark is a deliberate semantic extension: the reference carries
+event time but never compares it to processing time (SURVEY §2.5 — no
+lateness handling). Documented here per SURVEY §7 hard-part 5: state
+for windows older than the watermark is dropped, so unbounded streams
+run in bounded state. Set ``delay`` to the max expected Kafka consumer
+lag.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TOTALS_DIMENSIONS = ["resource_id", "response_status", "cache_status", "remote_addr"]
+
+
+def streaming_totals(
+    rows: DataFrame,
+    window: str = "1 minute",
+    delay: str = "2 minutes",
+    dimensions: list[str] | None = None,
+) -> DataFrame:
+    """Windowed grouped totals with a watermark.
+
+    One stateful aggregation; map-side partial aggregation applies
+    before the shuffle on (window, dims), so state size tracks group
+    cardinality, not input rate. Output mode 'update' emits changed
+    groups each trigger (the incremental rollup); 'append' would emit
+    only finalized windows.
+    """
+    dims = dimensions or TOTALS_DIMENSIONS
+    return (
+        rows.withWatermark("timestamp", delay)
+        .groupBy(F.window("timestamp", window).alias("w"), *dims)
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("bytes_sent").alias("traffic"),
+        )
+        .select(F.col("w.start").alias("window_start"), *dims, "cnt", "traffic")
+    )
+
+
+def streaming_dedup(rows: DataFrame, keys: list[str], delay: str = "2 minutes") -> DataFrame:
+    """Streaming exactly-once upgrade (F9): drop sort-key duplicates
+    within the watermark horizon — the streaming analog of
+    ReplacingMergeTree's eventual dedup (lib.rs:99-125). State holds one
+    entry per key seen within ``delay``; older state is reclaimed."""
+    return rows.withWatermark("timestamp", delay).dropDuplicates(keys)

@@ -1,0 +1,115 @@
+"""Stage-3 streaming tests: windowed totals with watermark, streaming
+dedup, and the applyInPandasWithState running-totals operator — each
+checked against its batch equivalent over the same data."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from http_log_anonymizer_spark.streaming.aggregates import streaming_dedup, streaming_totals
+from http_log_anonymizer_spark.streaming.pipeline import json_decoder
+from http_log_anonymizer_spark.streaming.stateful import running_ip_totals
+
+
+def _log_line(i: int, minute: int, addr: str = "1.2.3.4") -> str:
+    return json.dumps(
+        {
+            "timestamp": f"2024-01-01 00:{minute:02d}:{i % 60:02d}",
+            "resource_id": i % 3,
+            "bytes_sent": 100 + i,
+            "request_time_milli": i,
+            "response_status": 200 if i % 2 == 0 else 500,
+            "cache_status": "HIT",
+            "method": "GET",
+            "remote_addr": addr,
+            "url": f"/r/{i % 3}",
+        }
+    )
+
+
+def _drain(spark, src_dir, ckpt, make_sink_df, max_files=None):
+    source = spark.readStream.format("text")
+    if max_files:
+        source = source.option("maxFilesPerTrigger", str(max_files))
+    raw = source.load(src_dir)
+    out = make_sink_df(json_decoder()(raw))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("agg_test")
+        .outputMode("complete" if getattr(out, "_agg_complete", False) else "update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_streaming_totals_match_batch(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    lines = [_log_line(i, minute=i // 30) for i in range(90)]
+    (src / "data.txt").write_text("\n".join(lines))
+
+    def totals(rows):
+        df = streaming_totals(rows, window="1 minute", dimensions=["response_status"])
+        df._agg_complete = True
+        return df
+
+    _drain(spark, str(src), str(tmp_path / "ck1"), totals)
+    got = {
+        (str(r.window_start), r.response_status): (r.cnt, r.traffic)
+        for r in spark.sql("SELECT * FROM agg_test").collect()
+    }
+
+    # batch equivalent over the same rows
+    batch = (
+        spark.read.json(str(src / "data.txt"))
+        .select(
+            F.col("timestamp").cast("timestamp").alias("timestamp"),
+            "response_status",
+            "bytes_sent",
+        )
+        .groupBy(F.window("timestamp", "1 minute").alias("w"), "response_status")
+        .agg(F.count("*").alias("cnt"), F.sum("bytes_sent").alias("traffic"))
+        .select(F.col("w.start").alias("window_start"), "response_status", "cnt", "traffic")
+    )
+    want = {
+        (str(r.window_start), r.response_status): (r.cnt, r.traffic)
+        for r in batch.collect()
+    }
+    assert got == want and len(got) >= 4
+
+
+def test_streaming_dedup_drops_replays(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    lines = [_log_line(1, 0)] * 3 + [_log_line(2, 0)]
+    (src / "data.txt").write_text("\n".join(lines))
+
+    def dedup(rows):
+        df = streaming_dedup(
+            rows, keys=["resource_id", "response_status", "remote_addr", "timestamp"]
+        ).select("timestamp", "resource_id", "bytes_sent")
+        return df
+
+    _drain(spark, str(src), str(tmp_path / "ck2"), dedup)
+    assert spark.sql("SELECT count(*) c FROM agg_test").collect()[0].c == 2
+
+
+def test_running_ip_totals_state_across_batches(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    # two files -> two micro-batches (maxFilesPerTrigger=1); state carries
+    (src / "a.txt").write_text("\n".join(_log_line(i, 0, "9.9.9.9") for i in range(5)))
+    (src / "b.txt").write_text("\n".join(_log_line(i, 1, "9.9.9.9") for i in range(5, 8)))
+
+    _drain(spark, str(src), str(tmp_path / "ck3"), running_ip_totals, max_files=1)
+    rows = spark.sql(
+        "SELECT * FROM agg_test ORDER BY total_requests DESC LIMIT 1"
+    ).collect()
+    assert rows[0].remote_addr == "9.9.9.9"
+    assert rows[0].total_requests == 8  # 5 from batch 1 + 3 from batch 2
+    assert rows[0].total_bytes == sum(100 + i for i in range(8))
