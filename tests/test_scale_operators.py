@@ -1,0 +1,83 @@
+"""Scale-discipline operators: salted join equivalence + bucketed
+co-located joins (no shuffle in the join plan)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from http_log_anonymizer_spark.operators.salted import salted_join
+from http_log_anonymizer_spark.sources.batch import load_table
+from tests.conftest import SF_ORACLE
+
+
+def test_salted_join_equals_plain_join(spark):
+    # skewed: 90% of rows share one key
+    skewed = spark.range(10_000).select(
+        F.when(F.col("id") % 10 != 0, F.lit(7)).otherwise(F.col("id") % 100).alias("k"),
+        (F.col("id") * 3).alias("payload"),
+    )
+    small = spark.range(100).select(F.col("id").alias("k"), (F.col("id") * 11).alias("dim"))
+
+    plain = skewed.join(small, ["k"]).groupBy("k").agg(
+        F.count("*").alias("c"), F.sum(F.col("payload") + F.col("dim")).alias("s")
+    )
+    salted = salted_join(skewed, small, ["k"], n_salts=8).groupBy("k").agg(
+        F.count("*").alias("c"), F.sum(F.col("payload") + F.col("dim")).alias("s")
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_join_spreads_hot_key(spark):
+    skewed = spark.range(1000).select(F.lit(7).alias("k"), F.col("id").alias("p"))
+    small = spark.range(10).select(F.col("id").alias("k"))
+    out = salted_join(skewed, small, ["k"], n_salts=4)
+    # every row keeps joining (key 7 exists in small) and salt is dropped
+    assert out.count() == 1000 and "_salt" not in out.columns
+
+
+@pytest.fixture()
+def bucketed_tables(spark):
+    spark.sql("DROP TABLE IF EXISTS li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS o_bucketed")
+    load_table(spark, SF_ORACLE, "lineitem").write.bucketBy(8, "l_orderkey").sortBy(
+        "l_orderkey"
+    ).mode("overwrite").saveAsTable("li_bucketed")
+    load_table(spark, SF_ORACLE, "orders").write.bucketBy(8, "o_orderkey").sortBy(
+        "o_orderkey"
+    ).mode("overwrite").saveAsTable("o_bucketed")
+    yield
+    spark.sql("DROP TABLE IF EXISTS li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS o_bucketed")
+
+
+def test_bucketed_join_has_no_shuffle(spark, bucketed_tables):
+    """Co-located fact-fact join: both sides bucketed on the join key
+    with the same bucket count -> SortMergeJoin with zero Exchange.
+    This is the pre-partitioning discipline for repeated 100 TB joins:
+    pay the shuffle once at write time, never at read time."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = spark.table("li_bucketed")
+        o = spark.table("o_bucketed")
+        joined = li.join(o, li.l_orderkey == o.o_orderkey).groupBy("o_orderstatus").agg(
+            F.count("*").alias("c")
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        join_part = plan.split("HashAggregate")[-1]  # below the agg: the join subtree
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in join_part, join_part
+        # and it still computes the right answer
+        want = (
+            load_table(spark, SF_ORACLE, "lineitem")
+            .join(
+                load_table(spark, SF_ORACLE, "orders"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .groupBy("o_orderstatus")
+            .agg(F.count("*").alias("c"))
+        )
+        assert sorted(map(tuple, joined.collect())) == sorted(map(tuple, want.collect()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
