@@ -1,0 +1,155 @@
+"""Scalar-function coverage: temporal features, JSON row encoding (T6),
+array higher-order functions, sliding windows.
+
+Cross-engine notes baked into the oracles:
+- DuckDB ``dayofweek`` is 0-based Sunday; Spark is 1-based -> ``+1``.
+- DuckDB ``date_trunc('week', ts)`` returns DATE -> cast to TIMESTAMP.
+- DuckDB ``list_sum`` returns DECIMAL unless elements are cast DOUBLE.
+- ``to_json(struct(...))`` serializes identically in both engines
+  (no spaces, insertion order) — verified, which is what lets T6's
+  JSONCompactEachRow-adjacent encoding be oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from http_log_anonymizer_spark.plans.http_log import HTTP_LOG_SQL, http_log_view
+from http_log_anonymizer_spark.plans.registry import register
+from http_log_anonymizer_spark.sources.batch import load_table
+
+
+@register(
+    "time_features",
+    oracle="""
+SELECT
+  CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
+  dayofweek(ts) + 1 AS dow,
+  extract(hour FROM ts) AS hour,
+  count(*) AS cnt,
+  round(sum(value), 2) AS total
+FROM events
+GROUP BY 1, 2, 3
+ORDER BY week, dow, hour
+""",
+)
+def time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal feature extraction (trunc/day-of-week/hour) + grouped
+    totals — the feature-engineering primitive for time-series models."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("week", "ts").alias("week"),
+            F.dayofweek("ts").cast("long").alias("dow"),
+            F.hour("ts").cast("long").alias("hour"),
+        )
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("total"))
+        .orderBy("week", "dow", "hour")
+    )
+
+
+@register(
+    "json_encode_rows",
+    oracle=f"""
+WITH {HTTP_LOG_SQL}
+SELECT
+  to_json(struct_pack(
+    method := method,
+    status := response_status,
+    cache := cache_status
+  )) AS j,
+  count(*) AS cnt,
+  sum(bytes_sent) AS traffic
+FROM http_log
+GROUP BY 1
+ORDER BY j
+""",
+)
+def json_encode_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 analog — JSON row encoding as a Catalyst expression
+    (to_json(struct(...))), byte-identical across engines; grouped so
+    the oracle verifies every encoded string."""
+    log = http_log_view(spark, sf_dir)
+    j = F.to_json(
+        F.struct(
+            F.col("method").alias("method"),
+            F.col("response_status").alias("status"),
+            F.col("cache_status").alias("cache"),
+        )
+    )
+    return (
+        log.groupBy(j.alias("j"))
+        .agg(F.count("*").alias("cnt"), F.sum("bytes_sent").alias("traffic"))
+        .orderBy("j")
+    )
+
+
+@register(
+    "array_feature_stats",
+    oracle="""
+SELECT
+  label,
+  round(avg(len(list_filter(embedding, x -> x > 0))), 4) AS avg_pos,
+  round(avg(list_sum(list_transform(embedding[1:8],
+        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS avg_sumsq8,
+  count(*) AS n
+FROM embeddings
+GROUP BY label
+ORDER BY label
+""",
+)
+def array_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions (filter/transform/aggregate/slice)
+    over embedding vectors — per-label stats, all JVM-side."""
+    e = load_table(spark, sf_dir, "embeddings")
+    n_pos = F.size(F.filter("embedding", lambda x: x > 0))
+    sumsq8 = F.aggregate(
+        F.transform(
+            F.slice("embedding", 1, 8), lambda x: x.cast("double") * x.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        e.groupBy("label")
+        .agg(
+            F.round(F.avg(n_pos), 4).alias("avg_pos"),
+            F.round(F.avg(sumsq8), 4).alias("avg_sumsq8"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("label")
+    )
+
+
+@register(
+    "sliding_window_traffic",
+    oracle="""
+WITH offsets AS (SELECT unnest(range(5)) AS k),
+slid AS (
+  SELECT
+    date_trunc('minute', e.ts) - to_minutes(o.k) AS window_start,
+    e.event_type,
+    e.value
+  FROM events e CROSS JOIN offsets o
+)
+SELECT window_start, event_type, count(*) AS cnt, round(sum(value), 2) AS total
+FROM slid
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+""",
+)
+def sliding_window_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (5-minute span, 1-minute slide) via the native
+    window() generator — each event lands in 5 overlapping windows. The
+    oracle reproduces the expansion with an explicit offset cross join;
+    agreement proves Spark's epoch-aligned window math."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "5 minutes", "1 minute").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("total"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "cnt", "total")
+        .orderBy("window_start", "event_type")
+    )
