@@ -43,6 +43,10 @@ _TIMESTAMP_NS_COLS = {
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Timestamps in the oracle (DuckDB) are naive; pin the session TZ so
+    # hour()/date_trunc()/window() agree regardless of the host TZ of
+    # whoever created the SparkSession (the driver does, not us).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for c in _TIMESTAMP_NS_COLS.get(name, []):
         if c in df.columns and dict(df.dtypes)[c] == "bigint":
