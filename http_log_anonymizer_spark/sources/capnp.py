@@ -23,6 +23,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from http_log_anonymizer_spark.schema import HTTP_LOG_SCHEMA, WIRE_FIELDS
 from http_log_anonymizer_spark.sources.capnp_codec import decode_http_log_record
@@ -64,6 +65,11 @@ def decode_capnp_stream(df: DataFrame, value_col: str = "value") -> DataFrame:
     """Decode a binary column of Cap'n Proto HttpLogRecord messages into
     HTTP_LOG_SCHEMA rows (T1+T2: projection + epoch-millis -> timestamp,
     http_log.rs:49-67). Works on batch and streaming DataFrames."""
+
+    # received counter (telemetry.rs messages_total{status=received});
+    # rejected is received - sink rows for this decoder since invalid
+    # payloads are dropped inside the Arrow batch.
+    df = df.observe("decode", F.count(F.lit(1)).alias("received"))
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         decode = _pycapnp_decoder() or decode_http_log_record

@@ -53,14 +53,18 @@ class MetricsListener(StreamingQueryListener):
     def onQueryProgress(self, event) -> None:  # noqa: N802
         p = event.progress
         self.metrics.batches += 1
-        self.metrics.rows_written += p.sink.numOutputRows or 0
+        # foreachBatch sinks report -1 (row count unknown to Spark)
+        out_rows = p.sink.numOutputRows or 0
+        if out_rows > 0:
+            self.metrics.rows_written += out_rows
         if p.batchDuration is not None:
             self.metrics.batch_duration_ms.append(p.batchDuration)
         observed = p.observedMetrics or {}
         decode = observed.get("decode")
         if decode is not None:
-            self.metrics.received += decode["received"] or 0
-            self.metrics.rejected += decode["rejected"] or 0
+            row = decode.asDict() if hasattr(decode, "asDict") else dict(decode)
+            self.metrics.received += row.get("received") or 0
+            self.metrics.rejected += row.get("rejected") or 0
 
     def onQueryIdle(self, event) -> None:  # noqa: N802
         pass
