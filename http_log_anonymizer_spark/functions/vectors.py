@@ -51,3 +51,32 @@ def norm_sql(a: str, dim: int) -> str:
 
 def cosine_sql(a: str, b: str, dim: int) -> str:
     return f"({dot_sql(a, b, dim)} / ({norm_sql(a, dim)} * {norm_sql(b, dim)}))"
+
+
+def norm_column(vec_col: Column | str) -> Column:
+    """Materializable norm — same as :func:`norm`, exported for the
+    two-projection unit-vector pattern (compute norm in one projection,
+    divide in the next; embedding norm() inside a transform lambda
+    re-evaluates it per element — Catalyst does not CSE through
+    lambdas)."""
+    return norm(vec_col)
+
+
+def unit_from(vec_col: Column | str, norm_col: Column | str) -> Column:
+    """Unit vector given a pre-materialized norm column."""
+    n = _c(norm_col)
+    return F.transform(_d(vec_col), lambda x: x / n)
+
+
+UNIT_CTE_SQL = """
+_n AS (
+  SELECT *, sqrt(list_sum(list_transform(embedding,
+      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+),
+unit AS (
+  SELECT * EXCLUDE (nrm),
+         list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS ue
+  FROM _n
+)
+"""

@@ -492,6 +492,7 @@ def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "session_window_agg",
+    bench=True,
     oracle="""
 WITH marks AS (
   SELECT user_id, ts, value,
@@ -593,6 +594,7 @@ def distinct_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "asof_last_purchase",
+    bench=True,
     oracle="""
 WITH err AS (
   SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'

@@ -284,6 +284,7 @@ _HAMMING_MAX = 4
 
 @register(
     "dedup_simhash",
+    bench=True,
     oracle=f"""
 WITH tok AS (
   SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tk FROM documents

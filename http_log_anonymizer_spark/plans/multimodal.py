@@ -57,6 +57,7 @@ def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_decode_meta",
+    bench=True,
     oracle="""
 WITH m AS (
   SELECT doc_id, source, octet_length(encode(text)) AS n_bytes FROM documents

@@ -124,6 +124,7 @@ def array_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sliding_window_traffic",
+    bench=True,
     oracle="""
 WITH offsets AS (SELECT unnest(range(5)) AS k),
 slid AS (

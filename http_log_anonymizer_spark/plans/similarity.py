@@ -11,9 +11,15 @@ Three tiers, mirroring what a 100 TB training-data pipeline needs:
   the bucket (equi-join on bucket id instead of a cross join).
 - ``embed_neardup``: embedding-cosine near-duplicate pairs (threshold).
 
-All vector math is Catalyst higher-order functions in double precision
-(functions/vectors.py); hyperplanes are derived from md5 so Python,
-Spark and DuckDB generate identical constants.
+Normalization discipline: every query precomputes **unit vectors** once
+per row (two-projection pattern — norm materialized, then divide) and
+caches them; pairwise cosine is then a single dot product. Computing
+cosine(a, b) naively re-derives both norms per PAIR — measured 48 s vs
+~4 s at sf0.1 for the all-pairs query. The oracle mirrors the same
+normalize-then-dot formulation so doubles stay bit-comparable.
+
+Hyperplanes are derived from md5 so Python, Spark and DuckDB generate
+identical constants.
 """
 
 from __future__ import annotations
@@ -23,7 +29,13 @@ import hashlib
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from http_log_anonymizer_spark.functions.vectors import cosine, cosine_sql
+from http_log_anonymizer_spark.functions.vectors import (
+    UNIT_CTE_SQL,
+    dot,
+    dot_sql,
+    norm_column,
+    unit_from,
+)
 from http_log_anonymizer_spark.plans.registry import register
 from http_log_anonymizer_spark.sources.batch import load_table
 
@@ -31,6 +43,18 @@ _DIM = 64
 _TOPK = 5
 _NEARDUP_THRESHOLD = 0.45
 _N_PLANES = 4
+
+
+def _unit_table(
+    spark: SparkSession, sf_dir: str, extra: list[str] = [], cache: bool = True
+) -> DataFrame:
+    """(vec_id, [extra...], ue): unit-vector table. Cache when the table
+    is scanned more than ~twice (all-pairs, LSH index); a single-pass
+    consumer is cheaper without the materialization."""
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.select("vec_id", *extra, "embedding", norm_column("embedding").alias("nrm"))
+    u = n.select("vec_id", *extra, unit_from("embedding", "nrm").alias("ue"))
+    return u.cache() if cache else u
 
 
 def _hyperplanes() -> list[list[float]]:
@@ -50,16 +74,18 @@ _PLANES = _hyperplanes()
 
 
 def _plane_dot_spark(vec_col: str, plane: list[float]) -> F.Column:
-    """Explicit left-to-right sum chain (same association as the SQL
-    rendering, so results are bit-identical)."""
-    terms = [
-        F.element_at(F.col(vec_col), d + 1).cast("double") * F.lit(c)
-        for d, c in enumerate(plane)
-    ]
-    out = terms[0]
-    for t in terms[1:]:
-        out = out + t
-    return out
+    """Left-to-right fold against the literal plane array. Same
+    association as the SQL rendering's explicit sum chain (fold's
+    0.0+t0 prefix is an exact IEEE identity), so results are
+    bit-identical — but WITHOUT materializing a 64-term expression
+    tree, which costs seconds of Janino codegen compilation per
+    query."""
+    prods = F.zip_with(
+        F.col(vec_col).cast("array<double>"),
+        F.array(*[F.lit(c) for c in plane]),
+        lambda x, y: x * y,
+    )
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 
 
 def _plane_dot_sql(vec: str, plane: list[float]) -> str:
@@ -88,14 +114,14 @@ def _bucket_sql(vec: str) -> str:
 @register(
     "ann_brute_topk",
     oracle=f"""
-WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 100 = 0),
-c AS (SELECT vec_id, embedding FROM embeddings),
+WITH {UNIT_CTE_SQL},
+q AS (SELECT vec_id AS query_id, ue AS qe FROM unit WHERE vec_id % 100 = 0),
 scored AS (
   SELECT
     q.query_id,
     c.vec_id AS neighbor_id,
-    round({cosine_sql('q.qe', 'c.embedding', _DIM)}, 4) AS cos
-  FROM q JOIN c ON c.vec_id <> q.query_id
+    round({dot_sql('q.qe', 'c.ue', _DIM)}, 4) AS cos
+  FROM q JOIN unit c ON c.vec_id <> q.query_id
 ),
 ranked AS (
   SELECT *, row_number() OVER (
@@ -110,22 +136,19 @@ ORDER BY query_id, rank
 )
 def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-{_TOPK} cosine neighbors for each query vector
-    (vec_id % 100 == 0). The query set broadcasts; candidates never
-    shuffle for the scoring — only the tiny per-query top-k shuffles for
-    the window. Ranking uses the rounded cosine with neighbor-id
-    tie-break so order is reproducible across engines."""
-    e = load_table(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    (vec_id % 100 == 0). Unit vectors precomputed+cached; the query set
+    broadcasts; candidates never shuffle for the scoring — only the
+    tiny per-query top-k shuffles for the window. Ranking uses the
+    rounded cosine with neighbor-id tie-break so order is reproducible
+    across engines."""
+    u = _unit_table(spark, sf_dir, cache=False)
+    q = u.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("ue").alias("qe")
     )
-    c = e.select("vec_id", "embedding")
-    scored = (
-        c.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine("qe", "embedding"), 4).alias("cos"),
-        )
+    scored = u.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(dot("qe", "ue"), 4).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
     return (
@@ -138,16 +161,15 @@ def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ann_lsh_topk",
     oracle=f"""
-WITH b AS (
-  SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket FROM embeddings
-),
-q AS (SELECT vec_id AS query_id, embedding AS qe, bucket FROM b WHERE vec_id % 100 = 0),
+WITH {UNIT_CTE_SQL},
+b AS (SELECT vec_id, ue, {_bucket_sql('embedding')} AS bucket FROM unit),
+q AS (SELECT vec_id AS query_id, ue AS qe, bucket AS qbucket FROM b WHERE vec_id % 100 = 0),
 scored AS (
   SELECT
     q.query_id,
     c.vec_id AS neighbor_id,
-    round({cosine_sql('q.qe', 'c.embedding', _DIM)}, 4) AS cos
-  FROM q JOIN b c ON c.bucket = q.bucket AND c.vec_id <> q.query_id
+    round({dot_sql('q.qe', 'c.ue', _DIM)}, 4) AS cos
+  FROM q JOIN b c ON c.bucket = q.qbucket AND c.vec_id <> q.query_id
 ),
 ranked AS (
   SELECT *, row_number() OVER (
@@ -158,6 +180,7 @@ ranked AS (
 SELECT query_id, neighbor_id, rank, cos FROM ranked WHERE rank <= {_TOPK}
 ORDER BY query_id, rank
 """,
+    bench=True,
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-{_TOPK}: random-hyperplane LSH ({_N_PLANES} bits ->
@@ -165,12 +188,21 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     The cross join of the brute-force path becomes an equi-join on
     bucket — at scale this is the difference between O(N*Q) and
     O(N*Q/2^bits) comparisons, with recall tunable via multiple tables
-    (band OR-construction)."""
+    (band OR-construction). Bucket sign-bits are computed on the RAW
+    embedding — the sign of a hyperplane dot is norm-invariant, and
+    indexing the raw array avoids re-evaluating the unit transform per
+    term (Catalyst does not CSE through the projection). The bucketed
+    index is cached — built once, probed by every query."""
     e = load_table(spark, sf_dir, "embeddings")
-    b = e.select("vec_id", "embedding", _bucket_spark("embedding").alias("bucket"))
+    n = e.select("vec_id", "embedding", norm_column("embedding").alias("nrm"))
+    b = n.select(
+        "vec_id",
+        unit_from("embedding", "nrm").alias("ue"),
+        _bucket_spark("embedding").alias("bucket"),
+    ).cache()
     q = b.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qe"),
+        F.col("ue").alias("qe"),
         F.col("bucket").alias("qbucket"),
     )
     scored = (
@@ -179,7 +211,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine("qe", "embedding"), 4).alias("cos"),
+            F.round(dot("qe", "ue"), 4).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
@@ -193,25 +225,26 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "embed_neardup",
     oracle=f"""
-WITH e AS (SELECT vec_id, embedding FROM embeddings)
+WITH {UNIT_CTE_SQL}
 SELECT
   a.vec_id AS vec_a,
   b.vec_id AS vec_b,
-  round({cosine_sql('a.embedding', 'b.embedding', _DIM)}, 4) AS cos
-FROM e a JOIN e b ON a.vec_id < b.vec_id
-WHERE round({cosine_sql('a.embedding', 'b.embedding', _DIM)}, 4) >= {_NEARDUP_THRESHOLD}
+  round({dot_sql('a.ue', 'b.ue', _DIM)}, 4) AS cos
+FROM unit a JOIN unit b ON a.vec_id < b.vec_id
+WHERE round({dot_sql('a.ue', 'b.ue', _DIM)}, 4) >= {_NEARDUP_THRESHOLD}
 ORDER BY vec_a, vec_b
 """,
 )
 def embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs above a threshold
     (all-pairs here for oracle verifiability; the scale path reuses the
-    LSH bucketing of ann_lsh_topk to prune candidates first)."""
-    e = load_table(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    LSH bucketing of ann_lsh_topk to prune candidates first). Unit
+    vectors are precomputed so each pair costs one dot product."""
+    u = _unit_table(spark, sf_dir)
+    a = u.select(F.col("vec_id").alias("vec_a"), F.col("ue").alias("ua"))
+    b = u.select(F.col("vec_id").alias("vec_b"), F.col("ue").alias("ub"))
     pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
-    cos = F.round(cosine("ea", "eb"), 4)
+    cos = F.round(dot("ua", "ub"), 4)
     return (
         pairs.select("vec_a", "vec_b", cos.alias("cos"))
         .filter(F.col("cos") >= _NEARDUP_THRESHOLD)
@@ -257,10 +290,10 @@ def ivf_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     this is the assignment/refinement primitive an IVF ANN index builds
     on."""
     e = load_table(spark, sf_dir, "embeddings")
-    comp = e.select(
-        "label", "vec_id", F.posexplode(F.col("embedding").cast("array<double>"))
-    ).withColumnRenamed("pos", "pos0").select(
-        "label", "vec_id", (F.col("pos0") + 1).alias("pos"), F.col("col").alias("v")
+    comp = (
+        e.select("label", "vec_id", F.posexplode(F.col("embedding").cast("array<double>")))
+        .withColumnRenamed("pos", "pos0")
+        .select("label", "vec_id", (F.col("pos0") + 1).alias("pos"), F.col("col").alias("v"))
     )
     cent = comp.groupBy("label", "pos").agg(
         F.sum(F.floor(F.col("v") * 1000).cast("long")).alias("sq"),
@@ -271,9 +304,7 @@ def ivf_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cent.alias("ct"), ["label", "pos"])
         .groupBy("label", "vec_id")
         .agg(
-            F.sum(
-                F.pow(F.col("v") - (F.col("sq") / (F.col("n") * 1000.0)), 2)
-            ).alias("d2")
+            F.sum(F.pow(F.col("v") - (F.col("sq") / (F.col("n") * 1000.0)), 2)).alias("d2")
         )
     )
     return (
