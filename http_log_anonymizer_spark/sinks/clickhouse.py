@@ -88,8 +88,15 @@ class ClickHouseSink:
     """
 
     def __init__(self, cfg: ClickHouseConfig | None = None) -> None:
+        from http_log_anonymizer_spark.streaming.limiter import shared_limiter
+
         self.cfg = cfg or ClickHouseConfig.from_env()
-        self.limiter = RequestLimiter(self.cfg.rate_limit_s or self.cfg.default_rate_limit_s)
+        # shared per endpoint: several streaming queries writing to the
+        # same ClickHouse must share one token bucket (the nginx proxy
+        # rate-limits per upstream, not per query)
+        self.limiter = shared_limiter(
+            self.cfg.url, self.cfg.rate_limit_s or self.cfg.default_rate_limit_s
+        )
         self._table_ready = False
 
     # -- DDL bootstrap (S5) -------------------------------------------------

@@ -45,3 +45,29 @@ class RequestLimiter:
             return False
         self.record_request()
         return True
+
+
+# ---------------------------------------------------------------------------
+# Shared limiters (SURVEY §7 hard part 4): multiple streaming queries
+# writing to ONE rate-limited endpoint must share a token bucket — the
+# per-query trigger cadence can't coordinate across queries. Writers run
+# in foreachBatch on the driver, so a process-global registry suffices
+# (executors never call the limiter).
+# ---------------------------------------------------------------------------
+
+import threading
+
+_SHARED: dict[str, RequestLimiter] = {}
+_SHARED_LOCK = threading.Lock()
+
+
+def shared_limiter(name: str, rate_s: float, clock=time.monotonic) -> RequestLimiter:
+    """Process-wide limiter keyed by endpoint name. All sinks pointing
+    at the same endpoint get the SAME bucket; the first caller fixes the
+    rate (mirrors one nginx zone per upstream, ch-proxy/nginx.conf:13)."""
+    with _SHARED_LOCK:
+        lim = _SHARED.get(name)
+        if lim is None:
+            lim = RequestLimiter(rate_s, clock=clock)
+            _SHARED[name] = lim
+        return lim
