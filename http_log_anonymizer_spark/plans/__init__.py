@@ -15,5 +15,6 @@ from http_log_anonymizer_spark.plans import dedup  # noqa: E402,F401
 from http_log_anonymizer_spark.plans import similarity  # noqa: E402,F401
 from http_log_anonymizer_spark.plans import multimodal  # noqa: E402,F401
 from http_log_anonymizer_spark.plans import scalars  # noqa: E402,F401
+from http_log_anonymizer_spark.plans import sampling  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "Query", "register"]

@@ -107,10 +107,10 @@ e AS (
 """
 
 
-@register(
-    "dedup_minhash_lsh",
-    oracle=f"""
-WITH {_EDGES_SQL},
+# CTE pipeline ending in `pairs(doc_a, doc_b, jr)` — the verified
+# near-dup pairs; shared by dedup_minhash_lsh and dedup_clusters.
+_PAIRS_CTES = f"""
+{_EDGES_SQL},
 sig AS (
   SELECT doc_id,
          {", ".join(f"min({hash64_sql('s', i)}) AS mh{i}" for i in range(_N_HASHES))}
@@ -135,30 +135,21 @@ inter AS (
   JOIN e ea ON ea.doc_id = c.da
   JOIN e eb ON eb.doc_id = c.db AND ea.s = eb.s
   GROUP BY c.da, c.db
+),
+pairs AS (
+  SELECT i.da AS doc_a, i.db AS doc_b,
+         i.i * 1.0 / (sa.n + sb.n - i.i) AS jr
+  FROM inter i
+  JOIN sz sa ON sa.doc_id = i.da
+  JOIN sz sb ON sb.doc_id = i.db
+  WHERE i.i * 1.0 / (sa.n + sb.n - i.i) >= {_JACCARD_THRESHOLD}
 )
-SELECT
-  i.da AS doc_a,
-  i.db AS doc_b,
-  round(i.i * 1.0 / (sa.n + sb.n - i.i), 3) AS jaccard
-FROM inter i
-JOIN sz sa ON sa.doc_id = i.da
-JOIN sz sb ON sb.doc_id = i.db
-WHERE i.i * 1.0 / (sa.n + sb.n - i.i) >= {_JACCARD_THRESHOLD}
-ORDER BY doc_a, doc_b
-""",
-    bench=True,
-)
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(8)+LSH(4 bands x 2) near-duplicate detection with exact
-    Jaccard verification of candidates.
+"""
 
-    Pipeline: shingle -> minhash signature (array-native: transform +
-    array_min per seed, zero shuffle) -> band keys -> equi-join on
-    (band, key) for candidates -> exact Jaccard via array_intersect on
-    the two shingle arrays (JVM set ops, no explode). At 100 TB the
-    only all-pairs step is within LSH buckets, and verification cost is
-    proportional to true near-duplicates, not the corpus square.
-    """
+
+def minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, jr): LSH candidates that survived exact-Jaccard
+    verification — the Spark twin of the `pairs` CTE above."""
     d = _shingle_arrays(spark, sf_dir).cache()
     # NB: the transform lambda must take exactly one parameter — a second
     # parameter makes PySpark pass the element *index*, silently replacing
@@ -212,10 +203,81 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_b",
         (F.col("i") * 1.0 / (F.col("na") + F.col("nb") - F.col("i"))).alias("jr"),
     )
+    return j.filter(F.col("jr") >= _JACCARD_THRESHOLD)
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+WITH {_PAIRS_CTES}
+SELECT doc_a, doc_b, round(jr, 3) AS jaccard
+FROM pairs
+ORDER BY doc_a, doc_b
+""",
+    bench=True,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(8)+LSH(4 bands x 2) near-duplicate detection with exact
+    Jaccard verification of candidates.
+
+    Pipeline: shingle -> minhash signature (array-native: transform +
+    array_min per seed, zero shuffle) -> band keys -> equi-join on
+    (band, key) for candidates -> exact Jaccard via array_intersect on
+    the two shingle arrays (JVM set ops, no explode). At 100 TB the
+    only all-pairs step is within LSH buckets, and verification cost is
+    proportional to true near-duplicates, not the corpus square.
+    """
     return (
-        j.filter(F.col("jr") >= _JACCARD_THRESHOLD)
+        minhash_verified_pairs(spark, sf_dir)
         .select("doc_a", "doc_b", F.round("jr", 3).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
+    )
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+WITH RECURSIVE {_PAIRS_CTES},
+edges2 AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION
+  SELECT doc_b AS s, doc_a AS d FROM pairs
+),
+reach(src, dst) AS (
+  SELECT s, d FROM edges2
+  UNION
+  SELECT r.src, e.d FROM reach r JOIN edges2 e ON r.dst = e.s
+),
+comp AS (
+  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+  FROM reach GROUP BY src
+)
+SELECT cluster_id,
+       count(*) AS n_docs,
+       max(doc_id) AS max_doc
+FROM comp
+GROUP BY cluster_id
+ORDER BY cluster_id
+""",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS from verified near-dup pairs: connected
+    components via iterative min-label propagation
+    (operators/components.py) — the step that turns pairwise similarity
+    into a dedup policy (keep min-id doc per cluster). The oracle
+    computes the same components with a recursive CTE, proving the
+    distributed iteration's fixpoint.
+    """
+    from http_log_anonymizer_spark.operators.components import connected_components
+
+    pairs = minhash_verified_pairs(spark, sf_dir)
+    comp = connected_components(pairs, src="doc_a", dst="doc_b").select(
+        F.col("node").alias("doc_id"), F.col("cluster").alias("cluster_id")
+    )
+    return (
+        comp.groupBy("cluster_id")
+        .agg(F.count("*").alias("n_docs"), F.max("doc_id").alias("max_doc"))
+        .orderBy("cluster_id")
     )
 
 

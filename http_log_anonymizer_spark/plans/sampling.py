@@ -1,0 +1,84 @@
+"""Deterministic sampling & splits — training-data pipeline staples.
+
+Random sampling is useless at 100 TB if it isn't reproducible across
+reruns and engines; every split here is a pure function of the row key
+via the md5-based hash64, so Spark, DuckDB, and any future engine agree
+row-for-row (and adding data never reshuffles existing assignments).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from http_log_anonymizer_spark.functions.text import hash64, hash64_sql
+from http_log_anonymizer_spark.plans.registry import register
+from http_log_anonymizer_spark.sources.batch import load_table
+
+
+@register(
+    "train_val_test_split",
+    oracle=f"""
+WITH assigned AS (
+  SELECT
+    lang,
+    CASE
+      WHEN {hash64_sql("CAST(doc_id AS VARCHAR)", "split")} % 100 < 80 THEN 'train'
+      WHEN {hash64_sql("CAST(doc_id AS VARCHAR)", "split")} % 100 < 90 THEN 'val'
+      ELSE 'test'
+    END AS split
+  FROM documents
+)
+SELECT lang, split, count(*) AS n
+FROM assigned
+GROUP BY lang, split
+ORDER BY lang, split
+""",
+)
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test split, deterministic per doc_id: stable
+    under reruns, engine-independent, and append-only-safe (new docs
+    don't move old ones between splits). Per-language counts verify the
+    split is unbiased across strata."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = hash64(F.col("doc_id").cast("string"), "split") % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        d.select("lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang", "split")
+    )
+
+
+@register(
+    "stratified_sample",
+    oracle=f"""
+WITH ranked AS (
+  SELECT
+    doc_id, lang, n_chars,
+    row_number() OVER (
+      PARTITION BY lang
+      ORDER BY {hash64_sql("CAST(doc_id AS VARCHAR)", "sample")}, doc_id
+    ) AS rnk
+  FROM documents
+)
+SELECT doc_id, lang, n_chars, rnk FROM ranked WHERE rnk <= 20
+ORDER BY lang, rnk
+""",
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: 20 docs per language, chosen by
+    hash order (a reproducible 'random' shuffle). One window per
+    stratum — no driver-side sampling, no collect."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        hash64(F.col("doc_id").cast("string"), "sample"), "doc_id"
+    )
+    return (
+        d.select("doc_id", "lang", "n_chars", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 20)
+        .orderBy("lang", "rnk")
+    )
