@@ -807,3 +807,158 @@ def grouping_sets_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY gid, o_orderstatus, o_orderpriority
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Hypertable-style rollup, range join, applyInPandas
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "hypertable_rollup",
+    oracle="""
+SELECT
+  CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+  CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+  count(*) AS cnt,
+  round(sum(value), 2) AS total
+FROM events
+GROUP BY GROUPING SETS (
+  (date_trunc('day', ts)),
+  (date_trunc('day', ts), date_trunc('hour', ts))
+)
+ORDER BY day, hour
+""",
+)
+def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: daily and hourly
+    aggregates of the event stream in ONE scan via grouping sets (the
+    continuous-aggregate hierarchy of a time-series store, computed
+    batch-side). At 100 TB this is the materialization query behind
+    dashboard tiles — one pass, partial aggregation, output rows =
+    number of buckets."""
+    e = _t(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts")
+    hour = F.date_trunc("hour", "ts")
+    e2 = e.select(day.alias("day"), hour.alias("hour"), "value")
+    e2.createOrReplaceTempView("events_rollup")
+    return spark.sql(
+        """
+        SELECT day, hour, count(*) AS cnt, round(sum(value), 2) AS total
+        FROM events_rollup
+        GROUP BY GROUPING SETS ((day), (day, hour))
+        ORDER BY day, hour
+        """
+    )
+
+
+@register(
+    "range_join_error_context",
+    oracle="""
+SELECT
+  e.event_id,
+  count(p.event_id) AS purchases_nearby,
+  round(coalesce(sum(p.value), 0), 2) AS nearby_value
+FROM events e
+LEFT JOIN events p
+  ON p.user_id = e.user_id
+  AND p.event_type = 'purchase'
+  AND p.ts BETWEEN e.ts - INTERVAL 10 MINUTE AND e.ts + INTERVAL 10 MINUTE
+WHERE e.event_type = 'error'
+GROUP BY e.event_id
+ORDER BY e.event_id
+""",
+)
+def range_join_error_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: purchases within +/-10 minutes of each error by the
+    same user. The equi key (user_id) carries the shuffle; the time
+    band is a residual predicate on co-partitioned data — never a
+    cartesian. (For banded joins without an equi key, bucketize time
+    into interval-width bins and equi-join on the bin.)"""
+    e = _t(spark, sf_dir, "events")
+    err = e.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", F.col("ts").alias("ets")
+    )
+    pur = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("pts"),
+        F.col("event_id").alias("p_event"),
+        F.col("value").alias("p_value"),
+    )
+    joined = err.join(
+        pur,
+        (F.col("p_user") == F.col("user_id"))
+        & (F.col("pts") >= F.col("ets") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("pts") <= F.col("ets") + F.expr("INTERVAL 10 MINUTES")),
+        "left",
+    )
+    return (
+        joined.groupBy("event_id")
+        .agg(
+            F.count("p_event").alias("purchases_nearby"),
+            F.round(F.coalesce(F.sum("p_value"), F.lit(0.0)), 2).alias("nearby_value"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "user_zscore_outliers",
+    oracle="""
+WITH stats AS (
+  SELECT user_id,
+         avg(value) AS mu,
+         stddev_samp(value) AS sd
+  FROM events GROUP BY user_id
+)
+SELECT e.user_id,
+       count(*) AS n_events,
+       CAST(sum(CASE WHEN abs((e.value - s.mu) / s.sd) > 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers
+FROM events e JOIN stats s ON e.user_id = s.user_id
+WHERE s.sd > 0
+GROUP BY e.user_id
+ORDER BY e.user_id
+""",
+)
+def user_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group normalization via applyInPandas: each user's events are
+    z-scored inside an Arrow batch (the grouped-pandas extension point
+    for transforms SQL can't express — sklearn-style per-group model
+    application). Here the transform is also SQL-expressible, which is
+    exactly what lets the oracle verify the mechanism. One shuffle on
+    the group key; each group materializes once in pandas."""
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    e = _t(spark, sf_dir, "events").select("user_id", "value")
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("n_outliers", LongType()),
+        ]
+    )
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf["value"].mean()
+        sd = pdf["value"].std(ddof=1)
+        if not sd or sd != sd or sd == 0:
+            return pd.DataFrame(columns=["user_id", "n_events", "n_outliers"])
+        z = (pdf["value"] - mu) / sd
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_events": [len(pdf)],
+                "n_outliers": [int((z.abs() > 2).sum())],
+            }
+        )
+
+    return e.groupBy("user_id").applyInPandas(zscore, out_schema).orderBy("user_id")
