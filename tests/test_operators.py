@@ -79,3 +79,18 @@ def test_config_defaults_match_reference():
     assert ch.max_block_size == 4096
     # reference falls back to 10 s when CH__RATE_LIMIT unset (sink.rs:264-266)
     assert ch.default_rate_limit_s == 10
+
+
+def test_register_udfs_sql_surface(spark):
+    from http_log_anonymizer_spark.functions import register_udfs
+
+    register_udfs(spark)
+    rows = spark.sql(
+        "SELECT anonymize_ip(a) AS x FROM VALUES ('1.2.3.4'), ('a.b.c.d'), "
+        "('2001:0db8:85a3:0000:0000:8a2e:0370:7334') AS t(a)"
+    ).collect()
+    assert [r.x for r in rows] == [
+        "1.2.3.x",
+        "a.b.c.d",
+        "2001:db8:85a3::8a2e:370:7334:xxxx",
+    ]
