@@ -962,3 +962,49 @@ def user_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return e.groupBy("user_id").applyInPandas(zscore, out_schema).orderBy("user_id")
+
+
+@register(
+    "best_order_per_customer",
+    oracle="""
+SELECT o.o_custkey, o.o_orderkey, o.o_totalprice
+FROM orders o
+WHERE o.o_totalprice = (
+  SELECT max(o2.o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+)
+ORDER BY o.o_custkey, o.o_orderkey
+""",
+)
+def best_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery — written in SQL form on purpose so
+    Catalyst's decorrelation rewrites it (subquery -> aggregate + join;
+    no per-row re-execution). The window-function formulation is
+    equivalent; this exercises the optimizer path the reference never
+    had (SURVEY §4: 'predicate pushdown / decorrelation: absent')."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_corr")
+    return spark.sql(
+        """
+        SELECT o.o_custkey, o.o_orderkey, o.o_totalprice
+        FROM orders_corr o
+        WHERE o.o_totalprice = (
+          SELECT max(o2.o_totalprice) FROM orders_corr o2
+          WHERE o2.o_custkey = o.o_custkey
+        )
+        ORDER BY o.o_custkey, o.o_orderkey
+        """
+    )
+
+
+@register("frequent_resources_sketch", oracle=None)
+def frequent_resources_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitters sketch (approx_top_k): the 100 TB path for 'top
+    resources by hits' when the key space is too large for an exact
+    grouped count. Sketch internals are engine-specific -> rows-only
+    driver check; accuracy is asserted against the exact counts in
+    tests/test_operators.py."""
+    from http_log_anonymizer_spark.plans.http_log import http_log_view
+
+    log = http_log_view(spark, sf_dir)
+    return log.select(
+        F.explode(F.expr("approx_top_k(resource_id, 10)")).alias("e")
+    ).select(F.col("e.item").alias("resource_id"), F.col("e.count").alias("cnt"))

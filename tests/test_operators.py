@@ -94,3 +94,28 @@ def test_register_udfs_sql_surface(spark):
         "a.b.c.d",
         "2001:db8:85a3::8a2e:370:7334:xxxx",
     ]
+
+
+def test_frequent_resources_sketch_matches_exact_top(spark):
+    from http_log_anonymizer_spark.plans.http_log import http_log_view
+    from pyspark.sql import functions as F
+
+    sketch = {
+        r.resource_id: r.cnt
+        for r in REGISTRY["frequent_resources_sketch"].spark_fn(spark, SF_ORACLE).collect()
+    }
+    exact = {
+        r.resource_id: r.c
+        for r in http_log_view(spark, SF_ORACLE)
+        .groupBy("resource_id")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), "resource_id")
+        .limit(10)
+        .collect()
+    }
+    # same heavy-hitter counts for the keys both report (50-key domain:
+    # the sketch is exact here; overlap must be large)
+    common = set(sketch) & set(exact)
+    assert len(common) >= 8
+    for k in common:
+        assert sketch[k] == exact[k]
