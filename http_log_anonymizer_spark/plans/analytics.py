@@ -1008,3 +1008,89 @@ def frequent_resources_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return log.select(
         F.explode(F.expr("approx_top_k(resource_id, 10)")).alias("e")
     ).select(F.col("e.item").alias("resource_id"), F.col("e.count").alias("cnt"))
+
+
+@register(
+    "late_shipment_priority",
+    oracle="""
+SELECT o.o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+  )
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+""",
+)
+def late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS whose predicate references
+    BOTH sides (shipdate vs orderdate+30d). Catalyst decorrelates into
+    a left-semi join with the compound condition — the date filter on
+    orders still pushes to the scan."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            l,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "blocking_supplier",
+    oracle="""
+SELECT s.s_name, count(DISTINCT l1.l_orderkey) AS n_orders
+FROM lineitem l1
+JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > l1.l_shipdate
+  )
+GROUP BY s.s_name
+ORDER BY n_orders DESC, s_name
+LIMIT 20
+""",
+)
+def blocking_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: EXISTS + NOT EXISTS, both correlated with
+    inequality predicates — the last supplier to ship on multi-supplier
+    orders. Written in SQL so Catalyst plans the semi/anti join pair."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_q21")
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("supplier_q21")
+    return spark.sql(
+        """
+        SELECT s.s_name, count(DISTINCT l1.l_orderkey) AS n_orders
+        FROM lineitem_q21 l1
+        JOIN supplier_q21 s ON l1.l_suppkey = s.s_suppkey
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem_q21 l2
+            WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+            SELECT 1 FROM lineitem_q21 l3
+            WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_shipdate > l1.l_shipdate
+          )
+        GROUP BY s.s_name
+        ORDER BY n_orders DESC, s_name
+        LIMIT 20
+        """
+    )

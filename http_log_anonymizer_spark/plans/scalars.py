@@ -154,3 +154,78 @@ def sliding_window_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w.start").alias("window_start"), "event_type", "cnt", "total")
         .orderBy("window_start", "event_type")
     )
+
+
+@register(
+    "unpivot_lineitem_metrics",
+    oracle="""
+WITH long AS (
+  SELECT l_returnflag, 'quantity' AS metric, l_quantity AS val FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'discount', l_discount FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'tax', l_tax FROM lineitem
+)
+SELECT l_returnflag, metric,
+       count(*) AS n,
+       round(avg(val), 4) AS avg_val,
+       round(max(val), 2) AS max_val
+FROM long
+GROUP BY l_returnflag, metric
+ORDER BY l_returnflag, metric
+""",
+)
+def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide -> long) via stack(): three metric columns become
+    (metric, val) rows in one scan — the oracle's three-scan UNION ALL
+    proves the values; stack does it without re-reading."""
+    l = load_table(spark, sf_dir, "lineitem")
+    long = l.select(
+        "l_returnflag",
+        F.expr(
+            "stack(3, 'quantity', l_quantity, 'discount', l_discount, 'tax', l_tax) "
+            "AS (metric, val)"
+        ),
+    )
+    return (
+        long.groupBy("l_returnflag", "metric")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("val"), 4).alias("avg_val"),
+            F.round(F.max("val"), 2).alias("max_val"),
+        )
+        .orderBy("l_returnflag", "metric")
+    )
+
+
+@register(
+    "map_ops_explode",
+    oracle=f"""
+WITH {HTTP_LOG_SQL},
+long AS (
+  SELECT request_time_milli, 'status' AS mkey, CAST(response_status AS VARCHAR) AS mval
+  FROM http_log
+  UNION ALL
+  SELECT request_time_milli, 'cache', cache_status FROM http_log
+)
+SELECT mkey, mval, count(*) AS n
+FROM long
+GROUP BY mkey, mval
+ORDER BY mkey, mval
+""",
+)
+def map_ops_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed columns: build a map from row attributes
+    (str_to_map), explode it to entry rows, aggregate. Exercises map
+    construction + explode; the oracle flattens the same entries with
+    UNION ALL."""
+    log = http_log_view(spark, sf_dir)
+    m = F.expr(
+        "str_to_map(concat('status=', response_status, ',cache=', cache_status), ',', '=')"
+    )
+    return (
+        log.select("request_time_milli", F.explode(m).alias("mkey", "mval"))
+        .groupBy("mkey", "mval")
+        .agg(F.count("*").alias("n"))
+        .orderBy("mkey", "mval")
+    )
