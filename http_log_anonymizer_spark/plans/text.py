@@ -209,3 +209,75 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "doc_winnowing",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents
+),
+sh AS (
+  SELECT doc_id, source,
+         generate_subscripts({shingles_sql('toks')}, 1) AS pos,
+         unnest({shingles_sql('toks')}) AS s
+  FROM t
+),
+h AS (
+  SELECT doc_id, source, pos,
+         lpad(CAST({hash64_sql('s', 'win')} AS VARCHAR), 19, '0')
+           || '_' || lpad(CAST(pos AS VARCHAR), 6, '0') AS fp
+  FROM sh
+),
+winmin AS (
+  SELECT doc_id, source,
+         min(fp) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING
+         ) AS sel
+  FROM h
+),
+fps AS (SELECT DISTINCT doc_id, source, sel FROM winmin)
+SELECT source,
+       count(DISTINCT doc_id) AS n_docs,
+       count(*) AS total_fps,
+       count(DISTINCT substr(sel, 1, 19)) AS distinct_hashes
+FROM fps
+GROUP BY source
+ORDER BY source
+""",
+)
+def doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al., MOSS): the minimum
+    shingle hash of every sliding window of 4 consecutive shingles,
+    deduplicated — a guaranteed-coverage rolling-hash fingerprint set.
+    Ties break deterministically by packing (hash, position) into a
+    fixed-width string so lexicographic min == numeric min in any
+    engine. Per-source fingerprint density; cross-document hash
+    collisions (distinct_hashes < total_fps) are the near-dup signal a
+    fingerprint index would join on."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", tokens_ws("text").alias("toks")
+    )
+    sh = d.select(
+        "doc_id", "source", F.posexplode(shingles("toks")).alias("pos0", "s")
+    ).select("doc_id", "source", (F.col("pos0") + 1).alias("pos"), "s")
+    fp = F.concat_ws(
+        "_",
+        F.lpad(hash64("s", "win").cast("string"), 19, "0"),
+        F.lpad(F.col("pos").cast("string"), 6, "0"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+    winmin = sh.select("doc_id", "source", F.min(fp).over(w).alias("sel"))
+    fps = winmin.distinct()
+    return (
+        fps.groupBy("source")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count("*").alias("total_fps"),
+            F.count_distinct(F.substring("sel", 1, 19)).alias("distinct_hashes"),
+        )
+        .orderBy("source")
+    )
