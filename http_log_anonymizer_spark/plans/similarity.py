@@ -316,3 +316,123 @@ def ivf_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Quantization (PQ-shaped): int8-style codes + integer-dot ANN
+# ---------------------------------------------------------------------------
+
+_QSCALE = 200  # values are in [-0.53, 0.46]; floor(x*200) fits int8 range
+
+
+def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, qv): integer-quantized embedding codes."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: F.floor(x * _QSCALE).cast("long"),
+    )
+    return e.select("vec_id", "label", qv.alias("qv"))
+
+
+_QUANT_CTE = f"""
+q8 AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {_QSCALE}) AS BIGINT)) AS qv
+  FROM embeddings
+)
+"""
+
+
+@register(
+    "embed_quantization_error",
+    oracle=f"""
+WITH {_QUANT_CTE},
+err AS (
+  SELECT q8.label,
+         list_sum(list_transform(generate_series(1, {_DIM}),
+           i -> pow(CAST(e.embedding[i] AS DOUBLE) - qv[i] / {_QSCALE}.0, 2))) AS se
+  FROM q8 JOIN embeddings e USING (vec_id)
+)
+SELECT label,
+       count(*) AS n,
+       round(avg(se / {_DIM}), 6) AS avg_mse,
+       round(max(se / {_DIM}), 6) AS max_mse
+FROM err
+GROUP BY label
+ORDER BY label
+""",
+)
+def embed_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar quantization of embeddings (floor(x*{_QSCALE}) — int8-range
+    codes, 4x smaller than float32) with per-label reconstruction MSE.
+    The storage-shrinking step an IVF-PQ index starts from; quantized
+    codes are exact integers, so engines agree bit-for-bit."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = _quantized(spark, sf_dir)
+    joined = e.join(q, ["vec_id"]).select(
+        q.label.alias("label"),
+        F.zip_with(
+            F.col("embedding").cast("array<double>"),
+            "qv",
+            lambda x, c: F.pow(x - c / _QSCALE, 2),
+        ).alias("se_terms"),
+    )
+    se = F.aggregate("se_terms", F.lit(0.0), lambda acc, x: acc + x)
+    return (
+        joined.select("label", (se / _DIM).alias("mse"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("mse"), 6).alias("avg_mse"),
+            F.round(F.max("mse"), 6).alias("max_mse"),
+        )
+        .orderBy("label")
+    )
+
+
+@register(
+    "ann_quantized_topk",
+    oracle=f"""
+WITH {_QUANT_CTE},
+q AS (SELECT vec_id AS query_id, qv AS qq FROM q8 WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         CAST(list_sum(list_transform(generate_series(1, {_DIM}),
+           i -> q.qq[i] * c.qv[i])) AS BIGINT) AS dot_q
+  FROM q JOIN q8 c ON c.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY dot_q DESC, neighbor_id
+  ) AS rank FROM scored
+)
+SELECT query_id, neighbor_id, rank, dot_q FROM ranked WHERE rank <= {_TOPK}
+ORDER BY query_id, rank
+""",
+)
+def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN over quantized codes: integer dot products (exact — no FP
+    comparison risk at all), ranked per query. The memory-bandwidth
+    play at 100 TB: 4x less data per comparison and SIMD-friendly
+    integer math; re-rank survivors with exact float cosine
+    (ann_brute_topk) for final ordering."""
+    q8 = _quantized(spark, sf_dir).cache()
+    q = q8.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("qq")
+    )
+    dot_q = F.aggregate(
+        F.zip_with("qq", "qv", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        q8.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), dot_q.alias("dot_q"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot_q"), "neighbor_id")
+    return (
+        scored.select("*", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= _TOPK)
+        .orderBy("query_id", "rank")
+    )
