@@ -240,3 +240,36 @@ def http_top_ips(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("traffic"), "remote_addr")
         .limit(100)
     )
+
+
+@register(
+    "latency_percentiles",
+    oracle=f"""
+WITH {HTTP_LOG_SQL}
+SELECT
+  method,
+  round(avg(request_time_milli), 4) AS avg_ms,
+  round(quantile_cont(request_time_milli, 0.75), 4) AS p75_ms,
+  round(quantile_cont(request_time_milli, 0.99), 4) AS p99_ms,
+  count(*) AS n
+FROM http_log
+GROUP BY method
+ORDER BY method
+""",
+)
+def latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's Grafana 'Message Processing Latency' panel
+    (avg/p75/p99 over request durations; telemetry.rs:26-35 histograms,
+    grafana_dashboard_anonymizer_performance.json) as an engine query —
+    exact interpolated percentiles per method."""
+    log = http_log_view(spark, sf_dir)
+    return (
+        log.groupBy("method")
+        .agg(
+            F.round(F.avg("request_time_milli"), 4).alias("avg_ms"),
+            F.round(F.expr("percentile(request_time_milli, 0.75)"), 4).alias("p75_ms"),
+            F.round(F.expr("percentile(request_time_milli, 0.99)"), 4).alias("p99_ms"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("method")
+    )

@@ -30,3 +30,16 @@ def test_rows_only_runs(spark, name):
     sdf = q.spark_fn(spark, SF_ORACLE)
     assert len(sdf.schema.fields) > 0
     assert sdf.count() >= 0
+
+
+def test_compare_detects_differences(spark, duck):
+    """Meta-test: the gate must actually fail on wrong results (guards
+    against a vacuous comparator)."""
+    q = REGISTRY["http_totals"]
+    sdf = q.spark_fn(spark, SF_ORACLE).limit(5)  # wrong row count
+    ok, msg = compare(sdf, duck.sql(q.oracle).df())
+    assert not ok and "row count" in msg
+
+    wrong_vals = duck.sql(q.oracle.replace("sum(bytes_sent)", "sum(bytes_sent) + 1")).df()
+    ok, msg = compare(q.spark_fn(spark, SF_ORACLE), wrong_vals)
+    assert not ok and "values differ" in msg
