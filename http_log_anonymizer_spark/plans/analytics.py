@@ -1094,3 +1094,57 @@ def blocking_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 20
         """
     )
+
+
+@register(
+    "nation_trade_flow",
+    oracle="""
+SELECT
+  cn.n_name AS cust_nation,
+  sn.n_name AS supp_nation,
+  count(*) AS n_items,
+  round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS volume
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+WHERE cn.n_name <> sn.n_name
+GROUP BY cn.n_name, sn.n_name
+ORDER BY volume DESC, cust_nation, supp_nation
+LIMIT 50
+""",
+)
+def nation_trade_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: the nation dimension plays two roles (customer
+    nation and supplier nation) — two broadcast joins against the same
+    table under different aliases; cross-border trade volume matrix."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(cn), c.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key"))
+        .filter(F.col("cust_nation") != F.col("supp_nation"))
+        .groupBy("cust_nation", "supp_nation")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "volume"
+            ),
+        )
+        .orderBy(F.desc("volume"), "cust_nation", "supp_nation")
+        .limit(50)
+    )

@@ -151,6 +151,8 @@ def minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_a, doc_b, jr): LSH candidates that survived exact-Jaccard
     verification — the Spark twin of the `pairs` CTE above."""
     d = _shingle_arrays(spark, sf_dir).cache()
+    d.count()  # eager: lazily-built caches double-build when first probed
+    #          from both sides of a join within one action
     # NB: the transform lambda must take exactly one parameter — a second
     # parameter makes PySpark pass the element *index*, silently replacing
     # the seed.
@@ -176,6 +178,7 @@ def minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "band.band_id", "band.bkey")
         .cache()
     )
+    bands.count()  # eager build before the self-join probes it twice
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -313,6 +316,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     correctness baseline the LSH path is validated against, not the
     scale path (see dedup_minhash_lsh)."""
     e = _shingle_edges(spark, sf_dir).cache()
+    e.count()  # eager: probed from three sides below
     sz = e.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = e.alias("a"), e.alias("b")
     inter = (

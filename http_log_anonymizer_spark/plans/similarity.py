@@ -54,7 +54,10 @@ def _unit_table(
     e = load_table(spark, sf_dir, "embeddings")
     n = e.select("vec_id", *extra, "embedding", norm_column("embedding").alias("nrm"))
     u = n.select("vec_id", *extra, unit_from("embedding", "nrm").alias("ue"))
-    return u.cache() if cache else u
+    if cache:
+        u = u.cache()
+        u.count()  # eager: multi-probe consumers double-build lazy caches
+    return u
 
 
 def _hyperplanes() -> list[list[float]]:
@@ -200,6 +203,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         unit_from("embedding", "nrm").alias("ue"),
         _bucket_spark("embedding").alias("bucket"),
     ).cache()
+    b.count()  # eager build before probe+query scans
     q = b.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("ue").alias("qe"),
@@ -418,6 +422,7 @@ def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer math; re-rank survivors with exact float cosine
     (ann_brute_topk) for final ordering."""
     q8 = _quantized(spark, sf_dir).cache()
+    q8.count()  # eager build before probe+query scans
     q = q8.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("qv").alias("qq")
     )
