@@ -86,3 +86,47 @@ def decode_media_meta(df: DataFrame) -> DataFrame:
             yield out
 
     return df.mapInPandas(decode, DECODED_META_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_bytes", LongType()),
+        StructField("frame_checksum", LongType()),
+    ]
+)
+
+FRAME_SIZE = 64  # bytes per fake "frame"
+SAMPLE_EVERY = 4  # keep every 4th frame
+
+
+def sample_frames(df: DataFrame) -> DataFrame:
+    """Frame-sampling for opaque video payloads: split the binary into
+    fixed-size frames, keep every SAMPLE_EVERY-th, emit per-frame
+    metadata (one input row -> many output rows via mapInPandas). The
+    real codec decode is stubbed (no media libs — frames are byte
+    slices, checksum is a byte sum); the Spark plumbing (binary
+    chunking, fan-out row multiplication, Arrow batching) is real.
+    """
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [],
+                "frame_idx": [],
+                "frame_bytes": [],
+                "frame_checksum": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["data"]):
+                data = bytes(payload)
+                n_frames = (len(data) + FRAME_SIZE - 1) // FRAME_SIZE
+                for idx in range(0, n_frames, SAMPLE_EVERY):
+                    chunk = data[idx * FRAME_SIZE : (idx + 1) * FRAME_SIZE]
+                    out["doc_id"].append(int(doc_id))
+                    out["frame_idx"].append(idx)
+                    out["frame_bytes"].append(len(chunk))
+                    out["frame_checksum"].append(sum(chunk))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(frames, FRAME_SCHEMA)

@@ -102,3 +102,54 @@ def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "media_format")
     )
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+-- the corpus is pure ASCII (octet_length == length for every doc), so
+-- char indexing over the text equals byte indexing over the blob
+WITH m AS (
+  SELECT doc_id, text AS data, octet_length(encode(text)) AS n FROM documents
+),
+idx AS (
+  SELECT doc_id, data, n,
+         unnest(range(0, CAST(ceil(n / 64.0) AS BIGINT), 4)) AS frame_idx
+  FROM m
+),
+frames AS (
+  SELECT
+    doc_id,
+    CAST(frame_idx AS INT) AS frame_idx,
+    CAST(least(64, n - frame_idx * 64) AS BIGINT) AS frame_bytes,
+    CAST(list_sum(list_transform(
+      range(1, CAST(least(64, n - frame_idx * 64) AS BIGINT) + 1),
+      i -> ascii(substr(data, CAST(frame_idx * 64 + i AS INT), 1))
+    )) AS BIGINT) AS frame_checksum
+  FROM idx
+)
+SELECT
+  CAST(count(*) AS BIGINT) AS n_frames,
+  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+  CAST(sum(frame_bytes) AS BIGINT) AS total_bytes,
+  CAST(sum(frame_checksum) AS BIGINT) AS total_checksum
+FROM frames
+""",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling: binary payloads split into 64-byte
+    'frames', every 4th sampled, per-frame checksum — one input row
+    fans out to many (mapInPandas generator). Summarized corpus-wide so
+    the oracle (byte-indexing arithmetic over BLOBs) verifies every
+    sampled frame boundary and checksum."""
+    from http_log_anonymizer_spark.functions.multimodal import sample_frames
+
+    d = load_table(spark, sf_dir, "documents")
+    m = d.select("doc_id", F.encode("text", "utf-8").alias("data"))
+    frames = sample_frames(m)
+    return frames.agg(
+        F.count("*").alias("n_frames"),
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.sum("frame_bytes").alias("total_bytes"),
+        F.sum("frame_checksum").alias("total_checksum"),
+    )
