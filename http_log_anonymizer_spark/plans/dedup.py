@@ -147,21 +147,21 @@ pairs AS (
 """
 
 
-def minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_a, doc_b, jr): LSH candidates that survived exact-Jaccard
-    verification — the Spark twin of the `pairs` CTE above."""
-    d = _shingle_arrays(spark, sf_dir).cache()
-    d.count()  # eager: lazily-built caches double-build when first probed
-    #          from both sides of a join within one action
-    # NB: the transform lambda must take exactly one parameter — a second
-    # parameter makes PySpark pass the element *index*, silently replacing
-    # the seed.
+def minhash_signatures(d: DataFrame) -> DataFrame:
+    """(doc_id, mh0..mh{_N_HASHES-1}) from a (doc_id, sh) shingle table.
+
+    NB: the transform lambda must take exactly one parameter — a second
+    parameter makes PySpark pass the element *index*, silently replacing
+    the seed."""
+
     def _mh(seed: int):
         return F.array_min(F.transform("sh", lambda s: hash64(s, seed)))
 
-    sig = d.select(
-        "doc_id", *[_mh(i).alias(f"mh{i}") for i in range(_N_HASHES)]
-    )
+    return d.select("doc_id", *[_mh(i).alias(f"mh{i}") for i in range(_N_HASHES)])
+
+
+def band_index(sig: DataFrame) -> DataFrame:
+    """(doc_id, band_id, bkey) LSH band index from a signature table."""
     band_structs = [
         F.struct(
             F.lit(b).alias("band_id"),
@@ -169,27 +169,14 @@ def minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for b in range(_N_HASHES // _BAND_R)
     ]
-    # Cache the band index: it is both sides of the candidate self-join,
-    # and (like any LSH index) is built once and probed many times.
-    # Without this, Spark re-derives the md5 signature pipeline inside
-    # the join — measured ~10x slower than probing the cached index.
-    bands = (
-        sig.select("doc_id", F.explode(F.array(*band_structs)).alias("band"))
-        .select("doc_id", "band.band_id", "band.bkey")
-        .cache()
+    return sig.select("doc_id", F.explode(F.array(*band_structs)).alias("band")).select(
+        "doc_id", "band.band_id", "band.bkey"
     )
-    bands.count()  # eager build before the self-join probes it twice
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
-        .distinct()
-    )
+
+
+def verify_pairs(cand: DataFrame, d: DataFrame) -> DataFrame:
+    """Exact-Jaccard verification of (da, db) candidates against the
+    shingle table; returns (doc_a, doc_b, jr) above threshold."""
     pairs = (
         cand.join(d.select(F.col("doc_id").alias("da"), F.col("sh").alias("sh_a")), "da")
         .join(d.select(F.col("doc_id").alias("db"), F.col("sh").alias("sh_b")), "db")
@@ -207,6 +194,32 @@ def minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("i") * 1.0 / (F.col("na") + F.col("nb") - F.col("i"))).alias("jr"),
     )
     return j.filter(F.col("jr") >= _JACCARD_THRESHOLD)
+
+
+def minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, jr): LSH candidates that survived exact-Jaccard
+    verification — the Spark twin of the `pairs` CTE above."""
+    d = _shingle_arrays(spark, sf_dir).cache()
+    d.count()  # eager: lazily-built caches double-build when first probed
+    #          from both sides of a join within one action
+    # Cache the band index: it is both sides of the candidate self-join,
+    # and (like any LSH index) is built once and probed many times.
+    # Without this, Spark re-derives the md5 signature pipeline inside
+    # the join — measured ~10x slower than probing the cached index.
+    bands = band_index(minhash_signatures(d)).cache()
+    bands.count()  # eager build before the self-join probes it twice
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .distinct()
+    )
+    return verify_pairs(cand, d)
 
 
 @register(

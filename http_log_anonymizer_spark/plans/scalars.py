@@ -229,3 +229,53 @@ def map_ops_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("mkey", "mval")
     )
+
+
+@register(
+    "null_semantics",
+    oracle="""
+WITH o AS (
+  SELECT
+    o_orderkey,
+    nullif(o_orderstatus, 'O') AS status_or_null,
+    CASE WHEN o_totalprice > 300000 THEN o_orderpriority END AS prio_high
+  FROM orders
+)
+SELECT
+  coalesce(status_or_null, '<open>') AS status,
+  count(*) AS cnt,
+  CAST(sum(CASE WHEN status_or_null IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_status,
+  count(prio_high) AS n_prio_high,                -- count() skips NULLs
+  count(DISTINCT prio_high) AS distinct_prio,     -- distinct ignores NULLs
+  CAST(sum(CASE WHEN status_or_null IS NOT DISTINCT FROM prio_high
+                THEN 1 ELSE 0 END) AS BIGINT) AS null_safe_eq
+FROM o
+GROUP BY 1
+ORDER BY status
+""",
+)
+def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling semantics: nullif/coalesce, count() vs count(col),
+    DISTINCT over NULLs, and null-safe equality (Spark's <=> == SQL's
+    IS NOT DISTINCT FROM). Grouping keys made nullable on purpose."""
+    o = load_table(spark, sf_dir, "orders")
+    status_or_null = F.nullif(F.col("o_orderstatus"), F.lit("O"))
+    prio_high = F.when(F.col("o_totalprice") > 300000, F.col("o_orderpriority"))
+    base = o.select(
+        status_or_null.alias("status_or_null"), prio_high.alias("prio_high")
+    )
+    return (
+        base.groupBy(F.coalesce("status_or_null", F.lit("<open>")).alias("status"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.when(F.col("status_or_null").isNull(), 1).otherwise(0)).alias(
+                "n_null_status"
+            ),
+            F.count("prio_high").alias("n_prio_high"),
+            F.count_distinct("prio_high").alias("distinct_prio"),
+            F.sum(
+                F.when(F.col("status_or_null").eqNullSafe(F.col("prio_high")), 1).otherwise(0)
+            ).alias("null_safe_eq"),
+        )
+        .orderBy("status")
+    )
