@@ -1148,3 +1148,56 @@ def nation_trade_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("volume"), "cust_nation", "supp_nation")
         .limit(50)
     )
+
+
+@register(
+    "disjunctive_filter_revenue",
+    oracle="""
+SELECT
+  round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+  count(*) AS n_items
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE
+  (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 10
+   AND l.l_quantity BETWEEN 1 AND 20)
+  OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 5 AND 25
+      AND l.l_quantity BETWEEN 10 AND 40)
+  OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 10 AND 40
+      AND l.l_quantity BETWEEN 20 AND 50)
+""",
+)
+def disjunctive_filter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs mixing both join sides. Catalyst
+    factors the single-side conjuncts out of the disjunction (brand IN
+    (...), size/quantity range unions) and pushes them below the join —
+    the pushdown-hostile query made scan-friendly."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(5, 25)
+            & F.col("l_quantity").between(10, 40)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(10, 40)
+            & F.col("l_quantity").between(20, 50)
+        )
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )

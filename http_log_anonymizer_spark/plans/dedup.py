@@ -429,3 +429,99 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+@register(
+    "dedup_winnow_join",
+    oracle=f"""
+WITH {_EDGES_SQL},
+t2 AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+sh2 AS (
+  SELECT doc_id,
+         generate_subscripts({shingles_sql('toks')}, 1) AS pos,
+         unnest({shingles_sql('toks')}) AS s
+  FROM t2
+),
+h AS (
+  SELECT doc_id, pos,
+         lpad(CAST({hash64_sql('s', 'win')} AS VARCHAR), 19, '0')
+           || '_' || lpad(CAST(pos AS VARCHAR), 6, '0') AS fp
+  FROM sh2
+),
+winmin AS (
+  SELECT doc_id,
+         min(fp) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING
+         ) AS sel
+  FROM h
+),
+fps AS (SELECT DISTINCT doc_id, substr(sel, 1, 19) AS wh FROM winmin),
+cand AS (
+  SELECT a.doc_id AS da, b.doc_id AS db
+  FROM fps a JOIN fps b ON a.wh = b.wh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING count(*) >= 2
+),
+sz AS (SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id),
+inter AS (
+  SELECT c.da, c.db, count(*) AS i
+  FROM cand c
+  JOIN e ea ON ea.doc_id = c.da
+  JOIN e eb ON eb.doc_id = c.db AND ea.s = eb.s
+  GROUP BY c.da, c.db
+)
+SELECT i.da AS doc_a, i.db AS doc_b,
+       round(i.i * 1.0 / (sa.n + sb.n - i.i), 3) AS jaccard
+FROM inter i
+JOIN sz sa ON sa.doc_id = i.da
+JOIN sz sb ON sb.doc_id = i.db
+WHERE i.i * 1.0 / (sa.n + sb.n - i.i) >= {_JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+""",
+)
+def dedup_winnow_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-index near-dup (the MOSS pipeline end-to-end):
+    candidates are document pairs sharing >= 2 winnow fingerprints
+    (equi-join on the fingerprint hash — like LSH, never all-pairs),
+    then exact-Jaccard verification. An independent candidate generator
+    cross-checking the MinHash path: both must find the same true
+    near-duplicate pairs."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens_ws("text").alias("toks")
+    )
+    sh = d.select("doc_id", F.posexplode(shingles("toks")).alias("pos0", "s")).select(
+        "doc_id", (F.col("pos0") + 1).alias("pos"), "s"
+    )
+    fp = F.concat_ws(
+        "_",
+        F.lpad(hash64("s", "win").cast("string"), 19, "0"),
+        F.lpad(F.col("pos").cast("string"), 6, "0"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+    fps = (
+        sh.select("doc_id", F.min(fp).over(w).alias("sel"))
+        .select("doc_id", F.substring("sel", 1, 19).alias("wh"))
+        .distinct()
+        .cache()
+    )
+    fps.count()  # eager: both sides of the self-join below
+    a, b = fps.alias("a"), fps.alias("b")
+    cand = (
+        a.join(b, (F.col("a.wh") == F.col("b.wh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= 2)
+        .select("da", "db")
+    )
+    sharr = _shingle_arrays(spark, sf_dir).cache()
+    sharr.count()
+    return (
+        verify_pairs(cand, sharr)
+        .select("doc_a", "doc_b", F.round("jr", 3).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
