@@ -1201,3 +1201,45 @@ def disjunctive_filter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_items"),
         )
     )
+
+
+@register(
+    "supplier_part_diversity",
+    oracle="""
+SELECT
+  p.p_brand,
+  p.p_type,
+  count(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#45'
+  AND p.p_type NOT LIKE 'MEDIUM%'
+  AND l.l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY p.p_brand, p.p_type
+ORDER BY supplier_cnt DESC, p_brand, p_type
+LIMIT 30
+""",
+)
+def supplier_part_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: NOT IN subquery (null-aware anti join) +
+    grouped DISTINCT count. NOT IN over a possibly-null key is the
+    trickiest subquery form (three-valued logic) — here the subquery
+    key is non-null so Catalyst plans a plain anti join; the distinct
+    count expands to a two-phase aggregate."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45") & ~F.col("p_type").like("MEDIUM%")
+    )
+    bad_suppliers = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        l.join(bad_suppliers, l.l_suppkey == bad_suppliers.s_suppkey, "left_anti")
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type")
+        .limit(30)
+    )

@@ -106,3 +106,68 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     assert sorted(map(key, got)) == sorted(map(key, want))
     # every error has its same-cycle purchase (+4 min) in band
     assert len(got) >= 30
+
+
+def test_stream_stream_left_outer_join_pads_unmatched(spark, tmp_path):
+    """Left-outer stream-stream join: errors with no purchase in the
+    band get NULL padding — but only once the watermark proves no match
+    can still arrive. Verified against the batch left join."""
+    src = tmp_path / "src2"
+    src.mkdir()
+    lines = []
+    i = 1000
+    # users 1,2: error + in-band purchase; user 3: error with NO purchase
+    for minute in (0, 10, 20):
+        for user in (1, 2):
+            lines.append(_event(i, "error", minute, user, 0.0)); i += 1
+            lines.append(_event(i, "purchase", minute + 2, user, 5.0)); i += 1
+        lines.append(_event(i, "error", minute, 3, 0.0)); i += 1
+    # far-future events on BOTH sides to advance the global watermark —
+    # each side's withWatermark sits after its event_type filter, so an
+    # event of another type would never reach either watermark node and
+    # the global watermark (min of both) would stay behind
+    lines.append(_event(i, "error", 59, 8, 0.0)); i += 1
+    lines.append(_event(i, "purchase", 59, 9, 0.0))
+
+    (src / "events.txt").write_text("\n".join(lines))
+
+    def parsed(df):
+        return df.select(F.from_json(F.col("value"), _SCHEMA).alias("r")).select("r.*")
+
+    raw = spark.readStream.format("text").load(str(src))
+    err = (
+        parsed(raw)
+        .filter(F.col("event_type") == "error")
+        .withWatermark("ts", "5 minutes")
+        .select("event_id", "user_id", F.col("ts").alias("ets"))
+    )
+    pur = (
+        parsed(raw)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "5 minutes")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("pts"))
+    )
+    joined = err.join(
+        pur,
+        (F.col("p_user") == F.col("user_id"))
+        & (F.col("pts") >= F.col("ets"))
+        & (F.col("pts") <= F.col("ets") + F.expr("INTERVAL 10 MINUTES")),
+        "left_outer",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_outer")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT event_id, pts FROM ssj_outer").collect()
+
+    matched = [r for r in got if r.pts is not None]
+    padded = [r for r in got if r.pts is None]
+    assert len(matched) == 6  # users 1,2 x 3 cycles
+    # user 3's errors emitted with NULL padding once the watermark
+    # passed their band; the minute-59 error stays buffered (no pad)
+    assert len(padded) == 3
