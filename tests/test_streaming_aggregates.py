@@ -137,3 +137,57 @@ def test_transform_with_state_matches_apply_in_pandas(spark, tmp_path):
     assert rows[0].remote_addr == "7.7.7.7"
     assert rows[0].total_requests == 6
     assert rows[0].total_bytes == sum(100 + i for i in range(6))
+
+
+def test_chained_windowed_aggregations(spark, tmp_path):
+    """Multiple stateful operators in ONE streaming query (Spark 3.4+):
+    minutely counts feed a 10-minute rollup (window-of-window). The
+    hypertable hierarchy maintained incrementally, verified against the
+    batch equivalent."""
+    src = tmp_path / "src"
+    src.mkdir()
+    lines = [_log_line(i, minute=(i * 7) % 25) for i in range(200)]
+    # watermark-advancing tail so the last windows finalize in append mode
+    lines += [_log_line(900 + j, minute=55) for j in range(2)]
+    (src / "data.txt").write_text("\n".join(lines))
+
+    raw = spark.readStream.format("text").load(str(src))
+    rows = json_decoder()(raw)
+    minutely = (
+        rows.withWatermark("timestamp", "2 minutes")
+        .groupBy(F.window("timestamp", "1 minute").alias("w1"))
+        .agg(F.count("*").alias("cnt"), F.sum("bytes_sent").alias("traffic"))
+    )
+    ten_minutely = (
+        minutely.groupBy(F.window(F.col("w1"), "10 minutes").alias("w2"))
+        .agg(F.sum("cnt").alias("cnt"), F.sum("traffic").alias("traffic"))
+        .select(F.col("w2.start").alias("ws"), "cnt", "traffic")
+    )
+    q = (
+        ten_minutely.writeStream.format("memory")
+        .queryName("chained")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_chain"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        str(r.ws): (r.cnt, r.traffic)
+        for r in spark.sql("SELECT * FROM chained").collect()
+    }
+
+    batch = (
+        spark.read.json(str(src / "data.txt"))
+        .select(F.col("timestamp").cast("timestamp").alias("ts"), "bytes_sent")
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count("*").alias("cnt"), F.sum("bytes_sent").alias("traffic"))
+        .select(F.col("w.start").alias("ws"), "cnt", "traffic")
+    )
+    want = {str(r.ws): (r.cnt, r.traffic) for r in batch.collect()}
+
+    # every finalized window matches the batch rollup exactly; the
+    # still-open tail window (minute 55) is allowed to be absent
+    assert len(got) >= 3
+    for ws, vals in got.items():
+        assert want[ws] == vals, (ws, vals, want.get(ws))
