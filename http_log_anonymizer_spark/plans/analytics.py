@@ -1243,3 +1243,36 @@ def supplier_part_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type")
         .limit(30)
     )
+
+
+@register(
+    "pivot_avg_value",
+    oracle="""
+SELECT
+  user_id % 10 AS cohort,
+  round(avg(CASE WHEN event_type = 'purchase' THEN value END), 4) AS purchase_avg,
+  round(avg(CASE WHEN event_type = 'view' THEN value END), 4) AS view_avg,
+  round(max(CASE WHEN event_type = 'error' THEN value END), 2) AS error_max
+FROM events
+GROUP BY 1
+ORDER BY cohort
+""",
+)
+def pivot_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with non-count aggregates: conditional avg/max per pivot
+    value (one pass; each output column is an independent aggregate of
+    the same scan)."""
+    e = _t(spark, sf_dir, "events")
+
+    def only(et):
+        return F.when(F.col("event_type") == et, F.col("value"))
+
+    return (
+        e.groupBy((F.col("user_id") % 10).alias("cohort"))
+        .agg(
+            F.round(F.avg(only("purchase")), 4).alias("purchase_avg"),
+            F.round(F.avg(only("view")), 4).alias("view_avg"),
+            F.round(F.max(only("error")), 2).alias("error_max"),
+        )
+        .orderBy("cohort")
+    )
