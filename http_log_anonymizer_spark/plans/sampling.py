@@ -54,6 +54,46 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "reservoir_sample",
+    oracle=f"""
+WITH ranked AS (
+  SELECT
+    doc_id, lang,
+    {hash64_sql("CAST(doc_id AS VARCHAR)", "res")} AS pri,
+    row_number() OVER (
+      PARTITION BY lang
+      ORDER BY {hash64_sql("CAST(doc_id AS VARCHAR)", "res")}, doc_id
+    ) AS rnk
+  FROM documents
+)
+SELECT doc_id, lang, rnk FROM ranked WHERE rnk <= 10
+ORDER BY lang, rnk
+""",
+)
+def reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic reservoir (k=10) via partial top-k
+    pruning (operators/reservoir.py): each partition keeps only its k
+    best-hash rows per stratum before anything shuffles, so a stratum
+    too large for `stratified_sample`'s full window sort costs one scan
+    plus a k-rows-per-partition shuffle. The oracle is the full window
+    sort — both must select exactly the same rows."""
+    from http_log_anonymizer_spark.operators.reservoir import reservoir_per_group
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        hash64(F.col("doc_id").cast("string"), "res").alias("pri"),
+    )
+    return (
+        reservoir_per_group(
+            d, group_cols=["lang"], k=10, priority_col="pri", tiebreak_cols=["doc_id"]
+        )
+        .select("doc_id", "lang", "rnk")
+        .orderBy("lang", "rnk")
+    )
+
+
+@register(
     "stratified_sample",
     oracle=f"""
 WITH ranked AS (

@@ -323,6 +323,141 @@ def ivf_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# IVF ANN: probe-nearest-cells search (coarse quantizer -> candidate prune)
+# ---------------------------------------------------------------------------
+
+_NPROBE = 2
+
+# Integer-quantized per-cell centroids (exact integer sums -> both engines
+# agree bit-for-bit), assembled into per-label centroid arrays.
+_CENT_CTE = """
+comp AS (
+  SELECT label,
+         generate_subscripts(embedding, 1) AS pos,
+         unnest(embedding) AS v
+  FROM embeddings
+),
+cent AS (
+  SELECT label, pos,
+         sum(CAST(floor(CAST(v AS DOUBLE) * 1000) AS BIGINT)) / (count(*) * 1000.0) AS c
+  FROM comp GROUP BY label, pos
+),
+cv AS (SELECT label, list(c ORDER BY pos) AS cvec FROM cent GROUP BY label)
+"""
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=f"""
+WITH {UNIT_CTE_SQL},
+{_CENT_CTE},
+q AS (
+  SELECT vec_id AS query_id, embedding AS qemb, ue AS qe
+  FROM unit WHERE vec_id % 100 = 0
+),
+qd AS (
+  SELECT q.query_id, cv.label,
+         list_sum(list_transform(generate_series(1, {_DIM}),
+           i -> (CAST(q.qemb[i] AS DOUBLE) - cv.cvec[i])
+              * (CAST(q.qemb[i] AS DOUBLE) - cv.cvec[i]))) AS d2
+  FROM q CROSS JOIN cv
+),
+probed AS (
+  SELECT query_id, label FROM (
+    SELECT query_id, label,
+           row_number() OVER (
+             PARTITION BY query_id ORDER BY round(d2, 6), label
+           ) AS cr
+    FROM qd
+  ) WHERE cr <= {_NPROBE}
+),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         round({dot_sql('q.qe', 'c.ue', _DIM)}, 4) AS cos
+  FROM probed p
+  JOIN q ON q.query_id = p.query_id
+  JOIN unit c ON c.label = p.label AND c.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+  ) AS rank FROM scored
+)
+SELECT query_id, neighbor_id, rank, cos FROM ranked WHERE rank <= {_TOPK}
+ORDER BY query_id, rank
+""",
+    bench=True,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN search end-to-end: coarse cells are the `label` partitions
+    with integer-quantized centroids (the inverted file of
+    ivf_cluster_stats); each query ranks the {_NPROBE} nearest cell
+    centroids (L2, rounded+label tie-break for cross-engine
+    reproducibility) and scans ONLY those cells, reranking candidates by
+    exact cosine on precomputed unit vectors.
+
+    Scale shape: the centroid table is k x dim (KBs) and broadcasts; the
+    query->cell probe is a broadcast nested-loop over that tiny table;
+    the candidate scan is an equi-join on the cell id, so per-query work
+    drops from O(N) to O(N * nprobe / k) — the same pruning contract a
+    FAISS IVF index provides, expressed as two joins Catalyst can
+    optimize. No shuffle touches the corpus except the per-cell
+    hash-partition of the candidate join.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.select("vec_id", "label", "embedding", norm_column("embedding").alias("nrm"))
+    u = n.select(
+        "vec_id", "label", "embedding", unit_from("embedding", "nrm").alias("ue")
+    ).cache()
+    u.count()  # eager: probed by queries and candidates below
+
+    # centroid arrays per label (tiny: k x dim)
+    comp = e.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>"))
+    ).select("label", (F.col("pos") + 1).alias("pos"), F.col("col").alias("v"))
+    cent = comp.groupBy("label", "pos").agg(
+        (F.sum(F.floor(F.col("v") * 1000).cast("long")) / (F.count("*") * 1000.0)).alias("c")
+    )
+    cv = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("cvec")
+    )
+
+    q = u.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qemb"),
+        F.col("ue").alias("qe"),
+    )
+    diff = F.zip_with("qemb", "cvec", lambda x, c: (x - c) * (x - c))
+    d2 = F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x)
+    qd = q.crossJoin(F.broadcast(cv)).select(
+        "query_id", "qe", "label", d2.alias("d2")
+    )
+    wc = Window.partitionBy("query_id").orderBy(F.round("d2", 6), "label")
+    probed = (
+        qd.select("query_id", "qe", "label", F.row_number().over(wc).alias("cr"))
+        .filter(F.col("cr") <= _NPROBE)
+        .select("query_id", "qe", "label")
+    )
+    scored = (
+        u.join(F.broadcast(probed), "label")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(dot("qe", "ue"), 4).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        scored.select("*", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= _TOPK)
+        .orderBy("query_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Quantization (PQ-shaped): int8-style codes + integer-dot ANN
 # ---------------------------------------------------------------------------
 

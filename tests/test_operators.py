@@ -119,3 +119,41 @@ def test_frequent_resources_sketch_matches_exact_top(spark):
     assert len(common) >= 8
     for k in common:
         assert sketch[k] == exact[k]
+
+
+def test_reservoir_per_group_matches_full_window_sort(spark):
+    """The partial-prune reservoir must select exactly the rows a full
+    per-group window sort would, on skewed multi-partition input
+    (one giant stratum, one tiny one, one smaller than k)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from http_log_anonymizer_spark.functions.text import hash64
+    from http_log_anonymizer_spark.operators.reservoir import reservoir_per_group
+
+    rows = (
+        [("big", i) for i in range(5000)]
+        + [("small", i) for i in range(40)]
+        + [("tiny", i) for i in range(3)]
+    )
+    df = (
+        spark.createDataFrame(rows, "g string, id int")
+        .repartition(8)
+        .withColumn("pri", hash64(F.col("id").cast("string"), "res"))
+    )
+    got = (
+        reservoir_per_group(df, ["g"], 5, "pri", ["id"])
+        .select("g", "id", "rnk")
+        .collect()
+    )
+    w = Window.partitionBy("g").orderBy("pri", "id")
+    want = (
+        df.select("g", "id", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 5)
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    by_g = {}
+    for g, _, _ in got:
+        by_g[g] = by_g.get(g, 0) + 1
+    assert by_g == {"big": 5, "small": 5, "tiny": 3}
