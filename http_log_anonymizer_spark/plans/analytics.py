@@ -1276,3 +1276,151 @@ def pivot_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort")
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-distribution (TPC-H Q13 analog)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customer_order_distribution",
+    oracle="""
+WITH c_orders AS (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+SELECT c_count, count(*) AS custdist
+FROM c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 analog: how many customers placed N orders. The two
+    defining shapes: (1) a predicate INSIDE the outer-join condition
+    (filtering orders without dropping order-less customers — a WHERE
+    would turn the join inner), and (2) a count-of-counts double
+    aggregation. count(o_orderkey) counts only matched rows, so
+    customers with zero surviving orders land in the c_count=0 bucket.
+    At scale the first groupBy shuffles on c_custkey (same key as the
+    join — AQE reuses the partitioning); the second aggregates a
+    few-hundred-row histogram."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Compare-to-group-average (TPC-H Q17 analog)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "small_quantity_revenue",
+    oracle="""
+WITH pa AS (
+  SELECT l_partkey, avg(l_quantity) AS avg_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT p.p_brand,
+       count(*) AS n_lines,
+       round(sum(l.l_extendedprice) / 7.0, 2) AS avg_weekly_revenue
+FROM lineitem l
+JOIN pa ON pa.l_partkey = l.l_partkey
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_quantity < 0.5 * pa.avg_qty
+GROUP BY p.p_brand
+ORDER BY p.p_brand
+""",
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 analog: revenue from below-half-average-quantity line
+    items, per brand. The correlated scalar subquery (avg quantity OF
+    THIS part) is decorrelated into an aggregate-then-join — the plan
+    Catalyst itself produces for the subquery form, written explicitly.
+    The per-part avg is exact across engines because l_quantity is
+    integral (exact double sums). At scale: both the avg build and the
+    probe shuffle on l_partkey — one exchange, reused; the part dim
+    broadcasts."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    pa = l.groupBy("l_partkey").agg(F.avg("l_quantity").alias("avg_qty"))
+    return (
+        l.join(pa, "l_partkey")
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_weekly_revenue"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Global-average threshold + anti join (TPC-H Q22 analog)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dormant_rich_customers",
+    oracle="""
+WITH ab AS (
+  SELECT round(avg(c_acctbal), 2) AS threshold
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c.c_nationkey,
+       count(*) AS numcust,
+       round(sum(c.c_acctbal), 2) AS totacctbal
+FROM customer c, ab
+WHERE c.c_acctbal > ab.threshold
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+  )
+GROUP BY c.c_nationkey
+ORDER BY c.c_nationkey
+""",
+)
+def dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 analog: above-average-balance customers with no urgent
+    order, per nation. Three shapes in one plan: an uncorrelated
+    scalar aggregate subquery (the global average, broadcast as a
+    1-row cross join — never a driver-side collect), an anti join
+    against the orders key set, and a grouped rollup. The threshold is
+    rounded to cents in BOTH engines so partial-sum ordering can't
+    flip a boundary row."""
+    c = _t(spark, sf_dir, "customer")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    ab = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(F.round(F.avg("c_acctbal"), 2).alias("threshold"))
+    )
+    return (
+        c.crossJoin(F.broadcast(ab))
+        .filter(F.col("c_acctbal") > F.col("threshold"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )

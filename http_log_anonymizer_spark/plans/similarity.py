@@ -346,6 +346,39 @@ cv AS (SELECT label, list(c ORDER BY pos) AS cvec FROM cent GROUP BY label)
 """
 
 
+def _centroid_arrays(e: DataFrame) -> DataFrame:
+    """(label, cvec): per-cell centroid arrays (tiny: k x dim), exact
+    integer-quantized sums so both engines agree bit-for-bit. Spark twin
+    of _CENT_CTE."""
+    comp = e.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>"))
+    ).select("label", (F.col("pos") + 1).alias("pos"), F.col("col").alias("v"))
+    cent = comp.groupBy("label", "pos").agg(
+        (F.sum(F.floor(F.col("v") * 1000).cast("long")) / (F.count("*") * 1000.0)).alias("c")
+    )
+    return cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("cvec")
+    )
+
+
+def _probe_cells(q: DataFrame, cv: DataFrame, nprobe: int) -> DataFrame:
+    """Rank cells per query by L2 distance to the centroid (rounded +
+    label tie-break for cross-engine reproducibility); keep the nprobe
+    nearest. `q` must carry qemb (raw double embedding); all its other
+    columns pass through."""
+    diff = F.zip_with("qemb", "cvec", lambda x, c: (x - c) * (x - c))
+    d2 = F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x)
+    qd = q.crossJoin(F.broadcast(cv)).select(*q.columns, "label", d2.alias("d2"))
+    wc = Window.partitionBy("query_id").orderBy(F.round("d2", 6), "label")
+    return (
+        qd.select(*q.columns, "label", F.row_number().over(wc).alias("cr"))
+        .filter(F.col("cr") <= nprobe)
+        .drop("cr")
+    )
+
+
 @register(
     "ann_ivf_topk",
     oracle=f"""
@@ -411,35 +444,13 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cache()
     u.count()  # eager: probed by queries and candidates below
 
-    # centroid arrays per label (tiny: k x dim)
-    comp = e.select(
-        "label", F.posexplode(F.col("embedding").cast("array<double>"))
-    ).select("label", (F.col("pos") + 1).alias("pos"), F.col("col").alias("v"))
-    cent = comp.groupBy("label", "pos").agg(
-        (F.sum(F.floor(F.col("v") * 1000).cast("long")) / (F.count("*") * 1000.0)).alias("c")
-    )
-    cv = cent.groupBy("label").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
-        ).alias("cvec")
-    )
-
+    cv = _centroid_arrays(e)
     q = u.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").cast("array<double>").alias("qemb"),
         F.col("ue").alias("qe"),
     )
-    diff = F.zip_with("qemb", "cvec", lambda x, c: (x - c) * (x - c))
-    d2 = F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x)
-    qd = q.crossJoin(F.broadcast(cv)).select(
-        "query_id", "qe", "label", d2.alias("d2")
-    )
-    wc = Window.partitionBy("query_id").orderBy(F.round("d2", 6), "label")
-    probed = (
-        qd.select("query_id", "qe", "label", F.row_number().over(wc).alias("cr"))
-        .filter(F.col("cr") <= _NPROBE)
-        .select("query_id", "qe", "label")
-    )
+    probed = _probe_cells(q, cv, _NPROBE).select("query_id", "qe", "label")
     scored = (
         u.join(F.broadcast(probed), "label")
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -571,6 +582,92 @@ def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", F.col("vec_id").alias("neighbor_id"), dot_q.alias("dot_q"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("dot_q"), "neighbor_id")
+    return (
+        scored.select("*", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= _TOPK)
+        .orderBy("query_id", "rank")
+    )
+
+
+@register(
+    "ann_ivf_adc_topk",
+    oracle=f"""
+WITH {_CENT_CTE},
+{_QUANT_CTE},
+q AS (
+  SELECT vec_id AS query_id, embedding AS qemb
+  FROM embeddings WHERE vec_id % 100 = 0
+),
+qd AS (
+  SELECT q.query_id, cv.label,
+         list_sum(list_transform(generate_series(1, {_DIM}),
+           i -> (CAST(q.qemb[i] AS DOUBLE) - cv.cvec[i])
+              * (CAST(q.qemb[i] AS DOUBLE) - cv.cvec[i]))) AS d2
+  FROM q CROSS JOIN cv
+),
+probed AS (
+  SELECT query_id, label FROM (
+    SELECT query_id, label,
+           row_number() OVER (
+             PARTITION BY query_id ORDER BY round(d2, 6), label
+           ) AS cr
+    FROM qd
+  ) WHERE cr <= {_NPROBE}
+),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         round(list_sum(list_transform(generate_series(1, {_DIM}),
+           i -> CAST(q.qemb[i] AS DOUBLE) * (c.qv[i] / {_QSCALE}.0))), 4) AS adc
+  FROM probed p
+  JOIN q ON q.query_id = p.query_id
+  JOIN q8 c ON c.label = p.label AND c.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY adc DESC, neighbor_id
+  ) AS rank FROM scored
+)
+SELECT query_id, neighbor_id, rank, adc FROM ranked WHERE rank <= {_TOPK}
+ORDER BY query_id, rank
+""",
+)
+def ann_ivf_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + asymmetric distance computation (the IVF-PQ search recipe):
+    coarse cells prune candidates ({_NPROBE} nearest centroids per
+    query), then candidates are scored with the ASYMMETRIC dot — exact
+    float query against the quantized ({_QSCALE}x int) database codes,
+    reconstructed per term as qv/{_QSCALE}. The query never loses
+    precision; only the stored side pays quantization error — exactly
+    FAISS's IndexIVFPQ distance table trick, expressed relationally.
+
+    At 100 TB the scan side touches nprobe/k of the corpus AND reads 4x
+    fewer bytes per vector (codes, not floats); a final exact re-rank
+    of survivors (ann_brute_topk's scorer) restores full precision.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    q8 = _quantized(spark, sf_dir).cache()
+    q8.count()  # eager: candidate side, probed per query cell
+
+    cv = _centroid_arrays(e)
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qemb"),
+    )
+    probed = _probe_cells(q, cv, _NPROBE)
+    adc = F.round(
+        F.aggregate(
+            F.zip_with("qemb", "qv", lambda x, c: x * (c / _QSCALE)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        4,
+    )
+    scored = (
+        q8.join(F.broadcast(probed), "label")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), adc.alias("adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc"), "neighbor_id")
     return (
         scored.select("*", F.row_number().over(w).alias("rank"))
         .filter(F.col("rank") <= _TOPK)
