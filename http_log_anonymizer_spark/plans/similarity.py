@@ -673,3 +673,57 @@ def ann_ivf_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _TOPK)
         .orderBy("query_id", "rank")
     )
+
+
+@register(
+    "embed_neardup_gemm",
+    oracle=f"""
+WITH {UNIT_CTE_SQL}
+SELECT
+  a.vec_id AS vec_a,
+  b.vec_id AS vec_b,
+  round({dot_sql('a.ue', 'b.ue', _DIM)}, 4) AS cos
+FROM unit a JOIN unit b ON a.vec_id < b.vec_id
+WHERE round({dot_sql('a.ue', 'b.ue', _DIM)}, 4) >= {_NEARDUP_THRESHOLD}
+ORDER BY vec_a, vec_b
+""",
+    bench=True,
+)
+def embed_neardup_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embed_neardup computed by the blocked-GEMM operator
+    (operators/gemm.py): the corpus broadcasts as one numpy matrix and
+    each partition emits its block of the similarity matrix from a
+    single BLAS matmul — the throughput path when the interpreted
+    zip_with/aggregate fold dominates. Same oracle as embed_neardup:
+    BLAS float64 sums differ from the fold by ~1 ulp, which survives
+    round(…, 4) except when a pair sits within ~1e-15 of a rounding
+    boundary — vanishingly unlikely, and the fold-based embed_neardup
+    remains the exact-determinism twin. The GEMM threshold is relaxed
+    by half a rounding step so boundary pairs are filtered on the
+    ROUNDED value, matching the SQL's filter-after-round semantics."""
+    from http_log_anonymizer_spark.operators.gemm import gemm_neardup_pairs
+
+    u = _unit_table(spark, sf_dir)
+    raw = gemm_neardup_pairs(u, _NEARDUP_THRESHOLD - 5e-5)
+    return (
+        raw.select("vec_a", "vec_b", F.round("cos", 4).alias("cos"))
+        .filter(F.col("cos") >= _NEARDUP_THRESHOLD)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+@register("kmeans_cluster_sizes", oracle=None)
+def kmeans_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means (operators/kmeans.py, deterministic md5 seeding) over the
+    embeddings, reported as per-cluster sizes. Iterative Lloyd's is not
+    reasonably SQL-expressible, so this is a rows-only registry entry;
+    determinism and convergence are asserted in tests/test_kmeans.py."""
+    from http_log_anonymizer_spark.operators.kmeans import kmeans
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    assignments, _centroids, _history = kmeans(e, k=8, max_iter=10)
+    return (
+        assignments.groupBy("cluster")
+        .agg(F.count("*").alias("n_vectors"))
+        .orderBy("cluster")
+    )

@@ -11,7 +11,7 @@ the cross-engine determinism contracts).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from http_log_anonymizer_spark.functions.text import (
@@ -280,4 +280,62 @@ def doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct(F.substring("sel", 1, 19)).alias("distinct_hashes"),
         )
         .orderBy("source")
+    )
+
+
+@register(
+    "tfidf_top_terms",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * ln((n.n + 1.0) / (df.df + 1.0)), 4) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, term
+  ) AS rank
+  FROM scored
+)
+SELECT doc_id, term, rank, tfidf FROM ranked WHERE rank <= 3
+ORDER BY doc_id, rank
+""",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms — the classic relevance/keyword
+    primitive of a text pipeline. tf and df are exact integers; the
+    score multiplies an int by one log of an exact ratio, so both
+    engines agree to the last ulp (no sum-order risk). Ranking uses the
+    rounded score with a term tie-break.
+
+    Scale shape: tf shuffles on (doc_id, term) with map-side partial
+    counts; df on term; the corpus size N broadcasts as a 1-row cross
+    join (never a driver collect). All JVM built-ins — no UDFs."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens_ws("text")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count("*").alias("n"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)), 4
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.select("*", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= 3)
+        .orderBy("doc_id", "rank")
     )
