@@ -1424,3 +1424,92 @@ def dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series gap fill + LOCF
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "gapfill_locf",
+    oracle="""
+WITH b AS (
+  SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1
+  FROM events
+),
+types AS (SELECT DISTINCT event_type FROM events),
+spine AS (
+  SELECT t.event_type, unnest(generate_series(b.h0, b.h1, INTERVAL 1 HOUR)) AS h
+  FROM types t CROSS JOIN b
+),
+hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         count(*) AS cnt, round(sum(value), 2) AS val
+  FROM events GROUP BY 1, 2
+),
+j AS (
+  SELECT s.event_type, s.h,
+         coalesce(hh.cnt, 0) AS cnt,
+         CASE WHEN hh.cnt IS NULL THEN 1 ELSE 0 END AS is_gap,
+         hh.val
+  FROM spine s
+  LEFT JOIN hourly hh ON hh.event_type = s.event_type AND hh.h = s.h
+)
+SELECT event_type, h AS hour, cnt, is_gap,
+       last_value(val IGNORE NULLS) OVER (
+         PARTITION BY event_type ORDER BY h
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS locf_value
+FROM j
+ORDER BY event_type, hour
+""",
+)
+def gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling with last-observation-carried-forward —
+    the hypertable primitive Spark lacks natively (TimescaleDB's
+    time_bucket_gapfill + locf). A dense hourly spine per series is
+    generated with sequence+explode from the global bounds (1-row agg,
+    broadcast — never a driver collect), left-joined against the real
+    hourly rollup; missing buckets are flagged and their value carried
+    forward via last(ignorenulls) over an unbounded-preceding frame.
+
+    At scale: the spine is series x hours (tiny vs the events table),
+    the rollup is one shuffle on (series, hour), and the LOCF window
+    partitions per series — no global sort. Leading gaps before a
+    series' first observation stay NULL by design."""
+    e = _t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("val"))
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine = (
+        e.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("interval 1 hour"))
+            ).alias("h"),
+        )
+    )
+    j = spine.join(hourly, ["event_type", "h"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        j.select(
+            "event_type",
+            F.col("h").alias("hour"),
+            F.coalesce("cnt", F.lit(0)).alias("cnt"),
+            F.when(F.col("cnt").isNull(), 1).otherwise(0).alias("is_gap"),
+            F.last("val", ignorenulls=True).over(w).alias("locf_value"),
+        )
+        .orderBy("event_type", "hour")
+    )
