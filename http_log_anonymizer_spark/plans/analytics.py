@@ -1513,3 +1513,59 @@ def gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hour")
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout (Morton interleave) — multi-dimensional clustering
+# ---------------------------------------------------------------------------
+
+
+def _zorder_oracle() -> str:
+    from http_log_anonymizer_spark.operators.zorder import morton32_sql
+
+    z = morton32_sql("l_partkey", "l_suppkey")
+    return f"""
+WITH z AS (
+  SELECT l_partkey, l_suppkey, {z} >> 27 AS zbucket
+  FROM lineitem
+)
+SELECT zbucket,
+       count(*) AS n_rows,
+       min(l_partkey) AS min_part, max(l_partkey) AS max_part,
+       min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp
+FROM z
+GROUP BY zbucket
+ORDER BY zbucket
+"""
+
+
+@register("zorder_layout", oracle=_zorder_oracle())
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout audit: Morton-interleave (l_partkey, l_suppkey)
+    (operators/zorder.py), bucket rows by the top 5 z-bits (32 buckets =
+    files), and report each bucket's min/max on BOTH dimensions. The
+    narrow per-bucket ranges are the point: after
+    repartitionByRange(morton32(...)) every output file is a small
+    rectangle in key space, so parquet min/max stats prune scans for
+    predicates on EITHER column — the layout Delta's OPTIMIZE ZORDER
+    produces, as a first-class operator. Exact integer bit arithmetic;
+    both engines agree bit-for-bit."""
+    from http_log_anonymizer_spark.operators.zorder import morton32
+
+    l = _t(spark, sf_dir, "lineitem")
+    z = l.select(
+        "l_partkey",
+        "l_suppkey",
+        F.shiftright(morton32("l_partkey", "l_suppkey"), 27).alias("zbucket"),
+    )
+    return (
+        z.groupBy("zbucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("l_partkey").alias("min_part"),
+            F.max("l_partkey").alias("max_part"),
+            F.min("l_suppkey").alias("min_supp"),
+            F.max("l_suppkey").alias("max_supp"),
+        )
+        .orderBy("zbucket")
+    )

@@ -157,3 +157,36 @@ def test_reservoir_per_group_matches_full_window_sort(spark):
     for g, _, _ in got:
         by_g[g] = by_g.get(g, 0) + 1
     assert by_g == {"big": 5, "small": 5, "tiny": 3}
+
+
+def test_zorder_partitioning_bounds_both_dimensions(spark):
+    """repartitionByRange on the Morton code must give every partition a
+    small bounding rectangle in BOTH key dimensions — the file-skipping
+    property — unlike a single-column sort, which leaves the other
+    dimension spanning its full range."""
+    from pyspark.sql import functions as F
+
+    from http_log_anonymizer_spark.operators.zorder import morton32
+
+    df = spark.range(0, 4096).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+    )
+
+    def span_stats(parted):
+        stats = (
+            parted.withColumn("pid", F.spark_partition_id())
+            .groupBy("pid")
+            .agg(
+                (F.max("x") - F.min("x")).alias("sx"),
+                (F.max("y") - F.min("y")).alias("sy"),
+            )
+            .collect()
+        )
+        return max(r.sx for r in stats), max(r.sy for r in stats)
+
+    zx, zy = span_stats(df.repartitionByRange(16, morton32("x", "y")))
+    sx, sy = span_stats(df.repartitionByRange(16, "x"))
+    # z-order: both dims bounded well below their full range (63)
+    assert zx <= 31 and zy <= 31, (zx, zy)
+    # single-column sort: the unsorted dim spans (nearly) everything
+    assert sy >= 60, sy
