@@ -727,3 +727,53 @@ def kmeans_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_vectors"))
         .orderBy("cluster")
     )
+
+
+@register("ann_ivf_kmeans_topk", oracle=None)
+def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full IVF index build + search with LEARNED cells: k-means
+    (operators/kmeans.py, deterministic seeding) trains the coarse
+    quantizer, vectors are bucketed by their assigned centroid, queries
+    probe the 3 nearest learned centroids and exact-cosine
+    rerank within those cells — the complete FAISS IndexIVFFlat
+    lifecycle. Iterative training is not SQL-expressible, so this is a
+    rows-only entry; recall vs the brute-force oracle is asserted in
+    tests (test_scale_operators.py)."""
+    from http_log_anonymizer_spark.operators.kmeans import kmeans
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    assignments, centroids, _history = kmeans(e, k=8, max_iter=10)
+    cv = spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "label int, cvec array<double>",
+    )
+
+    n = e.select("vec_id", "embedding", norm_column("embedding").alias("nrm"))
+    u = (
+        n.select("vec_id", "embedding", unit_from("embedding", "nrm").alias("ue"))
+        .join(assignments.select("vec_id", F.col("cluster").alias("label")), "vec_id")
+        .cache()
+    )
+    u.count()  # eager: probed by queries and candidates below
+
+    q = u.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qemb"),
+        F.col("ue").alias("qe"),
+    )
+    probed = _probe_cells(q, cv, 3).select("query_id", "qe", "label")
+    scored = (
+        u.join(F.broadcast(probed), "label")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(dot("qe", "ue"), 4).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        scored.select("*", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= _TOPK)
+        .orderBy("query_id", "rank")
+    )

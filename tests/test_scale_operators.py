@@ -116,3 +116,27 @@ def test_partitioned_write_prunes_on_read(spark, tmp_path):
     # NB: partition values come back type-inferred (int here)
     months = {str(r.m) for r in got.select(F.col("month").alias("m")).distinct().collect()}
     assert months == {"202401"}
+
+
+def test_ivf_kmeans_recall_vs_brute_force(spark):
+    """The learned-cell IVF search must be deterministic and recover
+    most of the true top-5 neighbors while scanning only nprobe/k of
+    the corpus (recall@5 >= 0.6 at this scale; losses are queries whose
+    true neighbors live outside the probed cells)."""
+    from http_log_anonymizer_spark.plans import REGISTRY
+
+    sf = "/root/testdata/sf0.01"
+    ivf = REGISTRY["ann_ivf_kmeans_topk"].spark_fn(spark, sf).collect()
+    brute = REGISTRY["ann_brute_topk"].spark_fn(spark, sf).collect()
+    ivf2 = REGISTRY["ann_ivf_kmeans_topk"].spark_fn(spark, sf).collect()
+    assert [tuple(r) for r in ivf] == [tuple(r) for r in ivf2]  # deterministic
+
+    got = {}
+    for r in ivf:
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    want = {}
+    for r in brute:
+        want.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert set(want) == set(got)  # every query answered
+    recall = sum(len(got[q] & want[q]) for q in want) / sum(len(want[q]) for q in want)
+    assert recall >= 0.6, recall
