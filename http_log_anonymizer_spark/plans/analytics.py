@@ -1569,3 +1569,26 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("zbucket")
     )
+
+
+@register("latency_quantile_sketch", oracle=None)
+def latency_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles per event type via approx_percentile
+    (Greenwald-Khanna sketch, relative error 1/accuracy=0.5%). The
+    scale path for quantiles: the sketch merges associatively in
+    partial aggregation (one shuffle of KB-sized summaries), where the
+    exact `percentile` must shuffle and sort every value. Rows-only
+    registry entry (sketch internals are engine-specific); accuracy vs
+    the exact percentile is asserted in tests/test_operators.py."""
+    e = _t(spark, sf_dir, "events")
+    pct = F.expr("approx_percentile(value, array(0.5, 0.95, 0.99), 200)")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            pct[0].alias("p50"),
+            pct[1].alias("p95"),
+            pct[2].alias("p99"),
+        )
+        .orderBy("event_type")
+    )

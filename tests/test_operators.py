@@ -190,3 +190,33 @@ def test_zorder_partitioning_bounds_both_dimensions(spark):
     assert zx <= 31 and zy <= 31, (zx, zy)
     # single-column sort: the unsorted dim spans (nearly) everything
     assert sy >= 60, sy
+
+
+def test_quantile_sketch_within_rank_error(spark):
+    """approx_percentile(accuracy=200) guarantees rank error <= n/200;
+    verify each sketched quantile's true rank is within that bound."""
+    from pyspark.sql import functions as F
+
+    from http_log_anonymizer_spark.plans import REGISTRY
+
+    sf = "/root/testdata/sf0.01"
+    sketch = {
+        r.event_type: r
+        for r in REGISTRY["latency_quantile_sketch"].spark_fn(spark, sf).collect()
+    }
+    e = spark.read.parquet(f"{sf}/events.parquet")
+    for et, row in sketch.items():
+        vals = sorted(
+            v[0] for v in e.filter(F.col("event_type") == et).select("value").collect()
+        )
+        n = len(vals)
+        assert row.n == n
+        for q, got in ((0.5, row.p50), (0.95, row.p95), (0.99, row.p99)):
+            # rank of the sketched value vs target rank
+            import bisect
+
+            lo = bisect.bisect_left(vals, got)
+            hi = bisect.bisect_right(vals, got)
+            target = q * (n - 1)
+            err_bound = n / 200 + 1
+            assert lo - err_bound <= target <= hi + err_bound, (et, q, got)

@@ -191,3 +191,42 @@ def test_chained_windowed_aggregations(spark, tmp_path):
     assert len(got) >= 3
     for ws, vals in got.items():
         assert want[ws] == vals, (ws, vals, want.get(ws))
+
+
+def test_stream_static_join_enriches_like_batch(spark, tmp_path):
+    """Streaming rows joined against a static dimension table must carry
+    the same enrichment a batch join produces; rows with no dim match
+    keep NULL (left join semantics)."""
+    from http_log_anonymizer_spark.streaming.aggregates import enrich_with_static
+
+    src = tmp_path / "src"
+    src.mkdir()
+    # status 500 deliberately absent from the dim table -> NULL class
+    (src / "data.txt").write_text("\n".join(_log_line(i, minute=0) for i in range(60)))
+    dim = spark.createDataFrame(
+        [(200, "success"), (404, "client_error")],
+        "response_status int, status_class string",
+    )
+
+    raw = spark.readStream.format("text").load(str(src))
+    out = enrich_with_static(
+        json_decoder()(raw).select("resource_id", "response_status", "bytes_sent"),
+        dim,
+        ["response_status"],
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM enriched").collect()
+    assert len(got) == 60
+    for r in got:
+        if r.response_status == 200:
+            assert r.status_class == "success"
+        else:
+            assert r.response_status == 500 and r.status_class is None
