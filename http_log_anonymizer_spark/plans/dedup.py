@@ -25,7 +25,7 @@ from __future__ import annotations
 import hashlib
 from functools import reduce
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from http_log_anonymizer_spark.functions.text import (
@@ -564,6 +564,77 @@ def dedup_winnow_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("shared"))
         .filter(F.col("shared") >= 2)
         .select("da", "db")
+    )
+    sharr = _shingle_arrays(spark, sf_dir).cache()
+    sharr.count()
+    return (
+        verify_pairs(cand, sharr)
+        .select("doc_a", "doc_b", F.round("jr", 3).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact similarity join via prefix filtering (PPJoin-style)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_prefix_filter_join",
+    oracle=f"""
+WITH {_EDGES_SQL},
+sz AS (SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT
+  i.da AS doc_a,
+  i.db AS doc_b,
+  round(i.i * 1.0 / (sa.n + sb.n - i.i), 3) AS jaccard
+FROM inter i
+JOIN sz sa ON sa.doc_id = i.da
+JOIN sz sb ON sb.doc_id = i.db
+WHERE i.i * 1.0 / (sa.n + sb.n - i.i) >= {_JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+""",
+)
+def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard similarity join via prefix filtering (the
+    PPJoin/SSJoin principle): order every document's shingles by global
+    rarity, keep only the first n - ceil(t*n) + 1 as its PREFIX — any
+    pair with Jaccard >= t provably shares a prefix token — and
+    equi-join on prefix tokens for candidates, then verify exactly.
+
+    Unlike MinHash-LSH (probabilistic recall) this is lossless: the
+    oracle is the brute-force ALL-PAIRS join, and results must match
+    row-for-row. Unlike the brute-force path, the candidate join runs
+    over prefix tokens only — the rarest slice of each document — so
+    frequency-ordered candidate counts stay near the true-pair count.
+    At 100 TB: one extra shuffle to build the token-frequency order,
+    prefix edges are ~(1-t) of all edges and skew toward RARE tokens,
+    taming the quadratic per-token blowup that kills the naive join.
+    """
+    e = _shingle_edges(spark, sf_dir).cache()
+    e.count()  # eager: frequency build + prefix build + verification sizes
+    freq = e.groupBy("s").agg(F.count("*").alias("tf"))
+    ranked = e.join(freq, "s").select(
+        "doc_id",
+        "s",
+        F.row_number()
+        .over(Window.partitionBy("doc_id").orderBy("tf", "s"))
+        .alias("rn"),
+        F.count("*").over(Window.partitionBy("doc_id")).alias("n"),
+    )
+    prefix = ranked.filter(
+        F.col("rn") <= F.col("n") - F.ceil(_JACCARD_THRESHOLD * F.col("n")) + 1
+    ).select("doc_id", "s")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .distinct()
     )
     sharr = _shingle_arrays(spark, sf_dir).cache()
     sharr.count()
