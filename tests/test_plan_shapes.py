@@ -47,3 +47,41 @@ def test_text_queries_stay_jvm_side(spark):
 def test_ann_brute_broadcasts_queries(spark):
     plan = _plan(spark, "ann_brute_topk")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_ivf_candidate_scan_is_broadcast_equijoin(spark):
+    """The IVF candidate scan must be a broadcast hash join on the cell
+    id — the corpus side must never sort-merge or shuffle for the
+    probe."""
+    for name in ("ann_ivf_topk", "ann_ivf_adc_topk"):
+        plan = _plan(spark, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_prefix_filter_join_has_no_cartesian(spark):
+    """Candidate generation must stay an equi-join on the prefix token;
+    a plan regression to a cartesian/theta join would be quadratic."""
+    plan = _plan(spark, "dedup_prefix_filter_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_gapfill_spine_is_broadcast(spark):
+    """The bounds aggregate (1 row) and the spine side must broadcast;
+    the events rollup must not be on the build side of anything."""
+    plan = _plan(spark, "gapfill_locf")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_reservoir_prune_precedes_exchange(spark):
+    """The mapInPandas partial prune must run BEFORE the shuffle that
+    feeds the final window — pruning after the exchange would ship the
+    whole table."""
+    plan = _plan(spark, "reservoir_sample")
+    prune = plan.index("MapInPandas")
+    # the window's exchange appears after (above) the prune in the tree;
+    # text dump lists operators top-down, so the exchange index is lower
+    exchange = plan.index("Exchange hashpartitioning(lang")
+    assert exchange < prune
