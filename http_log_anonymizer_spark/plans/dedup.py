@@ -643,3 +643,54 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", F.round("jr", 3).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (n-gram overlap against a reference set)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "decontaminate_docs",
+    oracle=f"""
+WITH {_EDGES_SQL},
+bench AS (SELECT DISTINCT s FROM e WHERE doc_id % 20 = 0),
+train AS (SELECT doc_id, s FROM e WHERE doc_id % 20 <> 0),
+tot AS (SELECT doc_id, count(*) AS n_total FROM train GROUP BY doc_id),
+shared AS (
+  SELECT t.doc_id, count(*) AS n_shared
+  FROM train t JOIN bench b ON t.s = b.s
+  GROUP BY t.doc_id
+)
+SELECT t.doc_id, s.n_shared, t.n_total,
+       round(s.n_shared * 1.0 / t.n_total, 3) AS overlap
+FROM shared s JOIN tot t ON t.doc_id = s.doc_id
+WHERE s.n_shared * 1.0 / t.n_total >= 0.3
+ORDER BY t.doc_id
+""",
+)
+def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents whose word-3-
+    gram shingles overlap a held-out benchmark set (doc_id % 20 == 0
+    stands in for the eval corpus) above 30% — the standard n-gram
+    contamination check run before LLM training. The benchmark shingle
+    set is DISTINCT and typically tiny vs the corpus, so the overlap
+    probe is a semi-join-shaped equi-join that broadcasts at scale;
+    per-doc counts are one shuffle on doc_id."""
+    e = _shingle_edges(spark, sf_dir).cache()
+    e.count()  # eager: split into bench + train below
+    bench = e.filter(F.col("doc_id") % 20 == 0).select("s").distinct()
+    train = e.filter(F.col("doc_id") % 20 != 0)
+    tot = train.groupBy("doc_id").agg(F.count("*").alias("n_total"))
+    shared = (
+        train.join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    overlap = F.col("n_shared") * 1.0 / F.col("n_total")
+    return (
+        shared.join(tot, "doc_id")
+        .filter(overlap >= 0.3)
+        .select("doc_id", "n_shared", "n_total", F.round(overlap, 3).alias("overlap"))
+        .orderBy("doc_id")
+    )
