@@ -122,3 +122,55 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 20)
         .orderBy("lang", "rnk")
     )
+
+
+_U_DENOM = float(1 << 60)  # hash64 is 60-bit; (h+1)/2^60 is u in (0, 1]
+
+
+@register(
+    "weighted_reservoir_sample",
+    oracle=f"""
+WITH keyed AS (
+  SELECT doc_id, lang, n_chars,
+         round(-ln(({hash64_sql("CAST(doc_id AS VARCHAR)", "wres")} + 1) / {_U_DENOM:.1f})
+               / n_chars, 9) AS pri
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY pri, doc_id) AS rnk
+  FROM keyed
+)
+SELECT doc_id, lang, n_chars, rnk FROM ranked WHERE rnk <= 10
+ORDER BY lang, rnk
+""",
+)
+def weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED reservoir per stratum (Efraimidis-Spirakis A-ES): each
+    row's priority is the exponential race -ln(u)/w with u derived from
+    the deterministic hash and w = n_chars, so longer documents win
+    proportionally more seats — the standard size-weighted sampler for
+    training-data mixing. Selection = k smallest priorities per group,
+    computed with the same partial top-k prune as reservoir_sample
+    (operators/reservoir.py), so the scale contract is identical.
+    Priorities round to 9 decimals in both engines before ranking (the
+    only float in the pipeline; u and w are exact)."""
+    from http_log_anonymizer_spark.operators.reservoir import reservoir_per_group
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.round(
+            -F.log((hash64(F.col("doc_id").cast("string"), "wres") + 1) / F.lit(_U_DENOM))
+            / F.col("n_chars"),
+            9,
+        ).alias("pri"),
+    )
+    return (
+        reservoir_per_group(
+            d, group_cols=["lang"], k=10, priority_col="pri", tiebreak_cols=["doc_id"]
+        )
+        .select("doc_id", "lang", "n_chars", "rnk")
+        .orderBy("lang", "rnk")
+    )

@@ -220,3 +220,20 @@ def test_quantile_sketch_within_rank_error(spark):
             target = q * (n - 1)
             err_bound = n / 200 + 1
             assert lo - err_bound <= target <= hi + err_bound, (et, q, got)
+
+
+def test_weighted_reservoir_prefers_heavy_rows(spark):
+    """The E-S weighted sample must overrepresent high-weight (long)
+    documents: the sampled mean n_chars should clearly exceed the
+    population mean."""
+    from pyspark.sql import functions as F
+
+    from http_log_anonymizer_spark.plans import REGISTRY
+
+    sf = "/root/testdata/sf0.01"
+    sample = REGISTRY["weighted_reservoir_sample"].spark_fn(spark, sf)
+    samp_mean = sample.agg(F.avg("n_chars")).collect()[0][0]
+    pop_mean = (
+        spark.read.parquet(f"{sf}/documents.parquet").agg(F.avg("n_chars")).collect()[0][0]
+    )
+    assert samp_mean > pop_mean * 1.15, (samp_mean, pop_mean)
