@@ -1525,9 +1525,15 @@ def _zorder_oracle() -> str:
 
     z = morton32_sql("l_partkey", "l_suppkey")
     return f"""
-WITH z AS (
-  SELECT l_partkey, l_suppkey, {z} >> 27 AS zbucket
+WITH zc AS (
+  SELECT l_partkey, l_suppkey, {z} AS zval
   FROM lineitem
+),
+zm AS (SELECT max(zval) AS zmax FROM zc),
+z AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(floor(zval * 32.0 / (zm.zmax + 1)) AS BIGINT) AS zbucket
+  FROM zc CROSS JOIN zm
 )
 SELECT zbucket,
        count(*) AS n_rows,
@@ -1542,8 +1548,7 @@ ORDER BY zbucket
 @register("zorder_layout", oracle=_zorder_oracle())
 def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order layout audit: Morton-interleave (l_partkey, l_suppkey)
-    (operators/zorder.py), bucket rows by the top 5 z-bits (32 buckets =
-    files), and report each bucket's min/max on BOTH dimensions. The
+    (operators/zorder.py), bucket rows into 32 equal z-ranges (files), and report each bucket's min/max on BOTH dimensions. The
     narrow per-bucket ranges are the point: after
     repartitionByRange(morton32(...)) every output file is a small
     rectangle in key space, so parquet min/max stats prune scans for
@@ -1553,10 +1558,12 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     from http_log_anonymizer_spark.operators.zorder import morton32
 
     l = _t(spark, sf_dir, "lineitem")
-    z = l.select(
+    zc = l.select("l_partkey", "l_suppkey", morton32("l_partkey", "l_suppkey").alias("zval"))
+    zm = zc.agg(F.max("zval").alias("zmax"))
+    z = zc.crossJoin(F.broadcast(zm)).select(
         "l_partkey",
         "l_suppkey",
-        F.shiftright(morton32("l_partkey", "l_suppkey"), 27).alias("zbucket"),
+        F.floor(F.col("zval") * 32.0 / (F.col("zmax") + 1)).alias("zbucket"),
     )
     return (
         z.groupBy("zbucket")
@@ -1591,4 +1598,36 @@ def latency_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             pct[2].alias("p99"),
         )
         .orderBy("event_type")
+    )
+
+
+@register("hilbert_layout", oracle=None)
+def hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve layout audit (operators/hilbert.py): the same
+    bucket-rectangle report as zorder_layout but over Hilbert codes,
+    whose unit-step adjacency yields bounding boxes at least as tight
+    as Morton's (tested). The rotate/reflect bit walk is iterative —
+    not SQL-expressible — so this is a rows-only entry; bijectivity and
+    adjacency are pinned in tests/test_operators.py."""
+    from http_log_anonymizer_spark.operators.hilbert import with_hilbert_code
+
+    l = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    coded = with_hilbert_code(l, "l_partkey", "l_suppkey")
+    hm = coded.agg(F.max("hcode").alias("hmax"))
+    return (
+        coded.crossJoin(F.broadcast(hm))
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            F.floor(F.col("hcode") * 32.0 / (F.col("hmax") + 1)).alias("hbucket"),
+        )
+        .groupBy("hbucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("l_partkey").alias("min_part"),
+            F.max("l_partkey").alias("max_part"),
+            F.min("l_suppkey").alias("min_supp"),
+            F.max("l_suppkey").alias("max_supp"),
+        )
+        .orderBy("hbucket")
     )

@@ -237,3 +237,64 @@ def test_weighted_reservoir_prefers_heavy_rows(spark):
         spark.read.parquet(f"{sf}/documents.parquet").agg(F.avg("n_chars")).collect()[0][0]
     )
     assert samp_mean > pop_mean * 1.15, (samp_mean, pop_mean)
+
+
+def test_hilbert_bijective_and_adjacent(spark):
+    """On the full 64x64 grid: every cell gets a unique code covering
+    [0, 4095] (bijectivity), and consecutive codes are Manhattan-
+    adjacent (the defining Hilbert property Z-order lacks)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from http_log_anonymizer_spark.operators.hilbert import with_hilbert_code
+
+    grid = spark.range(0, 4096).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+    )
+    coded = with_hilbert_code(grid, "x", "y", order=6)
+    stats = coded.agg(
+        F.countDistinct("hcode").alias("n"),
+        F.min("hcode").alias("lo"),
+        F.max("hcode").alias("hi"),
+    ).collect()[0]
+    assert (stats.n, stats.lo, stats.hi) == (4096, 0, 4095)
+
+    w = Window.orderBy("hcode")
+    steps = coded.select(
+        (
+            F.abs(F.col("x") - F.lag("x").over(w))
+            + F.abs(F.col("y") - F.lag("y").over(w))
+        ).alias("step")
+    ).filter(F.col("step").isNotNull())
+    assert steps.filter(F.col("step") != 1).count() == 0
+
+
+def test_hilbert_locality_beats_morton(spark):
+    """Range-partitioning on the Hilbert code must give per-partition
+    bounding rectangles no worse than Morton's on the same grid (sum of
+    max spans over partitions)."""
+    from pyspark.sql import functions as F
+
+    from http_log_anonymizer_spark.operators.hilbert import with_hilbert_code
+    from http_log_anonymizer_spark.operators.zorder import morton32
+
+    grid = spark.range(0, 4096).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+    )
+
+    def total_span(parted):
+        rows = (
+            parted.withColumn("pid", F.spark_partition_id())
+            .groupBy("pid")
+            .agg(
+                (F.max("x") - F.min("x") + F.max("y") - F.min("y")).alias("sp")
+            )
+            .collect()
+        )
+        return sum(r.sp for r in rows)
+
+    h = total_span(
+        with_hilbert_code(grid, "x", "y", order=6).repartitionByRange(16, "hcode")
+    )
+    m = total_span(grid.repartitionByRange(16, morton32("x", "y")))
+    assert h <= m, (h, m)
