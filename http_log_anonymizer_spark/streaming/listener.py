@@ -53,10 +53,14 @@ class MetricsListener(StreamingQueryListener):
     def onQueryProgress(self, event) -> None:  # noqa: N802
         p = event.progress
         self.metrics.batches += 1
-        # foreachBatch sinks report -1 (row count unknown to Spark)
-        out_rows = p.sink.numOutputRows or 0
-        if out_rows > 0:
-            self.metrics.rows_written += out_rows
+        # foreachBatch sinks report numOutputRows = -1 (unknown to
+        # Spark); fall back to the batch's input rows — on success the
+        # writer wrote exactly what entered the sink, and a failed
+        # batch never reaches onQueryProgress.
+        out_rows = p.sink.numOutputRows
+        if out_rows is None or out_rows < 0:
+            out_rows = p.numInputRows or 0
+        self.metrics.rows_written += out_rows
         if p.batchDuration is not None:
             self.metrics.batch_duration_ms.append(p.batchDuration)
         observed = p.observedMetrics or {}
