@@ -20,6 +20,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
+    ArrayType,
     IntegerType,
     LongType,
     StringType,
@@ -130,3 +131,57 @@ def sample_frames(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.mapInPandas(frames, FRAME_SCHEMA)
+
+
+RESIZE_BOX = 64  # fit within RESIZE_BOX x RESIZE_BOX, aspect preserved
+N_FEATURE_BINS = 8  # byte-value histogram bins (256 / 32)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("source", StringType()),
+        StructField("new_w", IntegerType()),
+        StructField("new_h", IntegerType()),
+        StructField("features", ArrayType(LongType())),
+    ]
+)
+
+
+def extract_resize_features(df: DataFrame) -> DataFrame:
+    """Resize + feature-extraction plumbing for binary media: decode the
+    stub dimensions, downscale to fit RESIZE_BOX (integer math, aspect
+    preserved — the thumbnailing step of an image pipeline), and emit a
+    fixed-size feature vector (byte-value histogram, {N_FEATURE_BINS}
+    bins) as ``array<long>`` — the typed-vector output contract a real
+    CLIP/ViT feature extractor would fill. Real pixel work is stubbed
+    (no media libs; see _real_decode); the binary-in / vector-out
+    mapInPandas shape, batching, and schema are the real thing.
+    """
+    import numpy as np
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = pdf["data"].map(len).astype("int64")
+            w = (n % 640 + 1).astype("int64")
+            h = ((n * 7) % 480 + 1).astype("int64")
+            m = np.maximum(w, h)
+            new_w = np.maximum(1, (w * RESIZE_BOX) // m)
+            new_h = np.maximum(1, (h * RESIZE_BOX) // m)
+            feats = [
+                np.bincount(
+                    np.frombuffer(bytes(p), dtype=np.uint8) // 32,
+                    minlength=N_FEATURE_BINS,
+                ).astype("int64").tolist()
+                for p in pdf["data"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "source": pdf["source"],
+                    "new_w": new_w.astype("int32"),
+                    "new_h": new_h.astype("int32"),
+                    "features": feats,
+                }
+            )
+
+    return df.mapInPandas(extract, FEATURE_SCHEMA)

@@ -13,7 +13,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from http_log_anonymizer_spark.functions.multimodal import decode_media_meta
+from http_log_anonymizer_spark.functions.multimodal import (
+    decode_media_meta,
+    extract_resize_features,
+)
 from http_log_anonymizer_spark.plans.registry import register
 from http_log_anonymizer_spark.sources.batch import load_table
 
@@ -152,4 +155,72 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("doc_id").alias("n_docs"),
         F.sum("frame_bytes").alias("total_bytes"),
         F.sum("frame_checksum").alias("total_checksum"),
+    )
+
+
+@register(
+    "multimodal_resize_features",
+    oracle="""
+-- corpus is pure ASCII: char indexing over text == byte indexing over blob
+WITH m AS (
+  SELECT doc_id, source, text AS data, octet_length(encode(text)) AS n
+  FROM documents
+),
+meta AS (
+  SELECT doc_id, source, data, n,
+         n % 640 + 1 AS w, (n * 7) % 480 + 1 AS h
+  FROM m
+),
+resized AS (
+  SELECT doc_id, source, data, n,
+         greatest(1, (w * 64) // greatest(w, h)) AS new_w,
+         greatest(1, (h * 64) // greatest(w, h)) AS new_h
+  FROM meta
+),
+feats AS (
+  SELECT source, new_w, new_h,
+         list_transform(range(0, 8), b ->
+           list_sum(list_transform(range(1, CAST(n + 1 AS BIGINT)),
+             i -> CASE WHEN ascii(substr(data, CAST(i AS INT), 1)) // 32 = b
+                       THEN 1 ELSE 0 END))
+         ) AS f
+  FROM resized
+)
+SELECT source,
+       count(*) AS n_media,
+       round(avg(new_w), 4) AS avg_w,
+       round(avg(new_h), 4) AS avg_h,
+       CAST(sum(f[1]) AS BIGINT) AS bin0,
+       CAST(sum(f[2]) AS BIGINT) AS bin1,
+       CAST(sum(f[3]) AS BIGINT) AS bin2,
+       CAST(sum(f[4]) AS BIGINT) AS bin3
+FROM feats
+GROUP BY source
+ORDER BY source
+""",
+)
+def multimodal_resize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize + feature-extraction over binary media
+    (functions/multimodal.py:extract_resize_features): thumbnail
+    dimensions from integer box-fit math and a fixed-size byte-histogram
+    feature vector per payload (the binary-in / typed-vector-out
+    contract a real encoder fills), aggregated per source. The oracle
+    recomputes every thumbnail dimension and histogram bin from BLOB
+    arithmetic — only the first 4 of 8 bins are projected (ASCII text
+    never populates the upper bins)."""
+    d = load_table(spark, sf_dir, "documents")
+    m = d.select("doc_id", "source", F.encode("text", "utf-8").alias("data"))
+    feats = extract_resize_features(m)
+    return (
+        feats.groupBy("source")
+        .agg(
+            F.count("*").alias("n_media"),
+            F.round(F.avg("new_w"), 4).alias("avg_w"),
+            F.round(F.avg("new_h"), 4).alias("avg_h"),
+            F.sum(F.element_at("features", 1)).alias("bin0"),
+            F.sum(F.element_at("features", 2)).alias("bin1"),
+            F.sum(F.element_at("features", 3)).alias("bin2"),
+            F.sum(F.element_at("features", 4)).alias("bin3"),
+        )
+        .orderBy("source")
     )
