@@ -694,3 +694,83 @@ def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_shared", "n_total", F.round(overlap, 3).alias("overlap"))
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Ingest-time incremental dedup: new batch vs existing corpus
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_incremental_batch",
+    oracle=f"""
+WITH {_EDGES_SQL},
+hs AS (SELECT doc_id, {hash64_sql('s')} AS h FROM e),
+sig AS (
+  SELECT doc_id,
+         {", ".join(f"min({_remix_sql('h', i)}) AS mh{i}" for i in range(_N_HASHES))}
+  FROM hs GROUP BY doc_id
+),
+bands AS (
+  {" UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band_id, "
+    f"CAST(mh{2 * b} AS VARCHAR) || '_' || CAST(mh{2 * b + 1} AS VARCHAR) AS bkey FROM sig"
+    for b in range(_N_HASHES // _BAND_R)
+  )}
+),
+cand AS (
+  SELECT DISTINCT n.doc_id AS da, c.doc_id AS db
+  FROM bands n JOIN bands c
+    ON n.band_id = c.band_id AND n.bkey = c.bkey
+  WHERE n.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+),
+sz AS (SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id),
+inter AS (
+  SELECT c.da, c.db, count(*) AS i
+  FROM cand c
+  JOIN e ea ON ea.doc_id = c.da
+  JOIN e eb ON eb.doc_id = c.db AND ea.s = eb.s
+  GROUP BY c.da, c.db
+)
+SELECT i.da AS new_doc, i.db AS corpus_doc,
+       round(i.i * 1.0 / (sa.n + sb.n - i.i), 3) AS jaccard
+FROM inter i
+JOIN sz sa ON sa.doc_id = i.da
+JOIN sz sb ON sb.doc_id = i.db
+WHERE i.i * 1.0 / (sa.n + sb.n - i.i) >= {_JACCARD_THRESHOLD}
+ORDER BY new_doc, corpus_doc
+""",
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time dedup: check an incoming batch (doc_id % 10 == 0
+    stands in for today's crawl) against the EXISTING corpus only —
+    candidates come from joining the batch's band keys against the
+    persisted corpus band index, so cost is O(batch), never
+    O(corpus^2). This is the shape production dedup actually runs daily
+    (the all-pairs dedup_minhash_lsh is the backfill job); the
+    incremental band-index append itself is tested in
+    tests/test_incremental_dedup.py."""
+    d = _shingle_arrays(spark, sf_dir).cache()
+    d.count()
+    bands = band_index(minhash_signatures(d)).cache()
+    bands.count()  # in production: the persisted index, not recomputed
+    is_new = F.col("doc_id") % 10 == 0
+    newb, corb = bands.filter(is_new).alias("n"), bands.filter(~is_new).alias("c")
+    cand = (
+        newb.join(
+            corb,
+            (F.col("n.band_id") == F.col("c.band_id"))
+            & (F.col("n.bkey") == F.col("c.bkey")),
+        )
+        .select(F.col("n.doc_id").alias("da"), F.col("c.doc_id").alias("db"))
+        .distinct()
+    )
+    return (
+        verify_pairs(cand, d)
+        .select(
+            F.col("doc_a").alias("new_doc"),
+            F.col("doc_b").alias("corpus_doc"),
+            F.round("jr", 3).alias("jaccard"),
+        )
+        .orderBy("new_doc", "corpus_doc")
+    )
