@@ -1631,3 +1631,81 @@ def hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hbucket")
     )
+
+
+@register(
+    "important_parts",
+    oracle="""
+WITH contrib AS (
+  SELECT l_partkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS val
+  FROM lineitem GROUP BY l_partkey
+),
+total AS (SELECT sum(val) AS tot FROM contrib)
+SELECT c.l_partkey, c.val
+FROM contrib c, total t
+WHERE c.val > t.tot * 0.0005
+ORDER BY c.val DESC, c.l_partkey
+""",
+)
+def important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 analog: per-part revenue kept only when it exceeds a
+    FRACTION OF THE GLOBAL TOTAL — the HAVING-against-scalar-subquery
+    shape. The global total derives from the same per-part aggregate
+    (one shuffle, reused: aggregate once, then a 1-row broadcast cross
+    join for the threshold — never a second scan of lineitem, never a
+    driver-side collect). Per-part values round to cents before the
+    total so both engines sum identical numbers."""
+    l = _t(spark, sf_dir, "lineitem")
+    contrib = l.groupBy("l_partkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("val")
+    )
+    total = contrib.agg(F.sum("val").alias("tot"))
+    return (
+        contrib.crossJoin(F.broadcast(total))
+        .filter(F.col("val") > F.col("tot") * 0.0005)
+        .select("l_partkey", "val")
+        .orderBy(F.desc("val"), "l_partkey")
+    )
+
+
+@register(
+    "revenue_leaders",
+    oracle="""
+WITH rev AS (
+  SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+),
+mx AS (SELECT max(total_revenue) AS m FROM rev)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM rev r
+JOIN mx ON r.total_revenue = mx.m
+JOIN supplier s ON s.s_suppkey = r.l_suppkey
+ORDER BY s.s_suppkey
+""",
+)
+def revenue_leaders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 analog: supplier(s) with the quarter's MAXIMUM revenue
+    — aggregate, take the max of the aggregate, and join back to keep
+    every tier (ties preserved, unlike a LIMIT 1). The max is a 1-row
+    broadcast; revenues compare exactly because both engines match on
+    the cents-rounded value."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    rev = l.groupBy("l_suppkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "total_revenue"
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("m"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("m"))
+        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
