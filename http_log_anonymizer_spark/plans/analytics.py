@@ -1709,3 +1709,128 @@ def revenue_leaders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
+
+
+@register(
+    "nation_market_share",
+    oracle="""
+SELECT
+  CAST(year(o.o_orderdate) AS INT) AS o_year,
+  round(sum(CASE WHEN n.n_name = 'NATION_3'
+                 THEN l.l_extendedprice * (1 - l.l_discount)
+                 ELSE 0 END), 2) AS nation_rev,
+  round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS total_rev,
+  round(sum(CASE WHEN n.n_name = 'NATION_3'
+                 THEN l.l_extendedprice * (1 - l.l_discount)
+                 ELSE 0 END)
+        / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS share
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'EUROPE'
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 analog: one nation's share of a region's yearly revenue
+    — the conditional-sum-ratio shape (share-of-group without a second
+    aggregation or self-join). Raw products are summed and the SUM
+    rounds (house float policy — per-item rounding diverges between
+    engines on representation boundaries); dimensions broadcast, one
+    shuffle for the per-year groups."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    item = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    nat = F.sum(F.when(F.col("n_name") == "NATION_3", item).otherwise(0))
+    tot = F.sum(item)
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(nat, 2).alias("nation_rev"),
+            F.round(tot, 2).alias("total_rev"),
+            F.round(nat / tot, 4).alias("share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "event_funnel",
+    oracle="""
+WITH v AS (
+  SELECT user_id, min(ts) AS t_view FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM events e JOIN v ON v.user_id = e.user_id
+    AND e.ts > v.t_view AND e.ts <= v.t_view + INTERVAL 1 DAY
+  WHERE e.event_type = 'click'
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM events e JOIN c ON c.user_id = e.user_id
+    AND e.ts > c.t_click AND e.ts <= c.t_click + INTERVAL 1 DAY
+  WHERE e.event_type = 'purchase'
+  GROUP BY e.user_id
+)
+SELECT
+  (SELECT count(*) FROM v) AS n_view,
+  (SELECT count(*) FROM c) AS n_view_click,
+  (SELECT count(*) FROM p) AS n_full_funnel,
+  (SELECT round(avg(date_diff('second', v.t_view, p.t_purchase)), 2)
+   FROM p JOIN v ON v.user_id = p.user_id) AS avg_seconds_to_convert
+""",
+)
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis: users progressing view -> click -> purchase IN
+    ORDER (each stage strictly after the previous one's first
+    occurrence) — the sequential-pattern shape behind conversion
+    dashboards, here as stage-anchored min-timestamp joins rather than
+    a per-user sort. Each stage is one groupBy on user_id + one join;
+    at scale all three shuffles share the user_id partitioning and AQE
+    reuses the exchange. Integer-second diffs keep the average exact."""
+    e = _t(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_view"))
+            & (F.col("ts") <= F.col("t_view") + F.expr("interval 1 day"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_click"))
+            & (F.col("ts") <= F.col("t_click") + F.expr("interval 1 day"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    conv = p.join(v, "user_id").select(
+        (F.unix_timestamp("t_purchase") - F.unix_timestamp("t_view")).alias("dt")
+    )
+    nv = v.agg(F.count("*").alias("n_view"))
+    nc = c.agg(F.count("*").alias("n_view_click"))
+    np_ = p.agg(F.count("*").alias("n_full_funnel"))
+    avg = conv.agg(F.round(F.avg("dt"), 2).alias("avg_seconds_to_convert"))
+    return nv.crossJoin(nc).crossJoin(np_).crossJoin(avg)
