@@ -1834,3 +1834,61 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     np_ = p.agg(F.count("*").alias("n_full_funnel"))
     avg = conv.agg(F.round(F.avg("dt"), 2).alias("avg_seconds_to_convert"))
     return nv.crossJoin(nc).crossJoin(np_).crossJoin(avg)
+
+
+@register(
+    "retention_cohorts",
+    oracle="""
+WITH first_seen AS (
+  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week,
+         CAST(min(ts) AS DATE) AS first_day
+  FROM events GROUP BY user_id
+),
+activity AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+ret AS (
+  SELECT f.cohort_week,
+         CAST(date_diff('day', f.first_day, a.d) // 7 AS INT) AS week_offset,
+         count(DISTINCT a.user_id) AS n_active
+  FROM activity a JOIN first_seen f ON f.user_id = a.user_id
+  WHERE a.d >= f.first_day
+  GROUP BY 1, 2
+)
+SELECT CAST(cohort_week AS VARCHAR) AS cohort_week, week_offset, n_active
+FROM ret
+WHERE week_offset <= 3
+ORDER BY cohort_week, week_offset
+""",
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen week, with
+    distinct-active counts per whole-week offset from each user's first
+    day — the dashboard behind every growth team. Shapes exercised:
+    min-per-user cohort assignment, distinct day-level activity, an
+    inequality-guarded join back, and integer week bucketing (day diff
+    // 7 — exact in both engines, unlike engine-specific week-boundary
+    date_diff semantics). All three aggregations shuffle on user_id
+    first; the final matrix is tiny."""
+    e = _t(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week"),
+        F.min("ts").cast("date").alias("first_day"),
+    )
+    activity = e.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    ret = (
+        activity.join(first_seen, "user_id")
+        .filter(F.col("d") >= F.col("first_day"))
+        .groupBy(
+            "cohort_week",
+            F.floor(F.datediff("d", "first_day") / 7).cast("int").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    return (
+        ret.filter(F.col("week_offset") <= 3)
+        .select(
+            F.col("cohort_week").cast("string").alias("cohort_week"),
+            "week_offset",
+            "n_active",
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
