@@ -1892,3 +1892,48 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+counts AS (
+  SELECT prev, event_type AS next, count(*) AS n
+  FROM seq WHERE prev IS NOT NULL
+  GROUP BY prev, next
+)
+SELECT prev, next, n,
+       round(n * 1.0 / sum(n) OVER (PARTITION BY prev), 4) AS p
+FROM counts
+ORDER BY prev, next
+""",
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: lag() builds the bigrams, a grouped count tallies them,
+    and a window OVER THE AGGREGATE normalizes each row into a
+    transition probability — the aggregate-then-window composition
+    (sum-of-counts per prev) that avoids a second shuffle by reusing
+    the groupBy partitioning. Sequence order is total (ts, event_id) so
+    both engines see identical bigrams; n/sum(n) is an exact integer
+    ratio rounded once."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select("user_id", "event_type", F.lag("event_type").over(w).alias("prev"))
+    counts = (
+        seq.filter(F.col("prev").isNotNull())
+        .groupBy("prev", F.col("event_type").alias("next"))
+        .agg(F.count("*").alias("n"))
+    )
+    wp = Window.partitionBy("prev")
+    return (
+        counts.select(
+            "prev", "next", "n", F.round(F.col("n") * 1.0 / F.sum("n").over(wp), 4).alias("p")
+        )
+        .orderBy("prev", "next")
+    )
