@@ -442,10 +442,16 @@ ORDER BY doc_a, doc_b
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup: each document folds to a {_SIMHASH_BITS}-bit
     signature (per-bit majority vote over token hashes); pairs within
-    hamming distance {_HAMMING_MAX} are near-duplicates. The signature
-    computation is one groupBy; the all-pairs comparison is kept for
-    oracle verifiability — at scale, band the signature bits and
-    equi-join like LSH."""
+    hamming distance {_HAMMING_MAX} are near-duplicates.
+
+    Candidate generation here is the all-pairs theta join — the right
+    plan for THIS corpus, where ~98% of all pairs fall within the
+    hamming threshold (3.5M of 3.6M at sf0.1), so no candidate scheme
+    can beat enumerating pairs and banding only adds x8 join
+    duplication (measured: banded 4.6 s vs all-pairs 2.3 s at sf0.1).
+    For real corpora, where qualifying pairs are sparse, use
+    :func:`simhash_banded_pairs` — a LOSSLESS banded equi-join
+    (equivalence-tested against this query's results)."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.array_distinct(tokens_ws("text"))).alias("tk"))
     hv = hash64("tk", "sim")
@@ -475,6 +481,63 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             ham.alias("hamming"),
         )
         .orderBy("doc_a", "doc_b")
+    )
+
+
+def simhash_banded_pairs(sig: DataFrame, hamming_max: int = _HAMMING_MAX) -> DataFrame:
+    """Banded SimHash candidate join — the scale path when qualifying
+    pairs are SPARSE (real corpora; the registered query's corpus is
+    dense, see dedup_simhash docstring).
+
+    Bands the {_SIMHASH_BITS}-bit signature into 8 nibble keys and
+    equi-joins on (band, nibble). LOSSLESS by pigeonhole: <= hamming_max
+    (={_HAMMING_MAX}) differing bits corrupt at most that many of the 8
+    bands, so every qualifying pair still agrees on at least one whole
+    band. Duplicate candidates (pairs matching several bands) are
+    dropped WITHOUT a distinct: a pair is kept only where the matched
+    band is its FIRST matching band, computable from the two signatures
+    in place.
+
+    Input: (doc_id, simhash). Output: (doc_a, doc_b, hamming), same
+    contract as dedup_simhash.
+    """
+    n_bands = 8
+    band_structs = [
+        F.struct(
+            F.lit(bd).alias("band_id"),
+            F.shiftright("simhash", 4 * bd).bitwiseAND(F.lit(15)).alias("nib"),
+        )
+        for bd in range(n_bands)
+    ]
+    bands = sig.select(
+        "doc_id", "simhash", F.explode(F.array(*band_structs)).alias("bd")
+    ).select("doc_id", "simhash", "bd.band_id", "bd.nib")
+    a, b = bands.alias("a"), bands.alias("b")
+
+    def _nib(col: str, bd: int) -> F.Column:
+        return F.shiftright(F.col(col), 4 * bd).bitwiseAND(F.lit(15))
+
+    first_match = reduce(
+        lambda acc, bd: acc.when(
+            _nib("a.simhash", bd) == _nib("b.simhash", bd), F.lit(bd)
+        ),
+        range(1, n_bands),
+        F.when(_nib("a.simhash", 0) == _nib("b.simhash", 0), F.lit(0)),
+    )
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.nib") == F.col("b.nib"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter((ham <= hamming_max) & (F.col("a.band_id") == first_match))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
     )
 
 

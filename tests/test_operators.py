@@ -298,3 +298,47 @@ def test_hilbert_locality_beats_morton(spark):
     )
     m = total_span(grid.repartitionByRange(16, morton32("x", "y")))
     assert h <= m, (h, m)
+
+
+def test_simhash_banded_pairs_equals_all_pairs(spark):
+    """The banded SimHash candidate join must find exactly the pairs the
+    all-pairs theta join finds (lossless by pigeonhole), including pairs
+    matching on several bands (emitted once) and pairs differing in
+    exactly HAMMING_MAX bits."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from http_log_anonymizer_spark.plans.dedup import (
+        _HAMMING_MAX,
+        simhash_banded_pairs,
+    )
+
+    rows = []
+    for i in range(300):
+        h = int(hashlib.md5(f"sig|{i}".encode()).hexdigest()[:8], 16)
+        rows.append((i, h))
+        # planted near-dups: flip exactly _HAMMING_MAX scattered bits
+        if i % 7 == 0:
+            flipped = h ^ 0b1000_0001_0000_1000_0000_0000_0001_0000
+            rows.append((1000 + i, flipped))
+    sig = spark.createDataFrame(rows, "doc_id long, simhash long")
+
+    got = sorted(
+        tuple(r) for r in simhash_banded_pairs(sig).collect()
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    want = sorted(
+        tuple(r)
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(ham <= _HAMMING_MAX)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .collect()
+    )
+    assert len(want) >= 43  # the planted pairs exist
+    assert got == want
