@@ -128,3 +128,33 @@ def test_rocksdb_checkpoint_restart_recovers_state(spark, tmp_path, rocksdb_conf
         for r in spark.sql("SELECT * FROM rocksdb_restart").collect()
     }
     assert got == _batch_totals(spark, str(src))
+
+
+def test_rocksdb_changelog_checkpointing_restart(spark, tmp_path, rocksdb_conf):
+    """Changelog checkpointing (incremental state sync — uploads only
+    the changelog per batch instead of full SST snapshots, the
+    large-state production mode) must survive a restart with merged
+    results identical to batch."""
+    key = "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "true")
+    try:
+        src = tmp_path / "src"
+        src.mkdir()
+        (src / "a.txt").write_text("\n".join(_log_line(i, minute=0) for i in range(30)))
+        ckpt = str(tmp_path / "ck")
+        _drain_totals(spark, str(src), ckpt, "rocksdb_changelog")
+        (src / "b.txt").write_text(
+            "\n".join(_log_line(i, minute=1) for i in range(30, 60))
+        )
+        _drain_totals(spark, str(src), ckpt, "rocksdb_changelog")
+        got = {
+            (str(r.window_start), r.response_status): (r.cnt, r.traffic)
+            for r in spark.sql("SELECT * FROM rocksdb_changelog").collect()
+        }
+        assert got == _batch_totals(spark, str(src))
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
