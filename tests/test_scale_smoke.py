@@ -62,3 +62,39 @@ def test_salted_join_under_extreme_skew_at_scale(spark):
     )
     assert (got.c, got.s) == (want.c, want.s)
     print(f"\nsalted join over 2M skewed rows: {elapsed:.1f}s")
+
+
+def test_reservoir_sample_at_5m_rows(spark):
+    """Per-stratum reservoir at 5M rows: the partial prune must keep the
+    exact k smallest hashes per stratum (spot-checked against a direct
+    global sort of one stratum) in seconds, without a full window sort
+    of all strata."""
+    from http_log_anonymizer_spark.functions.text import hash64
+    from http_log_anonymizer_spark.operators.reservoir import reservoir_per_group
+
+    n, k = 5_000_000, 5
+    df = spark.range(n).select(
+        (F.col("id") % 10).alias("g"),
+        F.col("id").alias("rid"),
+        hash64(F.col("id").cast("string"), "smoke").alias("pri"),
+    )
+    t0 = time.perf_counter()
+    got = (
+        reservoir_per_group(df, ["g"], k, "pri", ["rid"])
+        .select("g", "rid", "rnk")
+        .collect()
+    )
+    elapsed = time.perf_counter() - t0
+    assert len(got) == 10 * k
+    # exactness spot-check for one stratum against a direct sort
+    want_g0 = [
+        r.rid
+        for r in df.filter(F.col("g") == 0)
+        .orderBy("pri", "rid")
+        .limit(k)
+        .collect()
+    ]
+    got_g0 = [r.rid for r in sorted(got) if r.g == 0]
+    assert sorted(got_g0) == sorted(want_g0)
+    print(f"\n5M-row reservoir: {elapsed:.1f}s")
+    assert elapsed < 60
