@@ -777,3 +777,76 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _TOPK)
         .orderBy("query_id", "rank")
     )
+
+
+@register(
+    "ivf_residual_quantization",
+    oracle=f"""
+WITH {_CENT_CTE},
+r AS (
+  SELECT e.label, e.vec_id,
+         list_transform(generate_series(1, {_DIM}),
+           i -> CAST(e.embedding[i] AS DOUBLE) - cv.cvec[i]) AS res
+  FROM embeddings e JOIN cv ON cv.label = e.label
+),
+err AS (
+  SELECT label,
+         list_sum(list_transform(res,
+           x -> (x - floor(x * {_QSCALE}) / {_QSCALE}.0)
+              * (x - floor(x * {_QSCALE}) / {_QSCALE}.0))) / {_DIM} AS res_mse,
+         (SELECT list_sum(list_transform(e2.embedding,
+            x -> (CAST(x AS DOUBLE) - floor(CAST(x AS DOUBLE) * {_QSCALE}) / {_QSCALE}.0)
+               * (CAST(x AS DOUBLE) - floor(CAST(x AS DOUBLE) * {_QSCALE}) / {_QSCALE}.0))) / {_DIM}
+          FROM embeddings e2 WHERE e2.vec_id = r.vec_id) AS direct_mse
+  FROM r
+)
+SELECT label,
+       count(*) AS n,
+       round(avg(direct_mse), 8) AS avg_direct_mse,
+       round(avg(res_mse), 8) AS avg_residual_mse
+FROM err
+GROUP BY label
+ORDER BY label
+""",
+)
+def ivf_residual_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual quantization — the PQ half of IVF-PQ: instead of
+    quantizing raw embeddings, quantize (embedding - cell centroid) and
+    report per-cell reconstruction MSE both ways. With a FIXED grid the
+    two MSEs are ~equal (floor-grid error is offset-independent); the
+    production win comes from the residual's smaller dynamic range
+    letting the same bit budget buy a finer grid — this query is the
+    measurement that sizes that grid per cell. All arithmetic mirrors
+    the oracle term-for-term: centroid from exact integer sums, floor
+    quantization, left-fold sums."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cv = _centroid_arrays(e)
+    sq = lambda x: x * x  # noqa: E731
+    qerr = lambda x: sq(x - F.floor(x * _QSCALE) / _QSCALE)  # noqa: E731
+    res = (
+        e.join(F.broadcast(cv), "label")
+        .select(
+            "label",
+            "vec_id",
+            F.zip_with(
+                F.col("embedding").cast("array<double>"), "cvec", lambda x, c: x - c
+            ).alias("res"),
+            F.col("embedding").cast("array<double>").alias("emb"),
+        )
+    )
+    res_mse = F.aggregate(
+        F.transform("res", qerr), F.lit(0.0), lambda a, x: a + x
+    ) / _DIM
+    direct_mse = F.aggregate(
+        F.transform("emb", qerr), F.lit(0.0), lambda a, x: a + x
+    ) / _DIM
+    return (
+        res.select("label", res_mse.alias("res_mse"), direct_mse.alias("direct_mse"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("direct_mse"), 8).alias("avg_direct_mse"),
+            F.round(F.avg("res_mse"), 8).alias("avg_residual_mse"),
+        )
+        .orderBy("label")
+    )
