@@ -1937,3 +1937,48 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prev", "next")
     )
+
+
+@register(
+    "winsorized_stats",
+    oracle="""
+WITH ranked AS (
+  SELECT event_type, value,
+         percent_rank() OVER (
+           PARTITION BY event_type ORDER BY value, event_id
+         ) AS pr
+  FROM events
+)
+SELECT event_type,
+       count(*) AS n_kept,
+       round(avg(value), 4) AS trimmed_mean,
+       round(min(value), 2) AS lo,
+       round(max(value), 2) AS hi
+FROM ranked
+WHERE pr >= 0.05 AND pr <= 0.95
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (trimmed) statistics: drop the top and bottom 5% of values
+    per group via percent_rank, then aggregate — the outlier-resistant
+    mean every metrics pipeline wants next to the raw one. The rank
+    order is total (value, event_id) so both engines trim identical
+    rows; only the already-trimmed subset's mean is rounded. At scale
+    the window sorts within each group's partition — same shuffle as
+    the subsequent aggregation, reused."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = e.select("event_type", "value", F.percent_rank().over(w).alias("pr"))
+    return (
+        ranked.filter((F.col("pr") >= 0.05) & (F.col("pr") <= 0.95))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.round(F.avg("value"), 4).alias("trimmed_mean"),
+            F.round(F.min("value"), 2).alias("lo"),
+            F.round(F.max("value"), 2).alias("hi"),
+        )
+        .orderBy("event_type")
+    )
