@@ -1982,3 +1982,71 @@ def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "data_quality_report",
+    oracle="""
+SELECT 'orders_pk_unique' AS check_name,
+       (SELECT count(*) FROM orders) AS n_checked,
+       (SELECT count(*) FROM (
+          SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1
+        )) AS n_violations
+UNION ALL
+SELECT 'orders_customer_fk',
+       (SELECT count(*) FROM orders),
+       (SELECT count(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+UNION ALL
+SELECT 'lineitem_order_fk',
+       (SELECT count(*) FROM lineitem),
+       (SELECT count(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+UNION ALL
+SELECT 'orders_price_positive',
+       (SELECT count(*) FROM orders),
+       (SELECT count(*) FROM orders WHERE o_totalprice IS NULL OR o_totalprice <= 0)
+UNION ALL
+SELECT 'lineitem_discount_range',
+       (SELECT count(*) FROM lineitem),
+       (SELECT count(*) FROM lineitem
+        WHERE l_discount IS NULL OR l_discount < 0 OR l_discount > 1)
+ORDER BY check_name
+""",
+)
+def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectations report (the Deequ/Great-Expectations
+    shape): primary-key uniqueness, two referential-integrity checks
+    (anti joins), and two domain-range constraints, each emitted as
+    (check, n_checked, n_violations). The checks share table scans
+    where Catalyst can (counts fuse into one aggregate per table); FK
+    checks are anti joins that broadcast the key side at scale. The
+    gate a 100 TB ingest runs before anything downstream trusts the
+    batch."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    c = _t(spark, sf_dir, "customer")
+    n_orders, n_lineitem = o.count(), l.count()
+
+    def row(name: str, checked: int, violations) -> DataFrame:
+        return violations.select(
+            F.lit(name).alias("check_name"),
+            F.lit(checked).cast("long").alias("n_checked"),
+            F.count("*").alias("n_violations"),
+        )
+
+    dup_pk = o.groupBy("o_orderkey").agg(F.count("*").alias("cc")).filter(F.col("cc") > 1)
+    fk_cust = o.join(c.select("c_custkey"), o.o_custkey == c.c_custkey, "left_anti")
+    fk_order = l.join(o.select("o_orderkey"), l.l_orderkey == o.o_orderkey, "left_anti")
+    price = o.filter(F.col("o_totalprice").isNull() | (F.col("o_totalprice") <= 0))
+    disc = l.filter(
+        F.col("l_discount").isNull() | (F.col("l_discount") < 0) | (F.col("l_discount") > 1)
+    )
+    report = (
+        row("orders_pk_unique", n_orders, dup_pk)
+        .unionAll(row("orders_customer_fk", n_orders, fk_cust))
+        .unionAll(row("lineitem_order_fk", n_lineitem, fk_order))
+        .unionAll(row("orders_price_positive", n_orders, price))
+        .unionAll(row("lineitem_discount_range", n_lineitem, disc))
+    )
+    return report.orderBy("check_name")

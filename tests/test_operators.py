@@ -342,3 +342,47 @@ def test_simhash_banded_pairs_equals_all_pairs(spark):
     )
     assert len(want) >= 43  # the planted pairs exist
     assert got == want
+
+
+def test_data_quality_report_counts_planted_violations(spark, tmp_path):
+    """Each constraint must actually fire: plant a duplicate order key,
+    a dangling customer FK, a dangling order FK, a non-positive price,
+    and an out-of-range discount, then assert the per-check counts."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from http_log_anonymizer_spark.plans import REGISTRY
+
+    orders = spark.createDataFrame(
+        [
+            (1, 10, "O", 100.0),
+            (1, 10, "O", 200.0),   # duplicate PK
+            (2, 99, "F", 300.0),   # custkey 99 missing -> FK violation
+            (3, 11, "F", -5.0),    # non-positive price
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double",
+    )
+    lineitem = spark.createDataFrame(
+        [
+            (1, 0.1),
+            (7, 0.2),   # orderkey 7 missing -> FK violation
+            (2, 1.5),   # discount out of range
+        ],
+        "l_orderkey long, l_discount double",
+    )
+    customer = spark.createDataFrame(
+        [(10,), (11,)], "c_custkey long"
+    )
+    for name, df in (("orders", orders), ("lineitem", lineitem), ("customer", customer)):
+        df.write.mode("overwrite").parquet(str(tmp_path / f"{name}.parquet"))
+
+    got = {
+        r.check_name: (r.n_checked, r.n_violations)
+        for r in REGISTRY["data_quality_report"].spark_fn(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        "orders_pk_unique": (4, 1),
+        "orders_customer_fk": (4, 1),
+        "lineitem_order_fk": (3, 1),
+        "orders_price_positive": (4, 1),
+        "lineitem_discount_range": (3, 1),
+    }
