@@ -2050,3 +2050,62 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(row("lineitem_discount_range", n_lineitem, disc))
     )
     return report.orderBy("check_name")
+
+
+@register(
+    "snapshot_diff_cdc",
+    oracle="""
+WITH prev AS (
+  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 17 <> 0
+),
+curr AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 5 = 0 THEN round(o_totalprice * 1.1, 2)
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 13 <> 0
+),
+diff AS (
+  SELECT
+    CASE
+      WHEN p.o_orderkey IS NULL THEN 'insert'
+      WHEN c.o_orderkey IS NULL THEN 'delete'
+      WHEN p.o_totalprice IS DISTINCT FROM c.o_totalprice THEN 'update'
+      ELSE 'unchanged'
+    END AS op
+  FROM prev p FULL OUTER JOIN curr c ON p.o_orderkey = c.o_orderkey
+)
+SELECT op, count(*) AS n FROM diff GROUP BY op ORDER BY op
+""",
+)
+def snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture by snapshot diff: FULL OUTER JOIN two table
+    versions on the key and classify each row insert / delete / update
+    / unchanged, with the update test done null-safely (IS DISTINCT
+    FROM == Spark's eqNullSafe negation) — the merge-source computation
+    behind every SCD-2 / incremental-materialization job. The two
+    snapshots derive deterministically from orders (dropped keys, new
+    keys, 10% price bumps). At scale both sides shuffle once on the
+    join key; the classification is a codegen CASE."""
+    o = _t(spark, sf_dir, "orders")
+    prev = o.filter(F.col("o_orderkey") % 17 != 0).select(
+        F.col("o_orderkey").alias("pk"), F.col("o_totalprice").alias("pv")
+    )
+    curr = o.filter(F.col("o_orderkey") % 13 != 0).select(
+        F.col("o_orderkey").alias("ck"),
+        F.when(
+            F.col("o_orderkey") % 5 == 0, F.round(F.col("o_totalprice") * 1.1, 2)
+        ).otherwise(F.col("o_totalprice")).alias("cv"),
+    )
+    op = (
+        F.when(F.col("pk").isNull(), "insert")
+        .when(F.col("ck").isNull(), "delete")
+        .when(~F.col("pv").eqNullSafe(F.col("cv")), "update")
+        .otherwise("unchanged")
+    )
+    return (
+        prev.join(curr, prev.pk == curr.ck, "full_outer")
+        .select(op.alias("op"))
+        .groupBy("op")
+        .agg(F.count("*").alias("n"))
+        .orderBy("op")
+    )
