@@ -2109,3 +2109,55 @@ def snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("op")
     )
+
+
+@register(
+    "user_entropy_scores",
+    oracle="""
+WITH per AS (
+  SELECT user_id, event_type, count(*) AS c
+  FROM events GROUP BY user_id, event_type
+),
+tot AS (SELECT user_id, sum(c) AS n FROM per GROUP BY user_id),
+ent AS (
+  SELECT p.user_id,
+         round(-sum((p.c * 1.0 / t.n) * ln(p.c * 1.0 / t.n)), 4) AS entropy
+  FROM per p JOIN tot t ON t.user_id = p.user_id
+  GROUP BY p.user_id
+)
+SELECT CAST(floor(entropy * 50) AS BIGINT) AS entropy_bin,
+       count(*) AS n_users,
+       round(min(entropy), 4) AS min_entropy,
+       round(max(entropy), 4) AS max_entropy
+FROM ent
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def user_entropy_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral entropy per user — Shannon entropy of each user's
+    event-type distribution, histogrammed in 0.02-nat bins. Low entropy
+    = repetitive single-action behavior (bots, scrapers); high entropy
+    = diverse organic usage — a standard feature in traffic-quality
+    scoring, computable in two shuffles on user_id (the per-type counts
+    and their totals reuse one partitioning). Entropy rounds to 4
+    decimals before binning so engine ulp differences in ln can't move
+    a user across a bin edge."""
+    e = _t(spark, sf_dir, "events")
+    per = e.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
+    tot = per.groupBy("user_id").agg(F.sum("c").alias("n"))
+    p = F.col("c") * 1.0 / F.col("n")
+    ent = (
+        per.join(tot, "user_id")
+        .groupBy("user_id")
+        .agg(F.round(-F.sum(p * F.log(p)), 4).alias("entropy"))
+    )
+    return (
+        ent.groupBy(F.floor(F.col("entropy") * 50).alias("entropy_bin"))
+        .agg(
+            F.count("*").alias("n_users"),
+            F.round(F.min("entropy"), 4).alias("min_entropy"),
+            F.round(F.max("entropy"), 4).alias("max_entropy"),
+        )
+        .orderBy("entropy_bin")
+    )
