@@ -273,3 +273,47 @@ def latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("method")
     )
+
+
+@register(
+    "http_cache_efficiency",
+    oracle=f"""
+WITH {HTTP_LOG_SQL}
+SELECT resource_id,
+       count(*) AS n_requests,
+       CAST(sum(CASE WHEN cache_status = 'HIT' THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+       round(sum(CASE WHEN cache_status = 'HIT' THEN 1 ELSE 0 END) * 1.0
+             / count(*), 4) AS hit_ratio,
+       CAST(sum(CASE WHEN cache_status <> 'HIT' THEN bytes_sent ELSE 0 END) AS BIGINT)
+         AS origin_bytes
+FROM http_log
+GROUP BY resource_id
+HAVING count(*) >= 20
+ORDER BY hit_ratio ASC, resource_id
+LIMIT 10
+""",
+)
+def http_cache_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cache efficiency per resource — the operational question the
+    reference's cache_status column exists to answer: hit ratio and the
+    bytes that had to come from origin (misses + expirations), worst
+    offenders first. Conditional aggregation in one pass over the
+    resource groups; the HAVING floor keeps low-traffic noise out. At
+    100 TB this is the canonical 'which resources to tune caching for'
+    scan-bound rollup."""
+    log = http_log_view(spark, sf_dir)
+    is_hit = F.when(F.col("cache_status") == "HIT", 1).otherwise(0)
+    return (
+        log.groupBy("resource_id")
+        .agg(
+            F.count("*").alias("n_requests"),
+            F.sum(is_hit).alias("hits"),
+            F.round(F.sum(is_hit) * 1.0 / F.count("*"), 4).alias("hit_ratio"),
+            F.sum(
+                F.when(F.col("cache_status") != "HIT", F.col("bytes_sent")).otherwise(0)
+            ).alias("origin_bytes"),
+        )
+        .filter(F.col("n_requests") >= 20)
+        .orderBy(F.asc("hit_ratio"), "resource_id")
+        .limit(10)
+    )
