@@ -317,3 +317,54 @@ def http_cache_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc("hit_ratio"), "resource_id")
         .limit(10)
     )
+
+
+@register(
+    "http_error_bursts",
+    oracle=f"""
+WITH {HTTP_LOG_SQL},
+m AS (
+  SELECT date_trunc('hour', timestamp) AS hour, count(*) AS n,
+         sum(CASE WHEN response_status >= 500 THEN 1 ELSE 0 END) AS errs
+  FROM http_log GROUP BY 1
+),
+r AS (
+  SELECT hour, n, errs, round(errs * 1.0 / n, 4) AS err_rate,
+         round(lag(errs * 1.0 / n) OVER (ORDER BY hour), 4) AS prev_rate
+  FROM m
+)
+SELECT hour, n, errs, err_rate, prev_rate
+FROM r
+WHERE err_rate >= 0.3 AND (prev_rate IS NULL OR err_rate - prev_rate >= 0.1)
+ORDER BY hour
+""",
+)
+def http_error_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-burst detection — the alerting rule behind the reference's
+    latency/error telemetry (anonymizer/src/telemetry.rs:21-54): hours
+    whose 5xx rate is both absolutely high (>= 30%) AND a sharp jump
+    over the previous hour (>= 10 points, via lag over the hourly
+    series). Rates round to 4 decimals BEFORE the threshold compare so
+    both engines gate identical hours. One scan, one tiny per-hour
+    series, one window — the shape of every streaming alert evaluated
+    in batch."""
+    log = http_log_view(spark, sf_dir)
+    from pyspark.sql import Window
+
+    m = log.groupBy(F.date_trunc("hour", "timestamp").alias("hour")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("response_status") >= 500, 1).otherwise(0)).alias("errs"),
+    )
+    rate = F.round(F.col("errs") * 1.0 / F.col("n"), 4)
+    w = Window.orderBy("hour")
+    r = m.select(
+        "hour", "n", "errs", rate.alias("err_rate"),
+        F.round(F.lag(F.col("errs") * 1.0 / F.col("n")).over(w), 4).alias("prev_rate"),
+    )
+    return (
+        r.filter(
+            (F.col("err_rate") >= 0.3)
+            & (F.col("prev_rate").isNull() | (F.col("err_rate") - F.col("prev_rate") >= 0.1))
+        )
+        .orderBy("hour")
+    )
