@@ -2161,3 +2161,77 @@ def user_entropy_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("entropy_bin")
     )
+
+
+@register(
+    "rolling_correlation",
+    oracle="""
+WITH d AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS buys
+  FROM events GROUP BY 1
+),
+s AS (
+  SELECT day, clicks, buys,
+         count(*) OVER w AS n,
+         sum(clicks) OVER w AS sx, sum(buys) OVER w AS sy,
+         sum(clicks * clicks) OVER w AS sxx, sum(buys * buys) OVER w AS syy,
+         sum(clicks * buys) OVER w AS sxy
+  FROM d
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT CAST(day AS VARCHAR) AS day, clicks, buys,
+       CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
+            THEN round((n * sxy - sx * sy)
+                       / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                          * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 4)
+            ELSE NULL END AS corr7
+FROM s
+ORDER BY day
+""",
+)
+def rolling_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day correlation between daily click and purchase
+    volumes — the co-movement signal behind demand dashboards. Built
+    from exact INTEGER window sums and the closed-form
+    (n*Sxy - Sx*Sy) / sqrt(...) instead of the built-in corr(): the
+    incremental estimators Spark and DuckDB use internally accumulate
+    in different orders, but integer sums are exact in both, so the
+    final doubles match to the last bit. Zero-variance windows yield
+    NULL in both engines. One scan, one tiny daily series, one window
+    pass."""
+    e = _t(spark, sf_dir, "events")
+    d = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("clicks"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("buys"),
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    s = d.select(
+        "day", "clicks", "buys",
+        F.count("*").over(w).alias("n"),
+        F.sum("clicks").over(w).alias("sx"),
+        F.sum("buys").over(w).alias("sy"),
+        F.sum(F.col("clicks") * F.col("clicks")).over(w).alias("sxx"),
+        F.sum(F.col("buys") * F.col("buys")).over(w).alias("syy"),
+        F.sum(F.col("clicks") * F.col("buys")).over(w).alias("sxy"),
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    corr = F.when(
+        vx * vy > 0,
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))),
+            4,
+        ),
+    )
+    return (
+        s.select(
+            F.col("day").cast("string").alias("day"),
+            "clicks",
+            "buys",
+            corr.alias("corr7"),
+        )
+        .orderBy("day")
+    )
