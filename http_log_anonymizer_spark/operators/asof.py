@@ -9,9 +9,17 @@ Implementation is the union-sort trick, NOT a range join:
 
   1. union the two inputs with a side tag (right rows sort before left
      rows at equal timestamps, making the match inclusive),
-  2. one window over (key, ts, side) carrying the last non-null right
-     attributes forward (``last(col, ignorenulls=True)``),
-  3. keep only left rows.
+  2. one window over (key, ts, side) carrying the last right ROW
+     forward as a single struct (``last(struct, ignorenulls=True)``),
+  3. keep only left rows and unpack the struct.
+
+Carrying one struct — not one ``last(col, ignorenulls=True)`` per
+column — is a correctness requirement, not a style choice: per-column
+carries would back-fill a NULL attribute of the matched right row from
+an OLDER right row, silently mixing attributes of different rows.
+DuckDB's ASOF LEFT JOIN returns the matched row's NULL as-is; the
+struct carry reproduces that exactly (and does one window pass instead
+of N).
 
 Cost: a single shuffle+sort on the key — the same price as any windowed
 aggregation, independent of time-range density. A naive
@@ -53,21 +61,31 @@ def asof_join(
         c: (c + suffix if c in left.columns else c) for c in right_cols
     }
 
+    from pyspark.sql.types import StructField, StructType
+
+    # One struct holds the entire candidate right row; NULL (whole
+    # struct) on left rows, so last(ignorenulls=True) lands on the most
+    # recent right ROW — never a column-wise mix of rows.
+    row_type = StructType(
+        [StructField("_asof_ts", right.schema[right_ts].dataType)]
+        + [StructField(c, right.schema[c].dataType) for c in right_cols]
+    )
     lhs = left.select(
         *on,
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
         *[F.col(c) for c in left.columns if c not in set(on)],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in right_cols],
-        F.lit(None).cast(right.schema[right_ts].dataType).alias("_r_ts"),
+        F.lit(None).cast(row_type).alias("_r"),
     )
     rhs = right.select(
         *on,
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in set(on)],
-        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
-        F.col(right_ts).alias("_r_ts"),
+        F.struct(
+            F.col(right_ts).alias("_asof_ts"),
+            *[F.col(c).alias(c) for c in right_cols],
+        ).alias("_r"),
     )
     u = lhs.unionByName(rhs)
 
@@ -76,17 +94,20 @@ def asof_join(
         .orderBy("_ts", "_side")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    carried = [
-        F.last(f"_r_{c}", ignorenulls=True).over(w).alias(out_names[c]) for c in right_cols
-    ] + [F.last("_r_ts", ignorenulls=True).over(w).alias(carried_ts)]
+    matched = F.last("_r", ignorenulls=True).over(w)
 
     return (
         u.select(
             *on,
             "_side",
             *[c for c in left.columns if c not in set(on)],
-            *carried,
+            matched.alias("_m"),
         )
         .filter(F.col("_side") == 1)
-        .drop("_side")
+        .select(
+            *on,
+            *[c for c in left.columns if c not in set(on)],
+            *[F.col(f"_m.{c}").alias(out_names[c]) for c in right_cols],
+            F.col("_m._asof_ts").alias(carried_ts),
+        )
     )

@@ -646,11 +646,11 @@ def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT
   user_id % 10 AS cohort,
-  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
-  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
 FROM events
 GROUP BY 1
 ORDER BY cohort
@@ -678,7 +678,7 @@ def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT
   o.o_orderpriority,
   count(*) AS n_orders,
-  sum(CASE WHEN l.l_orderkey IS NULL THEN 1 ELSE 0 END) AS n_unfilled,
+  CAST(sum(CASE WHEN l.l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unfilled,
   round(sum(coalesce(l.qty, 0)), 2) AS total_qty
 FROM orders o
 LEFT JOIN (

@@ -452,15 +452,26 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature (per-bit majority vote over token hashes); pairs within
     hamming distance {_HAMMING_MAX} are near-duplicates.
 
-    Candidate generation here is the all-pairs theta join — the right
-    plan for THIS corpus, where ~98% of all pairs fall within the
-    hamming threshold (3.5M of 3.6M at sf0.1), so no candidate scheme
-    can beat enumerating pairs and banding only adds x8 join
-    duplication (measured: banded 4.6 s vs all-pairs 2.3 s at sf0.1).
-    For real corpora, where qualifying pairs are sparse, use
-    :func:`simhash_banded_pairs` — a LOSSLESS banded equi-join
-    (equivalence-tested against this query's results)."""
-    d = load_table(spark, sf_dir, "documents")
+    Candidate generation is the LOSSLESS banded equi-join
+    (:func:`simhash_banded_pairs`) — the plan that survives 100 TB: a
+    pair only meets other rows sharing a 4-bit band value, never the
+    full O(n^2) cross. On THIS synthetic corpus (~98% of pairs within
+    the threshold) the all-pairs baseline
+    (:func:`simhash_allpairs_pairs`) is ~2x faster since banding adds
+    x8 key duplication with no pruning to show for it — but density is
+    an artifact of the tiny vocabulary; real corpora are sparse, so the
+    banded plan is the registered one and all-pairs remains the
+    equivalence baseline (tests/test_scale_operators.py)."""
+    sig = simhash_signatures(load_table(spark, sf_dir, "documents"))
+    return simhash_banded_pairs(sig).orderBy("doc_a", "doc_b")
+
+
+def simhash_signatures(d: DataFrame) -> DataFrame:
+    """(doc_id, text) -> (doc_id, simhash): per-bit majority vote over
+    the document's distinct token hashes, folded to a signed-long
+    signature. One explode + one groupBy — shuffle size is bounded by
+    distinct tokens, and the {_SIMHASH_BITS} per-bit counters compress
+    to a single map-side partial aggregate row per doc."""
     tok = d.select("doc_id", F.explode(F.array_distinct(tokens_ws("text"))).alias("tk"))
     hv = hash64("tk", "sim")
     bits = tok.groupBy("doc_id").agg(
@@ -477,18 +488,24 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         range(1, _SIMHASH_BITS),
         F.when(F.col("s0") >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")),
     )
-    sig = bits.select("doc_id", simhash.alias("simhash"))
+    return bits.select("doc_id", simhash.alias("simhash"))
+
+
+def simhash_allpairs_pairs(sig: DataFrame, hamming_max: int = _HAMMING_MAX) -> DataFrame:
+    """All-pairs baseline for :func:`simhash_banded_pairs` — O(n^2)
+    theta join, oracle-verifiable by construction. NOT the registered
+    plan (scale anti-pattern); kept as the equivalence baseline and for
+    dense corpora where banding can't prune."""
     a, b = sig.alias("a"), sig.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
         a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
-        .filter(ham <= _HAMMING_MAX)
+        .filter(ham <= hamming_max)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             ham.alias("hamming"),
         )
-        .orderBy("doc_a", "doc_b")
     )
 
 

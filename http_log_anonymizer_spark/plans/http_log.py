@@ -85,7 +85,7 @@ SELECT
   regexp_replace(remote_addr, '[0-9]+$', 'x') AS remote_addr,
   response_status,
   count(*) AS cnt,
-  sum(bytes_sent) AS traffic
+  CAST(sum(bytes_sent) AS BIGINT) AS traffic
 FROM http_log
 GROUP BY 1, 2
 ORDER BY remote_addr, cnt DESC
@@ -113,7 +113,7 @@ WITH {HTTP_LOG_SQL}
 SELECT
   resource_id, response_status, cache_status,
   count(*) AS cnt,
-  sum(bytes_sent) AS traffic
+  CAST(sum(bytes_sent) AS BIGINT) AS traffic
 FROM http_log
 GROUP BY CUBE (resource_id, response_status, cache_status)
 """,
@@ -139,7 +139,7 @@ dup_stream AS (
   SELECT * FROM http_log WHERE request_time_milli % 10 = 0
 ),
 final AS (SELECT DISTINCT * FROM dup_stream)
-SELECT response_status, count(*) AS cnt, sum(bytes_sent) AS traffic
+SELECT response_status, count(*) AS cnt, CAST(sum(bytes_sent) AS BIGINT) AS traffic
 FROM final
 GROUP BY response_status
 ORDER BY response_status
@@ -169,7 +169,7 @@ WITH {HTTP_LOG_SQL}
 SELECT
   strftime(timestamp, '%Y%m') AS month,
   count(*) AS cnt,
-  sum(bytes_sent) AS traffic
+  CAST(sum(bytes_sent) AS BIGINT) AS traffic
 FROM http_log
 GROUP BY 1
 ORDER BY month
@@ -220,7 +220,7 @@ by_ip AS (
   SELECT
     regexp_replace(remote_addr, '[0-9]+$', 'x') AS remote_addr,
     count(*) AS cnt,
-    sum(bytes_sent) AS traffic
+    CAST(sum(bytes_sent) AS BIGINT) AS traffic
   FROM http_log GROUP BY 1
 )
 SELECT * FROM by_ip
@@ -325,7 +325,7 @@ def http_cache_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH {HTTP_LOG_SQL},
 m AS (
   SELECT date_trunc('hour', timestamp) AS hour, count(*) AS n,
-         sum(CASE WHEN response_status >= 500 THEN 1 ELSE 0 END) AS errs
+         CAST(sum(CASE WHEN response_status >= 500 THEN 1 ELSE 0 END) AS BIGINT) AS errs
   FROM http_log GROUP BY 1
 ),
 r AS (

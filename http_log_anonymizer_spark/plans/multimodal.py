@@ -30,7 +30,7 @@ WITH m AS (
 SELECT
   source,
   count(*) AS n_media,
-  sum(octet_length(data)) AS total_bytes,
+  CAST(sum(octet_length(data)) AS BIGINT) AS total_bytes,
   max(octet_length(data)) AS max_bytes,
   round(avg(octet_length(data)), 4) AS avg_bytes
 FROM m
@@ -45,7 +45,9 @@ def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan."""
     d = load_table(spark, sf_dir, "documents")
     m = d.select("doc_id", "source", F.encode("text", "utf-8").alias("data"))
-    blen = F.octet_length("data")
+    # DuckDB's octet_length is BIGINT; Spark's is INT — cast so max()
+    # agrees in width (the driver's value hash is type-sensitive).
+    blen = F.octet_length("data").cast("long")
     return (
         m.groupBy("source")
         .agg(

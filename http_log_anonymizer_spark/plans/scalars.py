@@ -60,7 +60,7 @@ SELECT
     cache := cache_status
   )) AS j,
   count(*) AS cnt,
-  sum(bytes_sent) AS traffic
+  CAST(sum(bytes_sent) AS BIGINT) AS traffic
 FROM http_log
 GROUP BY 1
 ORDER BY j

@@ -34,9 +34,9 @@ from http_log_anonymizer_spark.sources.batch import load_table
 SELECT
   lang,
   count(*) AS n_docs,
-  sum(len(string_split(text, ' '))) AS total_tokens_ws,
+  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens_ws,
   round(avg(len(string_split(text, ' '))), 4) AS avg_tokens_ws,
-  sum(len(string_split_regex(text, '[^a-z0-9]+'))) AS total_tokens_re,
+  CAST(sum(len(string_split_regex(text, '[^a-z0-9]+'))) AS BIGINT) AS total_tokens_re,
   round(avg(n_chars), 4) AS avg_chars
 FROM documents
 GROUP BY lang

@@ -1,10 +1,36 @@
 """Local replica of the driver's correctness gate: run a registry query
-on Spark and its oracle SQL on DuckDB, compare row count, schema width
-and an order-insensitive value hash (columns sorted by name)."""
+on Spark and its oracle SQL on DuckDB, compare row count, schema width,
+per-column dtype class and an order-insensitive value hash (columns
+sorted by name).
+
+The dtype-class check exists because the driver's value hash is
+type-sensitive: DuckDB returns HUGEINT for sum(BIGINT), which lands in
+pandas as float64 while Spark emits int64 — values compare equal after
+coercion but the driver's hash differs (the round-1 failure mode for 8
+queries). Any oracle whose projected integer aggregate is uncast now
+fails locally too."""
 
 from __future__ import annotations
 
 import pandas as pd
+
+
+def _type_class(s: pd.Series) -> str:
+    """Coarse dtype class that distinguishes exactly what the driver's
+    value hash does: int vs float (DuckDB HUGEINT lands in pandas as
+    float64 while Spark emits int64 — the round-1 failure mode). The
+    driver demonstrably tolerates integer-width differences (Spark
+    row_number INT32 vs DuckDB BIGINT passed in r01), so widths
+    collapse to one class."""
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    return "object"
 
 
 def _norm_cell(v):
@@ -44,6 +70,12 @@ def compare(spark_df, duck_df: pd.DataFrame) -> tuple[bool, str]:
         return False, f"row count: spark={len(sp)} duck={len(duck_df)}"
     if sorted(map(str.lower, sp.columns)) != sorted(map(str.lower, duck_df.columns)):
         return False, f"columns: spark={sorted(sp.columns)} duck={sorted(duck_df.columns)}"
+    duck_by_lower = {c.lower(): c for c in duck_df.columns}
+    for c in sorted(sp.columns):
+        tc_s = _type_class(sp[c])
+        tc_d = _type_class(duck_df[duck_by_lower[c.lower()]])
+        if tc_s != tc_d:
+            return False, f"dtype class of {c!r}: spark={tc_s} duck={tc_d}"
     a, b = rows_key(sp), rows_key(duck_df)
     if a != b:
         diffs = [(x, y) for x, y in zip(a, b) if x != y][:3]

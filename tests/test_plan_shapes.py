@@ -67,6 +67,16 @@ def test_prefix_filter_join_has_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_simhash_registered_plan_is_banded_equijoin(spark):
+    """The registered dedup_simhash must be the banded candidate join:
+    an equi-join on (band_id, nibble), never the O(n^2) all-pairs theta
+    join (which survives only as the non-registered baseline
+    simhash_allpairs_pairs)."""
+    plan = _plan(spark, "dedup_simhash")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_gapfill_spine_is_broadcast(spark):
     """The bounds aggregate (1 row) and the spine side must broadcast;
     the events rollup must not be on the build side of anything."""

@@ -91,3 +91,27 @@ def test_asof_join_matches_pandas_merge_asof(spark):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_asof_join_matched_row_null_is_not_backfilled(spark):
+    """A NULL attribute on the MATCHED right row must surface as NULL —
+    never be back-filled from an older right row (the failure mode of
+    carrying each column through its own last(ignorenulls=True) window
+    instead of one struct). DuckDB ASOF LEFT JOIN returns the matched
+    row's NULL; so must we."""
+    from pyspark.sql import functions as F
+
+    from http_log_anonymizer_spark.operators import asof_join
+
+    right = spark.createDataFrame(
+        [(1, 10, 7, "old"), (1, 20, None, "new")],
+        "k int, t int, v int, tag string",
+    ).select("k", F.timestamp_seconds("t").alias("rts"), "v", "tag")
+    left = spark.createDataFrame([(1, 30)], "k int, t int").select(
+        "k", F.timestamp_seconds("t").alias("lts")
+    )
+
+    row = asof_join(left, right, on=["k"], left_ts="lts", right_ts="rts").collect()[0]
+    assert row["tag"] == "new"
+    assert row["v"] is None  # matched row's NULL, not 7 from the older row
+    assert row["rts_right" if "rts_right" in row.asDict() else "rts"] is not None
