@@ -3,25 +3,35 @@ Catalyst higher-order-function dot product.
 
 Catalyst's zip_with/aggregate folds are interpreted (CodegenFallback):
 fine for per-row feature math, but an all-pairs similarity scan does
-pairs x dim interpreted ops. This operator broadcasts the (unit-
-normalized) corpus as one numpy matrix and lets each partition compute
-its block of the similarity matrix with a single BLAS matmul —
-(block x dim) @ (dim x N) — emitting only pairs above the threshold.
+pairs x dim interpreted ops. This operator shards the (unit-normalized)
+corpus into broadcastable numpy matrices and lets each partition
+compute its block of the similarity matrix with a single BLAS matmul —
+(block x dim) @ (dim x shard) — emitting only pairs above the
+threshold.
 
-Scale shape: the corpus matrix must fit in executor memory to be
-broadcast (N x dim x 4 bytes; 1M x 256-d float32 = 1 GB — the practical
-ceiling). Beyond that, shard the right side and union the runs, or
-prune candidates with LSH first (plans/similarity.py). Results are
-float64 BLAS sums — NOT bit-identical to the fold-based path, so
-equality tests compare at a tolerance; the Catalyst path remains the
-exact-determinism oracle.
+Scale shape: the RIGHT side is sharded, never broadcast whole. Each
+shard is bounded to ``shard_bytes`` (default 128 MiB), so driver and
+executor peak memory is one shard — not the corpus — and the ceiling
+moves from "corpus fits in one broadcast" (~1 GB) to "corpus x passes
+over the left side", the standard blocked-GEMM tradeoff. A 1M x 256-d
+float64 corpus = 2 GB -> 16 shards of 128 MiB; each executor holds at
+most a few shards at once (bounded by task concurrency). For corpora
+where even one pass per shard is too slow, prune candidates with LSH
+first (plans/similarity.py).
+
+Results are float64 BLAS sums — NOT bit-identical to the fold-based
+path, so equality tests compare at a tolerance; the Catalyst path
+remains the exact-determinism oracle.
 """
 
 from __future__ import annotations
 
+from functools import reduce
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
 PAIR_SCHEMA = StructType(
@@ -32,15 +42,16 @@ PAIR_SCHEMA = StructType(
     ]
 )
 
+_DEFAULT_SHARD_BYTES = 128 << 20
 
-def gemm_neardup_pairs(units: DataFrame, threshold: float) -> DataFrame:
-    """All-pairs cosine >= threshold over a (vec_id, ue) unit-vector
-    DataFrame, computed as blocked matrix products. Emits vec_a < vec_b.
-    """
+
+def _pairs_vs_shard(units: DataFrame, shard_rows: list, threshold: float) -> DataFrame:
+    """Pairs (a < b, cos >= threshold) between every left row and ONE
+    collected corpus shard: broadcast the shard matrix, one BLAS matmul
+    per Arrow batch."""
     spark = units.sparkSession
-    rows = units.collect()  # corpus matrix: broadcast to every task
-    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    mat = np.array([r["ue"] for r in rows], dtype=np.float64)
+    ids = np.array([r["vec_id"] for r in shard_rows], dtype=np.int64)
+    mat = np.array([r["ue"] for r in shard_rows], dtype=np.float64)
     b_ids = spark.sparkContext.broadcast(ids)
     b_mat = spark.sparkContext.broadcast(mat)
 
@@ -49,7 +60,7 @@ def gemm_neardup_pairs(units: DataFrame, threshold: float) -> DataFrame:
         for pdf in batches:
             blk_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             blk = np.array(list(pdf["ue"]), dtype=np.float64)
-            sims = blk @ all_mat.T  # (block x N) in one BLAS call
+            sims = blk @ all_mat.T  # (block x shard) in one BLAS call
             li, ri = np.nonzero(sims >= threshold)
             la, ra = blk_ids[li], all_ids[ri]
             keep = la < ra  # dedupe symmetric pairs, drop self
@@ -58,3 +69,43 @@ def gemm_neardup_pairs(units: DataFrame, threshold: float) -> DataFrame:
             )
 
     return units.mapInPandas(block, PAIR_SCHEMA)
+
+
+def gemm_neardup_pairs(
+    units: DataFrame,
+    threshold: float,
+    shard_bytes: int = _DEFAULT_SHARD_BYTES,
+) -> DataFrame:
+    """All-pairs cosine >= threshold over a (vec_id, ue) unit-vector
+    DataFrame, computed as blocked matrix products against corpus
+    shards of at most ``shard_bytes`` each. Emits vec_a < vec_b.
+
+    Sharding keeps every materialized matrix (driver-side collect,
+    broadcast, executor copy) bounded by ``shard_bytes`` regardless of
+    corpus size; the runs union into one DataFrame, and a pair lands in
+    exactly one shard's output (the shard owning vec_b), so no distinct
+    is needed.
+    """
+    first = units.select(F.size("ue").alias("d")).first()
+    if first is None:
+        return units.sparkSession.createDataFrame([], PAIR_SCHEMA)
+    rows_per_shard = max(1, shard_bytes // (int(first["d"]) * 8))
+    n = units.count()
+    n_shards = max(1, -(-n // rows_per_shard))
+    if n_shards == 1:
+        return _pairs_vs_shard(units, units.collect(), threshold)
+
+    # Deterministic shard assignment on vec_id; collect ONE shard at a
+    # time so driver peak memory is a shard, not the corpus.
+    sharded = units.select(
+        "vec_id", "ue", F.pmod(F.hash("vec_id"), F.lit(n_shards)).alias("_shard")
+    )
+    runs = [
+        _pairs_vs_shard(
+            units,
+            sharded.filter(F.col("_shard") == k).select("vec_id", "ue").collect(),
+            threshold,
+        )
+        for k in range(n_shards)
+    ]
+    return reduce(DataFrame.unionByName, runs)

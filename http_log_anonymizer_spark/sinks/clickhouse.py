@@ -9,16 +9,27 @@ Reference behavior (anonymizer/src/sink.rs):
   timestamp truncated to unix seconds (http_log.rs:71-86, sink.rs:318)
                                                    -> ``encode_compact_json_rows``
 - one block per request, rate-limited (sink.rs:303-331)
-                                                   -> trigger cadence + RequestLimiter
+                                                   -> one request per PARTITION,
+                                                      per-endpoint token bucket with the
+                                                      interval scaled by partition count
 - commit follows durable write (sink.rs:337-349)   -> foreachBatch +
                                                       checkpoint ordering (built-in)
 - no insert retry (documented tradeoff lib.rs:213-218)
                                                    -> surface the exception;
                                                       Spark replays the batch
 
+Inserts run EXECUTOR-SIDE (mapInPandas over the batch, one HTTP POST
+per partition): the driver never materializes the batch, so throughput
+scales with executors instead of hitting a driver OOM/network wall at
+100 TB. The reference's single-connection pacing generalizes as a rate
+share: each partition's bucket uses ``interval x n_partitions`` so the
+aggregate request rate stays at the configured ceiling; within a
+partition, row order (and therefore block order) is preserved.
+
 No ClickHouse server or client library exists in this container, so the
 HTTP insert is import/connection-gated; encoding, DDL and pacing logic
-are pure and unit-tested.
+are pure and unit-tested (tests/test_streaming.py drives the partition
+insert function with a recording poster).
 """
 
 from __future__ import annotations
@@ -31,7 +42,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import StringType, StructField, StructType
+from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from http_log_anonymizer_spark.config import ClickHouseConfig
 from http_log_anonymizer_spark.schema import (
@@ -81,6 +92,61 @@ def encode_compact_json_rows(df: DataFrame) -> DataFrame:
     return df.mapInPandas(enc, _JSON_ROW_SCHEMA)
 
 
+def _http_post(url: str, user: str, query: str, body: str) -> None:  # pragma: no cover
+    """One HTTP request (sink.rs:40-41's single-connection client:
+    urllib opens/closes per call, serializing requests per caller)."""
+    data = (query + "\n" + body).encode()
+    req = urllib.request.Request(url, data=data, headers={"X-ClickHouse-User": user})
+    with urllib.request.urlopen(req, timeout=30) as resp:
+        if resp.status >= 300:
+            raise RuntimeError(f"ClickHouse HTTP {resp.status}")
+
+
+def partition_insert_fn(
+    url: str,
+    user: str,
+    insert_query: str,
+    interval_s: float,
+    post=_http_post,
+):
+    """Build the executor-side mapInPandas function: encode this
+    partition's rows as JSONCompactEachRow and POST them as ONE block,
+    paced by the per-endpoint token bucket (interval pre-scaled by the
+    caller to the batch's partition count so the aggregate rate matches
+    the reference's single-connection ceiling). Yields a 1-row stats
+    frame so the driver can assert delivery without touching the data."""
+
+    def insert(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import time as _time
+
+        from http_log_anonymizer_spark.streaming.limiter import shared_limiter
+
+        lines: list[str] = []
+        for pdf in batches:
+            lines.extend(encode_compact_json_row(r) for r in pdf.to_dict("records"))
+        requests = 0
+        if lines:
+            # interval <= 0 disables pacing (the limiter itself rejects
+            # non-positive rates by design, limiter.rs:65-69)
+            limiter = shared_limiter(url, interval_s) if interval_s > 0 else None
+            if limiter is not None:
+                wait = limiter.time_left()
+                if wait > 0:
+                    _time.sleep(wait)
+            post(url, user, insert_query, "\n".join(lines))
+            if limiter is not None:
+                limiter.record_request()
+            requests = 1
+        yield pd.DataFrame({"rows_inserted": [len(lines)], "requests": [requests]})
+
+    return insert
+
+
+_INSERT_STATS_SCHEMA = StructType(
+    [StructField("rows_inserted", LongType()), StructField("requests", LongType())]
+)
+
+
 class ClickHouseSink:
     """foreachBatch writer targeting ClickHouse over HTTP.
 
@@ -98,6 +164,7 @@ class ClickHouseSink:
             self.cfg.url, self.cfg.rate_limit_s or self.cfg.default_rate_limit_s
         )
         self._table_ready = False
+        self.last_batch_stats: tuple[int, int] | None = None  # (rows, requests)
 
     # -- DDL bootstrap (S5) -------------------------------------------------
     def ensure_table(self, tries: int = 3, delay_s: float = 2.0) -> None:
@@ -121,29 +188,26 @@ class ClickHouseSink:
 
     # -- insert (S4) --------------------------------------------------------
     def write(self, batch_df: DataFrame, batch_id: int) -> None:
-        """Insert one micro-batch as a single JSONCompactEachRow request.
-        Raises on failure — Spark retries/replays the batch and the
-        checkpoint only commits after we return (F5/F8)."""
+        """Insert one micro-batch: one JSONCompactEachRow request PER
+        PARTITION, sent from the executors (no driver collect). Raises
+        on failure — Spark retries/replays the batch and the checkpoint
+        only commits after we return (F5/F8)."""
         self.ensure_table()
-        wait = self.limiter.time_left()
-        if wait > 0:  # pragma: no cover - pacing beyond trigger cadence
-            import time as _time
-
-            _time.sleep(wait)
-        payload = "\n".join(
-            r.json for r in encode_compact_json_rows(batch_df).collect()
-        )
+        n_parts = max(1, batch_df.rdd.getNumPartitions())
+        interval = (self.cfg.rate_limit_s or self.cfg.default_rate_limit_s) * n_parts
         query = f"{clickhouse_insert_ddl(self.cfg.table)} FORMAT JSONCompactEachRow"
-        self._execute(query, body=payload)
-        self.limiter.record_request()
+        stats = batch_df.mapInPandas(
+            partition_insert_fn(self.cfg.url, self.cfg.user, query, interval),
+            _INSERT_STATS_SCHEMA,
+        )
+        # The aggregate is the action that runs the inserts; it moves one
+        # stats row per partition, never the data.
+        totals = stats.agg(
+            F.sum("rows_inserted").alias("rows"), F.sum("requests").alias("reqs")
+        ).collect()[0]
+        self.last_batch_stats = (totals["rows"], totals["reqs"])
 
     def _execute(self, query: str, body: str = "") -> None:  # pragma: no cover
-        """Single-connection HTTP request (sink.rs:40-41's one-connection
-        client: urllib opens/closes per call, serializing requests)."""
-        data = (query + "\n" + body).encode()
-        req = urllib.request.Request(
-            self.cfg.url, data=data, headers={"X-ClickHouse-User": self.cfg.user}
-        )
-        with urllib.request.urlopen(req, timeout=30) as resp:
-            if resp.status >= 300:
-                raise RuntimeError(f"ClickHouse HTTP {resp.status}")
+        """Driver-side request (DDL bootstrap only; inserts go through
+        partition_insert_fn on the executors)."""
+        _http_post(self.cfg.url, self.cfg.user, query, body)

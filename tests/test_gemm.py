@@ -30,6 +30,28 @@ def test_gemm_matches_catalyst_neardup(spark):
         assert abs(got[p] - want[p]) < 1e-4, p
 
 
+def test_gemm_sharded_equals_single_shard(spark):
+    """Forcing multiple corpus shards (tiny shard_bytes) must produce
+    exactly the single-broadcast result: same pairs, each emitted once
+    (a pair belongs to the one shard owning vec_b), same cosines."""
+    units = _unit_table(spark, SF_ORACLE, cache=False).limit(400).cache()
+    dim = len(units.first()["ue"])
+    single = {
+        (r.vec_a, r.vec_b): r.cos
+        for r in gemm_neardup_pairs(units, _NEARDUP_THRESHOLD).collect()
+    }
+    # ~6 shards: each shard holds ~70 vectors of dim*8 bytes
+    sharded_rows = gemm_neardup_pairs(
+        units, _NEARDUP_THRESHOLD, shard_bytes=70 * dim * 8
+    ).collect()
+    sharded = {(r.vec_a, r.vec_b): r.cos for r in sharded_rows}
+    assert len(sharded_rows) == len(sharded)  # no duplicate pair across shards
+    assert sharded.keys() == single.keys()
+    for p in single:
+        assert abs(single[p] - sharded[p]) < 1e-12, p
+    units.unpersist()
+
+
 def test_gemm_is_faster_at_sf01(spark):
     sf = "/root/testdata/sf0.1"
     units = _unit_table(spark, sf, cache=False).cache()

@@ -86,6 +86,46 @@ def test_compact_json_row_truncates_timestamp_to_seconds():
     assert out == [1704067207, 1, 2, 3, 200, "HIT", "GET", "1.2.3.x", "/r/1"]
 
 
+def test_partition_insert_posts_one_block_per_partition():
+    """The executor-side insert must send this partition's rows as ONE
+    JSONCompactEachRow block (order preserved), record a token-bucket
+    request, and emit a 1-row stats frame; an empty partition must not
+    POST at all."""
+    import pandas as pd
+
+    from http_log_anonymizer_spark.sinks.clickhouse import partition_insert_fn
+
+    posted = []
+
+    def fake_post(url, user, query, body):
+        posted.append((url, user, query, body))
+
+    fn = partition_insert_fn(
+        "http://ch:8123", "default", "INSERT INTO t FORMAT JSONCompactEachRow",
+        interval_s=0.0, post=fake_post,
+    )
+    pdf = pd.DataFrame(
+        [
+            {
+                "timestamp": pd.Timestamp("2024-01-01 00:00:07", tz="UTC"),
+                "resource_id": i, "bytes_sent": 2, "request_time_milli": 3,
+                "response_status": 200, "cache_status": "HIT", "method": "GET",
+                "remote_addr": "1.2.3.x", "url": "/r/1",
+            }
+            for i in range(3)
+        ]
+    )
+    stats = list(fn(iter([pdf.iloc[:2], pdf.iloc[2:]])))
+    assert len(posted) == 1  # one block per partition, not per Arrow batch
+    body_rows = [json.loads(line) for line in posted[0][3].splitlines()]
+    assert [r[1] for r in body_rows] == [0, 1, 2]  # order preserved
+    assert stats[0].iloc[0].to_dict() == {"rows_inserted": 3, "requests": 1}
+
+    empty_stats = list(fn(iter([])))
+    assert len(posted) == 1  # no POST for an empty partition
+    assert empty_stats[0].iloc[0].to_dict() == {"rows_inserted": 0, "requests": 0}
+
+
 # ---------------------------------------------------------------------------
 # End-to-end streaming pipeline over a file source
 # ---------------------------------------------------------------------------
