@@ -3,10 +3,14 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query is executed to completion via a count over its result (no
-driver-side collect of the payload). A warmup run of the flagship query
-absorbs JVM/codegen startup so per-query numbers measure the plan, not
-the JIT.
+Each query is executed to completion via a noop-format write: every
+column materializes and every operator (sorts, projections) actually
+runs, unlike count(), which lets the optimizer skip column
+materialization and sometimes the sort. The old count() timings are
+also recorded (``queries_count``) so round-over-round deltas against
+BENCH_r01 (count-based) stay comparable. A warmup run of the flagship
+query absorbs JVM/codegen startup so per-query numbers measure the
+plan, not the JIT.
 """
 
 from __future__ import annotations
@@ -44,14 +48,22 @@ def main() -> None:
 
     # Warmup: run the first query once to pay JVM/codegen startup.
     first = next(iter(bench_queries.values()))
-    first.spark_fn(spark, sf_dir).count()
+    first.spark_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name, q in bench_queries.items():
         t0 = time.perf_counter()
-        df = q.spark_fn(spark, sf_dir)
-        df.count()
+        q.spark_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+
+    # Old count()-based method, kept for comparability with BENCH_r01
+    # (runs second: any intra-query caches are warm for both passes of a
+    # given query family, as they were within r01's single pass).
+    timings_count: dict[str, float] = {}
+    for name, q in bench_queries.items():
+        t0 = time.perf_counter()
+        q.spark_fn(spark, sf_dir).count()
+        timings_count[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -60,7 +72,10 @@ def main() -> None:
                 "metric": "registry_bench_total",
                 "value": total,
                 "unit": "sec",
+                "method": "noop-write",
                 "queries": timings,
+                "queries_count": timings_count,
+                "count_method_total": round(sum(timings_count.values()), 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -177,11 +177,19 @@ pairs AS (
 def minhash_signatures(d: DataFrame) -> DataFrame:
     """(doc_id, mh0..mh{_N_HASHES-1}) from a (doc_id, sh) shingle table.
 
+    SINGLE PASS: one ``aggregate`` over the hashed-shingle array folds
+    all {_N_HASHES} seed minima into a struct accumulator — the array is
+    traversed once and no per-seed remixed copy ever materializes
+    (previously: 8 transform+array_min passes, each allocating a remixed
+    array the length of the document). Memory per row is the 8-long
+    struct, bounded regardless of document size.
+
     The md5 is computed ONCE per shingle into a materialized long array
     (its own projection — Catalyst does not CSE through lambdas, so
-    deriving all seeds from one lambda would re-run md5 per seed); each
-    seed's signature is then an array_min over a pure-integer affine
-    remix of that array.
+    hashing inside the fold's merge lambda would re-run md5 per seed).
+    The struct lands in ONE projection and is expanded by a separate
+    select; CollapseProject keeps the non-cheap aggregate unduplicated
+    (verified via .explain: the fold appears once in the plan).
 
     NB: transform lambdas must take exactly one parameter — a second
     parameter makes PySpark pass the element *index*, silently replacing
@@ -190,21 +198,34 @@ def minhash_signatures(d: DataFrame) -> DataFrame:
         "doc_id", F.transform("sh", lambda s: hash64(s)).alias("hs")
     )
 
-    def _mh(i: int):
+    def _remix(h, i: int):
         a, b, c = _REMIX[i]
-        return F.array_min(
-            F.transform(
-                "hs",
-                lambda h: (
-                    F.lit(a) * F.shiftright(h, 30)
-                    + F.lit(b) * h.bitwiseAND(F.lit(_LO_MASK))
-                    + F.lit(c)
-                )
-                % F.lit(_MERSENNE_P),
-            )
-        )
+        return (
+            F.lit(a) * F.shiftright(h, 30)
+            + F.lit(b) * h.bitwiseAND(F.lit(_LO_MASK))
+            + F.lit(c)
+        ) % F.lit(_MERSENNE_P)
 
-    return hs.select("doc_id", *[_mh(i).alias(f"mh{i}") for i in range(_N_HASHES)])
+    # Empty documents fold to the sentinel P (array_min would give
+    # NULL); both collapse to a shared band key, and verification drops
+    # empty-vs-empty pairs either way (jr = 0/0 -> NULL -> filtered).
+    init = F.struct(
+        *[F.lit(_MERSENNE_P).cast("long").alias(f"m{i}") for i in range(_N_HASHES)]
+    )
+    fold = F.aggregate(
+        "hs",
+        init,
+        lambda acc, h: F.struct(
+            *[
+                F.least(acc[f"m{i}"], _remix(h, i)).alias(f"m{i}")
+                for i in range(_N_HASHES)
+            ]
+        ),
+    )
+    sig = hs.select("doc_id", fold.alias("_sig"))
+    return sig.select(
+        "doc_id", *[F.col(f"_sig.m{i}").alias(f"mh{i}") for i in range(_N_HASHES)]
+    )
 
 
 def band_index(sig: DataFrame) -> DataFrame:
@@ -454,41 +475,77 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Candidate generation is the LOSSLESS banded equi-join
     (:func:`simhash_banded_pairs`) — the plan that survives 100 TB: a
-    pair only meets other rows sharing a 4-bit band value, never the
+    pair only meets other rows sharing a whole band value, never the
     full O(n^2) cross. On THIS synthetic corpus (~98% of pairs within
     the threshold) the all-pairs baseline
-    (:func:`simhash_allpairs_pairs`) is ~2x faster since banding adds
-    x8 key duplication with no pruning to show for it — but density is
+    (:func:`simhash_allpairs_pairs`) is faster since banding adds x5
+    key duplication with little pruning to show for it — but density is
     an artifact of the tiny vocabulary; real corpora are sparse, so the
     banded plan is the registered one and all-pairs remains the
-    equivalence baseline (tests/test_scale_operators.py)."""
-    sig = simhash_signatures(load_table(spark, sf_dir, "documents"))
+    equivalence baseline (tests/test_operators.py).
+
+    The signature table is cached eagerly: it feeds BOTH sides of the
+    candidate self-join, and signature construction (the corpus scan)
+    is the expensive stage — uncached, Spark would run it twice."""
+    sig = simhash_signatures(load_table(spark, sf_dir, "documents")).cache()
+    sig.count()  # eager: lazily-built caches double-build when first
+    #            probed from both sides of a join within one action
     return simhash_banded_pairs(sig).orderBy("doc_a", "doc_b")
+
+
+# Bit-vote counters pack 4-per-long (16-bit fields): the groupBy
+# shuffles 8 packed sums instead of 32, and the 32 shift/mask ops per
+# token stay in the codegen'd projection BEFORE the exchange. A 16-bit
+# field caps a document at 65,535 DISTINCT tokens (~0.5 MB of unique
+# words) — far past real corpora; cap documented here deliberately
+# rather than paying double-width shuffles for a pathological case.
+_PACK_FIELDS = 4
+_PACK_WIDTH = 16
+_PACK_MASK = (1 << _PACK_WIDTH) - 1
+_N_PACKS = -(-_SIMHASH_BITS // _PACK_FIELDS)
 
 
 def simhash_signatures(d: DataFrame) -> DataFrame:
     """(doc_id, text) -> (doc_id, simhash): per-bit majority vote over
     the document's distinct token hashes, folded to a signed-long
-    signature. One explode + one groupBy — shuffle size is bounded by
-    distinct tokens, and the {_SIMHASH_BITS} per-bit counters compress
-    to a single map-side partial aggregate row per doc."""
+    signature. One explode + one groupBy; majority vote for bit j is
+    2*cnt_j >= n (identical to sum(+/-1) >= 0, and to the DuckDB
+    oracle's CASE sum)."""
     tok = d.select("doc_id", F.explode(F.array_distinct(tokens_ws("text"))).alias("tk"))
     hv = hash64("tk", "sim")
-    bits = tok.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(hv, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"s{j}")
-            for j in range(_SIMHASH_BITS)
-        ]
+
+    def _packed(p: int) -> F.Column:
+        bits = range(p * _PACK_FIELDS, min((p + 1) * _PACK_FIELDS, _SIMHASH_BITS))
+        return reduce(
+            lambda acc, j: acc
+            + F.shiftleft(
+                F.shiftright(hv, j).bitwiseAND(F.lit(1)),
+                (j - p * _PACK_FIELDS) * _PACK_WIDTH,
+            ),
+            list(bits)[1:],
+            F.shiftright(hv, list(bits)[0]).bitwiseAND(F.lit(1)),
+        )
+
+    packed = tok.groupBy("doc_id").agg(
+        F.count("*").alias("n"),
+        *[F.sum(_packed(p)).alias(f"p{p}") for p in range(_N_PACKS)],
     )
+
+    def _cnt(j: int) -> F.Column:
+        p, k = divmod(j, _PACK_FIELDS)
+        return F.shiftright(F.col(f"p{p}"), k * _PACK_WIDTH).bitwiseAND(F.lit(_PACK_MASK))
+
     simhash = reduce(
         lambda acc, j: acc
-        + F.when(F.col(f"s{j}") >= 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long")),
+        + F.when(_cnt(j) * 2 >= F.col("n"), F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ),
         range(1, _SIMHASH_BITS),
-        F.when(F.col("s0") >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")),
+        F.when(_cnt(0) * 2 >= F.col("n"), F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ),
     )
-    return bits.select("doc_id", simhash.alias("simhash"))
+    return packed.select("doc_id", simhash.alias("simhash"))
 
 
 def simhash_allpairs_pairs(sig: DataFrame, hamming_max: int = _HAMMING_MAX) -> DataFrame:
@@ -509,52 +566,64 @@ def simhash_allpairs_pairs(sig: DataFrame, hamming_max: int = _HAMMING_MAX) -> D
     )
 
 
+# hamming_max + 1 bands is the minimum lossless layout (pigeonhole:
+# hamming_max differing bits corrupt at most hamming_max bands, leaving
+# one intact). Fewer, wider bands beat the naive 8x4-bit split twice
+# over: join duplication drops 8x -> 5x AND each band key carries 6-7
+# bits instead of 4, so buckets are up to 8x finer — fewer false
+# candidates to hamming-filter.
+_BAND_WIDTHS = (7, 7, 6, 6, 6)  # sums to _SIMHASH_BITS; len = _HAMMING_MAX + 1
+_BAND_OFFSETS = tuple(sum(_BAND_WIDTHS[:i]) for i in range(len(_BAND_WIDTHS)))
+
+
 def simhash_banded_pairs(sig: DataFrame, hamming_max: int = _HAMMING_MAX) -> DataFrame:
     """Banded SimHash candidate join — the scale path when qualifying
     pairs are SPARSE (real corpora; the registered query's corpus is
     dense, see dedup_simhash docstring).
 
-    Bands the {_SIMHASH_BITS}-bit signature into 8 nibble keys and
-    equi-joins on (band, nibble). LOSSLESS by pigeonhole: <= hamming_max
-    (={_HAMMING_MAX}) differing bits corrupt at most that many of the 8
-    bands, so every qualifying pair still agrees on at least one whole
-    band. Duplicate candidates (pairs matching several bands) are
-    dropped WITHOUT a distinct: a pair is kept only where the matched
-    band is its FIRST matching band, computable from the two signatures
-    in place.
+    Bands the {_SIMHASH_BITS}-bit signature into ``hamming_max + 1``
+    keys ({_BAND_WIDTHS}-bit wide) and equi-joins on (band, key).
+    LOSSLESS by pigeonhole: <= hamming_max (={_HAMMING_MAX}) differing
+    bits corrupt at most that many bands, so every qualifying pair
+    still agrees on at least one whole band. Duplicate candidates
+    (pairs matching several bands) are dropped WITHOUT a distinct: a
+    pair is kept only where the matched band is its FIRST matching
+    band, computable from the two signatures in place.
 
     Input: (doc_id, simhash). Output: (doc_a, doc_b, hamming), same
     contract as dedup_simhash.
     """
-    n_bands = 8
+    n_bands = len(_BAND_WIDTHS)
+
+    def _key(col, bd: int) -> F.Column:
+        mask = (1 << _BAND_WIDTHS[bd]) - 1
+        return F.shiftright(col, _BAND_OFFSETS[bd]).bitwiseAND(F.lit(mask))
+
     band_structs = [
         F.struct(
             F.lit(bd).alias("band_id"),
-            F.shiftright("simhash", 4 * bd).bitwiseAND(F.lit(15)).alias("nib"),
+            _key(F.col("simhash"), bd).alias("bkey"),
         )
         for bd in range(n_bands)
     ]
     bands = sig.select(
         "doc_id", "simhash", F.explode(F.array(*band_structs)).alias("bd")
-    ).select("doc_id", "simhash", "bd.band_id", "bd.nib")
+    ).select("doc_id", "simhash", "bd.band_id", "bd.bkey")
     a, b = bands.alias("a"), bands.alias("b")
-
-    def _nib(col: str, bd: int) -> F.Column:
-        return F.shiftright(F.col(col), 4 * bd).bitwiseAND(F.lit(15))
 
     first_match = reduce(
         lambda acc, bd: acc.when(
-            _nib("a.simhash", bd) == _nib("b.simhash", bd), F.lit(bd)
+            _key(F.col("a.simhash"), bd) == _key(F.col("b.simhash"), bd), F.lit(bd)
         ),
         range(1, n_bands),
-        F.when(_nib("a.simhash", 0) == _nib("b.simhash", 0), F.lit(0)),
+        F.when(_key(F.col("a.simhash"), 0) == _key(F.col("b.simhash"), 0), F.lit(0)),
     )
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.nib") == F.col("b.nib"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .filter((ham <= hamming_max) & (F.col("a.band_id") == first_match))

@@ -4,5 +4,16 @@ from http_log_anonymizer_spark.streaming.pipeline import (
     build_streaming_query,
     json_decoder,
 )
+from http_log_anonymizer_spark.streaming.telemetry import (
+    MetricsHttpServer,
+    render_prometheus,
+)
 
-__all__ = ["RequestLimiter", "PipelineSpec", "build_streaming_query", "json_decoder"]
+__all__ = [
+    "RequestLimiter",
+    "PipelineSpec",
+    "build_streaming_query",
+    "json_decoder",
+    "MetricsHttpServer",
+    "render_prometheus",
+]
