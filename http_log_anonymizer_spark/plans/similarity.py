@@ -25,6 +25,7 @@ identical constants.
 from __future__ import annotations
 
 import hashlib
+from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -60,20 +61,56 @@ def _unit_table(
     return u
 
 
-def _hyperplanes() -> list[list[float]]:
+def _hyperplanes(tag: str = "") -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes in [-1, 1)^64 from md5 —
-    reproducible by any engine, inlined as literals on both sides."""
+    reproducible by any engine, inlined as literals on both sides.
+    ``tag`` derives independent tables for OR-construction."""
     planes = []
     for p in range(_N_PLANES):
         row = []
         for d in range(_DIM):
-            h = int(hashlib.md5(f"plane|{p}:{d}".encode()).hexdigest()[:15], 16)
+            h = int(hashlib.md5(f"plane|{tag}{p}:{d}".encode()).hexdigest()[:15], 16)
             row.append(h / 2**59 - 1.0)
         planes.append(row)
     return planes
 
 
 _PLANES = _hyperplanes()
+
+# OR-construction tables for the near-dup LSH prune: L independent
+# 4-bit tables. Collision prob for one table at angle theta is
+# (1 - theta/pi)^4; OR over L=8 tables gives recall ~1.0 for true
+# near-dups (cos >= 0.8 -> ~0.9998) and ~0.9 at the 0.45 threshold
+# boundary (measured: see tests/test_operators.py recall floor).
+_NDL_TABLES = 8
+_NDL_PLANES = [_hyperplanes(tag=f"t{t}|") for t in range(_NDL_TABLES)]
+
+
+def _plane_dots_all(vec_col: str, planes: list[list[float]]) -> F.Column:
+    """ALL plane dots in one expression: fold the vector once against a
+    literal (dim x n_planes) coefficient matrix, accumulating an
+    n_planes-long array. Per plane the association is 0.0 + t0 + t1 +
+    ... — the exact IEEE order of :func:`_plane_dot_spark` — so bucket
+    signs are bit-identical to the per-plane fold and the SQL chain.
+    One small tree instead of n_planes 64-literal folds: 32 separate
+    folds cost ~20 s of Catalyst analysis/codegen per query."""
+    n_planes = len(planes)
+    mat_t = F.array(
+        *[
+            F.array(*[F.lit(planes[p][d]) for p in range(n_planes)])
+            for d in range(_DIM)
+        ]
+    )
+    per_dim = F.zip_with(
+        F.col(vec_col).cast("array<double>"),
+        mat_t,
+        lambda x, row: F.transform(row, lambda c: c * x),
+    )
+    return F.aggregate(
+        per_dim,
+        F.array_repeat(F.lit(0.0), n_planes),
+        lambda acc, v: F.zip_with(acc, v, lambda s, t: s + t),
+    )
 
 
 def _plane_dot_spark(vec_col: str, plane: list[float]) -> F.Column:
@@ -97,17 +134,17 @@ def _plane_dot_sql(vec: str, plane: list[float]) -> str:
     )
 
 
-def _bucket_spark(vec_col: str) -> F.Column:
+def _bucket_spark(vec_col: str, planes: list[list[float]] | None = None) -> F.Column:
     out = F.lit(0)
-    for p, plane in enumerate(_PLANES):
+    for p, plane in enumerate(planes or _PLANES):
         out = out + F.when(_plane_dot_spark(vec_col, plane) >= 0, F.lit(1 << p)).otherwise(0)
     return out
 
 
-def _bucket_sql(vec: str) -> str:
+def _bucket_sql(vec: str, planes: list[list[float]] | None = None) -> str:
     return " + ".join(
         f"(CASE WHEN {_plane_dot_sql(vec, plane)} >= 0 THEN {1 << p} ELSE 0 END)"
-        for p, plane in enumerate(_PLANES)
+        for p, plane in enumerate(planes or _PLANES)
     )
 
 
@@ -251,6 +288,104 @@ def embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = F.round(dot("ua", "ub"), 4)
     return (
         pairs.select("vec_a", "vec_b", cos.alias("cos"))
+        .filter(F.col("cos") >= _NEARDUP_THRESHOLD)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+_NDL_BUCKET_COLS_SQL = ", ".join(
+    f"{_bucket_sql('embedding', _NDL_PLANES[t])} AS b{t}" for t in range(_NDL_TABLES)
+)
+_NDL_KEYS_SQL = " UNION ALL ".join(
+    f"SELECT vec_id, {t} AS t, b{t} AS bucket FROM bk" for t in range(_NDL_TABLES)
+)
+
+
+@register(
+    "embed_neardup_lsh",
+    oracle=f"""
+WITH {UNIT_CTE_SQL},
+bk AS MATERIALIZED (SELECT vec_id, ue, {_NDL_BUCKET_COLS_SQL} FROM unit),
+k AS MATERIALIZED ({_NDL_KEYS_SQL}),
+cand AS (
+  SELECT a.vec_id AS da, b.vec_id AS db
+  FROM k a JOIN k b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+  GROUP BY a.vec_id, b.vec_id
+)
+SELECT c.da AS vec_a, c.db AS vec_b,
+       round({dot_sql('ua.ue', 'ub.ue', _DIM)}, 4) AS cos
+FROM cand c
+JOIN bk ua ON ua.vec_id = c.da
+JOIN bk ub ON ub.vec_id = c.db
+WHERE round({dot_sql('ua.ue', 'ub.ue', _DIM)}, 4) >= {_NEARDUP_THRESHOLD}
+ORDER BY vec_a, vec_b
+""",
+)
+def embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup, LSH-pruned — the registered SCALE path for
+    the family (embed_neardup stays as the exact all-pairs baseline):
+    candidates are pairs sharing a bucket in ANY of {_NDL_TABLES}
+    independent {_N_PLANES}-bit hyperplane tables (OR-construction),
+    then the exact cosine filter runs only on candidates. The cross
+    join becomes an equi-join on (table, bucket); at 100 TB the
+    comparison count is sum of within-bucket pairs, not n^2.
+
+    Deterministic by construction (md5-derived hyperplanes, inlined as
+    literals in both engines), so the DuckDB oracle replicates the SAME
+    pruning and the driver hash-checks it — approximate in recall vs
+    embed_neardup (~0.8 at the 0.45 boundary, ~1.0 for true near-dups;
+    asserted in tests), exact in what it claims to return.
+
+    Pair dedup across tables is the first-matching-table trick (keep
+    the pair only where the matched table is the first table whose
+    buckets agree, computed from the two carried bucket arrays) — no
+    distinct over the candidate set; the oracle's GROUP BY produces the
+    identical pair set."""
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.select(
+        "vec_id",
+        "embedding",
+        norm_column("embedding").alias("nrm"),
+        _plane_dots_all(
+            "embedding", [p for tbl in _NDL_PLANES for p in tbl]
+        ).alias("pd"),
+    )
+    bucket_t = [
+        reduce(
+            lambda acc, p: acc
+            + F.when(
+                F.element_at("pd", t * _N_PLANES + p + 1) >= 0, F.lit(1 << p)
+            ).otherwise(0),
+            range(1, _N_PLANES),
+            F.when(F.element_at("pd", t * _N_PLANES + 1) >= 0, F.lit(1)).otherwise(0),
+        )
+        for t in range(_NDL_TABLES)
+    ]
+    base = n.select(
+        "vec_id",
+        unit_from("embedding", "nrm").alias("ue"),
+        F.array(*bucket_t).alias("bks"),
+    ).cache()
+    base.count()  # eager: both sides of the self-join probe this index
+    k = base.select("vec_id", "ue", "bks", F.posexplode("bks").alias("t", "bucket"))
+    a, b = k.alias("a"), k.alias("b")
+    first_match = F.array_position(
+        F.zip_with("a.bks", "b.bks", lambda x, y: x == y), F.lit(True)
+    )
+    cos = F.round(dot("a.ue", "b.ue"), 4)
+    return (
+        a.join(
+            b,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(F.col("a.t") + 1 == first_match)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cos"),
+        )
         .filter(F.col("cos") >= _NEARDUP_THRESHOLD)
         .orderBy("vec_a", "vec_b")
     )

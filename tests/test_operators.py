@@ -300,6 +300,28 @@ def test_hilbert_locality_beats_morton(spark):
     assert h <= m, (h, m)
 
 
+def test_embed_neardup_lsh_subset_and_recall(spark):
+    """The LSH-pruned near-dup (registered scale path) must return a
+    SUBSET of the exact all-pairs result (it never invents pairs — the
+    cosine filter is exact on candidates) with recall >= 0.85 at the
+    0.45 boundary (OR over 8 x 4-bit tables; measured 0.93 at sf0.01)."""
+    from http_log_anonymizer_spark.plans import REGISTRY
+    from tests.conftest import SF_ORACLE
+
+    exact = {
+        (r.vec_a, r.vec_b): r.cos
+        for r in REGISTRY["embed_neardup"].spark_fn(spark, SF_ORACLE).collect()
+    }
+    lsh = {
+        (r.vec_a, r.vec_b): r.cos
+        for r in REGISTRY["embed_neardup_lsh"].spark_fn(spark, SF_ORACLE).collect()
+    }
+    assert set(lsh) <= set(exact)
+    assert len(lsh) / max(1, len(exact)) >= 0.85
+    for p, c in lsh.items():
+        assert c == exact[p]  # exact cosine on surviving pairs
+
+
 def test_simhash_banded_pairs_equals_all_pairs(spark):
     """The banded SimHash candidate join must find exactly the pairs the
     all-pairs theta join finds (lossless by pigeonhole), including pairs
