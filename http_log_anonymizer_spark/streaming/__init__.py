@@ -5,6 +5,7 @@ from http_log_anonymizer_spark.streaming.pipeline import (
     json_decoder,
 )
 from http_log_anonymizer_spark.streaming.telemetry import (
+    LokiHandler,
     MetricsHttpServer,
     render_prometheus,
 )
@@ -14,6 +15,7 @@ __all__ = [
     "PipelineSpec",
     "build_streaming_query",
     "json_decoder",
+    "LokiHandler",
     "MetricsHttpServer",
     "render_prometheus",
 ]

@@ -1,6 +1,8 @@
-"""Prometheus text exposition for pipeline metrics — the export half of
+"""Prometheus text exposition + Loki log shipping — the export half of
 the reference's telemetry (anonymizer/src/telemetry.rs:21-54 registers
-the metrics; telemetry.rs:56-114 serves them over HTTP).
+the metrics; telemetry.rs:56-114 serves them over HTTP;
+telemetry.rs:89-114 + main.rs:31-46 publish tracing logs to Grafana
+Loki with labels app=anonymizer, replica=N).
 
 Metric mapping (reference name -> source here):
 
@@ -18,7 +20,11 @@ format — no dependency needed for a scrape endpoint.
 
 from __future__ import annotations
 
+import json
+import logging
 import threading
+import time
+import urllib.request
 from http.server import BaseHTTPRequestHandler, HTTPServer
 
 from http_log_anonymizer_spark.streaming.listener import PipelineMetrics
@@ -99,3 +105,86 @@ class MetricsHttpServer:
             self._httpd.shutdown()
             self._httpd.server_close()
             self._httpd = None
+
+
+def _loki_post(url: str, payload: bytes) -> None:  # pragma: no cover
+    req = urllib.request.Request(
+        url, data=payload, headers={"Content-Type": "application/json"}
+    )
+    with urllib.request.urlopen(req, timeout=10) as resp:
+        if resp.status >= 300:
+            raise RuntimeError(f"Loki push HTTP {resp.status}")
+
+
+class LokiHandler(logging.Handler):
+    """Buffered ``logging.Handler`` that ships records to Grafana Loki's
+    push API — the TracingExporter analog (telemetry.rs:89-114,
+    main.rs:31-46): one labeled stream per (app, replica, level),
+    values as [unix_ns, line] pairs, flushed by a daemon thread on a
+    cadence and drained on close() (the graceful-shutdown abort point).
+
+    ``post`` is injectable for tests; the default POSTs to
+    ``{base_url}/loki/api/v1/push``. Emit never blocks on the network:
+    records append to an in-memory buffer under a lock and failures
+    surface via logging.Handler.handleError (drop-and-continue, as the
+    reference's background task does)."""
+
+    def __init__(
+        self,
+        base_url: str,
+        app: str = "anonymizer",
+        replica: str = "0",
+        flush_interval_s: float = 2.0,
+        post=_loki_post,
+    ) -> None:
+        super().__init__()
+        self.url = base_url.rstrip("/") + "/loki/api/v1/push"
+        self.labels = {"app": app, "replica": replica}
+        self._post = post
+        self._buf: list[tuple[str, int, str]] = []  # (level, ts_ns, line)
+        self._lock = threading.Lock()
+        self._interval = flush_interval_s
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def emit(self, record: logging.LogRecord) -> None:
+        line = self.format(record)
+        ts_ns = int(record.created * 1_000_000_000)
+        with self._lock:
+            self._buf.append((record.levelname.lower(), ts_ns, line))
+
+    def _run(self) -> None:
+        while not self._stop.wait(self._interval):
+            self.flush()
+
+    def flush(self) -> None:
+        with self._lock:
+            batch, self._buf = self._buf, []
+        if not batch:
+            return
+        streams: dict[str, list[list[str]]] = {}
+        for level, ts_ns, line in batch:
+            streams.setdefault(level, []).append([str(ts_ns), line])
+        payload = json.dumps(
+            {
+                "streams": [
+                    {"stream": {**self.labels, "level": lvl}, "values": vals}
+                    for lvl, vals in sorted(streams.items())
+                ]
+            },
+            separators=(",", ":"),
+        ).encode()
+        try:
+            self._post(self.url, payload)
+        except Exception:
+            # drop-and-continue: log shipping must never take down the
+            # pipeline (the reference aborts the background task on
+            # shutdown; transient push failures only lose the batch)
+            pass
+
+    def close(self) -> None:
+        self._stop.set()
+        self._thread.join(timeout=5)
+        self.flush()
+        super().close()

@@ -39,6 +39,50 @@ def test_render_prometheus_exposition_format():
         assert line.startswith("#") or line.split(" ")[0], line
 
 
+def test_loki_handler_ships_labeled_streams():
+    """The Loki shipper must batch records into per-(labels, level)
+    streams in push-API JSON shape ([unix_ns, line] values), flush on
+    close (graceful drain), and never raise out of a failing post."""
+    import json as _json
+    import logging
+
+    from http_log_anonymizer_spark.streaming.telemetry import LokiHandler
+
+    posted = []
+    h = LokiHandler(
+        "http://loki:3100/", app="anonymizer", replica="0",
+        flush_interval_s=3600, post=lambda url, payload: posted.append((url, payload)),
+    )
+    h.setFormatter(logging.Formatter("%(levelname)s %(message)s"))
+    log = logging.Logger("pipeline-test")
+    log.addHandler(h)
+    log.info("consumed block %d", 7)
+    log.error("insert failed")
+    h.close()  # drains the buffer even though the interval never fired
+
+    assert len(posted) == 1
+    url, payload = posted[0]
+    assert url == "http://loki:3100/loki/api/v1/push"
+    body = _json.loads(payload)
+    by_level = {s["stream"]["level"]: s for s in body["streams"]}
+    assert set(by_level) == {"info", "error"}
+    for s in body["streams"]:
+        assert s["stream"]["app"] == "anonymizer"
+        assert s["stream"]["replica"] == "0"
+    [[ts, line]] = by_level["info"]["values"]
+    assert line == "INFO consumed block 7" and int(ts) > 10**18
+
+    # a failing post must not raise out of flush
+    h2 = LokiHandler(
+        "http://loki:3100", flush_interval_s=3600,
+        post=lambda *a: (_ for _ in ()).throw(RuntimeError("down")),
+    )
+    log2 = logging.Logger("pipeline-test-2")
+    log2.addHandler(h2)
+    log2.warning("x")
+    h2.close()  # no exception
+
+
 def test_metrics_http_server_scrapes_live_counters():
     m = _metrics()
     srv = MetricsHttpServer(m).start()
