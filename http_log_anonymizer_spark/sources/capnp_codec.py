@@ -16,11 +16,14 @@ Field layout (capnp slot-packing in ordinal order):
     ptr 0: cacheStatus @5   ptr 1: method @6
     ptr 2: remoteAddr  @7   ptr 3: url    @8
 
-Scope: single-segment messages, struct + text-list pointers. Far
-pointers (multi-segment) are rejected as invalid — the reference's
-producer emits single-segment messages (one small struct per message
-cannot span segments). Every bounds/shape violation returns None
-(reject-and-continue, source.rs:109-123), never raises.
+Scope: multi-segment messages with struct, text-list, far and
+double-far pointers (encoding.html "Inter-Segment Pointers"). The
+reference's producer emits single-segment messages (and so does
+``encode_http_log_record``), but a compliant consumer must accept any
+framing another Cap'n Proto writer produces — arena allocators
+routinely spill large or reused messages across segments. Every
+bounds/shape violation returns None (reject-and-continue,
+source.rs:109-123), never raises.
 """
 
 from __future__ import annotations
@@ -96,37 +99,112 @@ def _signed30(v: int) -> int:
     return v - (1 << 30) if v & (1 << 29) else v
 
 
+_MAX_SEGMENTS = 512  # sanity cap; a record message never needs more
+
+
+def _parse_segments(payload: bytes) -> list[bytes] | None:
+    """Standard framing: u32 count-1, count u32 sizes (words), header
+    padded to a word boundary, then the segments back to back."""
+    if len(payload) < 8 or len(payload) % 4:
+        return None
+    (nseg_m1,) = _U32.unpack_from(payload, 0)
+    nseg = nseg_m1 + 1
+    if nseg < 1 or nseg > _MAX_SEGMENTS:
+        return None
+    header_len = 4 + 4 * nseg
+    header_len += (-header_len) % _WORD
+    if len(payload) < header_len:
+        return None
+    sizes = [_U32.unpack_from(payload, 4 + 4 * i)[0] for i in range(nseg)]
+    segs, pos = [], header_len
+    for w in sizes:
+        if w < 1:
+            return None
+        end = pos + w * _WORD
+        if end > len(payload):
+            return None
+        segs.append(payload[pos:end])
+        pos = end
+    if pos != len(payload):
+        return None
+    return segs
+
+
+def _read_ptr(segs: list[bytes], seg_i: int, word_i: int, depth: int = 0):
+    """Read the pointer at (seg_i, word_i), following far / double-far
+    indirections. Returns one of:
+
+      ("null",)
+      ("struct", content_seg, content_word, data_words, ptr_words)
+      ("list",   content_seg, content_word, elem_size, count)
+
+    or None on malformation. Intra-segment offsets are relative to the
+    word after the pointer; a far pointer's landing pad lives in the
+    TARGET segment, and a double-far pad is [far-to-content, tag-with-
+    offset-0] (encoding.html, Inter-Segment Pointers)."""
+    if depth > 2 or seg_i >= len(segs):
+        return None
+    seg = segs[seg_i]
+    if word_i < 0 or (word_i + 1) * _WORD > len(seg):
+        return None
+    p = _U64.unpack_from(seg, word_i * _WORD)[0]
+    if p == 0:
+        return ("null",)
+    kind = p & 3
+    if kind == 2:  # far pointer
+        two_word_pad = (p >> 2) & 1
+        off = (p >> 3) & 0x1FFFFFFF
+        tseg = p >> 32
+        if tseg >= len(segs):
+            return None
+        if not two_word_pad:
+            # pad is an ordinary pointer located in the target segment
+            return _read_ptr(segs, tseg, off, depth + 1)
+        pad_seg = segs[tseg]
+        if (off + 2) * _WORD > len(pad_seg):
+            return None
+        pad0 = _U64.unpack_from(pad_seg, off * _WORD)[0]
+        tag = _U64.unpack_from(pad_seg, (off + 1) * _WORD)[0]
+        if pad0 & 3 != 2 or (pad0 >> 2) & 1 != 0:
+            return None  # pad0 must be a one-word far pointer
+        cseg = pad0 >> 32
+        coff = (pad0 >> 3) & 0x1FFFFFFF
+        if cseg >= len(segs):
+            return None
+        tag_kind = tag & 3
+        if tag_kind == 0:
+            return ("struct", cseg, coff, (tag >> 32) & 0xFFFF, tag >> 48)
+        if tag_kind == 1:
+            return ("list", cseg, coff, (tag >> 32) & 7, tag >> 35)
+        return None
+    b = _signed30((p >> 2) & 0x3FFFFFFF)
+    content = word_i + 1 + b
+    if kind == 0:
+        return ("struct", seg_i, content, (p >> 32) & 0xFFFF, p >> 48)
+    if kind == 1:
+        return ("list", seg_i, content, (p >> 32) & 7, p >> 35)
+    return None  # kind 3: capability pointers unsupported
+
+
 def decode_http_log_record(payload: bytes) -> dict | None:
     """Parse one HttpLogRecord message; None on any malformation."""
     try:
-        if len(payload) < 8 or len(payload) % 4:
+        segs = _parse_segments(payload)
+        if segs is None:
             return None
-        (nseg_m1,) = _U32.unpack_from(payload, 0)
-        nseg = nseg_m1 + 1
-        if nseg != 1:  # far pointers unsupported; reject multi-segment
+        root = _read_ptr(segs, 0, 0)
+        if not root or root[0] != "struct":
             return None
-        (seg_words,) = _U32.unpack_from(payload, 4)
-        seg_start = 8  # 4B count + 4B size already word-aligned
-        seg = payload[seg_start : seg_start + seg_words * _WORD]
-        if len(seg) != seg_words * _WORD or seg_words < 1:
-            return None
-
-        def word(i: int) -> int:
-            return _U64.unpack_from(seg, i * _WORD)[0]
-
-        root = word(0)
-        if root & 3 != 0:  # must be a struct pointer
-            return None
-        b = _signed30((root >> 2) & 0x3FFFFFFF)
-        c_words = (root >> 32) & 0xFFFF
-        d_words = root >> 48
-        data_start = 1 + b
+        _, rseg, data_start, c_words, d_words = root
+        seg = segs[rseg]
         ptr_start = data_start + c_words
-        if data_start < 0 or ptr_start + d_words > seg_words:
+        if data_start < 0 or (ptr_start + d_words) * _WORD > len(seg):
             return None
 
         def u64_field(w: int) -> int:
-            return word(data_start + w) if w < c_words else 0
+            if w >= c_words:
+                return 0
+            return _U64.unpack_from(seg, (data_start + w) * _WORD)[0]
 
         def u16_field(w: int, byte: int) -> int:
             if w >= c_words:
@@ -136,25 +214,24 @@ def decode_http_log_record(payload: bytes) -> dict | None:
         def text_field(i: int) -> str | None:
             if i >= d_words:
                 return ""
-            p_idx = ptr_start + i
-            p = word(p_idx)
-            if p == 0:
-                return ""  # null pointer -> default
-            if p & 3 != 1:
+            t = _read_ptr(segs, rseg, ptr_start + i)
+            if t is None:
                 return None
-            pb = _signed30((p >> 2) & 0x3FFFFFFF)
-            elem_size = (p >> 32) & 7
-            count = p >> 35
+            if t[0] == "null":
+                return ""  # null pointer -> default
+            if t[0] != "list":
+                return None
+            _, lseg, lstart, elem_size, count = t
             if elem_size != 2 or count < 1:
                 return None
-            content_start = (p_idx + 1 + pb) * _WORD
-            content_end = content_start + count
-            if content_start < 0 or content_end > len(seg):
+            content = segs[lseg]
+            start = lstart * _WORD
+            end = start + count
+            if lstart < 0 or end > len(content):
                 return None
-            raw = seg[content_start : content_end - 1]  # strip NUL
-            if seg[content_end - 1] != 0:
+            if content[end - 1] != 0:
                 return None
-            return raw.decode("utf-8")
+            return content[start : end - 1].decode("utf-8")
 
         texts = [text_field(i) for i in range(4)]
         if any(t is None for t in texts):

@@ -85,6 +85,102 @@ def test_truncation_fuzz():
         assert decode_http_log_record(raw[:cut]) in (None,)  # never raises
 
 
+def _frame(segments: list[bytes]) -> bytes:
+    """Standard multi-segment framing: u32 count-1, u32 sizes, header
+    padded to a word boundary."""
+    header = struct.pack("<I", len(segments) - 1)
+    for s in segments:
+        assert len(s) % 8 == 0
+        header += struct.pack("<I", len(s) // 8)
+    header += b"\x00" * ((-len(header)) % 8)
+    return header + b"".join(segments)
+
+
+def _text_blobs(texts: list[str]) -> tuple[bytes, list[int]]:
+    blobs, offsets = b"", []
+    for t in texts:
+        offsets.append(len(blobs) // 8)
+        raw = t.encode() + b"\x00"
+        blobs += raw + b"\x00" * ((-len(raw)) % 8)
+    return blobs, offsets
+
+
+_TEXTS = ["HIT", "GET", "1.2.3.4", "/api/v1/data"]
+_DATA_WORDS = struct.pack(
+    "<QQQQQ",
+    GOLDEN["timestamp_epoch_milli"],
+    GOLDEN["resource_id"],
+    GOLDEN["bytes_sent"],
+    GOLDEN["request_time_milli"],
+    GOLDEN["response_status"],
+)
+
+
+def test_decode_multi_segment_far_pointers():
+    """Texts live in segment 1 behind one-word far pointers: the landing
+    pad (in the target segment) is an ordinary list pointer whose offset
+    is relative to the pad's own position. Must decode identically to
+    the single-segment encoding of the same record."""
+    blobs, offs = _text_blobs(_TEXTS)
+    # seg1: 4 landing-pad list pointers, then the blobs
+    pads = b""
+    for i, t in enumerate(_TEXTS):
+        rel = (4 - i - 1) + offs[i]
+        pads += struct.pack("<Q", 1 | (rel << 2) | (2 << 32) | ((len(t) + 1) << 35))
+    seg1 = pads + blobs
+    # seg0: root struct (5 data + 4 ptr words), far pointers to seg1 pads
+    root = struct.pack("<Q", (5 << 32) | (4 << 48))
+    fars = b"".join(
+        struct.pack("<Q", 2 | (i << 3) | (1 << 32)) for i in range(4)
+    )
+    msg = _frame([root + _DATA_WORDS + fars, seg1])
+    assert decode_http_log_record(msg) == GOLDEN
+
+
+def test_decode_double_far_pointers():
+    """Double-far: the two-word pad [far-to-content, tag-with-offset-0]
+    sits in a third segment while the bytes live in another."""
+    blobs, offs = _text_blobs(_TEXTS)
+    seg1 = blobs  # content only
+    # seg2: [far B=0 -> seg1 blob start][list tag, offset 0] per text
+    pads = b""
+    for i, t in enumerate(_TEXTS):
+        pads += struct.pack("<Q", 2 | (offs[i] << 3) | (1 << 32))
+        pads += struct.pack("<Q", 1 | (2 << 32) | ((len(t) + 1) << 35))
+    root = struct.pack("<Q", (5 << 32) | (4 << 48))
+    fars = b"".join(
+        struct.pack("<Q", 2 | (1 << 2) | ((2 * i) << 3) | (2 << 32)) for i in range(4)
+    )
+    msg = _frame([root + _DATA_WORDS + fars, seg1, pads])
+    assert decode_http_log_record(msg) == GOLDEN
+
+
+def test_multi_segment_malformations_rejected():
+    blobs, offs = _text_blobs(_TEXTS)
+    root = struct.pack("<Q", (5 << 32) | (4 << 48))
+    # far pointer to a nonexistent segment
+    fars = b"".join(struct.pack("<Q", 2 | (i << 3) | (9 << 32)) for i in range(4))
+    msg = _frame([root + _DATA_WORDS + fars, blobs])
+    assert decode_http_log_record(msg) is None
+    # double-far whose pad is truncated (points past the pad segment)
+    fars = b"".join(
+        struct.pack("<Q", 2 | (1 << 2) | (99 << 3) | (2 << 32)) for i in range(4)
+    )
+    msg = _frame([root + _DATA_WORDS + fars, blobs, b"\x00" * 8])
+    assert decode_http_log_record(msg) is None
+    # truncation fuzz over a valid multi-segment message (never raises)
+    pads = b""
+    for i, t in enumerate(_TEXTS):
+        rel = (4 - i - 1) + offs[i]
+        pads += struct.pack("<Q", 1 | (rel << 2) | (2 << 32) | ((len(t) + 1) << 35))
+    good = _frame(
+        [root + _DATA_WORDS + b"".join(struct.pack("<Q", 2 | (i << 3) | (1 << 32)) for i in range(4)), pads + blobs]
+    )
+    assert decode_http_log_record(good) == GOLDEN
+    for cut in range(0, len(good) - 1, 3):
+        assert decode_http_log_record(good[:cut]) is None
+
+
 def test_decode_stream_batch(spark):
     payloads = [
         (encode_http_log_record(**{**GOLDEN, "resource_id": i}),) for i in range(10)
