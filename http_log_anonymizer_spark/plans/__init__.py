@@ -28,7 +28,14 @@ from http_log_anonymizer_spark.plans import analytics  # noqa: E402,F401
 # rows; demote two quantization-measurement queries to the registry
 # tail to make room (still locally gated by tests/test_registry_oracle).
 _PROMOTED = ["pivot_event_counts", "order_fill_outer", "asof_last_purchase"]
-_DEMOTED = ["embed_quantization_error", "ivf_residual_quantization"]
+# kmeans_cluster_sizes is rows-only (no oracle): a driver window slot
+# adds no hash evidence for it, so it yields its slot to an
+# oracle-checked query. All demoted queries stay locally gated.
+_DEMOTED = [
+    "embed_quantization_error",
+    "ivf_residual_quantization",
+    "kmeans_cluster_sizes",
+]
 
 
 def _reorder(after: str) -> None:

@@ -511,3 +511,65 @@ def pii_source_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "doc_perplexity",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+),
+bg AS (
+  SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+  FROM toks, unnest(generate_series(1, len(ts) - 1)) AS u(i)
+),
+c2 AS (SELECT w1, w2, count(*) AS n2 FROM bg GROUP BY w1, w2),
+c1 AS (SELECT w1, count(*) AS n1 FROM bg GROUP BY w1),
+scored AS (
+  SELECT b.doc_id, -ln(c2.n2 * 1.0 / c1.n1) AS nll
+  FROM bg b JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+            JOIN c1 ON b.w1 = c1.w1
+)
+SELECT doc_id, count(*) AS n_bigrams, round(avg(nll), 4) AS avg_nll
+FROM scored
+GROUP BY doc_id
+HAVING count(*) >= 1
+ORDER BY doc_id
+""",
+)
+def doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram self-perplexity — the classic LM-based
+    quality signal of a training-data pipeline (high avg negative
+    log-likelihood = word salad / boilerplate outlier; low = repetitive
+    template). The corpus is its own LM: p(w2|w1) = c(w1,w2)/c(w1), so
+    every observed bigram has mass and no smoothing constant leaks into
+    the contract.
+
+    Scale shape: two count aggregations (bigram, unigram) + two
+    equi-joins back onto the bigram stream — all shuffles are on token
+    keys with map-side partial counts; nothing is ever per-pair. At
+    100 TB the count tables are vocabulary-sized, candidates for
+    broadcast. ln() is evaluated per distinct bigram join row and both
+    engines average the same values (round(4) after avg, the float
+    discipline used across the registry)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokens_ws("text").alias("ts"))
+    bg = toks.select(
+        "doc_id",
+        F.posexplode(F.slice("ts", 1, F.greatest(F.size("ts") - 1, F.lit(0)))).alias(
+            "i", "w1"
+        ),
+        "ts",
+    ).select("doc_id", "w1", F.expr("ts[i + 1]").alias("w2"))
+    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("n2"))
+    c1 = bg.groupBy("w1").agg(F.count("*").alias("n1"))
+    scored = (
+        bg.join(c2, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .select("doc_id", (-F.log(F.col("n2") * 1.0 / F.col("n1"))).alias("nll"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.count("*").alias("n_bigrams"), F.round(F.avg("nll"), 4).alias("avg_nll"))
+        .orderBy("doc_id")
+    )
