@@ -229,16 +229,66 @@ def minhash_signatures(d: DataFrame) -> DataFrame:
 
 
 def band_index(sig: DataFrame) -> DataFrame:
-    """(doc_id, band_id, bkey) LSH band index from a signature table."""
+    """(doc_id, band_id, k1, k2, mh0..mh{_N_HASHES-1}) LSH band index
+    from a signature table.
+
+    The band key is the raw minhash pair (k1, k2) — two longs, joined
+    natively, never a concatenated string (no allocation, fixed-width
+    shuffle rows, and numeric comparators in the join). Each index row
+    also carries the FULL signature: that is what lets candidate
+    generation drop duplicate pairs (a pair agreeing on several bands)
+    with an in-place first-match filter instead of a `distinct` shuffle
+    (see :func:`band_candidates`), and it is the standard LSH-index
+    layout anyway — verification wants the signature without a second
+    lookup."""
+    mh = [F.col(f"mh{i}") for i in range(_N_HASHES)]
     band_structs = [
         F.struct(
             F.lit(b).alias("band_id"),
-            F.concat_ws("_", F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}")).alias("bkey"),
+            F.col(f"mh{2 * b}").alias("k1"),
+            F.col(f"mh{2 * b + 1}").alias("k2"),
         )
         for b in range(_N_HASHES // _BAND_R)
     ]
-    return sig.select("doc_id", F.explode(F.array(*band_structs)).alias("band")).select(
-        "doc_id", "band.band_id", "band.bkey"
+    return sig.select(
+        "doc_id", *mh, F.explode(F.array(*band_structs)).alias("band")
+    ).select("doc_id", "band.band_id", "band.k1", "band.k2", *mh)
+
+
+def band_candidates(bands_a: DataFrame, bands_b: DataFrame, ordered: bool = True) -> DataFrame:
+    """Unique candidate pairs (da, db) from two band indexes WITHOUT a
+    distinct: the equi-join on (band_id, k1, k2) emits one row per
+    MATCHING band, and a pair is kept only on its FIRST matching band —
+    computable in place from the two carried signatures, so duplicate
+    suppression costs zero shuffles (the same trick
+    :func:`simhash_banded_pairs` uses). ``ordered=True`` restricts to
+    da < db (self-join); ``False`` keeps all a-vs-b probes
+    (incremental batch-vs-corpus, where the sides are disjoint)."""
+    a, b = bands_a.alias("a"), bands_b.alias("b")
+    cond = (
+        (F.col("a.band_id") == F.col("b.band_id"))
+        & (F.col("a.k1") == F.col("b.k1"))
+        & (F.col("a.k2") == F.col("b.k2"))
+    )
+    if ordered:
+        cond = cond & (F.col("a.doc_id") < F.col("b.doc_id"))
+    else:
+        cond = cond & (F.col("a.doc_id") != F.col("b.doc_id"))
+
+    def _match(bd: int) -> F.Column:
+        return (F.col(f"a.mh{2 * bd}") == F.col(f"b.mh{2 * bd}")) & (
+            F.col(f"a.mh{2 * bd + 1}") == F.col(f"b.mh{2 * bd + 1}")
+        )
+
+    first_match = reduce(
+        lambda acc, bd: acc.when(_match(bd), F.lit(bd)),
+        range(1, _N_HASHES // _BAND_R),
+        F.when(_match(0), F.lit(0)),
+    )
+    return (
+        a.join(b, cond)
+        .filter(F.col("a.band_id") == first_match)
+        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
     )
 
 
@@ -276,26 +326,17 @@ def minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_a, doc_b, jr): LSH candidates that survived exact-Jaccard
     verification — the Spark twin of the `pairs` CTE above."""
     d = _shingle_arrays(spark, sf_dir).cache()
-    d.count()  # eager: lazily-built caches double-build when first probed
-    #          from both sides of a join within one action
     # Cache the band index: it is both sides of the candidate self-join,
     # and (like any LSH index) is built once and probed many times.
     # Without this, Spark re-derives the md5 signature pipeline inside
     # the join — measured ~10x slower than probing the cached index.
+    # ONE eager action builds BOTH caches: the index derives from d in a
+    # single linear pass, so counting it populates d's cache on the way
+    # (no join double-build hazard), and verification then probes the
+    # warm d from both sides.
     bands = band_index(minhash_signatures(d)).cache()
     bands.count()  # eager build before the self-join probes it twice
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
-        .distinct()
-    )
-    return verify_pairs(cand, d)
+    return verify_pairs(band_candidates(bands, bands), d)
 
 
 @register(
@@ -908,20 +949,12 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     incremental band-index append itself is tested in
     tests/test_incremental_dedup.py."""
     d = _shingle_arrays(spark, sf_dir).cache()
-    d.count()
     bands = band_index(minhash_signatures(d)).cache()
     bands.count()  # in production: the persisted index, not recomputed
+    #              (one eager action warms both caches — see
+    #              minhash_verified_pairs)
     is_new = F.col("doc_id") % 10 == 0
-    newb, corb = bands.filter(is_new).alias("n"), bands.filter(~is_new).alias("c")
-    cand = (
-        newb.join(
-            corb,
-            (F.col("n.band_id") == F.col("c.band_id"))
-            & (F.col("n.bkey") == F.col("c.bkey")),
-        )
-        .select(F.col("n.doc_id").alias("da"), F.col("c.doc_id").alias("db"))
-        .distinct()
-    )
+    cand = band_candidates(bands.filter(is_new), bands.filter(~is_new), ordered=False)
     return (
         verify_pairs(cand, d)
         .select(

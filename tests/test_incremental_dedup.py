@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from http_log_anonymizer_spark.plans.dedup import (
     _shingle_arrays,
+    band_candidates,
     band_index,
     minhash_signatures,
     verify_pairs,
@@ -24,17 +25,7 @@ from tests.conftest import SF_ORACLE
 
 def _cand_from(bands_a, bands_b):
     """Candidates between two band indexes (da < db)."""
-    a, b = bands_a.alias("a"), bands_b.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
-        .distinct()
-    )
+    return band_candidates(bands_a, bands_b)
 
 
 def test_incremental_index_equals_full_recompute(spark):

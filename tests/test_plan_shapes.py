@@ -77,6 +77,27 @@ def test_simhash_registered_plan_is_banded_equijoin(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_minhash_candidates_dedupe_without_shuffle(spark):
+    """LSH candidate generation must drop duplicate pairs (a pair
+    matching several bands) via the in-place first-match filter — never
+    a distinct. A distinct would shuffle the full pre-dedup candidate
+    stream (up to n_bands x the true candidate count) at 100 TB. The
+    only aggregates allowed in the whole query are the signature fold;
+    distinct shows up as extra HashAggregate pairs over (da, db)."""
+    plan = _plan(spark, "dedup_minhash_lsh")
+    assert "CartesianProduct" not in plan
+    assert "da" not in _agg_keys(plan) and "db" not in _agg_keys(plan)
+
+
+def _agg_keys(plan: str) -> str:
+    """Concatenated grouping-key text of all HashAggregate operators."""
+    return " ".join(
+        line.split("keys=")[1].split("functions=")[0]
+        for line in plan.splitlines()
+        if "HashAggregate" in line and "keys=" in line
+    )
+
+
 def test_gapfill_spine_is_broadcast(spark):
     """The bounds aggregate (1 row) and the spine side must broadcast;
     the events rollup must not be on the build side of anything."""
