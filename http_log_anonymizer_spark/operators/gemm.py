@@ -86,11 +86,13 @@ def gemm_neardup_pairs(
     exactly one shard's output (the shard owning vec_b), so no distinct
     is needed.
     """
-    first = units.select(F.size("ue").alias("d")).first()
-    if first is None:
+    stats = units.select(
+        F.count("*").alias("n"), F.first(F.size("ue")).alias("d")
+    ).first()
+    n = int(stats["n"])
+    if n == 0:
         return units.sparkSession.createDataFrame([], PAIR_SCHEMA)
-    rows_per_shard = max(1, shard_bytes // (int(first["d"]) * 8))
-    n = units.count()
+    rows_per_shard = max(1, shard_bytes // (int(stats["d"]) * 8))
     n_shards = max(1, -(-n // rows_per_shard))
     if n_shards == 1:
         return _pairs_vs_shard(units, units.collect(), threshold)
