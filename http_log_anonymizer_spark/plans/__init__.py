@@ -30,11 +30,17 @@ from http_log_anonymizer_spark.plans import analytics  # noqa: E402,F401
 _PROMOTED = ["pivot_event_counts", "order_fill_outer", "asof_last_purchase"]
 # kmeans_cluster_sizes is rows-only (no oracle): a driver window slot
 # adds no hash evidence for it, so it yields its slot to an
-# oracle-checked query. All demoted queries stay locally gated.
+# oracle-checked query. dedup_ngram_jaccard and embed_neardup are the
+# documented BRUTE-FORCE baselines of families whose scale paths
+# (dedup_minhash_lsh/prefix_filter, embed_neardup_lsh/gemm) hold window
+# slots — their slots go to gopher_quality_flags and semdedup_cells.
+# All demoted queries stay locally gated by tests/test_registry_oracle.
 _DEMOTED = [
     "embed_quantization_error",
     "ivf_residual_quantization",
     "kmeans_cluster_sizes",
+    "dedup_ngram_jaccard",
+    "embed_neardup",
 ]
 
 

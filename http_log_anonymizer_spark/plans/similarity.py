@@ -392,6 +392,80 @@ def embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "semdedup_cells",
+    oracle=f"""
+WITH {UNIT_CTE_SQL},
+pairs AS (
+  SELECT a.label, b.vec_id AS dropped,
+         round({dot_sql('a.ue', 'b.ue', _DIM)}, 4) AS cos
+  FROM unit a JOIN unit b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE round({dot_sql('a.ue', 'b.ue', _DIM)}, 4) >= {_NEARDUP_THRESHOLD}
+),
+pa AS (
+  SELECT label, count(*) AS n_pairs,
+         count(DISTINCT dropped) AS n_dropped,
+         round(avg(cos), 4) AS avg_pair_cos
+  FROM pairs GROUP BY label
+),
+cells AS (SELECT label, count(*) AS n_vecs FROM unit GROUP BY label)
+SELECT c.label, c.n_vecs,
+       coalesce(pa.n_pairs, 0) AS n_pairs,
+       c.n_vecs - coalesce(pa.n_dropped, 0) AS n_kept,
+       pa.avg_pair_cos
+FROM cells c LEFT JOIN pa ON c.label = pa.label
+ORDER BY c.label
+""",
+)
+def semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup inside clustering
+    cells — pairwise cosine is computed ONLY within a cell (here the
+    ``label`` column; in production the k-means assignment, see
+    operators/kmeans.py), and within each near-dup pair the lower
+    vec_id is kept. Reports per cell: size, qualifying pairs, survivors
+    after the keep-lowest-id policy, mean pair cosine.
+
+    The keep-lowest-id policy needs no connected components: a vector
+    is dropped iff it appears as the GREATER side of any qualifying
+    pair, so survivors = cell size - distinct right-side ids.
+
+    Scale shape: this is the whole point of the algorithm — the
+    quadratic blowup is bounded per cell (cells are sized by the
+    clustering step, ~corpus/k), and cells join by an equi-join on the
+    cell id, so no pair ever crosses cells and the corpus never meets
+    itself unpartitioned. The all-pairs embed_neardup is this query
+    with one global cell."""
+    u = _unit_table(spark, sf_dir, extra=["label"])
+    a, b = u.alias("a"), u.alias("b")
+    cos = F.round(dot("a.ue", "b.ue"), 4)
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.label").alias("label"), F.col("b.vec_id").alias("dropped"), cos.alias("cos"))
+        .filter(F.col("cos") >= _NEARDUP_THRESHOLD)
+    )
+    pa = pairs.groupBy("label").agg(
+        F.count("*").alias("n_pairs"),
+        F.countDistinct("dropped").alias("n_dropped"),
+        F.round(F.avg("cos"), 4).alias("avg_pair_cos"),
+    )
+    cells = u.groupBy("label").agg(F.count("*").alias("n_vecs"))
+    return (
+        cells.join(pa, "label", "left")
+        .select(
+            "label",
+            "n_vecs",
+            F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+            (F.col("n_vecs") - F.coalesce("n_dropped", F.lit(0))).alias("n_kept"),
+            "avg_pair_cos",
+        )
+        .orderBy("label")
+    )
+
+
+@register(
     "ivf_cluster_stats",
     oracle=f"""
 WITH comp AS (

@@ -573,3 +573,115 @@ def doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_bigrams"), F.round(F.avg("nll"), 4).alias("avg_nll"))
         .orderBy("doc_id")
     )
+
+
+# Gopher-rule thresholds (Rae et al. 2021, appendix A1.1): documents
+# outside these bands are flagged as repetition/structure outliers. The
+# symbol/bullet/ellipsis rules are omitted — this corpus has no such
+# characters, so they would be dead columns.
+_GOPHER_MWL_LO, _GOPHER_MWL_HI = 3.0, 10.0
+_GOPHER_TOP_UNIGRAM_MAX = 0.20
+_GOPHER_DUP_2GRAM_MAX = 0.20
+
+
+@register(
+    "gopher_quality_flags",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, source, string_split(text, ' ') AS ts FROM documents
+),
+s AS (
+  SELECT doc_id, source,
+         len(ts) AS n,
+         list_sum(list_transform(ts, x -> len(x))) * 1.0 / len(ts) AS mwl,
+         CASE WHEN len(ts) >= 2
+              THEN 1.0 - len(list_distinct({shingles_sql('ts', 2)})) * 1.0 / (len(ts) - 1)
+              ELSE 0.0 END AS dup2
+  FROM t
+),
+u AS (SELECT doc_id, unnest(ts) AS tok FROM t),
+uc AS (SELECT doc_id, tok, count(*) AS c FROM u GROUP BY doc_id, tok),
+topu AS (SELECT doc_id, max(c) AS top_cnt FROM uc GROUP BY doc_id),
+per_doc AS (
+  SELECT s.source, s.mwl, s.dup2, topu.top_cnt * 1.0 / s.n AS topf
+  FROM s JOIN topu ON s.doc_id = topu.doc_id
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN mwl < {_GOPHER_MWL_LO} OR mwl > {_GOPHER_MWL_HI}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_word_len,
+       CAST(sum(CASE WHEN topf > {_GOPHER_TOP_UNIGRAM_MAX}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_top_unigram,
+       CAST(sum(CASE WHEN dup2 > {_GOPHER_DUP_2GRAM_MAX}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_dup_2gram,
+       CAST(sum(CASE WHEN mwl >= {_GOPHER_MWL_LO} AND mwl <= {_GOPHER_MWL_HI}
+                      AND topf <= {_GOPHER_TOP_UNIGRAM_MAX}
+                      AND dup2 <= {_GOPHER_DUP_2GRAM_MAX}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       round(avg(mwl), 4) AS avg_word_len,
+       round(avg(topf), 4) AS avg_top_unigram_frac,
+       round(avg(dup2), 4) AS avg_dup_2gram_frac
+FROM per_doc
+GROUP BY source
+ORDER BY source
+""",
+)
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/structure quality filters (Rae et al.
+    2021): per-document mean word length, top-unigram token fraction and
+    duplicate-2-gram fraction, thresholded into keep/flag verdicts and
+    summarized per source — the go/no-go report a training-data
+    pipeline publishes per crawl slice.
+
+    Scale shape: mean word length and the duplicate-2-gram fraction are
+    array-native (fold + array_distinct inside the row — zero shuffle);
+    only the top-unigram mode needs the token explode, and both its
+    aggregations key on (doc_id[, tok]) so they combine map-side and
+    never concentrate. The per-doc join is narrow (doc_id, 3 doubles)
+    and reuses the aggregation's hash partitioning. All flag arithmetic
+    is exact (integer ratios), so the thresholds cut identically in
+    both engines; only the final averages are floats, rounded after the
+    avg as everywhere in the registry."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", "source", tokens_ws("text").alias("ts"))
+    n = F.size("ts")
+    sum_len = F.aggregate("ts", F.lit(0).cast("long"), lambda a, x: a + F.length(x))
+    dup2 = F.when(
+        n >= 2,
+        F.lit(1.0) - F.size(F.array_distinct(shingles("ts", 2))) * F.lit(1.0) / (n - 1),
+    ).otherwise(F.lit(0.0))
+    s = t.select(
+        "doc_id",
+        "source",
+        n.alias("n"),
+        (sum_len * 1.0 / n).alias("mwl"),
+        dup2.alias("dup2"),
+    )
+    topu = (
+        t.select("doc_id", F.explode("ts").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_cnt"))
+    )
+    per_doc = s.join(topu, "doc_id").select(
+        "source", "mwl", "dup2", (F.col("top_cnt") * 1.0 / F.col("n")).alias("topf")
+    )
+    mwl_ok = (F.col("mwl") >= _GOPHER_MWL_LO) & (F.col("mwl") <= _GOPHER_MWL_HI)
+    topf_ok = F.col("topf") <= _GOPHER_TOP_UNIGRAM_MAX
+    dup2_ok = F.col("dup2") <= _GOPHER_DUP_2GRAM_MAX
+    one_if = lambda c: F.sum(F.when(c, 1).otherwise(0))
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            one_if(~mwl_ok).alias("n_bad_word_len"),
+            one_if(~topf_ok).alias("n_bad_top_unigram"),
+            one_if(~dup2_ok).alias("n_bad_dup_2gram"),
+            one_if(mwl_ok & topf_ok & dup2_ok).alias("n_keep"),
+            F.round(F.avg("mwl"), 4).alias("avg_word_len"),
+            F.round(F.avg("topf"), 4).alias("avg_top_unigram_frac"),
+            F.round(F.avg("dup2"), 4).alias("avg_dup_2gram_frac"),
+        )
+        .orderBy("source")
+    )
