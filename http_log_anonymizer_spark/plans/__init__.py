@@ -41,6 +41,9 @@ _DEMOTED = [
     "kmeans_cluster_sizes",
     "dedup_ngram_jaccard",
     "embed_neardup",
+    # ann_ivf_adc_topk already exercises quantized scoring in-window;
+    # the plain quantized scan yields its slot to domain_mix_report.
+    "ann_quantized_topk",
 ]
 
 

@@ -174,3 +174,70 @@ def weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "n_chars", "rnk")
         .orderBy("lang", "rnk")
     )
+
+
+@register(
+    "domain_mix_report",
+    oracle="""
+WITH tok AS (
+  SELECT source, lang,
+         len(string_split(text, ' ')) AS n_tok
+  FROM documents
+),
+agg AS (
+  SELECT source, lang,
+         count(*) AS n_docs,
+         CAST(sum(n_tok) AS BIGINT) AS n_tokens
+  FROM tok GROUP BY source, lang
+),
+tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS corpus_tokens,
+               count(*) AS n_slices
+        FROM agg)
+SELECT a.source, a.lang, a.n_docs, a.n_tokens,
+       round(a.n_tokens * 1.0 / t.corpus_tokens, 6) AS token_share,
+       round((t.corpus_tokens * 1.0 / t.n_slices) / a.n_tokens, 6)
+         AS uniform_mix_weight
+FROM agg a CROSS JOIN tot t
+ORDER BY a.source, a.lang
+""",
+)
+def domain_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix curation report: token counts and corpus share per
+    (source, lang) slice, plus the up/down-sampling weight that would
+    equalize the mix across slices (weight > 1 = up-sample, < 1 =
+    down-sample). This is the table a data-mixing stage (DoReMi-style
+    reweighting, or plain per-domain caps) consumes to draw the next
+    epoch.
+
+    Scale shape: one scan + one aggregation on (source, lang) —
+    map-side combined, cardinality is the number of slices, not rows.
+    The grand total is a 1-row aggregate over the slice table joined
+    back by a broadcast nested loop (1 row x n_slices); the corpus is
+    never scanned twice. Weights are exact integer ratios cast to
+    double, rounded identically in both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    agg = (
+        d.select("source", "lang", F.size(F.split("text", " ")).alias("n_tok"))
+        .groupBy("source", "lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_tokens"))
+    )
+    tot = agg.agg(
+        F.sum("n_tokens").alias("corpus_tokens"), F.count("*").alias("n_slices")
+    )
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "lang",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_tokens") * 1.0 / F.col("corpus_tokens"), 6).alias(
+                "token_share"
+            ),
+            F.round(
+                (F.col("corpus_tokens") * 1.0 / F.col("n_slices")) / F.col("n_tokens"),
+                6,
+            ).alias("uniform_mix_weight"),
+        )
+        .orderBy("source", "lang")
+    )
