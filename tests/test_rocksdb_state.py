@@ -158,3 +158,49 @@ def test_rocksdb_changelog_checkpointing_restart(spark, tmp_path, rocksdb_conf):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+def test_rocksdb_large_state_dedup_soak(spark, tmp_path, rocksdb_conf):
+    """Soak the RocksDB provider with ~160k distinct dedup keys spread
+    over 3 micro-batches with cross-batch duplicates: every duplicate
+    must be dropped against state persisted in earlier batches, and the
+    state store must report exactly one entry per distinct key. This is
+    the shape (state >> one batch's keys) that the heap-backed provider
+    would eventually OOM on at 100 TB; the assertion on numRowsTotal
+    proves state genuinely lives in the store, not in the batch."""
+    from http_log_anonymizer_spark.streaming.aggregates import streaming_dedup
+
+    src = tmp_path / "src"
+    src.mkdir()
+    # file f: keys [f*50k, f*50k + 60k) -> 10k-key overlap with the next
+    # file; 180k rows in, 160k distinct keys
+    for f in range(3):
+        lines = "\n".join(
+            f'{{"timestamp": "2024-01-01 00:00:00", "k": {k}}}'
+            for k in range(f * 50_000, f * 50_000 + 60_000)
+        )
+        (src / f"part{f}.txt").write_text(lines)
+
+    rows = (
+        spark.readStream.schema("timestamp timestamp, k long")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    out = streaming_dedup(rows, keys=["k"], delay="30 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("rocksdb_soak")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+
+    assert spark.sql("SELECT count(*) c FROM rocksdb_soak").first()["c"] == 160_000
+    assert (
+        spark.sql("SELECT count(DISTINCT k) c FROM rocksdb_soak").first()["c"]
+        == 160_000
+    )
+    state = q.lastProgress["stateOperators"][0]
+    assert state["numRowsTotal"] == 160_000
