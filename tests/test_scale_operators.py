@@ -140,3 +140,45 @@ def test_ivf_kmeans_recall_vs_brute_force(spark):
     assert set(want) == set(got)  # every query answered
     recall = sum(len(got[q] & want[q]) for q in want) / sum(len(want[q]) for q in want)
     assert recall >= 0.6, recall
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark):
+    """Runtime semi-join reduction: when a big-big join's build side is
+    selective, the optimizer must inject a bloom filter built from the
+    build side's keys into the probe side's scan-filter, so most probe
+    rows die BEFORE the shuffle (at 100 TB: the difference between
+    shuffling the whole fact table and shuffling the ~matching slice).
+    Thresholds are lowered because test data is tiny; on a cluster the
+    defaults (10 MB creation side / 10 GB application side) gate it."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_ORACLE
+
+    prev = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        o = spark.read.parquet(f"{SF_ORACLE}/orders.parquet")
+        li = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet")
+        sel = o.filter(F.col("o_totalprice") > 500000).select("o_orderkey")
+        j = li.join(sel, li.l_orderkey == sel.o_orderkey).agg(
+            F.sum("l_quantity").alias("q")
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan
+        assert "bloom_filter_agg" in plan, plan
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
