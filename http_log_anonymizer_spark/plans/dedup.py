@@ -676,6 +676,52 @@ def simhash_banded_pairs(sig: DataFrame, hamming_max: int = _HAMMING_MAX) -> Dat
     )
 
 
+def winnow_fingerprints(d: DataFrame) -> DataFrame:
+    """(doc_id, wh) winnow fingerprint index from a (doc_id, toks)
+    table: per-document window minima of position-tagged shingle
+    hashes (window size 4), deduplicated. Fingerprints are a pure
+    per-document function — appending documents never changes existing
+    index rows, which is what makes the index incrementally
+    maintainable (tests/test_incremental_dedup.py)."""
+    sh = d.select("doc_id", F.posexplode(shingles("toks")).alias("pos0", "s")).select(
+        "doc_id", (F.col("pos0") + 1).alias("pos"), "s"
+    )
+    fp = F.concat_ws(
+        "_",
+        F.lpad(hash64("s", "win").cast("string"), 19, "0"),
+        F.lpad(F.col("pos").cast("string"), 6, "0"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+    return (
+        sh.select("doc_id", F.min(fp).over(w).alias("sel"))
+        .select("doc_id", F.substring("sel", 1, 19).alias("wh"))
+        .distinct()
+    )
+
+
+def winnow_candidates(
+    fps_a: DataFrame, fps_b: DataFrame, min_shared: int = 2, ordered: bool = True
+) -> DataFrame:
+    """Candidate pairs sharing >= ``min_shared`` winnow fingerprints
+    between two fingerprint indexes (equi-join on the fingerprint —
+    never all-pairs). ``ordered=True`` restricts to da < db."""
+    a, b = fps_a.alias("a"), fps_b.alias("b")
+    cond = F.col("a.wh") == F.col("b.wh")
+    cond = cond & (
+        (F.col("a.doc_id") < F.col("b.doc_id"))
+        if ordered
+        else (F.col("a.doc_id") != F.col("b.doc_id"))
+    )
+    return (
+        a.join(b, cond)
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+        .select("da", "db")
+    )
+
+
+
 @register(
     "dedup_winnow_join",
     oracle=f"""
@@ -734,35 +780,12 @@ def dedup_winnow_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     then exact-Jaccard verification. An independent candidate generator
     cross-checking the MinHash path: both must find the same true
     near-duplicate pairs."""
-    from pyspark.sql import Window
-
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", tokens_ws("text").alias("toks")
     )
-    sh = d.select("doc_id", F.posexplode(shingles("toks")).alias("pos0", "s")).select(
-        "doc_id", (F.col("pos0") + 1).alias("pos"), "s"
-    )
-    fp = F.concat_ws(
-        "_",
-        F.lpad(hash64("s", "win").cast("string"), 19, "0"),
-        F.lpad(F.col("pos").cast("string"), 6, "0"),
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
-    fps = (
-        sh.select("doc_id", F.min(fp).over(w).alias("sel"))
-        .select("doc_id", F.substring("sel", 1, 19).alias("wh"))
-        .distinct()
-        .cache()
-    )
+    fps = winnow_fingerprints(d).cache()
     fps.count()  # eager: both sides of the self-join below
-    a, b = fps.alias("a"), fps.alias("b")
-    cand = (
-        a.join(b, (F.col("a.wh") == F.col("b.wh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
-        .agg(F.count("*").alias("shared"))
-        .filter(F.col("shared") >= 2)
-        .select("da", "db")
-    )
+    cand = winnow_candidates(fps, fps)
     sharr = _shingle_arrays(spark, sf_dir).cache()
     sharr.count()
     return (

@@ -56,3 +56,48 @@ def test_incremental_index_equals_full_recompute(spark):
     got = sorted(map(key, inc_pairs.distinct().collect()))
     want = sorted(map(key, full_pairs.collect()))
     assert got == want and len(want) > 0
+
+
+def test_incremental_winnow_index_equals_full_recompute(spark):
+    """Same append-only contract for the winnowing index: fingerprints
+    are a pure per-document function, so appending a batch adds index
+    rows without touching existing ones, and (base pairs) + (probe of
+    the persisted base index by the new batch) + (new-vs-new) must
+    equal a full recompute over the union."""
+    from http_log_anonymizer_spark.plans.dedup import (
+        winnow_candidates,
+        winnow_fingerprints,
+    )
+    from http_log_anonymizer_spark.functions.text import tokens_ws
+
+    docs = _shingle_arrays(spark, SF_ORACLE).cache()
+    docs.count()
+    toks = (
+        spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+        .select("doc_id", tokens_ws("text").alias("toks"))
+        .cache()
+    )
+    base_t = toks.filter(F.col("doc_id") % 5 != 0)
+    new_t = toks.filter(F.col("doc_id") % 5 == 0)
+
+    base_fps = winnow_fingerprints(base_t).cache()
+    base_fps.count()  # the persisted index
+    new_fps = winnow_fingerprints(new_t).cache()
+    new_fps.count()  # only the appended batch is fingerprinted
+
+    base_pairs = verify_pairs(winnow_candidates(base_fps, base_fps), docs)
+    cross = winnow_candidates(base_fps, new_fps).unionAll(
+        winnow_candidates(new_fps, base_fps)
+    )
+    intra = winnow_candidates(new_fps, new_fps)
+    inc_pairs = base_pairs.unionAll(
+        verify_pairs(cross.unionAll(intra).distinct(), docs)
+    )
+
+    full_fps = winnow_fingerprints(toks)
+    full_pairs = verify_pairs(winnow_candidates(full_fps, full_fps), docs)
+
+    key = lambda r: (r.doc_a, r.doc_b, round(r.jr, 6))
+    got = sorted(map(key, inc_pairs.distinct().collect()))
+    want = sorted(map(key, full_pairs.collect()))
+    assert got == want and len(want) > 0
