@@ -44,6 +44,10 @@ _DEMOTED = [
     # ann_ivf_adc_topk already exercises quantized scoring in-window;
     # the plain quantized scan yields its slot to domain_mix_report.
     "ann_quantized_topk",
+    # reservoir_sample evidences the reservoir operator in-window; the
+    # weighted variant yields its slot to dup_span_report (the only
+    # exact-substring dedup entry).
+    "weighted_reservoir_sample",
 ]
 
 

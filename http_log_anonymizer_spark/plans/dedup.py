@@ -987,3 +987,147 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("new_doc", "corpus_doc")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring (duplicated-span) dedup — Lee et al. 2021
+# ---------------------------------------------------------------------------
+
+# Span length in tokens: a window of _SPAN_K consecutive tokens shared
+# verbatim between two documents marks both spans as duplicated text.
+# Lee et al. use 50 BPE tokens on real corpora; the synthetic corpus's
+# documents are ~30 tokens, so the window is scaled down to keep the
+# operator exercised end-to-end.
+_SPAN_K = 8
+
+
+@register(
+    "dup_span_report",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+sp AS (
+  SELECT doc_id,
+         generate_subscripts({shingles_sql('toks', _SPAN_K)}, 1) AS pos,
+         unnest(list_transform({shingles_sql('toks', _SPAN_K)},
+                               g -> {hash64_sql('g', 'span')})) AS h
+  FROM t
+),
+hc AS (
+  SELECT h FROM sp GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+),
+d AS (SELECT sp.doc_id, sp.pos FROM sp JOIN hc ON sp.h = hc.h),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > coalesce(max(pos + {_SPAN_K} - 1) OVER (
+                  PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                ), -1) + 1
+              THEN 1 ELSE 0 END AS new_island
+  FROM d
+),
+lab AS (
+  SELECT doc_id, pos,
+         sum(new_island) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS island_id
+  FROM isl
+),
+per_island AS (
+  SELECT doc_id, island_id,
+         max(pos + {_SPAN_K} - 1) - min(pos) + 1 AS cov
+  FROM lab GROUP BY doc_id, island_id
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(sum(cov) AS BIGINT) AS n_dup_tokens,
+         count(*) AS n_islands
+  FROM per_island GROUP BY doc_id
+)
+SELECT t.doc_id,
+       len(t.toks) AS n_tokens,
+       coalesce(p.n_dup_tokens, 0) AS n_dup_tokens,
+       round(coalesce(p.n_dup_tokens, 0) * 1.0 / len(t.toks), 4) AS dup_frac,
+       coalesce(p.n_islands, 0) AS n_islands
+FROM t LEFT JOIN per_doc p ON t.doc_id = p.doc_id
+ORDER BY t.doc_id
+""",
+)
+def dup_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup accounting (Lee et al. 2021, ExactSubstr):
+    every {_SPAN_K}-token window shared VERBATIM by >= 2 documents marks
+    duplicated text; overlapping/adjacent duplicated windows merge into
+    maximal islands per document, and the report gives each document's
+    duplicated-token fraction and island count — the table the cut step
+    consumes to excise (not drop) duplicated regions.
+
+    The Spark-first reformulation of the paper's suffix array: span
+    HASHES are exploded once ({_SPAN_K}-gram, position-tagged), a
+    hash-level aggregation finds spans living in >= 2 distinct
+    documents, and interval merging is a per-document running-max
+    window (an island starts where pos exceeds every previous span's
+    end + 1). Two shuffles total — one on the span hash (map-side
+    combined; heavy hitters are bounded because a hash repeated across
+    the corpus collapses to one group row), one on doc_id for the
+    window — both keyed on values whose cardinality scales with the
+    data, never all-pairs. Everything is integer arithmetic; the only
+    float is the final fraction, rounded identically in both engines.
+    """
+    t = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens_ws("text").alias("toks")
+    )
+    sp = t.select(
+        "doc_id", F.posexplode(shingles("toks", _SPAN_K)).alias("pos0", "g")
+    ).select(
+        "doc_id", (F.col("pos0") + 1).alias("pos"), hash64("g", "span").alias("h")
+    )
+    hc = (
+        sp.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    d = sp.join(hc, "h").select("doc_id", "pos")
+    prev_end = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    isl = d.select(
+        "doc_id",
+        "pos",
+        F.when(
+            F.col("pos")
+            > F.coalesce(
+                F.max(F.col("pos") + _SPAN_K - 1).over(prev_end), F.lit(-1)
+            )
+            + 1,
+            1,
+        )
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    run = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    lab = isl.select("doc_id", "pos", F.sum("new_island").over(run).alias("island_id"))
+    per_island = lab.groupBy("doc_id", "island_id").agg(
+        (F.max(F.col("pos") + _SPAN_K - 1) - F.min("pos") + 1).alias("cov")
+    )
+    per_doc = per_island.groupBy("doc_id").agg(
+        F.sum("cov").alias("n_dup_tokens"), F.count("*").alias("n_islands")
+    )
+    return (
+        t.select("doc_id", F.size("toks").alias("n_tokens"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_dup_tokens", F.lit(0)).alias("n_dup_tokens"),
+            F.round(
+                F.coalesce("n_dup_tokens", F.lit(0)) * 1.0 / F.col("n_tokens"), 4
+            ).alias("dup_frac"),
+            F.coalesce("n_islands", F.lit(0)).alias("n_islands"),
+        )
+        .orderBy("doc_id")
+    )
