@@ -125,6 +125,33 @@ def _shingle_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _shingle_arrays(spark, sf_dir).select("doc_id", F.explode("sh").alias("s"))
 
 
+def _hashed_shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sh): distinct HASHED word-3-gram shingles per document —
+    ``sh`` is ``array<long>``, each element ``hash64(shingle)``.
+
+    The MinHash pipeline never needs the shingle strings after hashing
+    (signatures remix the hash; exact-Jaccard verification is a set
+    intersection, equally valid over 60-bit hashes), so hashing at
+    tokenize time keeps everything downstream — the cached index, the
+    broadcast-join probe sides, the array_intersect — on fixed-width
+    8-byte longs instead of ~20-byte strings: smaller cache, cheaper
+    comparisons, no string allocation in the verify loop. The DuckDB
+    oracle (_HASHED_EDGES_SQL) hashes with the same md5-based function,
+    so a hash collision (p ~ n^2/2^61, negligible) would affect both
+    engines identically rather than breaking parity.
+
+    distinct-after-hash equals hash-after-distinct as a SET (duplicate
+    shingles collapse either way), so signatures are unchanged from the
+    string-keyed pipeline."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", tokens_ws("text").alias("toks")).select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(shingles("toks"), lambda s: hash64(s))
+        ).alias("sh"),
+    )
+
+
 _EDGES_SQL = f"""
 t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
 e AS (
@@ -132,16 +159,29 @@ e AS (
 )
 """
 
+# Hashed twin of _EDGES_SQL: h = hash64(shingle), distinct per doc —
+# the oracle-side mirror of _hashed_shingle_arrays (keep in lockstep).
+_HASHED_EDGES_SQL = f"""
+t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+e AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform({shingles_sql('toks')},
+                                             s -> {hash64_sql('s')}))) AS h
+  FROM t
+)
+"""
+
 
 # CTE pipeline ending in `pairs(doc_a, doc_b, jr)` — the verified
 # near-dup pairs; shared by dedup_minhash_lsh and dedup_clusters.
+# Sizes and intersections are over hashed shingle sets, matching the
+# Spark pipeline (see _hashed_shingle_arrays on collision parity).
 _PAIRS_CTES = f"""
-{_EDGES_SQL},
-hs AS (SELECT doc_id, {hash64_sql('s')} AS h FROM e),
+{_HASHED_EDGES_SQL},
 sig AS (
   SELECT doc_id,
          {", ".join(f"min({_remix_sql('h', i)}) AS mh{i}" for i in range(_N_HASHES))}
-  FROM hs GROUP BY doc_id
+  FROM e GROUP BY doc_id
 ),
 bands AS (
   {" UNION ALL ".join(
@@ -160,7 +200,7 @@ inter AS (
   SELECT c.da, c.db, count(*) AS i
   FROM cand c
   JOIN e ea ON ea.doc_id = c.da
-  JOIN e eb ON eb.doc_id = c.db AND ea.s = eb.s
+  JOIN e eb ON eb.doc_id = c.db AND ea.h = eb.h
   GROUP BY c.da, c.db
 ),
 pairs AS (
@@ -175,7 +215,8 @@ pairs AS (
 
 
 def minhash_signatures(d: DataFrame) -> DataFrame:
-    """(doc_id, mh0..mh{_N_HASHES-1}) from a (doc_id, sh) shingle table.
+    """(doc_id, mh0..mh{_N_HASHES-1}) from a (doc_id, sh) HASHED shingle
+    table (array<long>, see :func:`_hashed_shingle_arrays`).
 
     SINGLE PASS: one ``aggregate`` over the hashed-shingle array folds
     all {_N_HASHES} seed minima into a struct accumulator — the array is
@@ -184,19 +225,17 @@ def minhash_signatures(d: DataFrame) -> DataFrame:
     array the length of the document). Memory per row is the 8-long
     struct, bounded regardless of document size.
 
-    The md5 is computed ONCE per shingle into a materialized long array
-    (its own projection — Catalyst does not CSE through lambdas, so
-    hashing inside the fold's merge lambda would re-run md5 per seed).
-    The struct lands in ONE projection and is expanded by a separate
-    select; CollapseProject keeps the non-cheap aggregate unduplicated
-    (verified via .explain: the fold appears once in the plan).
+    The md5 happens upstream, ONCE per shingle, when the hashed shingle
+    table is built (hashing inside the fold's merge lambda would re-run
+    md5 per seed — Catalyst does not CSE through lambdas). The struct
+    lands in ONE projection and is expanded by a separate select;
+    CollapseProject keeps the non-cheap aggregate unduplicated (verified
+    via .explain: the fold appears once in the plan).
 
     NB: transform lambdas must take exactly one parameter — a second
     parameter makes PySpark pass the element *index*, silently replacing
     the seed."""
-    hs = d.select(
-        "doc_id", F.transform("sh", lambda s: hash64(s)).alias("hs")
-    )
+    hs = d.select("doc_id", F.col("sh").alias("hs"))
 
     def _remix(h, i: int):
         a, b, c = _REMIX[i]
@@ -294,7 +333,8 @@ def band_candidates(bands_a: DataFrame, bands_b: DataFrame, ordered: bool = True
 
 def verify_pairs(cand: DataFrame, d: DataFrame) -> DataFrame:
     """Exact-Jaccard verification of (da, db) candidates against the
-    shingle table; returns (doc_a, doc_b, jr) above threshold.
+    shingle table (string or hashed-long arrays — set semantics are
+    identical); returns (doc_a, doc_b, jr) above threshold.
 
     The candidate set broadcasts: it is orders of magnitude smaller
     than the corpus (that is the point of candidate generation), so the
@@ -324,8 +364,11 @@ def verify_pairs(cand: DataFrame, d: DataFrame) -> DataFrame:
 
 def minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_a, doc_b, jr): LSH candidates that survived exact-Jaccard
-    verification — the Spark twin of the `pairs` CTE above."""
-    d = _shingle_arrays(spark, sf_dir).cache()
+    verification — the Spark twin of the `pairs` CTE above. The cached
+    verification table holds hashed shingle sets (array<long>) — ~2.5x
+    smaller than the string arrays it replaced, and array_intersect
+    compares longs instead of strings."""
+    d = _hashed_shingle_arrays(spark, sf_dir).cache()
     # Cache the band index: it is both sides of the candidate self-join,
     # and (like any LSH index) is built once and probed many times.
     # Without this, Spark re-derives the md5 signature pipeline inside
@@ -925,12 +968,11 @@ def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_incremental_batch",
     oracle=f"""
-WITH {_EDGES_SQL},
-hs AS (SELECT doc_id, {hash64_sql('s')} AS h FROM e),
+WITH {_HASHED_EDGES_SQL},
 sig AS (
   SELECT doc_id,
          {", ".join(f"min({_remix_sql('h', i)}) AS mh{i}" for i in range(_N_HASHES))}
-  FROM hs GROUP BY doc_id
+  FROM e GROUP BY doc_id
 ),
 bands AS (
   {" UNION ALL ".join(
@@ -950,7 +992,7 @@ inter AS (
   SELECT c.da, c.db, count(*) AS i
   FROM cand c
   JOIN e ea ON ea.doc_id = c.da
-  JOIN e eb ON eb.doc_id = c.db AND ea.s = eb.s
+  JOIN e eb ON eb.doc_id = c.db AND ea.h = eb.h
   GROUP BY c.da, c.db
 )
 SELECT i.da AS new_doc, i.db AS corpus_doc,
@@ -971,7 +1013,7 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the all-pairs dedup_minhash_lsh is the backfill job); the
     incremental band-index append itself is tested in
     tests/test_incremental_dedup.py."""
-    d = _shingle_arrays(spark, sf_dir).cache()
+    d = _hashed_shingle_arrays(spark, sf_dir).cache()
     bands = band_index(minhash_signatures(d)).cache()
     bands.count()  # in production: the persisted index, not recomputed
     #              (one eager action warms both caches — see

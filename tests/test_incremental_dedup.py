@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from http_log_anonymizer_spark.plans.dedup import (
+    _hashed_shingle_arrays,
     _shingle_arrays,
     band_candidates,
     band_index,
@@ -29,7 +30,7 @@ def _cand_from(bands_a, bands_b):
 
 
 def test_incremental_index_equals_full_recompute(spark):
-    docs = _shingle_arrays(spark, SF_ORACLE).cache()
+    docs = _hashed_shingle_arrays(spark, SF_ORACLE).cache()
     docs.count()
     base = docs.filter(F.col("doc_id") % 5 != 0)  # the existing corpus
     new = docs.filter(F.col("doc_id") % 5 == 0)  # the appended batch
