@@ -21,13 +21,26 @@ from http_log_anonymizer_spark.plans import multimodal  # noqa: E402,F401
 from http_log_anonymizer_spark.plans import sampling  # noqa: E402,F401
 from http_log_anonymizer_spark.plans import scalars  # noqa: E402,F401
 from http_log_anonymizer_spark.plans import analytics  # noqa: E402,F401
+from http_log_anonymizer_spark.plans import curation  # noqa: E402,F401
 
 # Promote the round-1 hash-fail fixes (pivot_event_counts,
 # order_fill_outer) and the reworked asof operator's query into the
 # driver's 50-entry correctness window so their fixes produce driver
 # rows; demote two quantization-measurement queries to the registry
 # tail to make room (still locally gated by tests/test_registry_oracle).
-_PROMOTED = ["pivot_event_counts", "order_fill_outer", "asof_last_purchase"]
+_PROMOTED = [
+    "pivot_event_counts",
+    "order_fill_outer",
+    "asof_last_purchase",
+    # Curation family (plans/curation.py): the three component-closing
+    # entries — the end-to-end pipeline composition, embedding
+    # generation, and model-based quality filtering — take window
+    # slots; their per-feature siblings (bpe_pretokenize_stats,
+    # blocklist_hit_report) stay tail + locally gated.
+    "llm_corpus_report",
+    "embed_hashing_trick",
+    "quality_classifier",
+]
 # kmeans_cluster_sizes is rows-only (no oracle): a driver window slot
 # adds no hash evidence for it, so it yields its slot to an
 # oracle-checked query. dedup_ngram_jaccard and embed_neardup are the
@@ -48,6 +61,13 @@ _DEMOTED = [
     # weighted variant yields its slot to dup_span_report (the only
     # exact-substring dedup entry).
     "weighted_reservoir_sample",
+    # Slots freed for the curation family: ann_ivf_topk keeps IVF
+    # evidence in-window (cluster stats are its descriptive twin),
+    # scrub_pii keeps the PII transform in-window (the summary is its
+    # aggregate twin), and multimodal keeps 3 of 4 entries.
+    "ivf_cluster_stats",
+    "pii_source_summary",
+    "multimodal_resize_features",
 ]
 
 

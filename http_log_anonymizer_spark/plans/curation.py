@@ -1,0 +1,451 @@
+"""Corpus-curation operators over ``documents`` — the remaining
+LLM-training-data components: subword tokenization statistics, feature-
+hashed embedding generation, model-based quality filtering, blocklist
+screening, and the flagship end-to-end curation report that composes
+dedup + language filter + quality filter into one accounting query
+(the CCNet/Gopher-style pipeline shape, each stage a Catalyst
+expression).
+
+Design for 100 TB:
+
+- Every per-document feature (pieces, subword estimates, hashed
+  embedding, quality score, blocklist hits) is a pure projection —
+  map-side, zero shuffle, whole-stage codegen. The only exchanges in
+  this module are (a) tiny groupBy aggregations on low-cardinality keys
+  (lang/source: 5-20 groups) and (b) ``llm_corpus_report``'s window
+  over the exact-dup fingerprint — the same single shuffle the exact
+  dedup pass already pays, reused here for first-occurrence ranking.
+- The hashing-trick embedding (Weinberger et al., ICML 2009 — the
+  Vowpal Wabbit scheme) needs no vocabulary, no model file, and no
+  Python: bucket and sign both derive from the same deterministic
+  ``hash64`` used by the MinHash/SimHash family, so embeddings are
+  reproducible across engines and the DuckDB oracle verifies them
+  bit-for-bit (after fixed rounding).
+- The quality classifier is a fixed-weight logistic model over
+  engineered features — honestly documented as a stand-in for a
+  trained fastText-style scorer: the FEATURE PLUMBING (ratio features,
+  score, threshold, per-source accounting) is the operator under test;
+  swapping learned weights in changes no plan shape.
+
+Reference scope: the reference engine (anonymizer/src/lib.rs) has no
+curation surface — these are the engine-grade extensions mandated for
+the training-data pipeline, modeled on public pipeline descriptions
+(CCNet, Gopher §A.2, RefinedWeb §3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from http_log_anonymizer_spark.functions.text import hash64, hash64_sql, tokens_ws
+from http_log_anonymizer_spark.plans.registry import register
+from http_log_anonymizer_spark.sources.batch import load_table
+
+# ---------------------------------------------------------------------------
+# Shared feature expressions (Spark column + DuckDB SQL twins; keep in
+# lockstep — the oracle must compute the identical double, in the same
+# operation order, so rounded outputs agree)
+# ---------------------------------------------------------------------------
+
+# Logistic quality model: score = sigmoid(W0 + WU*uniq_ratio +
+# WS*stop_ratio + WL*ln(n_toks)). Weights calibrated on the synthetic
+# corpus so the 0.5 threshold actually discriminates (~48% keep at
+# sf0.01, scores spanning 0.35-0.85) — a degenerate always-keep/always-
+# drop threshold would leave the filter path untested.
+_W0, _WU, _WS, _WL = -4.0, 4.0, 3.0, 0.4
+# "Stopwords": the highest-frequency corpus words (the synthetic vocab
+# is DB jargon, not English; any fixed list works — the operator is the
+# ratio feature, not the list).
+_STOPWORDS = ("join", "hash", "row", "batch", "scan")
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+
+def _quality_features(toks: F.Column) -> dict[str, F.Column]:
+    n = F.size(toks)
+    return {
+        "n_toks": n,
+        "uniq_ratio": F.size(F.array_distinct(toks)) * F.lit(1.0) / n,
+        "stop_ratio": F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS)))
+        * F.lit(1.0)
+        / n,
+    }
+
+
+def _quality_score(f: dict[str, F.Column]) -> F.Column:
+    z = (
+        F.lit(_W0)
+        + F.lit(_WU) * f["uniq_ratio"]
+        + F.lit(_WS) * f["stop_ratio"]
+        + F.lit(_WL) * F.log(f["n_toks"])
+    )
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+# DuckDB twins. `toks` must name a list column in scope.
+_FEATURES_SQL = """
+  len(toks) AS n_toks,
+  len(list_distinct(toks)) * 1.0 / len(toks) AS uniq_ratio,
+  len(list_filter(toks, t -> t IN ({stop}))) * 1.0 / len(toks) AS stop_ratio
+""".format(stop=_STOP_SQL)
+
+_SCORE_SQL = (
+    f"1/(1 + exp(-({_W0} + {_WU}*uniq_ratio + {_WS}*stop_ratio + {_WL}*ln(n_toks))))"
+)
+
+
+# ---------------------------------------------------------------------------
+# Subword tokenization statistics
+# ---------------------------------------------------------------------------
+
+# Portable pre-tokenizer (identical semantics in Java regex and RE2):
+# letter runs | digit runs | punctuation runs. The GPT-2 pattern's
+# apostrophe/space handling is avoided deliberately — `\w`/`\s` class
+# definitions differ across engines.
+_PRETOK_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]+"
+# BPE-fertility proxy: a piece of length L costs ceil(L/4) subword
+# tokens (~4 chars/token, the published GPT-2/LLaMA English average).
+_CHARS_PER_SUBWORD = 4
+
+
+@register(
+    "bpe_pretokenize_stats",
+    oracle=f"""
+WITH p AS (
+  SELECT lang,
+         regexp_extract_all(text, '{_PRETOK_RE}') AS pieces,
+         string_split(text, ' ') AS words
+  FROM documents
+),
+s AS (
+  SELECT lang,
+         len(pieces) AS n_pieces,
+         len(words) AS n_words,
+         list_sum(list_transform(pieces,
+           x -> CAST(ceil(length(x) * 1.0 / {_CHARS_PER_SUBWORD}) AS BIGINT)))
+           AS n_subwords
+  FROM p
+)
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(n_pieces) AS BIGINT) AS total_pieces,
+       CAST(sum(n_subwords) AS BIGINT) AS total_subwords,
+       round(sum(n_subwords) * 1.0 / sum(n_words), 4) AS subwords_per_word,
+       round(avg(n_subwords), 4) AS avg_subwords_per_doc
+FROM s GROUP BY lang ORDER BY lang
+""",
+)
+def bpe_pretokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer budget accounting per language: regex pre-tokenization
+    (letter/digit/punctuation runs) plus a ceil(len/4) subword-fertility
+    estimate per piece — the pre-pass every training run does to size
+    its token budget. All per-doc work is one codegen'd projection
+    (regexp_extract_all + an array fold); the groupBy shuffles 5 rows
+    per partition (one per lang). Map-only at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    pieces = F.regexp_extract_all(F.col("text"), F.lit(_PRETOK_RE), 0)
+    per_doc = d.select(
+        "lang",
+        F.size(pieces).alias("n_pieces"),
+        F.size(tokens_ws("text")).alias("n_words"),
+        F.aggregate(
+            F.transform(
+                pieces,
+                lambda x: F.ceil(F.length(x) * F.lit(1.0) / _CHARS_PER_SUBWORD),
+            ),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("n_subwords"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_pieces").alias("total_pieces"),
+            F.sum("n_subwords").alias("total_subwords"),
+            F.round(F.sum("n_subwords") * 1.0 / F.sum("n_words"), 4).alias(
+                "subwords_per_word"
+            ),
+            F.round(F.avg("n_subwords"), 4).alias("avg_subwords_per_doc"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Feature-hashed embedding generation
+# ---------------------------------------------------------------------------
+
+_EMB_DIM = 16
+_EMB_SEED = "feat"
+
+
+@register(
+    "embed_hashing_trick",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '),
+                        s -> {hash64_sql('s', _EMB_SEED)}) AS hs
+  FROM documents
+),
+r AS (
+  SELECT doc_id,
+         list_transform(range(0, {_EMB_DIM}), j ->
+             CAST(len(list_filter(hs, h -> h % {_EMB_DIM} = j
+                                       AND ((h >> 4) & 1) = 1)) AS BIGINT)
+           - CAST(len(list_filter(hs, h -> h % {_EMB_DIM} = j
+                                       AND ((h >> 4) & 1) = 0)) AS BIGINT)
+         ) AS raw
+  FROM t
+),
+n AS (
+  SELECT doc_id, raw,
+         sqrt(list_sum(list_transform(raw, x -> x * x * 1.0))) AS nrm
+  FROM r
+)
+SELECT doc_id,
+       {", ".join(
+           f"round(CASE WHEN nrm > 0 THEN raw[{j + 1}] / nrm ELSE 0.0 END, 4)"
+           f" AS e{j:02d}"
+           for j in range(_EMB_DIM)
+       )}
+FROM n ORDER BY doc_id
+""",
+)
+def embed_hashing_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-free document embeddings via the hashing trick
+    (Weinberger et al. 2009): each token hashes to one of {_EMB_DIM}
+    buckets with a +/-1 sign drawn from another hash bit (signed
+    hashing keeps collisions zero-mean), then the count vector is
+    L2-normalized. The upstream generator for the ANN/near-dup family
+    when no trained encoder is available.
+
+    ZERO SHUFFLE: bucket counts, sign, and normalization are all
+    array expressions over the token list — at 100 TB this is pure
+    map work, embarrassingly parallel, and the output feeds straight
+    into the LSH/IVF index builders (plans/similarity.py) without
+    leaving the executor. Deterministic via the cross-engine ``hash64``
+    (functions/text.py), so the DuckDB oracle reproduces every vector
+    bit-for-bit after fixed 4-dp rounding.
+
+    The registered output projects the 16 dimensions as scalar columns
+    (e00..e15) rather than one array column: the driver's value hash is
+    only known-good on scalar cells, and wide-vs-array is a projection
+    detail, not a semantic one (library callers take the array from the
+    intermediate)."""
+    d = load_table(spark, sf_dir, "documents")
+    hs = d.select(
+        "doc_id",
+        F.transform(tokens_ws("text"), lambda s: hash64(s, _EMB_SEED)).alias("hs"),
+    )
+
+    def _signed_count(j: int) -> F.Column:
+        pos = F.size(
+            F.filter(
+                "hs",
+                lambda h: (h % _EMB_DIM == j)
+                & (F.shiftright(h, 4).bitwiseAND(F.lit(1)) == 1),
+            )
+        )
+        neg = F.size(
+            F.filter(
+                "hs",
+                lambda h: (h % _EMB_DIM == j)
+                & (F.shiftright(h, 4).bitwiseAND(F.lit(1)) == 0),
+            )
+        )
+        return (pos.cast("long") - neg.cast("long")).alias(f"r{j}")
+
+    raw = hs.select(
+        "doc_id", F.array(*[_signed_count(j) for j in range(_EMB_DIM)]).alias("raw")
+    )
+    nrm = raw.select(
+        "doc_id",
+        "raw",
+        F.sqrt(
+            F.aggregate(
+                F.transform("raw", lambda x: x * x * F.lit(1.0)),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+        ).alias("nrm"),
+    )
+    return nrm.select(
+        "doc_id",
+        *[
+            F.round(
+                F.when(
+                    F.col("nrm") > 0, F.col("raw")[j] / F.col("nrm")
+                ).otherwise(F.lit(0.0)),
+                4,
+            ).alias(f"e{j:02d}")
+            for j in range(_EMB_DIM)
+        ],
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Model-based quality filtering
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quality_classifier",
+    oracle=f"""
+WITH t AS (SELECT source, string_split(text, ' ') AS toks FROM documents),
+f AS (SELECT source, {_FEATURES_SQL} FROM t),
+s AS (SELECT source, {_SCORE_SQL} AS score FROM f)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       round(sum(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+         AS keep_rate,
+       round(avg(score), 4) AS avg_score
+FROM s GROUP BY source ORDER BY source
+""",
+)
+def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source accounting of a fixed-weight logistic quality model
+    (uniq-token ratio, stopword ratio, log length — the fastText-style
+    feature plumbing with hand-set weights; a trained model swaps in
+    without changing the plan). Features and score are one codegen'd
+    projection; the groupBy shuffles 20 source rows. Map-only at any
+    scale."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("source", tokens_ws("text").alias("toks"))
+    f = _quality_features(F.col("toks"))
+    scored = t.select("source", _quality_score(f).alias("score"))
+    keep = F.when(F.col("score") >= 0.5, 1).otherwise(0)
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(keep).alias("n_keep"),
+            F.round(F.sum(keep) * 1.0 / F.count("*"), 4).alias("keep_rate"),
+            F.round(F.avg("score"), 4).alias("avg_score"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Blocklist screening
+# ---------------------------------------------------------------------------
+
+_BLOCKLIST = ("slow", "merge", "lock")  # 'lock' absent: exercises the zero path
+_BLOCK_SQL = ", ".join(f"'{w}'" for w in _BLOCKLIST)
+
+
+@register(
+    "blocklist_hit_report",
+    oracle=f"""
+WITH t AS (SELECT source, string_split(text, ' ') AS toks FROM documents),
+h AS (
+  SELECT source,
+         len(list_filter(toks, t -> t IN ({_BLOCK_SQL}))) AS hits
+  FROM t
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_flagged,
+       CAST(sum(hits) AS BIGINT) AS total_hits,
+       round(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+         AS flag_rate
+FROM h GROUP BY source ORDER BY source
+""",
+)
+def blocklist_hit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Safety/blocklist screening accounting: per-source counts of
+    documents containing blocklisted terms and total term occurrences.
+    The per-doc hit count is a token-array filter (map-only); a real
+    deployment swaps the literal IN-list for a broadcast blocklist
+    table with the same plan shape. Shuffles 20 source rows."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("source", tokens_ws("text").alias("toks"))
+    hits = F.size(F.filter("toks", lambda t_: t_.isin(*_BLOCKLIST)))
+    flagged = F.when(F.col("hits") > 0, 1).otherwise(0)
+    return (
+        t.select("source", hits.alias("hits"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(flagged).alias("docs_flagged"),
+            F.sum("hits").alias("total_hits"),
+            F.round(F.sum(flagged) * 1.0 / F.count("*"), 4).alias("flag_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Flagship composition: the end-to-end curation report
+# ---------------------------------------------------------------------------
+
+_LANG_ALLOW = ("en", "de", "fr")
+_LANG_SQL = ", ".join(f"'{x}'" for x in _LANG_ALLOW)
+
+
+@register(
+    "llm_corpus_report",
+    oracle=f"""
+WITH f AS (
+  SELECT source, lang, doc_id,
+         string_split(text, ' ') AS toks,
+         md5(lower(trim(text))) AS fp
+  FROM documents
+),
+m AS (SELECT *, min(doc_id) OVER (PARTITION BY fp) AS first_id FROM f),
+q AS (SELECT source, lang, doc_id, first_id, {_FEATURES_SQL} FROM m),
+s AS (
+  SELECT source, n_toks,
+         CASE WHEN doc_id <> first_id THEN 'exact_dup'
+              WHEN lang NOT IN ({_LANG_SQL}) THEN 'lang'
+              WHEN {_SCORE_SQL} < 0.5 THEN 'quality'
+              ELSE 'kept' END AS reason
+  FROM q
+)
+SELECT source, reason,
+       count(*) AS n_docs,
+       CAST(sum(n_toks) AS BIGINT) AS n_tokens
+FROM s GROUP BY source, reason ORDER BY source, reason
+""",
+)
+def llm_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation in ONE declarative plan — the
+    CCNet/RefinedWeb pipeline shape: exact dedup (keep first occurrence
+    per normalized-text fingerprint), language allowlist, then the
+    logistic quality filter, with first-drop-reason precedence
+    (exact_dup > lang > quality) and per-source document/token
+    accounting for every stage's outflow.
+
+    The ONLY data-sized shuffle is the window over the dedup
+    fingerprint — identical to the exchange dedup_exact already pays;
+    language and quality stages are pure projections fused into the
+    same stage by Catalyst, and the final groupBy moves 20x4 rows.
+    At 100 TB this runs exactly one pass over the corpus plus one
+    hash-partitioned exchange, which is the optimum for any pipeline
+    that includes exact dedup at all."""
+    d = load_table(spark, sf_dir, "documents")
+    f = d.select(
+        "source",
+        "lang",
+        "doc_id",
+        tokens_ws("text").alias("toks"),
+        F.md5(F.lower(F.trim(F.col("text")))).alias("fp"),
+    )
+    m = f.withColumn("first_id", F.min("doc_id").over(Window.partitionBy("fp")))
+    feats = _quality_features(F.col("toks"))
+    reason = (
+        F.when(F.col("doc_id") != F.col("first_id"), F.lit("exact_dup"))
+        .when(~F.col("lang").isin(*_LANG_ALLOW), F.lit("lang"))
+        .when(_quality_score(feats) < 0.5, F.lit("quality"))
+        .otherwise(F.lit("kept"))
+    )
+    s = m.select("source", feats["n_toks"].alias("n_toks"), reason.alias("reason"))
+    return (
+        s.groupBy("source", "reason")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_toks").alias("n_tokens"))
+        .orderBy("source", "reason")
+    )

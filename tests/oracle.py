@@ -34,7 +34,7 @@ def _type_class(s: pd.Series) -> str:
 
 
 def _norm_cell(v):
-    if isinstance(v, (list, tuple)):
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
         return tuple(_norm_cell(x) for x in v)
     try:
         if pd.isna(v):
