@@ -449,3 +449,183 @@ def llm_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"), F.sum("n_toks").alias("n_tokens"))
         .orderBy("source", "reason")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (batch-construction pre-pass)
+# ---------------------------------------------------------------------------
+
+_PACK_CAP = 512  # subword budget per packed sequence
+
+_SUBWORDS_SQL = f"""
+  list_sum(list_transform(regexp_extract_all(text, '{_PRETOK_RE}'),
+    x -> CAST(ceil(length(x) * 1.0 / {_CHARS_PER_SUBWORD}) AS BIGINT)))
+""".strip()
+
+
+def _subword_count() -> F.Column:
+    pieces = F.regexp_extract_all(F.col("text"), F.lit(_PRETOK_RE), 0)
+    return F.aggregate(
+        F.transform(
+            pieces, lambda x: F.ceil(F.length(x) * F.lit(1.0) / _CHARS_PER_SUBWORD)
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+
+
+@register(
+    "pack_sequences",
+    oracle=f"""
+WITH s AS (
+  SELECT source, doc_id, {_SUBWORDS_SQL} AS n_sub FROM documents
+),
+c AS (
+  SELECT source, doc_id, n_sub,
+         sum(n_sub) OVER (PARTITION BY source ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum
+  FROM s
+),
+b AS (
+  SELECT source,
+         CAST(floor((cum - n_sub) * 1.0 / {_PACK_CAP}) AS BIGINT) AS bin_id,
+         n_sub
+  FROM c
+)
+SELECT source, bin_id,
+       count(*) AS n_docs,
+       CAST(sum(n_sub) AS BIGINT) AS bin_subwords
+FROM b GROUP BY source, bin_id ORDER BY source, bin_id
+""",
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing accounting: documents are packed in doc_id
+    order into fixed token-budget bins of {cap} subwords per source —
+    the streaming first-fit a training loader uses to build
+    constant-length batches (a document is counted in the bin where it
+    STARTS, the straddle convention). Output is one row per
+    (source, bin) with its document count and subword load, i.e. the
+    exact batch manifest.
+
+    Scale shape: ONE shuffle — the running-sum window partitions by
+    source, so packing parallelizes across sources (a training shard =
+    a source in practice); within a source the cumulative sum is the
+    sequential pass packing fundamentally requires. The groupBy rides
+    the same partitioning (no second exchange of corpus size).
+    """.format(cap=_PACK_CAP)
+    d = load_table(spark, sf_dir, "documents")
+    s = d.select("source", "doc_id", _subword_count().alias("n_sub"))
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = s.withColumn("cum", F.sum("n_sub").over(w))
+    b = c.select(
+        "source",
+        F.floor((F.col("cum") - F.col("n_sub")) * F.lit(1.0) / _PACK_CAP)
+        .cast("long")
+        .alias("bin_id"),
+        "n_sub",
+    )
+    return (
+        b.groupBy("source", "bin_id")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_sub").alias("bin_subwords"))
+        .orderBy("source", "bin_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mix-sampling application (consumes the weights domain_mix_report reports)
+# ---------------------------------------------------------------------------
+
+_MIX_SEED = "mix"
+_MIX_MOD = 1_000_000
+
+
+@register(
+    "apply_mix_sampling",
+    oracle=f"""
+WITH t AS (
+  SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tok FROM documents
+),
+agg AS (
+  SELECT lang, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS lang_tokens
+  FROM t GROUP BY lang
+),
+wt AS (
+  SELECT lang, n_docs, lang_tokens,
+         least(1.0, (SELECT sum(lang_tokens) * 1.0 / count(*) FROM agg)
+                    / lang_tokens) AS w
+  FROM agg
+),
+kept AS (
+  SELECT t.lang, t.n_tok,
+         CASE WHEN {hash64_sql('CAST(t.doc_id AS VARCHAR)', _MIX_SEED)}
+                   % {_MIX_MOD}
+              < CAST(floor(w * {_MIX_MOD}) AS BIGINT)
+              THEN 1 ELSE 0 END AS keep
+  FROM t JOIN wt ON t.lang = wt.lang
+)
+SELECT k.lang,
+       w.n_docs,
+       CAST(sum(k.keep) AS BIGINT) AS docs_kept,
+       round(w.w, 6) AS weight,
+       CAST(sum(k.keep * k.n_tok) AS BIGINT) AS kept_tokens
+FROM kept k JOIN wt w ON k.lang = w.lang
+GROUP BY k.lang, w.n_docs, w.w ORDER BY k.lang
+""",
+)
+def apply_mix_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLIES a uniform-language training mix (domain_mix_report only
+    reports the weights): each language is capped at the per-language
+    average token share (downsample-only, weight = min(1, avg/share)),
+    and individual documents pass a deterministic hash gate
+    ``hash64(doc_id) % 1e6 < weight * 1e6`` — the reproducible
+    Bernoulli thinning every mixing stage needs (same doc always gets
+    the same verdict; no RNG state, no sampleBy approximation).
+
+    Scale shape: pass 1 aggregates 5 language rows (map-side combined);
+    the weight table then BROADCASTS back onto the corpus for a
+    map-only filtered second pass. The alternative single-pass window
+    over lang would shuffle the entire corpus on a 5-value key —
+    catastrophic skew at 100 TB; two scans of a columnar source beat
+    one skewed exchange by orders of magnitude.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("lang", "doc_id", F.size(tokens_ws("text")).alias("n_tok"))
+    agg = t.groupBy("lang").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tok").alias("lang_tokens")
+    )
+    tot = agg.agg(
+        F.sum("lang_tokens").alias("corpus_tokens"), F.count("*").alias("n_langs")
+    )
+    wt = agg.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        F.least(
+            F.lit(1.0),
+            (F.col("corpus_tokens") * F.lit(1.0) / F.col("n_langs"))
+            / F.col("lang_tokens"),
+        ).alias("w"),
+    )
+    gate = hash64(F.col("doc_id").cast("string"), _MIX_SEED) % _MIX_MOD
+    keep = F.when(
+        gate < F.floor(F.col("w") * _MIX_MOD).cast("long"), 1
+    ).otherwise(0)
+    kept = t.join(F.broadcast(wt), "lang").select(
+        "lang", "n_docs", "n_tok", F.col("w"), keep.alias("keep")
+    )
+    return (
+        kept.groupBy("lang", "n_docs", "w")
+        .agg(
+            F.sum("keep").alias("docs_kept"),
+            F.sum(F.col("keep") * F.col("n_tok")).alias("kept_tokens"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "docs_kept",
+            F.round("w", 6).alias("weight"),
+            "kept_tokens",
+        )
+        .orderBy("lang")
+    )

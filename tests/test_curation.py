@@ -105,3 +105,37 @@ def test_corpus_report_single_data_shuffle(spark):
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges <= 2, plan
     assert "hashpartitioning(fp" in plan
+
+
+def test_pack_sequences_conserves_and_bins_contiguously(spark):
+    """Packing must conserve the subword total and produce contiguous
+    bin ids 0..max per source (a gap would mean an empty batch)."""
+    rep = REGISTRY["pack_sequences"].spark_fn(spark, SF_ORACLE)
+    rows = rep.collect()
+    per_src: dict[str, list[int]] = {}
+    for r in rows:
+        per_src.setdefault(r["source"], []).append(r["bin_id"])
+        assert r["n_docs"] > 0 and r["bin_subwords"] > 0
+    for src, bins in per_src.items():
+        assert sorted(bins) == list(range(len(bins))), src
+    total = sum(r["bin_subwords"] for r in rows)
+    d = load_table(spark, SF_ORACLE, "documents")
+    from http_log_anonymizer_spark.plans.curation import _subword_count
+
+    want = d.select(_subword_count().alias("n")).agg(F.sum("n")).first()[0]
+    assert total == want
+
+
+def test_apply_mix_sampling_weight_semantics(spark):
+    """Downsample-only mix: weights <= 1, the dominant language is
+    downsampled, and a weight-1.0 language keeps every document (the
+    hash gate is vacuous at weight 1)."""
+    rep = REGISTRY["apply_mix_sampling"].spark_fn(spark, SF_ORACLE).collect()
+    assert all(r["weight"] <= 1.0 for r in rep)
+    assert any(r["weight"] < 1.0 for r in rep)  # dominant lang capped
+    for r in rep:
+        assert r["docs_kept"] <= r["n_docs"]
+        if r["weight"] == 1.0:
+            assert r["docs_kept"] == r["n_docs"]
+    # the gate thins: at least one capped lang actually dropped docs
+    assert any(r["docs_kept"] < r["n_docs"] for r in rep if r["weight"] < 1.0)
