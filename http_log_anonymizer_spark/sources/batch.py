@@ -28,12 +28,21 @@ TABLES = [
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# The driver's parquet stores TIMESTAMP(NANOS), which Spark's vectorized
-# reader rejects by default (PARQUET_TYPE_ILLEGAL). We read nanos as
-# LongType (runtime-settable legacy conf) and convert to microsecond
-# TimestampType ourselves — integer `div` (not `/`, which routes through
-# double and loses precision above 2^53) and floor-truncation, matching
-# how DuckDB reads the same files.
+# The driver's parquet has shipped timestamps in two physical shapes
+# across rounds, and the loader normalizes both to session-TZ-pinned
+# TimestampType (LTZ) so every downstream plan sees ONE timestamp type:
+#
+# - TIMESTAMP(NANOS): Spark's vectorized reader rejects it by default
+#   (PARQUET_TYPE_ILLEGAL). We read nanos as LongType (runtime-settable
+#   legacy conf) and convert to microsecond TimestampType ourselves —
+#   integer `div` (not `/`, which routes through double and loses
+#   precision above 2^53) and floor-truncation, matching how DuckDB
+#   reads the same files.
+# - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark infers
+#   TIMESTAMP_NTZ, which forbids numeric casts (epoch arithmetic) and
+#   collects differently from the LTZ type the plans were written for.
+#   With the session TZ pinned to UTC below, NTZ -> LTZ is a pure
+#   relabeling (identical wall values, identical DuckDB-naive parity).
 _TIMESTAMP_NS_COLS = {
     "events": ["ts"],
     "orders": ["o_orderdate"],
@@ -51,6 +60,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for c in _TIMESTAMP_NS_COLS.get(name, []):
         if c in df.columns and dict(df.dtypes)[c] == "bigint":
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    for c, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 
