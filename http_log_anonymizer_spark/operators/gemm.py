@@ -44,6 +44,11 @@ PAIR_SCHEMA = StructType(
 
 _DEFAULT_SHARD_BYTES = 128 << 20
 
+# Minimum rows a left-side block should hold before it is worth a
+# dedicated partition (and so a dedicated Python worker): below this,
+# per-worker overhead dominates the matmul.
+_BLOCK_ROWS = 4096
+
 
 def _pairs_vs_shard(units: DataFrame, shard_rows: list, threshold: float) -> DataFrame:
     """Pairs (a < b, cos >= threshold) between every left row and ONE
@@ -94,6 +99,18 @@ def gemm_neardup_pairs(
         return units.sparkSession.createDataFrame([], PAIR_SCHEMA)
     rows_per_shard = max(1, shard_bytes // (int(stats["d"]) * 8))
     n_shards = max(1, -(-n // rows_per_shard))
+    # Blocked GEMM wants FAT left blocks: one BLAS matmul per Arrow
+    # batch amortizes the per-partition Python-worker cost (spawn +
+    # pandas import + Arrow round-trip), so a block should hold
+    # thousands of rows. Size the left side by ROWS, independent of the
+    # scan's partitioning: a corpus below _BLOCK_ROWS*cores rows
+    # repartitions down to ceil(n/_BLOCK_ROWS) blocks (locally that
+    # collapses a 32-way spread of a tiny table to 1-2 workers); a
+    # 100 TB corpus computes target >> current partitions and keeps its
+    # scan parallelism untouched.
+    target_blocks = max(1, -(-n // _BLOCK_ROWS))
+    if units.rdd.getNumPartitions() > target_blocks:
+        units = units.repartition(target_blocks)
     if n_shards == 1:
         return _pairs_vs_shard(units, units.collect(), threshold)
 

@@ -114,7 +114,7 @@ def _shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, sh): distinct word-3-gram shingle array per document.
     Tokens materialize in their own projection (see functions/text.py
     shingles docstring re: CSE through lambdas)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", spread=True)
     return d.select("doc_id", tokens_ws("text").alias("toks")).select(
         "doc_id", F.array_distinct(shingles("toks")).alias("sh")
     )
@@ -143,7 +143,7 @@ def _hashed_shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct-after-hash equals hash-after-distinct as a SET (duplicate
     shingles collapse either way), so signatures are unchanged from the
     string-keyed pipeline."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", spread=True)
     return d.select("doc_id", tokens_ws("text").alias("toks")).select(
         "doc_id",
         F.array_distinct(
@@ -571,7 +571,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     The signature table is cached eagerly: it feeds BOTH sides of the
     candidate self-join, and signature construction (the corpus scan)
     is the expensive stage — uncached, Spark would run it twice."""
-    sig = simhash_signatures(load_table(spark, sf_dir, "documents")).cache()
+    sig = simhash_signatures(load_table(spark, sf_dir, "documents", spread=True)).cache()
     sig.count()  # eager: lazily-built caches double-build when first
     #            probed from both sides of a join within one action
     return simhash_banded_pairs(sig).orderBy("doc_a", "doc_b")

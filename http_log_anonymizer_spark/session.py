@@ -49,6 +49,14 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Coalesce small post-shuffle stages to the size target instead
+        # of maximizing parallelism: tiny shuffles collapse to a few
+        # tasks (scheduling overhead dominates them), while big-data
+        # stages are unaffected (they exceed the size target anyway).
+        # This is the setting Spark's own docs recommend for busy
+        # clusters; map-side parallelism for CPU-heavy narrow stages is
+        # guaranteed separately by sources.batch._spread.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

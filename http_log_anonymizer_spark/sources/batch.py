@@ -50,7 +50,43 @@ _TIMESTAMP_NS_COLS = {
 }
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Widen a scan to at least the cluster's core count — ONLY if the
+    source provides fewer splits than that.
+
+    A parquet file is splittable at row-group granularity: a
+    single-row-group file (exactly what the small test tables are)
+    yields ONE input partition, so every downstream narrow transform —
+    tokenization, per-shingle md5, minhash folds, embedding dot
+    products — runs single-threaded no matter how many cores exist.
+    AQE cannot fix this (it only re-plans post-shuffle stages), so the
+    engine rebalances explicitly: a round-robin exchange of the raw
+    rows (bytes ~ the file itself, trivially small when this triggers)
+    buys full map-side parallelism.
+
+    At 100 TB this is a structural no-op: a large scan has thousands of
+    splits, `getNumPartitions() >= defaultParallelism`, and no exchange
+    is added — the guard exists precisely so the local fix cannot
+    become a cluster regression (it would otherwise COALESCE a wide
+    scan).
+
+    Spreading is OPT-IN (``load_table(..., spread=True)``) and only for
+    consumers whose map stage is JVM-CPU-bound (per-shingle md5,
+    minhash/simhash folds). Do NOT spread inputs headed into
+    mapInPandas: those stages are Python-worker-bound, and multiplying
+    tiny partitions multiplies worker spawns + Arrow round-trips
+    (measured: 3-6x slower on the multimodal decode and blocked-GEMM
+    queries at sf0.1). Such operators size their own partitioning by
+    rows (see operators/gemm.py)."""
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = False
+) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # Timestamps in the oracle (DuckDB) are naive; pin the session TZ so
     # hour()/date_trunc()/window() agree regardless of the host TZ of
@@ -63,6 +99,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for c, dtype in df.dtypes:
         if dtype == "timestamp_ntz":
             df = df.withColumn(c, F.col(c).cast("timestamp"))
+    if spread:
+        df = _spread(spark, df)
     return df
 
 
