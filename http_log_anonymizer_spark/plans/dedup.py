@@ -410,9 +410,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_clusters",
-    oracle=f"""
+# Recursive-CTE components over the verified near-dup pairs — shared
+# oracle for BOTH distributed components algorithms (they must agree).
+_CLUSTERS_ORACLE = f"""
 WITH RECURSIVE {_PAIRS_CTES},
 edges2 AS (
   SELECT doc_a AS s, doc_b AS d FROM pairs
@@ -434,8 +434,18 @@ SELECT cluster_id,
 FROM comp
 GROUP BY cluster_id
 ORDER BY cluster_id
-""",
-)
+"""
+
+
+def _cluster_rollup(comp: DataFrame) -> DataFrame:
+    return (
+        comp.groupBy("cluster_id")
+        .agg(F.count("*").alias("n_docs"), F.max("doc_id").alias("max_doc"))
+        .orderBy("cluster_id")
+    )
+
+
+@register("dedup_clusters", oracle=_CLUSTERS_ORACLE)
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate CLUSTERS from verified near-dup pairs: connected
     components via iterative min-label propagation
@@ -450,11 +460,28 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = connected_components(pairs, src="doc_a", dst="doc_b").select(
         F.col("node").alias("doc_id"), F.col("cluster").alias("cluster_id")
     )
-    return (
-        comp.groupBy("cluster_id")
-        .agg(F.count("*").alias("n_docs"), F.max("doc_id").alias("max_doc"))
-        .orderBy("cluster_id")
+    return _cluster_rollup(comp)
+
+
+@register("dedup_clusters_star", oracle=_CLUSTERS_ORACLE)
+def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same duplicate clusters, computed with the adversarial-graph-safe
+    large-star/small-star algorithm (Kiveris et al., SoCC'14;
+    operators/components.py:connected_components_star) instead of
+    min-label propagation: O(log^2 n) rounds regardless of component
+    diameter, so chain-shaped duplicate graphs (quote cascades,
+    near-identical revision chains) cannot stretch the iteration count.
+    Shares dedup_clusters' recursive-CTE oracle — both algorithms must
+    land on identical clusters."""
+    from http_log_anonymizer_spark.operators.components import (
+        connected_components_star,
     )
+
+    pairs = minhash_verified_pairs(spark, sf_dir)
+    comp = connected_components_star(pairs, src="doc_a", dst="doc_b").select(
+        F.col("node").alias("doc_id"), F.col("cluster").alias("cluster_id")
+    )
+    return _cluster_rollup(comp)
 
 
 # ---------------------------------------------------------------------------
