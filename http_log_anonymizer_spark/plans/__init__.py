@@ -40,6 +40,10 @@ _PROMOTED = [
     "llm_corpus_report",
     "embed_hashing_trick",
     "quality_classifier",
+    # DSIR (Xie et al. 2023) closes the data-selection component —
+    # flagship enough for a window slot (ccnet_perplexity_buckets
+    # registers in-module inside the window already).
+    "dsir_importance_weights",
 ]
 # kmeans_cluster_sizes is rows-only (no oracle): a driver window slot
 # adds no hash evidence for it, so it yields its slot to an
@@ -68,6 +72,15 @@ _DEMOTED = [
     "ivf_cluster_stats",
     "pii_source_summary",
     "multimodal_resize_features",
+    # In-window twins cover these families already: dedup_clusters
+    # (same oracle, same pairs) covers the star variant, ann_ivf_topk
+    # covers IVF probing (ADC is the quantized-scoring refinement),
+    # train_val_test_split + reservoir_sample cover deterministic
+    # sampling. Their slots go to ccnet_perplexity_buckets and
+    # dsir_importance_weights (new data-selection components).
+    "dedup_clusters_star",
+    "ann_ivf_adc_topk",
+    "stratified_sample",
 ]
 
 

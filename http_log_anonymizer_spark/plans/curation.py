@@ -38,7 +38,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from http_log_anonymizer_spark.functions.text import hash64, hash64_sql, tokens_ws
+from http_log_anonymizer_spark.functions.text import (
+    hash64,
+    hash64_sql,
+    shingles,
+    shingles_sql,
+    tokens_ws,
+)
 from http_log_anonymizer_spark.plans.registry import register
 from http_log_anonymizer_spark.sources.batch import load_table
 
@@ -629,3 +635,146 @@ def apply_mix_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (Xie et al., NeurIPS 2023)
+# ---------------------------------------------------------------------------
+
+# Hashed n-gram importance resampling: fit bag-of-hashed-ngram unigram+
+# bigram distributions for a TARGET slice (p) and the RAW corpus (q),
+# weight every raw document by log w(x) = sum_b c_x[b]*(ln p[b] -
+# ln q[b]), and select the top-k — the published recipe for choosing
+# pretraining data that "looks like" a trusted target domain. Bucket
+# count is small (the paper hashes into 10^4; a synthetic-scale 2^8
+# here) so the log-ratio table ALWAYS broadcasts, and the per-doc
+# weight is one groupBy(doc_id) over the feature stream.
+_DSIR_BUCKETS = 256
+_DSIR_TARGET_LANG = "en"
+_DSIR_TOP_K = 200
+
+
+@register(
+    "dsir_importance_weights",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang, source, string_split(text, ' ') AS ts FROM documents
+),
+feats AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(
+           list_concat(ts, {shingles_sql('ts', 2)}),
+           g -> {hash64_sql('g')} % {_DSIR_BUCKETS}
+         )) AS b
+  FROM t
+),
+q AS (SELECT b, count(*) AS nq FROM feats GROUP BY b),
+p AS (SELECT b, count(*) AS np FROM feats WHERE lang = '{_DSIR_TARGET_LANG}' GROUP BY b),
+tot AS (
+  SELECT (SELECT count(*) FROM feats) AS tq,
+         (SELECT count(*) FROM feats WHERE lang = '{_DSIR_TARGET_LANG}') AS tp
+),
+ratio AS (
+  SELECT q.b,
+         ln((COALESCE(p.np, 0) + 1.0) / (tot.tp + {_DSIR_BUCKETS}))
+         - ln((q.nq + 1.0) / (tot.tq + {_DSIR_BUCKETS})) AS lr
+  FROM q LEFT JOIN p ON q.b = p.b CROSS JOIN tot
+),
+w AS (
+  SELECT f.doc_id, round(sum(r.lr), 4) AS log_w, count(*) AS n_feats
+  FROM feats f JOIN ratio r ON f.b = r.b
+  GROUP BY f.doc_id
+)
+SELECT d.doc_id, d.lang, d.source, w.log_w, w.n_feats
+FROM w JOIN documents d ON d.doc_id = w.doc_id
+ORDER BY w.log_w DESC, d.doc_id
+LIMIT {_DSIR_TOP_K}
+""",
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al., NeurIPS 2023): hashed-n-gram
+    importance weights of every document against a target domain (the
+    '{lang}' slice), top-{k} selected deterministically.
+
+    Scale shape: the feature stream (unigrams + bigrams hashed into
+    {b} buckets) is a map-side projection; the two distribution fits
+    are groupBy over a FIXED {b}-key space (map-side combine collapses
+    each partition to <= {b} rows, so the shuffle is executor-count
+    sized, not corpus-sized); the log-ratio table is {b} rows and
+    broadcasts into the per-doc weighting join; the only corpus-sized
+    shuffle is the groupBy(doc_id) weight sum. Rank-stability: the
+    top-k orders on the ROUNDED weight with doc_id tie-break, so both
+    engines cut the same boundary.
+    """.format(lang=_DSIR_TARGET_LANG, k=_DSIR_TOP_K, b=_DSIR_BUCKETS)
+    d = load_table(spark, sf_dir, "documents", spread=True)
+    toks = d.select("doc_id", "lang", tokens_ws("text").alias("ts"))
+    feats = toks.select(
+        "doc_id",
+        "lang",
+        F.explode(F.concat("ts", shingles("ts", 2))).alias("ng"),
+    ).select("doc_id", "lang", F.pmod(hash64("ng"), F.lit(_DSIR_BUCKETS)).alias("b"))
+    feats = feats.cache()  # feeds q, p, totals and the weight join
+    feats.count()  # eager: four consumers below
+
+    q = feats.groupBy("b").agg(F.count("*").alias("nq"))
+    p = (
+        feats.filter(F.col("lang") == _DSIR_TARGET_LANG)
+        .groupBy("b")
+        .agg(F.count("*").alias("np"))
+    )
+    tot = feats.agg(
+        F.count("*").alias("tq"),
+        F.sum(F.when(F.col("lang") == _DSIR_TARGET_LANG, 1).otherwise(0)).alias("tp"),
+    )
+    ratio = (
+        q.join(p, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            (
+                F.log((F.coalesce("np", F.lit(0)) + F.lit(1.0)) / (F.col("tp") + F.lit(_DSIR_BUCKETS)))
+                - F.log((F.col("nq") + F.lit(1.0)) / (F.col("tq") + F.lit(_DSIR_BUCKETS)))
+            ).alias("lr"),
+        )
+    )
+    w = (
+        feats.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("lr"), 4).alias("log_w"), F.count("*").alias("n_feats"))
+    )
+    return (
+        w.join(d.select("doc_id", "lang", "source"), "doc_id")
+        .select("doc_id", "lang", "source", "log_w", "n_feats")
+        .orderBy(F.col("log_w").desc(), "doc_id")
+        .limit(_DSIR_TOP_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge learning (Sennrich et al., ACL 2016)
+# ---------------------------------------------------------------------------
+
+_BPE_MERGES = 8
+
+
+@register("bpe_learn_merges")  # iterative (k data-dependent rounds): rows-only
+def bpe_learn_merges_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First {k} learned BPE merges over the corpus vocabulary
+    (operators/bpe.py): each row is (step, left, right, pair_count),
+    the merge table a subword tokenizer trainer emits. Iterative and so
+    not SQL-expressible — the driver records rows-only; the distributed
+    learner is proven identical to a pure-Python reference BPE in
+    tests/test_bpe.py, and bpe_pretokenize_stats covers the
+    oracle-checked half of the tokenizer component.
+    """.format(k=_BPE_MERGES)
+    from http_log_anonymizer_spark.operators.bpe import (
+        corpus_vocab,
+        learn_bpe_merges,
+    )
+
+    d = load_table(spark, sf_dir, "documents", spread=True)
+    toks = d.select(F.explode(tokens_ws("text")).alias("tok"))
+    merges = learn_bpe_merges(corpus_vocab(toks), k=_BPE_MERGES)
+    return spark.createDataFrame(
+        merges, "step long, left string, right string, pair_count long"
+    ).orderBy("step")

@@ -685,3 +685,108 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity bucketing (Wenzek et al., LREC 2020)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ccnet_perplexity_buckets",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS ts FROM documents
+),
+bg AS (
+  SELECT doc_id, lang, ts[i] AS w1, ts[i + 1] AS w2
+  FROM toks, unnest(generate_series(1, len(ts) - 1)) AS u(i)
+),
+c2 AS (SELECT lang, w1, w2, count(*) AS n2 FROM bg GROUP BY lang, w1, w2),
+c1 AS (SELECT lang, w1, count(*) AS n1 FROM bg GROUP BY lang, w1),
+scored AS (
+  SELECT b.doc_id, b.lang, -ln(c2.n2 * 1.0 / c1.n1) AS nll
+  FROM bg b JOIN c2 ON b.lang = c2.lang AND b.w1 = c2.w1 AND b.w2 = c2.w2
+            JOIN c1 ON b.lang = c1.lang AND b.w1 = c1.w1
+),
+per_doc AS (
+  SELECT doc_id, lang, round(avg(nll), 4) AS nll
+  FROM scored GROUP BY doc_id, lang
+),
+bucketed AS (
+  SELECT lang, nll,
+         ntile(3) OVER (PARTITION BY lang ORDER BY nll, doc_id) AS t
+  FROM per_doc
+)
+SELECT lang,
+       CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+       count(*) AS n_docs,
+       round(avg(nll), 4) AS avg_nll,
+       round(min(nll), 4) AS min_nll,
+       round(max(nll), 4) AS max_nll
+FROM bucketed
+GROUP BY lang, t
+ORDER BY lang, t
+""",
+)
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail quality split (Wenzek et al., LREC
+    2020): fit a per-LANGUAGE bigram LM on the corpus itself, score
+    every document by average NLL, and cut each language into
+    perplexity terciles — 'head' is the cleanest third a pipeline keeps
+    outright, 'tail' the third it drops or re-filters.
+
+    Scale shape: LM fitting is two count aggregations keyed by
+    (lang, bigram)/(lang, unigram) with map-side combine (vocabulary-
+    sized outputs, broadcast candidates); scoring joins the bigram
+    stream against them on the same keys; the tercile cut is ONE
+    window per language partition over (rounded nll, doc_id) — rank
+    determinism across engines comes from ordering on the already-
+    rounded score with the id tie-break, the same discipline as the
+    registry's other float rankings.
+    """
+    d = load_table(spark, sf_dir, "documents", spread=True)
+    toks = d.select("doc_id", "lang", tokens_ws("text").alias("ts"))
+    bg = toks.select(
+        "doc_id",
+        "lang",
+        F.posexplode(F.slice("ts", 1, F.greatest(F.size("ts") - 1, F.lit(0)))).alias(
+            "i", "w1"
+        ),
+        "ts",
+    ).select("doc_id", "lang", "w1", F.expr("ts[i + 1]").alias("w2"))
+    c2 = bg.groupBy("lang", "w1", "w2").agg(F.count("*").alias("n2"))
+    c1 = bg.groupBy("lang", "w1").agg(F.count("*").alias("n1"))
+    scored = (
+        bg.join(c2, ["lang", "w1", "w2"])
+        .join(c1, ["lang", "w1"])
+        .select("doc_id", "lang", (-F.log(F.col("n2") * 1.0 / F.col("n1"))).alias("nll"))
+    )
+    per_doc = scored.groupBy("doc_id", "lang").agg(
+        F.round(F.avg("nll"), 4).alias("nll")
+    )
+    w = Window.partitionBy("lang").orderBy("nll", "doc_id")
+    bucketed = per_doc.select(
+        "lang", "nll", F.ntile(3).over(w).alias("t")
+    )
+    return (
+        bucketed.groupBy("lang", "t")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("nll"), 4).alias("avg_nll"),
+            F.round(F.min("nll"), 4).alias("min_nll"),
+            F.round(F.max("nll"), 4).alias("max_nll"),
+        )
+        .select(
+            "lang",
+            F.when(F.col("t") == 1, "head")
+            .when(F.col("t") == 2, "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+            "n_docs",
+            "avg_nll",
+            "min_nll",
+            "max_nll",
+        )
+        .orderBy("lang", "t")
+    )
