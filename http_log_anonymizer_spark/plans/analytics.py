@@ -2235,3 +2235,255 @@ def rolling_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch with set-operation estimators
+# ---------------------------------------------------------------------------
+
+# Beyer et al., SIGMOD 2007: the k smallest hash values of a set form a
+# mergeable synopsis supporting distinct-count AND set-overlap
+# estimation — the capability HLL lacks (HLL unions but cannot
+# intersect). Unlike probabilistic sketches, KMV is DETERMINISTIC given
+# the hash, so the full estimator pipeline is oracle-checkable.
+_KMV_K = 64
+_KMV_MAX = (1 << 60) - 1  # hash64 range is 60-bit
+
+
+@register(
+    "kmv_cohort_overlap",
+    oracle=f"""
+WITH u AS (
+  SELECT DISTINCT event_type AS t,
+         CAST(('0x' || substr(md5('0|' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+  FROM events
+),
+syn AS (
+  SELECT t, h FROM (
+    SELECT t, h, row_number() OVER (PARTITION BY t ORDER BY h) AS rk FROM u
+  ) WHERE rk <= {_KMV_K}
+),
+exact AS (SELECT t, count(*) AS n FROM u GROUP BY t),
+prs AS (
+  SELECT a.t AS ta, b.t AS tb
+  FROM (SELECT DISTINCT t FROM u) a JOIN (SELECT DISTINCT t FROM u) b ON a.t < b.t
+),
+m AS (
+  SELECT p.ta, p.tb, s.h,
+         max(CASE WHEN s.t = p.ta THEN 1 ELSE 0 END) AS ina,
+         max(CASE WHEN s.t = p.tb THEN 1 ELSE 0 END) AS inb
+  FROM prs p JOIN syn s ON s.t IN (p.ta, p.tb)
+  GROUP BY p.ta, p.tb, s.h
+),
+ranked AS (
+  SELECT ta, tb, h, ina, inb,
+         row_number() OVER (PARTITION BY ta, tb ORDER BY h) AS rk
+  FROM m
+),
+est AS (
+  SELECT ta, tb,
+         CAST(sum(ina * inb) AS BIGINT) AS k_both,
+         max(h) AS hk,
+         count(*) AS kk
+  FROM ranked WHERE rk <= {_KMV_K}
+  GROUP BY ta, tb
+),
+ej AS (
+  SELECT ua.t AS ta, ub.t AS tb, count(*) AS n_inter
+  FROM u ua JOIN u ub ON ua.h = ub.h AND ua.t < ub.t
+  GROUP BY ua.t, ub.t
+)
+SELECT e.ta AS type_a, e.tb AS type_b,
+       round(e.k_both * 1.0 / e.kk, 4) AS jaccard_kmv,
+       round((e.kk - 1) * {_KMV_MAX}.0 / e.hk / 1.0, 1) AS union_est,
+       round(COALESCE(ej.n_inter, 0) * 1.0 /
+             (na.n + nb.n - COALESCE(ej.n_inter, 0)), 4) AS jaccard_exact
+FROM est e
+JOIN exact na ON na.t = e.ta
+JOIN exact nb ON nb.t = e.tb
+LEFT JOIN ej ON ej.ta = e.ta AND ej.tb = e.tb
+ORDER BY type_a, type_b
+""",
+)
+def kmv_cohort_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct sketches (Beyer et al., SIGMOD 2007) per event-type
+    cohort over user_id, with the set-operation estimators HLL cannot
+    provide: pairwise Jaccard from the merged k-minimum synopsis and a
+    union-size estimate from its k-th hash — reported next to the exact
+    Jaccard so the sketch's accuracy is part of the contract.
+
+    Scale shape: the only corpus-sized shuffle is the distinct on
+    (cohort, hash); each cohort then collapses to its k={k} smallest
+    hashes via a per-cohort window (k rows out per cohort, and a
+    cluster run would pre-prune with a per-partition top-k the way
+    operators/reservoir.py does). Everything pairwise operates on
+    k-row synopses — cohorts x k rows total, broadcastable at any
+    corpus size. This is the sketch to use when cohort INTERSECTIONS
+    matter; distinct_users_approx (HLL++) remains the union-only
+    counter.
+    """.format(k=_KMV_K)
+    from http_log_anonymizer_spark.functions.text import hash64
+
+    e = _t(spark, sf_dir, "events")
+    u = e.select(
+        F.col("event_type").alias("t"),
+        hash64(F.col("user_id").cast("string")).alias("h"),
+    ).distinct()
+    u = u.cache()
+    u.count()  # eager: synopsis, exact counts and exact-join all probe it
+
+    wt = Window.partitionBy("t").orderBy("h")
+    syn = u.select("t", "h", F.row_number().over(wt).alias("rk")).filter(
+        F.col("rk") <= _KMV_K
+    )
+    exact = u.groupBy("t").agg(F.count("*").alias("n"))
+    types = u.select("t").distinct()
+    prs = (
+        types.alias("a")
+        .crossJoin(types.alias("b"))
+        .filter(F.col("a.t") < F.col("b.t"))
+        .select(F.col("a.t").alias("ta"), F.col("b.t").alias("tb"))
+    )
+    m = (
+        F.broadcast(prs)
+        .join(syn, (syn["t"] == F.col("ta")) | (syn["t"] == F.col("tb")))
+        .groupBy("ta", "tb", "h")
+        .agg(
+            F.max(F.when(F.col("t") == F.col("ta"), 1).otherwise(0)).alias("ina"),
+            F.max(F.when(F.col("t") == F.col("tb"), 1).otherwise(0)).alias("inb"),
+        )
+    )
+    wp = Window.partitionBy("ta", "tb").orderBy("h")
+    est = (
+        m.select("ta", "tb", "h", "ina", "inb", F.row_number().over(wp).alias("rk"))
+        .filter(F.col("rk") <= _KMV_K)
+        .groupBy("ta", "tb")
+        .agg(
+            F.sum(F.col("ina") * F.col("inb")).alias("k_both"),
+            F.max("h").alias("hk"),
+            F.count("*").alias("kk"),
+        )
+    )
+    ua, ub = u.alias("ua"), u.alias("ub")
+    ej = (
+        ua.join(ub, (F.col("ua.h") == F.col("ub.h")) & (F.col("ua.t") < F.col("ub.t")))
+        .groupBy(F.col("ua.t").alias("ta"), F.col("ub.t").alias("tb"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    na = exact.select(F.col("t").alias("ta"), F.col("n").alias("n_a"))
+    nb = exact.select(F.col("t").alias("tb"), F.col("n").alias("n_b"))
+    inter = F.coalesce("n_inter", F.lit(0))
+    return (
+        est.join(ej, ["ta", "tb"], "left")
+        .join(F.broadcast(na), "ta")
+        .join(F.broadcast(nb), "tb")
+        .select(
+            F.col("ta").alias("type_a"),
+            F.col("tb").alias("type_b"),
+            F.round(F.col("k_both") * 1.0 / F.col("kk"), 4).alias("jaccard_kmv"),
+            F.round(
+                (F.col("kk") - 1) * F.lit(float(_KMV_MAX)) / F.col("hk") / F.lit(1.0), 1
+            ).alias("union_est"),
+            F.round(inter * 1.0 / (F.col("n_a") + F.col("n_b") - inter), 4).alias(
+                "jaccard_exact"
+            ),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q14 shape: promotion revenue share
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "promo_revenue_share",
+    oracle="""
+SELECT round(
+         100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                          THEN l.l_extendedprice * (1 - l.l_discount)
+                          ELSE 0 END)
+         / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_pct,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '2024-02-01'
+  AND l.l_shipdate <  TIMESTAMP '2024-03-01'
+""",
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: share of one month's revenue from promo-class
+    parts — a conditional-sum ratio over a fact-dim join. The shipdate
+    band predicate pushes to the parquet scan; `part` broadcasts (it is
+    dimension-sized at any SF); the aggregate is a single global
+    reduction with map-side partials."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "2024-02-01") & (F.col("l_shipdate") < "2024-03-01")
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_pct"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18 shape: large-quantity orders
+# ---------------------------------------------------------------------------
+
+_LARGE_ORDER_QTY = 350
+
+
+@register(
+    "large_order_customers",
+    oracle=f"""
+WITH big AS (
+  SELECT l_orderkey, sum(l_quantity) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(l_quantity) > {_LARGE_ORDER_QTY}
+)
+SELECT c.c_name, o.o_orderkey,
+       CAST(o.o_orderdate AS VARCHAR) AS o_orderdate,
+       o.o_totalprice, round(b.total_qty, 2) AS total_qty
+FROM big b
+JOIN orders o ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY o.o_totalprice DESC, o.o_orderkey
+""",
+)
+def large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers whose single orders exceed a quantity
+    threshold — groupBy-HAVING on the fact table feeding a two-hop
+    dimension join. The HAVING collapses lineitem to a tiny order set
+    BEFORE any join (the aggregation is the filter), so the joins
+    against orders/customer are selective probes; at scale the `big`
+    side is small enough that AQE converts both joins to broadcasts."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > _LARGE_ORDER_QTY)
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("string").alias("o_orderdate"),
+            "o_totalprice",
+            F.round("total_qty", 2).alias("total_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    )

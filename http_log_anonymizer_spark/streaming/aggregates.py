@@ -49,9 +49,28 @@ def streaming_totals(
 def streaming_dedup(rows: DataFrame, keys: list[str], delay: str = "2 minutes") -> DataFrame:
     """Streaming exactly-once upgrade (F9): drop sort-key duplicates
     within the watermark horizon — the streaming analog of
-    ReplacingMergeTree's eventual dedup (lib.rs:99-125). State holds one
-    entry per key seen within ``delay``; older state is reclaimed."""
+    ReplacingMergeTree's eventual dedup (lib.rs:99-125).
+
+    State-retention caveat: ``dropDuplicates`` only reclaims state for
+    keys that INCLUDE the event-time column (as the reference's sort key
+    does — callers here pass ``timestamp`` in ``keys``). For dedup on a
+    business key alone use :func:`streaming_dedup_within_watermark`,
+    which expires state by watermark regardless of key shape."""
     return rows.withWatermark("timestamp", delay).dropDuplicates(keys)
+
+
+def streaming_dedup_within_watermark(
+    rows: DataFrame, keys: list[str], delay: str = "2 minutes"
+) -> DataFrame:
+    """Dedup on a business key with bounded state even though the key
+    carries no event time: ``dropDuplicatesWithinWatermark`` guarantees
+    no duplicates for events within the watermark delay of each other
+    and expires key state once the watermark passes it — the semantics
+    an at-least-once replay (F8) needs when replayed rows arrive with
+    RE-STAMPED timestamps (a plain key dedup would keep state forever;
+    a sort-key dedup would see distinct timestamps and keep both
+    rows)."""
+    return rows.withWatermark("timestamp", delay).dropDuplicatesWithinWatermark(keys)
 
 
 def enrich_with_static(rows: DataFrame, dim: DataFrame, on: list[str]) -> DataFrame:

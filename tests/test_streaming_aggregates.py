@@ -230,3 +230,35 @@ def test_stream_static_join_enriches_like_batch(spark, tmp_path):
             assert r.status_class == "success"
         else:
             assert r.response_status == 500 and r.status_class is None
+
+
+def test_streaming_dedup_within_watermark_drops_restamped_replays(spark, tmp_path):
+    """Replays of the same business key arrive with DIFFERENT
+    timestamps (re-stamped on retry): sort-key dedup would keep every
+    copy; dropDuplicatesWithinWatermark keeps one per key within the
+    watermark horizon."""
+    import json as _json
+
+    from http_log_anonymizer_spark.streaming.aggregates import (
+        streaming_dedup_within_watermark,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    lines = []
+    for second in (0, 5, 10):  # same logical event re-stamped 3x
+        rec = _json.loads(_log_line(1, 0))
+        rec["timestamp"] = f"2024-01-01 00:00:{second:02d}"
+        lines.append(_json.dumps(rec))
+    other = _json.loads(_log_line(2, 0))
+    lines.append(_json.dumps(other))
+    (src / "data.txt").write_text("\n".join(lines))
+
+    def dedup(rows):
+        return streaming_dedup_within_watermark(
+            rows, keys=["resource_id", "response_status", "remote_addr"]
+        ).select("resource_id", "bytes_sent")
+
+    _drain(spark, str(src), str(tmp_path / "ck_wwm"), dedup)
+    got = spark.sql("SELECT count(*) c FROM agg_test").collect()[0].c
+    assert got == 2  # one per business key, not one per (key, timestamp)
