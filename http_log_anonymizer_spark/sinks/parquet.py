@@ -32,3 +32,63 @@ class ParquetSink:
             df.write.mode("append").partitionBy("month").parquet(self.path)
         else:
             df.write.mode("append").parquet(self.path)
+
+
+def compaction_plan(spark, path: str, target_bytes: int = 128 << 20) -> dict:
+    """Inspect a parquet table directory and size a compaction: total
+    bytes, current file count, and the output partition count that
+    bin-packs to ``target_bytes`` files.
+
+    Small-files pathology is the steady-state failure mode of any
+    streaming parquet sink (one file per micro-batch per partition —
+    a day of 1-minute batches over 32 partitions is ~46k files): NameNode
+    /object-store metadata pressure and per-file open cost dominate
+    reads long before data size does. Uses the Hadoop FileSystem API so
+    the same code paths work for file://, hdfs:// and s3a:// URIs.
+    """
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(hconf)
+    it = fs.listFiles(p, True)
+    n_files, total = 0, 0
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if name.startswith("_") or name.startswith("."):
+            continue
+        n_files += 1
+        total += st.getLen()
+    n_out = max(1, -(-total // target_bytes))
+    return {
+        "n_files": n_files,
+        "total_bytes": int(total),
+        "target_bytes": int(target_bytes),
+        "n_output_files": int(n_out),
+    }
+
+
+def compact_parquet(
+    spark,
+    src: str,
+    dst: str,
+    target_bytes: int = 128 << 20,
+    sort_within: list[str] | None = None,
+) -> dict:
+    """Rewrite a small-files parquet table into ``n_output_files``
+    evenly-sized files (one shuffle: repartition by round-robin evens
+    out skewed inputs, unlike coalesce, which merges adjacent splits
+    and inherits their skew). ``sort_within`` optionally sorts rows
+    inside each output file (sortWithinPartitions — NO global sort) so
+    min/max column statistics stay selective after compaction, the same
+    reason the Z-order operator exists. Returns the plan it executed.
+
+    At 100 TB this runs per partition-directory (e.g. per month) as a
+    maintenance job; the shuffle moves each partition's bytes once.
+    """
+    plan = compaction_plan(spark, src, target_bytes)
+    df = spark.read.parquet(src).repartition(plan["n_output_files"])
+    if sort_within:
+        df = df.sortWithinPartitions(*sort_within)
+    df.write.mode("overwrite").parquet(dst)
+    return plan

@@ -73,6 +73,35 @@ def streaming_dedup_within_watermark(
     return rows.withWatermark("timestamp", delay).dropDuplicatesWithinWatermark(keys)
 
 
+def streaming_session_totals(
+    rows: DataFrame,
+    gap: str = "5 minutes",
+    keys: list[str] | None = None,
+    delay: str = "2 minutes",
+) -> DataFrame:
+    """Event-time SESSION windows on a stream: requests separated by
+    less than ``gap`` merge into one session per key. Session windows
+    are stateful-merging aggregations (a late row can FUSE two open
+    sessions), which is exactly what the native ``session_window``
+    operator + watermark handle; sessions emit once the watermark
+    passes their close. The batch twin is ``session_window_agg``'s
+    grouping — equivalence is asserted in
+    tests/test_streaming_aggregates.py."""
+    keys = keys or ["remote_addr"]
+    return (
+        rows.withWatermark("timestamp", delay)
+        .groupBy(F.session_window("timestamp", gap).alias("w"), *keys)
+        .agg(F.count("*").alias("n_requests"), F.sum("bytes_sent").alias("bytes"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            *keys,
+            "n_requests",
+            "bytes",
+        )
+    )
+
+
 def enrich_with_static(rows: DataFrame, dim: DataFrame, on: list[str]) -> DataFrame:
     """Stream-static join: enrich a streaming DataFrame with a batch
     dimension table. Spark re-plans the static side per micro-batch

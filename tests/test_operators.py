@@ -444,3 +444,33 @@ def test_data_quality_report_counts_planted_violations(spark, tmp_path):
         "orders_price_positive": (4, 1),
         "lineitem_discount_range": (3, 1),
     }
+
+
+def test_compaction_rewrites_small_files_evenly(spark, tmp_path):
+    from http_log_anonymizer_spark.sinks.parquet import (
+        compact_parquet,
+        compaction_plan,
+    )
+
+    src, dst = str(tmp_path / "small"), str(tmp_path / "compact")
+    # 16 micro-batch-ish files of 1k rows each
+    for i in range(16):
+        spark.range(i * 1000, (i + 1) * 1000).withColumn(
+            "v", F.col("id") % 7
+        ).coalesce(1).write.mode("append").parquet(src)
+    plan = compaction_plan(spark, src, target_bytes=1 << 40)
+    assert plan["n_files"] == 16 and plan["n_output_files"] == 1
+
+    done = compact_parquet(spark, src, dst, target_bytes=1 << 40, sort_within=["id"])
+    assert done["n_output_files"] == 1
+    out_files = [
+        f for f in __import__("os").listdir(dst) if f.endswith(".parquet")
+    ]
+    assert len(out_files) == 1
+    a = spark.read.parquet(src).orderBy("id").collect()
+    b = spark.read.parquet(dst).orderBy("id").collect()
+    assert a == b
+
+    # a small target splits output into multiple even files
+    plan2 = compact_parquet(spark, src, str(tmp_path / "c2"), target_bytes=plan["total_bytes"] // 4 + 1)
+    assert plan2["n_output_files"] == 4

@@ -116,3 +116,37 @@ def test_reservoir_prune_precedes_exchange(spark):
     # text dump lists operators top-down, so the exchange index is lower
     exchange = plan.index("Exchange hashpartitioning(lang")
     assert exchange < prune
+
+
+def test_dsir_ratio_table_broadcasts_and_stays_jvm(spark):
+    """DSIR's per-doc weighting join must broadcast the fixed-256-row
+    log-ratio table (never shuffle the feature stream for it), and the
+    whole pipeline stays out of Python."""
+    plan = _plan(spark, "dsir_importance_weights")
+    assert "BroadcastHashJoin" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_kmv_pairwise_stage_broadcasts_pairs(spark):
+    """KMV: the cohort-pair table (cohorts^2 rows) must broadcast into
+    the synopsis join; no cartesian product over the corpus."""
+    plan = _plan(spark, "kmv_cohort_overlap")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_large_orders_filter_is_aggregation_before_joins(spark):
+    """Q18 shape: the quantity HAVING must collapse lineitem BEFORE the
+    orders/customer joins — the aggregate appears below the joins in
+    the plan tree (higher indentation index in the dump)."""
+    plan = _plan(spark, "large_order_customers")
+    assert "BroadcastHashJoin" in plan
+    agg = plan.index("HashAggregate")
+    join = plan.index("BroadcastHashJoin")
+    assert agg > join  # text dump is top-down: deeper operators print later
+
+
+def test_promo_share_pushes_date_band_to_scan(spark):
+    plan = _plan(spark, "promo_revenue_share")
+    assert "PushedFilters: [" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan

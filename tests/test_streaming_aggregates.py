@@ -262,3 +262,41 @@ def test_streaming_dedup_within_watermark_drops_restamped_replays(spark, tmp_pat
     _drain(spark, str(src), str(tmp_path / "ck_wwm"), dedup)
     got = spark.sql("SELECT count(*) c FROM agg_test").collect()[0].c
     assert got == 2  # one per business key, not one per (key, timestamp)
+
+
+def test_streaming_session_windows_match_batch(spark, tmp_path):
+    """Streaming session_window aggregation equals the same grouping
+    computed in batch over the full input: two bursts separated by more
+    than the gap become two sessions per address."""
+    from http_log_anonymizer_spark.streaming.aggregates import (
+        streaming_session_totals,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    # burst at minute 0-1 and a second burst at minute 20 (gap 5m)
+    lines = [_log_line(i, minute=i % 2) for i in range(10)]
+    lines += [_log_line(i, minute=20) for i in range(4)]
+    (src / "data.txt").write_text("\n".join(lines))
+
+    def sess(rows):
+        df = streaming_session_totals(rows, gap="5 minutes")
+        df._agg_complete = True
+        return df
+
+    _drain(spark, str(src), str(tmp_path / "ck_sess"), sess)
+    got = {
+        (str(r.session_start), r.remote_addr): (r.n_requests, r.bytes)
+        for r in spark.sql("SELECT * FROM agg_test").collect()
+    }
+
+    batch = (
+        json_decoder()(spark.read.text(str(src)))
+        .groupBy(F.session_window("timestamp", "5 minutes").alias("w"), "remote_addr")
+        .agg(F.count("*").alias("n"), F.sum("bytes_sent").alias("b"))
+    )
+    want = {
+        (str(r["w"]["start"]), r.remote_addr): (r.n, r.b) for r in batch.collect()
+    }
+    assert got == want
+    assert len(got) == 2  # two sessions for the single address
