@@ -2400,7 +2400,8 @@ ej AS (
 )
 SELECT e.ta AS type_a, e.tb AS type_b,
        round(e.k_both * 1.0 / e.kk, 4) AS jaccard_kmv,
-       round((e.kk - 1) * {_KMV_MAX}.0 / e.hk / 1.0, 1) AS union_est,
+       CASE WHEN e.kk < {_KMV_K} THEN round(e.kk * 1.0, 1)
+            ELSE round((e.kk - 1) * {_KMV_MAX}.0 / e.hk / 1.0, 1) END AS union_est,
        round(COALESCE(ej.n_inter, 0) * 1.0 /
              (na.n + nb.n - COALESCE(ej.n_inter, 0)), 4) AS jaccard_exact
 FROM est e
@@ -2415,18 +2416,21 @@ def kmv_cohort_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     cohort over user_id, with the set-operation estimators HLL cannot
     provide: pairwise Jaccard from the merged k-minimum synopsis and a
     union-size estimate from its k-th hash — reported next to the exact
-    Jaccard so the sketch's accuracy is part of the contract.
+    Jaccard so the sketch's accuracy is part of the contract. When the
+    merged synopsis is unsaturated (kk < k) the union estimate IS the
+    exact distinct count kk, so small cohorts report it directly
+    instead of estimator noise (ADVICE r02).
 
     Scale shape: the only corpus-sized shuffle is the distinct on
-    (cohort, hash); each cohort then collapses to its k={k} smallest
-    hashes via a per-cohort window (k rows out per cohort, and a
-    cluster run would pre-prune with a per-partition top-k the way
+    (cohort, hash); each cohort then collapses to its k=64 (_KMV_K)
+    smallest hashes via a per-cohort window (k rows out per cohort, and
+    a cluster run would pre-prune with a per-partition top-k the way
     operators/reservoir.py does). Everything pairwise operates on
     k-row synopses — cohorts x k rows total, broadcastable at any
     corpus size. This is the sketch to use when cohort INTERSECTIONS
     matter; distinct_users_approx (HLL++) remains the union-only
     counter.
-    """.format(k=_KMV_K)
+    """
     from http_log_anonymizer_spark.functions.text import hash64
 
     e = _t(spark, sf_dir, "events")
@@ -2434,8 +2438,12 @@ def kmv_cohort_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("t"),
         hash64(F.col("user_id").cast("string")).alias("h"),
     ).distinct()
-    u = u.cache()
-    u.count()  # eager: synopsis, exact counts and exact-join all probe it
+    # eager local checkpoint, not cache(): same one-pass materialization
+    # for the four consumers below, but lineage-free blocks the context
+    # cleaner reclaims once the plan is unreferenced — a plain cache
+    # would stay pinned in the cache manager for the whole session
+    # (ADVICE r02).
+    u = u.localCheckpoint(eager=True)
 
     wt = Window.partitionBy("t").orderBy("h")
     syn = u.select("t", "h", F.row_number().over(wt).alias("rk")).filter(
@@ -2486,9 +2494,13 @@ def kmv_cohort_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ta").alias("type_a"),
             F.col("tb").alias("type_b"),
             F.round(F.col("k_both") * 1.0 / F.col("kk"), 4).alias("jaccard_kmv"),
-            F.round(
-                (F.col("kk") - 1) * F.lit(float(_KMV_MAX)) / F.col("hk") / F.lit(1.0), 1
-            ).alias("union_est"),
+            F.when(F.col("kk") < _KMV_K, F.round(F.col("kk") * 1.0, 1))
+            .otherwise(
+                F.round(
+                    (F.col("kk") - 1) * F.lit(float(_KMV_MAX)) / F.col("hk") / F.lit(1.0), 1
+                )
+            )
+            .alias("union_est"),
             F.round(inter * 1.0 / (F.col("n_a") + F.col("n_b") - inter), 4).alias(
                 "jaccard_exact"
             ),

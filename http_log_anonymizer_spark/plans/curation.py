@@ -506,7 +506,8 @@ FROM b GROUP BY source, bin_id ORDER BY source, bin_id
 )
 def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence-packing accounting: documents are packed in doc_id
-    order into fixed token-budget bins of {cap} subwords per source —
+    order into fixed token-budget bins of 512 (_PACK_CAP) subwords per
+    source —
     the streaming first-fit a training loader uses to build
     constant-length batches (a document is counted in the bin where it
     STARTS, the straddle convention). Output is one row per
@@ -518,7 +519,7 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     a source in practice); within a source the cumulative sum is the
     sequential pass packing fundamentally requires. The groupBy rides
     the same partitioning (no second exchange of corpus size).
-    """.format(cap=_PACK_CAP)
+    """
     d = load_table(spark, sf_dir, "documents")
     s = d.select("source", "doc_id", _subword_count().alias("n_sub"))
     w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
@@ -694,18 +695,19 @@ LIMIT {_DSIR_TOP_K}
 def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR data selection (Xie et al., NeurIPS 2023): hashed-n-gram
     importance weights of every document against a target domain (the
-    '{lang}' slice), top-{k} selected deterministically.
+    'en' slice, _DSIR_TARGET_LANG), top-200 (_DSIR_TOP_K) selected
+    deterministically.
 
     Scale shape: the feature stream (unigrams + bigrams hashed into
-    {b} buckets) is a map-side projection; the two distribution fits
-    are groupBy over a FIXED {b}-key space (map-side combine collapses
-    each partition to <= {b} rows, so the shuffle is executor-count
-    sized, not corpus-sized); the log-ratio table is {b} rows and
-    broadcasts into the per-doc weighting join; the only corpus-sized
-    shuffle is the groupBy(doc_id) weight sum. Rank-stability: the
-    top-k orders on the ROUNDED weight with doc_id tie-break, so both
-    engines cut the same boundary.
-    """.format(lang=_DSIR_TARGET_LANG, k=_DSIR_TOP_K, b=_DSIR_BUCKETS)
+    256 (_DSIR_BUCKETS) buckets) is a map-side projection; the two
+    distribution fits are groupBy over that FIXED key space (map-side
+    combine collapses each partition to <= 256 rows, so the shuffle is
+    executor-count sized, not corpus-sized); the log-ratio table is 256
+    rows and broadcasts into the per-doc weighting join; the only
+    corpus-sized shuffle is the groupBy(doc_id) weight sum.
+    Rank-stability: the top-k orders on the ROUNDED weight with doc_id
+    tie-break, so both engines cut the same boundary.
+    """
     d = load_table(spark, sf_dir, "documents", spread=True)
     toks = d.select("doc_id", "lang", tokens_ws("text").alias("ts"))
     feats = toks.select(
@@ -713,8 +715,10 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.explode(F.concat("ts", shingles("ts", 2))).alias("ng"),
     ).select("doc_id", "lang", F.pmod(hash64("ng"), F.lit(_DSIR_BUCKETS)).alias("b"))
-    feats = feats.cache()  # feeds q, p, totals and the weight join
-    feats.count()  # eager: four consumers below
+    # eager local checkpoint, not cache(): one materialization for the
+    # four consumers below without pinning a cache-manager entry for
+    # the rest of the session (ADVICE r02).
+    feats = feats.localCheckpoint(eager=True)
 
     q = feats.groupBy("b").agg(F.count("*").alias("nq"))
     p = (
@@ -759,14 +763,15 @@ _BPE_MERGES = 8
 
 @register("bpe_learn_merges")  # iterative (k data-dependent rounds): rows-only
 def bpe_learn_merges_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First {k} learned BPE merges over the corpus vocabulary
-    (operators/bpe.py): each row is (step, left, right, pair_count),
-    the merge table a subword tokenizer trainer emits. Iterative and so
-    not SQL-expressible — the driver records rows-only; the distributed
-    learner is proven identical to a pure-Python reference BPE in
-    tests/test_bpe.py, and bpe_pretokenize_stats covers the
-    oracle-checked half of the tokenizer component.
-    """.format(k=_BPE_MERGES)
+    """First 8 (_BPE_MERGES) learned BPE merges over the corpus
+    vocabulary (operators/bpe.py): each row is (step, left, right,
+    pair_count), the merge table a subword tokenizer trainer emits.
+    Iterative and so not SQL-expressible — the driver records
+    rows-only; the distributed learner is proven identical to a
+    pure-Python reference BPE in tests/test_bpe.py, and
+    bpe_pretokenize_stats covers the oracle-checked half of the
+    tokenizer component.
+    """
     from http_log_anonymizer_spark.operators.bpe import (
         corpus_vocab,
         learn_bpe_merges,

@@ -86,6 +86,31 @@ def compact_parquet(
     At 100 TB this runs per partition-directory (e.g. per month) as a
     maintenance job; the shuffle moves each partition's bytes once.
     """
+    # Overwrite-while-reading guard: Spark's built-in same-path check
+    # compares raw strings, so a trailing slash, file:// prefix or
+    # symlink spelling of the same directory would slip past it and
+    # delete the source mid-read (ADVICE r02). Resolve both through the
+    # Hadoop FileSystem (qualified URI + local symlink resolution) and
+    # refuse identical targets.
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+
+    def _qualified(path: str) -> str:
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(hconf)
+        q = fs.makeQualified(p)
+        uri = q.toUri()
+        if uri.getScheme() == "file":
+            import os
+
+            return "file://" + os.path.realpath(uri.getPath())
+        return q.toString().rstrip("/")
+
+    if _qualified(src) == _qualified(dst):
+        raise ValueError(
+            f"compact_parquet: src and dst resolve to the same location "
+            f"({_qualified(src)}); write to a temp dir and rename instead"
+        )
     plan = compaction_plan(spark, src, target_bytes)
     df = spark.read.parquet(src).repartition(plan["n_output_files"])
     if sort_within:

@@ -474,3 +474,24 @@ def test_compaction_rewrites_small_files_evenly(spark, tmp_path):
     # a small target splits output into multiple even files
     plan2 = compact_parquet(spark, src, str(tmp_path / "c2"), target_bytes=plan["total_bytes"] // 4 + 1)
     assert plan2["n_output_files"] == 4
+
+
+def test_compaction_refuses_same_src_dst_spellings(spark, tmp_path):
+    """Path spellings that resolve to the source (trailing slash,
+    file:// prefix, symlink) must be rejected before any overwrite."""
+    import os
+
+    import pytest
+
+    from http_log_anonymizer_spark.sinks.parquet import compact_parquet
+
+    src = str(tmp_path / "t")
+    spark.range(100).write.parquet(src)
+    link = str(tmp_path / "t_link")
+    os.symlink(src, link)
+    for dst in (src, src + "/", "file://" + src, link):
+        with pytest.raises(ValueError, match="same location"):
+            compact_parquet(spark, src, dst)
+    # an honestly distinct destination still works
+    compact_parquet(spark, src, str(tmp_path / "other"))
+    assert spark.read.parquet(str(tmp_path / "other")).count() == 100
