@@ -921,16 +921,38 @@ def embed_neardup_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("kmeans_cluster_sizes", oracle=None)
+_KM_K = 8
+_KM_ROUNDS = 4
+
+
+def _km_ctes() -> str:
+    from http_log_anonymizer_spark.operators.kmeans import kmeans_lloyd_sql
+
+    return kmeans_lloyd_sql(k=_KM_K, rounds=_KM_ROUNDS, qscale=1000, dim=_DIM)
+
+
+@register(
+    "kmeans_cluster_sizes",
+    oracle=f"""
+WITH {_km_ctes()}
+SELECT cluster, count(*) AS n_vectors
+FROM kassign{_KM_ROUNDS}
+GROUP BY cluster
+ORDER BY cluster
+""",
+)
 def kmeans_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K-means (operators/kmeans.py, deterministic md5 seeding) over the
-    embeddings, reported as per-cluster sizes. Iterative Lloyd's is not
-    reasonably SQL-expressible, so this is a rows-only registry entry;
-    determinism and convergence are asserted in tests/test_kmeans.py."""
-    from http_log_anonymizer_spark.operators.kmeans import kmeans
+    """K-means over the embeddings, reported as per-cluster sizes.
+    Uses kmeans_quantized (operators/kmeans.py): integer-quantized
+    Lloyd's with md5 seeding, rounded-distance tie-breaks and a FIXED
+    round count, so the whole training run unrolls into oracle SQL and
+    the driver hash-checks the learned clustering itself (VERDICT r02
+    item 2). Determinism/convergence of the float variant stays pinned
+    in tests/test_kmeans.py."""
+    from http_log_anonymizer_spark.operators.kmeans import kmeans_quantized
 
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    assignments, _centroids, _history = kmeans(e, k=8, max_iter=10)
+    assignments, _centroids = kmeans_quantized(e, k=_KM_K, rounds=_KM_ROUNDS)
     return (
         assignments.groupBy("cluster")
         .agg(F.count("*").alias("n_vectors"))
@@ -938,20 +960,63 @@ def kmeans_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_ivf_kmeans_topk", oracle=None)
+@register(
+    "ann_ivf_kmeans_topk",
+    oracle=f"""
+WITH {UNIT_CTE_SQL},
+{_km_ctes()},
+q AS (
+  SELECT vec_id AS query_id, embedding AS qemb, ue AS qe
+  FROM unit WHERE vec_id % 100 = 0
+),
+kqd AS (
+  SELECT q.query_id, c.cluster AS label,
+         list_sum(list_transform(generate_series(1, {_DIM}),
+           i -> (CAST(q.qemb[i] AS DOUBLE) - c.c[i])
+              * (CAST(q.qemb[i] AS DOUBLE) - c.c[i]))) AS d2
+  FROM q CROSS JOIN kcent{_KM_ROUNDS} c
+),
+kprobed AS (
+  SELECT query_id, label FROM (
+    SELECT query_id, label,
+           row_number() OVER (
+             PARTITION BY query_id ORDER BY round(d2, 6), label
+           ) AS cr
+    FROM kqd
+  ) WHERE cr <= 3
+),
+kscored AS (
+  SELECT q.query_id, u.vec_id AS neighbor_id,
+         round({dot_sql('q.qe', 'u.ue', _DIM)}, 4) AS cos
+  FROM kprobed p
+  JOIN q ON q.query_id = p.query_id
+  JOIN kassign{_KM_ROUNDS} a ON a.cluster = p.label
+  JOIN unit u ON u.vec_id = a.vec_id AND u.vec_id <> q.query_id
+),
+kranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+  ) AS rank FROM kscored
+)
+SELECT query_id, neighbor_id, rank, cos FROM kranked WHERE rank <= {_TOPK}
+ORDER BY query_id, rank
+""",
+)
 def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full IVF index build + search with LEARNED cells: k-means
-    (operators/kmeans.py, deterministic seeding) trains the coarse
-    quantizer, vectors are bucketed by their assigned centroid, queries
-    probe the 3 nearest learned centroids and exact-cosine
-    rerank within those cells — the complete FAISS IndexIVFFlat
-    lifecycle. Iterative training is not SQL-expressible, so this is a
-    rows-only entry; recall vs the brute-force oracle is asserted in
-    tests (test_scale_operators.py)."""
-    from http_log_anonymizer_spark.operators.kmeans import kmeans
+    """Full IVF index build + search with LEARNED cells: k-means trains
+    the coarse quantizer, vectors are bucketed by their assigned
+    centroid, queries probe the 3 nearest learned centroids and
+    exact-cosine rerank within those cells — the complete FAISS
+    IndexIVFFlat lifecycle. Training uses kmeans_quantized
+    (operators/kmeans.py): integer-quantized sums, md5 seeding,
+    rounded-distance tie-breaks and a fixed round count make the
+    learned index SQL-replayable, so the driver hash-checks build AND
+    search end-to-end (VERDICT r02 item 2). Recall vs brute force is
+    additionally asserted in tests/test_scale_operators.py."""
+    from http_log_anonymizer_spark.operators.kmeans import kmeans_quantized
 
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    assignments, centroids, _history = kmeans(e, k=8, max_iter=10)
+    assignments, centroids = kmeans_quantized(e, k=_KM_K, rounds=_KM_ROUNDS)
     cv = spark.createDataFrame(
         [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)],
         "label int, cvec array<double>",
