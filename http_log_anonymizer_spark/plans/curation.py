@@ -761,16 +761,25 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_MERGES = 8
 
 
-@register("bpe_learn_merges")  # iterative (k data-dependent rounds): rows-only
+def _bpe_oracle() -> str:
+    from http_log_anonymizer_spark.operators.bpe import bpe_merges_sql
+
+    return bpe_merges_sql(
+        _BPE_MERGES, "SELECT unnest(string_split(text, ' ')) AS tok FROM documents"
+    )
+
+
+@register("bpe_learn_merges", oracle=_bpe_oracle())
 def bpe_learn_merges_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First 8 (_BPE_MERGES) learned BPE merges over the corpus
     vocabulary (operators/bpe.py): each row is (step, left, right,
     pair_count), the merge table a subword tokenizer trainer emits.
-    Iterative and so not SQL-expressible — the driver records
-    rows-only; the distributed learner is proven identical to a
-    pure-Python reference BPE in tests/test_bpe.py, and
-    bpe_pretokenize_stats covers the oracle-checked half of the
-    tokenizer component.
+    Every step is deterministic (exact counts, lexicographic
+    tie-breaks, greedy folds), so the fixed-k training run unrolls into
+    a recursive-CTE oracle (bpe_merges_sql) and the driver hash-checks
+    the learned merge table itself (VERDICT r02) — formerly rows-only.
+    The distributed learner is additionally proven identical to a
+    pure-Python reference BPE in tests/test_bpe.py.
     """
     from http_log_anonymizer_spark.operators.bpe import (
         corpus_vocab,
