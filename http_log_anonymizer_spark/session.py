@@ -14,6 +14,27 @@ import os
 from pyspark.sql import SparkSession
 
 
+def shuffle_partitions_for_sf(sf: float) -> int:
+    """Data-proportional shuffle parallelism: at small scale factors the
+    per-task overhead of core-count near-empty partitions costs ~8%
+    (measured in bench.py r02); AQE coalesces down but not to the
+    floor. ~80 partitions per unit scale factor, clamped to [8, 256]
+    locally — on a real cluster the 256 cap should scale with executor
+    count (ADVICE r02 item 8: shared by bench.py, tests and any driver
+    run that exports SPARK_GRAFT_SF_DIR)."""
+    return max(8, min(256, int(80 * sf)))
+
+
+def _sf_from_env() -> float | None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR")
+    if not sf_dir:
+        return None
+    try:
+        return float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        return None
+
+
 def get_spark(
     app_name: str = "http-log-anonymizer-spark",
     master: str | None = None,
@@ -41,7 +62,16 @@ def get_spark(
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
     if shuffle_partitions is None:
-        shuffle_partitions = int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", cpus))
+        env = os.environ.get("SPARK_SHUFFLE_PARTITIONS")
+        sf = _sf_from_env()
+        if env is not None:
+            shuffle_partitions = int(env)
+        elif sf is not None:
+            # data-proportional default when the caller advertises the
+            # scale factor (bench.py / driver runs)
+            shuffle_partitions = shuffle_partitions_for_sf(sf)
+        else:
+            shuffle_partitions = int(cpus)
 
     builder = (
         SparkSession.builder.appName(app_name)
