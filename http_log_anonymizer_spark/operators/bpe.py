@@ -65,10 +65,11 @@ def corpus_vocab(tokens: DataFrame, token_col: str = "tok") -> DataFrame:
     )
 
 
-def bpe_merges_sql(k: int, token_sql: str) -> str:
-    """DuckDB query replaying ``learn_bpe_merges(corpus_vocab(tokens),
-    k)`` exactly. ``token_sql`` must select a single column ``tok``.
-    Output: (step, left, right, pair_count) — one row per merge.
+def _bpe_ctes(k: int, token_sql: str) -> str:
+    """Shared CTE chain for the SQL replay of ``k`` BPE merges over the
+    vocabulary of ``token_sql`` (must select a single column ``tok``).
+    Exposes ``m{s}`` (the s-th merge: l, r, c) and ``v{k}`` (the final
+    vocabulary: word, freq, sym).
 
     The merge application encodes each word's symbols as a
     chr(31)-separated string (the unit separator never occurs in the
@@ -81,7 +82,7 @@ def bpe_merges_sql(k: int, token_sql: str) -> str:
     sep = "chr(31)"
     parts = [
         f"""v0 AS (
-  SELECT count(*) AS freq, string_split(word, '') AS sym FROM (
+  SELECT word, count(*) AS freq, string_split(word, '') AS sym FROM (
     SELECT tok AS word FROM ({token_sql})
   ) GROUP BY word
 )"""
@@ -98,30 +99,52 @@ def bpe_merges_sql(k: int, token_sql: str) -> str:
 ),
 m{s} AS (SELECT l, r, c FROM pairs{s} ORDER BY c DESC, l, r LIMIT 1),
 w{s} AS (
-  SELECT freq,
+  SELECT word, freq,
          {sep} || array_to_string(sym, {sep}) || {sep} AS enc,
          {sep} || l || {sep} || r || {sep} AS pat,
          {sep} || l || r || {sep} AS rep
   FROM v{s} CROSS JOIN m{s}
   UNION ALL
-  SELECT freq,
+  SELECT word, freq,
          substr(enc, 1, position(pat IN enc) - 1) || rep
            || substr(enc, position(pat IN enc) + length(pat)),
          pat, rep
   FROM w{s} WHERE position(pat IN enc) > 0
 ),
 v{s + 1} AS (
-  SELECT freq, list_filter(string_split(enc, {sep}), x -> x <> '') AS sym
+  SELECT word, freq,
+         list_filter(string_split(enc, {sep}), x -> x <> '') AS sym
   FROM w{s} WHERE position(pat IN enc) = 0
 )"""
         )
+    return ",\n".join(parts)
+
+
+def bpe_merges_sql(k: int, token_sql: str) -> str:
+    """DuckDB query replaying ``learn_bpe_merges(corpus_vocab(tokens),
+    k)`` exactly. Output: (step, left, right, pair_count) per merge."""
     union = "\nUNION ALL\n".join(
         f'SELECT {s} AS step, l AS "left", r AS "right", c AS pair_count FROM m{s}'
         for s in range(k)
     )
-    return (
-        "WITH RECURSIVE\n" + ",\n".join(parts) + f"\n{union}\nORDER BY step"
-    )
+    return "WITH RECURSIVE\n" + _bpe_ctes(k, token_sql) + f"\n{union}\nORDER BY step"
+
+
+def bpe_vocab_sql(k: int, token_sql: str) -> str:
+    """DuckDB CTE prefix (caller appends its own final SELECT) exposing
+    ``v{k}`` — the vocabulary AFTER the first ``k`` learned merges:
+    (word, freq, sym). Prepend verbatim: ``{bpe_vocab_sql(...)}, ...``
+    already starts with WITH RECURSIVE."""
+    return "WITH RECURSIVE\n" + _bpe_ctes(k, token_sql)
+
+
+def apply_merges(sym: F.Column, merges: list[Row]) -> F.Column:
+    """Apply learned merges in order to one symbol array — k chained
+    greedy folds, all JVM-side higher-order functions."""
+    out = sym
+    for m in merges:
+        out = _merge_adjacent(out, m["left"], m["right"])
+    return out
 
 
 def learn_bpe_merges(vocab: DataFrame, k: int) -> list[Row]:

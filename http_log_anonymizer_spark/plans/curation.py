@@ -792,3 +792,73 @@ def bpe_learn_merges_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "step long, left string, right string, pair_count long"
     ).orderBy("step")
+
+
+def _bpe_encode_oracle() -> str:
+    from http_log_anonymizer_spark.operators.bpe import bpe_vocab_sql
+
+    prefix = bpe_vocab_sql(
+        _BPE_MERGES, "SELECT unnest(string_split(text, ' ')) AS tok FROM documents"
+    )
+    return f"""
+{prefix},
+tok AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents
+),
+enc AS (
+  SELECT t.lang, len(v.sym) AS n_sub, length(t.word) AS n_chars
+  FROM tok t JOIN v{_BPE_MERGES} v ON v.word = t.word
+)
+SELECT lang,
+       count(*) AS n_tokens,
+       CAST(sum(n_sub) AS BIGINT) AS n_subwords,
+       round(sum(n_sub) * 1.0 / count(*), 4) AS subwords_per_token,
+       round(sum(n_chars) * 1.0 / sum(n_sub), 4) AS chars_per_subword
+FROM enc GROUP BY lang ORDER BY lang
+"""
+
+
+@register("bpe_encode_stats", oracle=_bpe_encode_oracle())
+def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION — the other half of the train/apply loop:
+    encode the whole corpus with the 8 merges bpe_learn_merges just
+    learned and report per-language fertility (subwords per token,
+    chars per subword), the numbers a tokenizer bake-off actually
+    compares. The oracle replays training AND encoding in SQL
+    (bpe_vocab_sql), so the driver hash-checks the full lifecycle.
+
+    Scale shape: merges are learned on the VOCABULARY (distinct words —
+    millions of rows when the corpus is trillions) and the k greedy
+    folds apply to each vocab entry ONCE; the corpus-sized side only
+    joins its word stream against the encoded vocab (a shuffle the
+    tokenize step needs anyway) and aggregates 5 rows per lang with
+    map-side combine. No Python anywhere: the folds are Catalyst
+    higher-order functions.
+    """
+    from http_log_anonymizer_spark.operators.bpe import (
+        apply_merges,
+        corpus_vocab,
+        learn_bpe_merges,
+    )
+
+    d = load_table(spark, sf_dir, "documents", spread=True)
+    toks = d.select(F.explode(tokens_ws("text")).alias("tok"))
+    vocab = corpus_vocab(toks)
+    merges = learn_bpe_merges(vocab, k=_BPE_MERGES)
+    encoded = vocab.select(
+        "word", F.size(apply_merges(F.col("sym"), merges)).alias("n_sub")
+    )
+    words = d.select("lang", F.explode(tokens_ws("text")).alias("word"))
+    enc = words.join(encoded, "word").select(
+        "lang", "n_sub", F.length("word").alias("n_chars")
+    )
+    return (
+        enc.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("n_sub").alias("n_subwords"),
+            F.round(F.sum("n_sub") * 1.0 / F.count("*"), 4).alias("subwords_per_token"),
+            F.round(F.sum("n_chars") * 1.0 / F.sum("n_sub"), 4).alias("chars_per_subword"),
+        )
+        .orderBy("lang")
+    )

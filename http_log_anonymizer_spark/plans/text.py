@@ -790,3 +790,109 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "t")
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval (Robertson & Zaragoza, 2009) — the lexical-retrieval
+# primitive a RAG / retrieval-augmented training pipeline needs next to
+# the embedding ANN tier (plans/similarity.py).
+# ---------------------------------------------------------------------------
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_QTERMS = 5
+_BM25_TOPK = 20
+
+
+@register(
+    "bm25_retrieval",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) * 1.0 / count(*) FROM dl) AS avgdl
+),
+q AS (
+  SELECT term, df FROM df ORDER BY df DESC, term LIMIT {_BM25_QTERMS}
+),
+contrib AS (
+  SELECT tf.doc_id,
+         ln(1 + (s.n - q.df + 0.5) / (q.df + 0.5))
+           * tf.tf * ({_BM25_K1} + 1)
+           / (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / s.avgdl))
+           AS c
+  FROM tf
+  JOIN q ON q.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+scored AS (
+  SELECT doc_id, round(sum(c), 4) AS bm25 FROM contrib GROUP BY doc_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank FROM scored
+)
+SELECT doc_id, rank, bm25 FROM ranked WHERE rank <= {_BM25_TOPK}
+ORDER BY rank
+""",
+)
+def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 retrieval (k1=1.2, b=0.75) for a deterministic
+    5-term query (the corpus's highest-df terms, df-desc/term
+    tie-break) — the lexical twin of ann_brute_topk, so a retrieval
+    pipeline has both sparse and dense rankers in one engine.
+
+    Scale shape: tf shuffles once on (doc_id, term) with map-side
+    combine, df once on term; the query-term table is LIMIT 5 and
+    BROADCASTS into the tf stream, so scoring is a map-side semi-join
+    that touches only rows containing query terms (at 100 TB: corpus *
+    p(term in query), not corpus * |vocab|); N and avgdl ride a 1-row
+    broadcast cross join, never a driver collect. The per-doc score sum
+    shuffles only the surviving (doc, term in query) rows.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens_ws("text")).alias("term"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    stats = d.agg(F.count("*").alias("n")).crossJoin(
+        dl.agg((F.sum("dl") * 1.0 / F.count("*")).alias("avgdl"))
+    )
+    q = df.orderBy(F.desc("df"), "term").limit(_BM25_QTERMS)
+    idf = F.log(
+        1 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    contrib = (
+        tf.join(F.broadcast(q), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                idf
+                * F.col("tf")
+                * (_BM25_K1 + 1)
+                / (
+                    F.col("tf")
+                    + _BM25_K1
+                    * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("c"),
+        )
+    )
+    scored = contrib.groupBy("doc_id").agg(F.round(F.sum("c"), 4).alias("bm25"))
+    # top-k FIRST via orderBy+limit (TakeOrderedAndProject: per-partition
+    # partial top-k, never a global single-task sort), then rank the k
+    # survivors with a trivially small window
+    top = scored.orderBy(F.desc("bm25"), "doc_id").limit(_BM25_TOPK)
+    w = Window.orderBy(F.desc("bm25"), "doc_id")
+    return (
+        top.select("*", F.row_number().over(w).alias("rank"))
+        .select("doc_id", "rank", "bm25")
+        .orderBy("rank")
+    )
