@@ -78,13 +78,14 @@ _WINDOW = [
     # --- flagship parity anchors ---
     "http_totals",
     "llm_corpus_report",
-    # --- spare slots (new round-3 queries take these; until then the
-    #     strongest r02-green families keep them warm) ---
+    # --- new round-3 queries ---
+    "bm25_retrieval",
+    "bpe_encode_stats",
+    # --- r02-green anchors whose plans changed this round (partial
+    #     top-k operator / spread=True embeddings scans) ---
+    "ann_brute_topk",
+    "ann_lsh_topk",
     "ann_ivf_topk",
-    "dedup_simhash",
-    "http_anonymize_rows",
-    "dedup_exact",
-    "token_stats",
 ]
 
 
