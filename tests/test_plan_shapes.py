@@ -44,9 +44,39 @@ def test_text_queries_stay_jvm_side(spark):
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, name
 
 
-def test_ann_brute_broadcasts_queries(spark):
+def test_ann_brute_streams_corpus_with_partial_topk(spark):
+    """operators/topk.py shape: the corpus streams through ONE
+    mapInPandas (queries ride a broadcast variable, not a join), and
+    the only exchange after it carries the per-partition top-k
+    candidate rows for the rank window — never corpus x queries. A
+    join-based regression would reintroduce the BNLJ + full-width
+    window shuffle (32 s at sf1)."""
     plan = _plan(spark, "ann_brute_topk")
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "MapInPandas" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # rank stage gets group-limited (partial top-k) candidates, and the
+    # only join-free exchanges are the explicit repartitions
+    assert "WindowGroupLimit" in plan
+
+
+def test_bm25_query_terms_broadcast(spark):
+    """BM25: scoring must be a broadcast semi-join of the 5-term query
+    table into the tf stream (corpus rows never shuffle to meet the
+    query terms) and the final top-k must be TakeOrderedAndProject,
+    not a global sort."""
+    plan = _plan(spark, "bm25_retrieval")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bpe_encode_joins_vocab_not_corpus_squared(spark):
+    """Tokenizer application: the corpus word stream equi-joins the
+    encoded VOCAB (no cartesian, no Python) — the k merge folds run
+    once per vocab entry inside Catalyst."""
+    plan = _plan(spark, "bpe_encode_stats")
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
 
 
 def test_ivf_candidate_scan_is_broadcast_equijoin(spark):
