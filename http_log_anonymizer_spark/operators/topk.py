@@ -57,6 +57,7 @@ def brute_topk(
     k: int,
     round_decimals: int = 4,
     margin: int = 8,
+    exclude_label: bool = False,
 ) -> DataFrame:
     """(query_id, neighbor_id, rank, cos): exact top-k cosine neighbors
     of every query over a (vec_id, ue) unit-vector corpus, excluding
@@ -64,12 +65,23 @@ def brute_topk(
     to the Catalyst/SQL formulation, bit-for-bit.
 
     ``margin`` extra candidates per (partition, query) absorb rounding
-    ties at the k boundary."""
+    ties at the k boundary.
+
+    ``exclude_label=True`` additionally drops candidates whose
+    ``label`` equals the query's ``xlabel`` (hard-negative mining:
+    nearest neighbors from OTHER classes); both sides must then carry
+    those columns."""
     spark = units.sparkSession
-    q_rows = queries.select("query_id", "qe").collect()
+    q_cols = ["query_id", "qe"] + (["xlabel"] if exclude_label else [])
+    q_rows = queries.select(*q_cols).collect()
     qids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
     qmat = np.array([r["qe"] for r in q_rows], dtype=np.float64)
-    b_q = spark.sparkContext.broadcast((qids, qmat))
+    qlab = (
+        np.array([r["xlabel"] for r in q_rows], dtype=np.int64)
+        if exclude_label
+        else None
+    )
+    b_q = spark.sparkContext.broadcast((qids, qmat, qlab))
     take = k + margin
 
     # Spread SMALL corpora across the cores: a replica-scaled or
@@ -84,11 +96,14 @@ def brute_topk(
         units = units.repartition(min(sc.defaultParallelism, max(1, n // 512)))
 
     def gen(batches):
-        ids_q, mat_q = b_q.value
+        ids_q, mat_q, lab_q = b_q.value
         nq, dim = mat_q.shape
         for pdf in batches:
             cids = pdf["vec_id"].to_numpy(dtype=np.int64)
             cmat = np.array(list(pdf["ue"]), dtype=np.float64)
+            clab = (
+                pdf["label"].to_numpy(dtype=np.int64) if lab_q is not None else None
+            )
             acc = np.zeros((nq, len(cids)))
             for d in range(dim):  # fold order: (0.0 + t0) + t1 + ...
                 acc += np.multiply.outer(mat_q[:, d], cmat[:, d])
@@ -96,6 +111,8 @@ def brute_topk(
             out_q, out_n, out_c = [], [], []
             for qi in range(nq):
                 mask = cids != ids_q[qi]
+                if clab is not None:
+                    mask &= clab != lab_q[qi]
                 row_ids, row_r, row_raw = cids[mask], r[qi][mask], acc[qi][mask]
                 sel = np.lexsort((row_ids, -row_r))[:take]
                 out_q.append(np.full(len(sel), ids_q[qi], dtype=np.int64))

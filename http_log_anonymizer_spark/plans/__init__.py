@@ -75,12 +75,13 @@ _WINDOW = [
     "dsir_importance_weights",
     "embed_neardup_gemm",
     "dedup_minhash_lsh",
-    # --- flagship parity anchors ---
-    "http_totals",
-    "llm_corpus_report",
-    # --- new round-3 queries ---
+    # --- new round-3 queries (flagship anchors http_totals /
+    #     llm_corpus_report yield their slots: both carry green driver
+    #     rows from r01 AND r02 and are unchanged this round) ---
     "bm25_retrieval",
     "bpe_encode_stats",
+    "doc_chunking",
+    "hard_negative_mining",
     # --- r02-green anchors whose plans changed this round (partial
     #     top-k operator / spread=True embeddings scans) ---
     "ann_brute_topk",

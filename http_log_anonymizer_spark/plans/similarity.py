@@ -1120,3 +1120,60 @@ def ivf_residual_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@register(
+    "hard_negative_mining",
+    oracle=f"""
+WITH {UNIT_CTE_SQL},
+q AS (
+  SELECT vec_id AS query_id, label AS qlabel, ue AS qe
+  FROM unit WHERE vec_id % 100 = 0
+),
+scored AS (
+  SELECT
+    q.query_id,
+    c.vec_id AS neighbor_id,
+    c.label AS neg_label,
+    round({dot_sql('q.qe', 'c.ue', _DIM)}, 4) AS cos
+  FROM q JOIN unit c ON c.vec_id <> q.query_id AND c.label <> q.qlabel
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+  ) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, neg_label, rank, cos
+FROM ranked WHERE rank <= {_TOPK}
+ORDER BY query_id, rank
+""",
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training: for
+    every query vector, the top-{_TOPK} most similar vectors from
+    OTHER label classes — the negatives that sit closest to the
+    decision boundary, which is what a contrastive/triplet trainer
+    wants in its batches. Runs on operators/topk.py with label
+    exclusion pushed into the scoring kernel (fold-order-exact numpy,
+    per-partition partial top-k — see ann_brute_topk), so the corpus
+    never shuffles and the oracle hash-matches bit-for-bit."""
+    from http_log_anonymizer_spark.operators.topk import brute_topk
+
+    u = _unit_table(spark, sf_dir, extra=["label"], cache=False)
+    q = u.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("ue").alias("qe"),
+        F.col("label").alias("xlabel"),
+    )
+    top = brute_topk(u, q, k=_TOPK, exclude_label=True)
+    # attach the negative's label: broadcast the TINY top-k result into
+    # the corpus-side lookup (the label table is corpus-sized and must
+    # never be the broadcast side)
+    lab = u.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("neg_label"))
+    return (
+        F.broadcast(top)
+        .join(lab, "neighbor_id")
+        .select("query_id", "neighbor_id", "neg_label", "rank", "cos")
+        .orderBy("query_id", "rank")
+    )

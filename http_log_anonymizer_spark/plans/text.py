@@ -896,3 +896,69 @@ def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "rank", "bm25")
         .orderBy("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Document chunking — the RAG / context-window prep step: split every
+# document into fixed-size overlapping token windows with stable ids.
+# ---------------------------------------------------------------------------
+
+_CHUNK_TOKENS = 64
+_CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
+
+
+@register(
+    "doc_chunking",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+),
+c AS (
+  SELECT doc_id, lang,
+         unnest(generate_series(1, len(toks), {_CHUNK_STRIDE})) AS start,
+         toks
+  FROM tok
+),
+chunks AS (
+  SELECT doc_id, lang,
+         CAST((start - 1) / {_CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+         start AS chunk_start,
+         len(toks[start : start + {_CHUNK_TOKENS - 1}]) AS chunk_len,
+         md5(array_to_string(toks[start : start + {_CHUNK_TOKENS - 1}], ' ')) AS chunk_hash
+  FROM c
+)
+SELECT doc_id, chunk_id, chunk_start, chunk_len, chunk_hash
+FROM chunks
+ORDER BY doc_id, chunk_id
+""",
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window document chunking (64-token windows, stride 48 →
+    16-token overlap): the chunk manifest a RAG indexer or a
+    context-window packer consumes — (doc_id, chunk_id, start, length,
+    md5-of-chunk-text). The hash column makes the oracle verify the
+    chunk CONTENT, not just the arithmetic.
+
+    Scale shape: pure map — one projection computes all chunk starts
+    (sequence + explode), slices are array ops on the already-split
+    token array, and nothing shuffles except the final presentation
+    sort. Row count = total chunks, linear in corpus tokens with a
+    1/stride constant. No Python."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "lang", tokens_ws("text").alias("toks"))
+    c = toks.select(
+        "doc_id",
+        "lang",
+        "toks",
+        F.explode(
+            F.sequence(F.lit(1), F.size("toks"), F.lit(_CHUNK_STRIDE))
+        ).alias("start"),
+    )
+    chunk = F.slice("toks", F.col("start"), _CHUNK_TOKENS)
+    return c.select(
+        "doc_id",
+        ((F.col("start") - 1) / _CHUNK_STRIDE).cast("long").alias("chunk_id"),
+        F.col("start").alias("chunk_start"),
+        F.size(chunk).alias("chunk_len"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_hash"),
+    ).orderBy("doc_id", "chunk_id")
