@@ -87,13 +87,15 @@ def gemm_neardup_pairs(
     default is a fresh system temp directory.
     """
     spark = units.sparkSession
-    stats = units.select(
-        F.count("*").alias("n"), F.first(F.size("ue")).alias("d")
-    ).first()
-    n = int(stats["n"])
+    # Cheap stats: count() prunes the unit-vector projection entirely
+    # (Catalyst drops unused project expressions), and the dimension
+    # probe computes ue for a single row via limit(1) — the expensive
+    # fold over the whole corpus runs exactly ONCE, in the shard write
+    # below, whose parquet output then serves as the left side too.
+    n = units.count()
     if n == 0:
         return spark.createDataFrame([], PAIR_SCHEMA)
-    dim = int(stats["d"])
+    dim = len(units.select("ue").limit(1).first()["ue"])
     rows_per_shard = max(1, shard_bytes // (dim * 8))
     n_shards = max(1, -(-n // rows_per_shard))
 
@@ -114,20 +116,28 @@ def gemm_neardup_pairs(
         .parquet(shard_root)
     )
 
-    # Blocked GEMM wants FAT left blocks: one BLAS matmul per Arrow
-    # batch amortizes the per-partition Python-worker cost (spawn +
-    # pandas import + Arrow round-trip), so a block should hold
-    # thousands of rows. Only a SMALL corpus needs the collapse (a
-    # local scan spreads tiny tables over 32 splits); a large scan's
-    # natural ~128 MiB partitions already exceed _BLOCK_ROWS, so it is
-    # left untouched — sized from n and defaultParallelism, never by
+    # The LEFT side reads the just-written shard parquet back — the
+    # unit vectors were materialized once by the write, so no second
+    # pass over the fold pipeline (r03 bench: the fold recompute
+    # tripled the query's cost). Blocked GEMM wants FAT left blocks:
+    # one BLAS matmul per Arrow batch amortizes the per-partition
+    # Python-worker cost, so a SMALL corpus collapses to
+    # ceil(n/_BLOCK_ROWS) blocks; a large one keeps its natural
+    # ~128 MiB splits — sized from n and defaultParallelism, never by
     # probing .rdd.getNumPartitions(), which finalizes the AQE plan and
     # can execute upstream stages just to count partitions (ADVICE
     # r02).
     sc = spark.sparkContext
-    target_blocks = max(1, -(-n // _BLOCK_ROWS))
-    if n <= _BLOCK_ROWS * sc.defaultParallelism:
-        units = units.repartition(target_blocks)
+    left = spark.read.parquet(shard_root).select("vec_id", "ue")
+    par = sc.defaultParallelism
+    if n <= _BLOCK_ROWS * par:
+        # Small corpus: the work is still O(n^2 * dim) FLOPs, so fat
+        # blocks must yield to core count — ceil(n/_BLOCK_ROWS) blocks
+        # left 27 of 32 cores idle and made the sf1 all-pairs pass
+        # FLOP-serial (measured 15 s; ~2 s at 2x-parallelism blocks).
+        # Floor of 256 rows keeps per-worker overhead amortized.
+        target_blocks = min(2 * par, max(1, -(-n // 256)))
+        left = left.repartition(target_blocks)
 
     shard_dirs = [f"{shard_root}/_shard={k}" for k in range(n_shards)]
 
@@ -145,4 +155,4 @@ def gemm_neardup_pairs(
                     {"vec_a": la[keep], "vec_b": ra[keep], "cos": sims[li, ri][keep]}
                 )
 
-    return units.mapInPandas(block, PAIR_SCHEMA)
+    return left.mapInPandas(block, PAIR_SCHEMA)
