@@ -862,3 +862,148 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled mixing (the multilingual-training alpha sampler)
+# ---------------------------------------------------------------------------
+
+_TEMP_ALPHA = 0.3  # mT5/XLM-R style alpha: upsample tails, damp heads
+
+
+@register(
+    "temperature_mix_weights",
+    oracle=f"""
+WITH t AS (
+  SELECT lang, len(string_split(text, ' ')) AS n_tok FROM documents
+),
+agg AS (
+  SELECT lang, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS lang_tokens
+  FROM t GROUP BY lang
+),
+share AS (
+  SELECT lang, n_docs, lang_tokens,
+         lang_tokens * 1.0 / (SELECT sum(lang_tokens) FROM agg) AS p
+  FROM agg
+),
+scaled AS (
+  SELECT lang, n_docs, lang_tokens, p, pow(p, {_TEMP_ALPHA}) AS pa FROM share
+)
+SELECT lang, n_docs, lang_tokens,
+       round(p, 6) AS token_share,
+       round(pa / (SELECT sum(pa) FROM scaled), 6) AS sample_prob,
+       round((pa / (SELECT sum(pa) FROM scaled)) / p, 4) AS upsample_factor
+FROM scaled
+ORDER BY lang
+""",
+)
+def temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language sampling weights (p_i^alpha /
+    sum p_j^alpha, alpha=0.3 — the mT5/XLM-R recipe): the sampling
+    distribution a multilingual training loader draws languages from,
+    with the head-damping/tail-boosting factor made explicit
+    (upsample_factor = sample_prob / token_share). Complements
+    apply_mix_sampling (uniform cap): temperature mixing is the
+    standard soft alternative.
+
+    Scale shape: one map-side-combined aggregate to 5 language rows;
+    every normalization is over that 5-row table (broadcast scalar
+    subqueries in the oracle, 1-row cross joins in Spark). Map-only at
+    any corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("lang", F.size(tokens_ws("text")).alias("n_tok"))
+    agg = t.groupBy("lang").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tok").alias("lang_tokens")
+    )
+    tot = agg.agg(F.sum("lang_tokens").alias("corpus_tokens"))
+    share = agg.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "lang_tokens",
+        (F.col("lang_tokens") * 1.0 / F.col("corpus_tokens")).alias("p"),
+    )
+    scaled = share.select("*", F.pow("p", F.lit(_TEMP_ALPHA)).alias("pa"))
+    z = scaled.agg(F.sum("pa").alias("z"))
+    return (
+        scaled.crossJoin(F.broadcast(z))
+        .select(
+            "lang",
+            "n_docs",
+            "lang_tokens",
+            F.round("p", 6).alias("token_share"),
+            F.round(F.col("pa") / F.col("z"), 6).alias("sample_prob"),
+            F.round((F.col("pa") / F.col("z")) / F.col("p"), 4).alias("upsample_factor"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Padding-efficiency accounting (length-bucketed batching)
+# ---------------------------------------------------------------------------
+
+_PAD_BUCKETS = (64, 128, 256, 512, 1024)  # max-length tiers
+
+
+@register(
+    "padding_efficiency",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents
+),
+b AS (
+  SELECT n_tok,
+         CASE {" ".join(f"WHEN n_tok <= {c} THEN {c}" for c in _PAD_BUCKETS)}
+              ELSE {_PAD_BUCKETS[-1]} END AS bucket,
+         least(n_tok, {_PAD_BUCKETS[-1]}) AS kept_tok
+  FROM t
+)
+SELECT bucket,
+       count(*) AS n_docs,
+       CAST(sum(kept_tok) AS BIGINT) AS real_tokens,
+       CAST(count(*) * bucket AS BIGINT) AS padded_tokens,
+       round(sum(kept_tok) * 1.0 / (count(*) * bucket), 4) AS fill_ratio,
+       CAST(sum(CASE WHEN n_tok > {_PAD_BUCKETS[-1]}
+                     THEN n_tok - {_PAD_BUCKETS[-1]} ELSE 0 END) AS BIGINT)
+         AS truncated_tokens
+FROM b
+GROUP BY bucket
+ORDER BY bucket
+""",
+)
+def padding_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching audit: assign every document to the
+    smallest max-length tier that holds it (64/128/256/512/1024,
+    overflow truncated at the top tier) and report per-tier fill ratio
+    (real tokens / padded slots) and truncation loss — the numbers
+    that decide whether a training loader buckets by length or packs
+    (pack_sequences is the packing twin). Pure map + 5-row aggregate;
+    map-only at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(F.size(tokens_ws("text")).alias("n_tok"))
+    bucket = F.lit(_PAD_BUCKETS[-1])
+    for c in reversed(_PAD_BUCKETS):
+        bucket = F.when(F.col("n_tok") <= c, F.lit(c)).otherwise(bucket)
+    b = t.select(
+        "n_tok",
+        bucket.alias("bucket"),
+        F.least("n_tok", F.lit(_PAD_BUCKETS[-1])).alias("kept_tok"),
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("kept_tok").alias("real_tokens"),
+            (F.count("*") * F.col("bucket")).cast("long").alias("padded_tokens"),
+            F.round(
+                F.sum("kept_tok") * 1.0 / (F.count("*") * F.col("bucket")), 4
+            ).alias("fill_ratio"),
+            F.sum(
+                F.when(
+                    F.col("n_tok") > _PAD_BUCKETS[-1],
+                    F.col("n_tok") - _PAD_BUCKETS[-1],
+                ).otherwise(0)
+            ).alias("truncated_tokens"),
+        )
+        .orderBy("bucket")
+    )
