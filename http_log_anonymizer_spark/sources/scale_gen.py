@@ -13,11 +13,18 @@ Content columns are perturbed deterministically so duplicate-detection
 workloads scale instead of degenerating into planted cross-replica
 twins:
 
-- ``documents.text``: every 4th token is prefixed with a replica tag.
-  A word-3-gram shingle survives only when its window avoids all
-  modified positions (1 window in 4), so cross-replica Jaccard lands
-  ~0.14 — far below the near-dup threshold — while within-replica
-  structure is byte-identical to sf0.1.
+- ``documents.text``: replica r > 0 prefixes EVERY token with a
+  replica tag — a bijective whole-vocabulary rename. Cross-replica
+  token sets are disjoint, so shingle Jaccard is exactly 0 and SimHash
+  signatures are fully independent (P[hamming <= 4 of 32] ~ 1e-5 —
+  ~5.6k incidental pairs across all 45 replica combos at sf1, vs 25M
+  when only half the vocab was renamed: partially-shared vocabularies
+  COMPRESS signature diversity because the strong common-token votes
+  agree everywhere while the renamed half degenerates to coin flips;
+  measured r03). Per-replica internal structure is isomorphic to
+  sf0.1 under the rename (identical token positions and equalities,
+  fresh hash values), which is what a scale series needs — same
+  workload shape, 10x the rows, no planted cross-replica twins.
 - ``embeddings.embedding``: component signs flip by a per-replica
   md5-derived +/-1 pattern. Norms (and so unit vectors, cell geometry,
   quantization error profiles) are exactly preserved; relative sign
@@ -122,8 +129,8 @@ def generate(
                 tagged = F.array_join(
                     F.transform(
                         toks,
-                        lambda x, i: F.when(
-                            (i % 4 == 0) & (F.col("_r") > 0),
+                        lambda x: F.when(
+                            F.col("_r") > 0,
                             F.concat(F.lit("q"), F.col("_r").cast("string"), F.lit("_"), x),
                         ).otherwise(x),
                     ),

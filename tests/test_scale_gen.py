@@ -1,0 +1,82 @@
+"""Replica-scale generator invariants (sources/scale_gen.py): the sf>=1
+bench data must scale workloads linearly — independent sub-databases
+with no planted cross-replica twins."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from http_log_anonymizer_spark.sources.scale_gen import generate
+from tests.conftest import SF_SMOKE
+
+
+def test_scale_gen_invariants(spark, tmp_path):
+    out = str(tmp_path / "sf2x")
+    generate(spark, SF_SMOKE, out, mult=2)
+
+    # row counts: facts scale by mult, fixed dims stay single-copy
+    for t, factor in (("orders", 2), ("lineitem", 2), ("documents", 2), ("region", 1)):
+        src_n = spark.read.parquet(f"{SF_SMOKE}/{t}.parquet").count()
+        assert spark.read.parquet(f"{out}/{t}.parquet").count() == src_n * factor, t
+
+    # keys stay unique and joins stay closed (replica = sub-database)
+    o = spark.read.parquet(f"{out}/orders.parquet")
+    assert o.select("o_orderkey").distinct().count() == o.count()
+    l = spark.read.parquet(f"{out}/lineitem.parquet")
+    dangling = l.join(o, l.l_orderkey == o.o_orderkey, "left_anti").count()
+    assert dangling == 0
+
+    # replica 0 documents byte-identical to the source; replica 1 token
+    # sets fully disjoint from replica 0 (whole-vocabulary rename)
+    d = spark.read.parquet(f"{out}/documents.parquet")
+    src_d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    stride = 10 ** len(str(src_d.agg(F.max("doc_id")).first()[0]))
+    r0 = {r.doc_id: r.text for r in d.filter(F.col("doc_id") < stride).collect()}
+    for r in src_d.collect():
+        assert r0[r.doc_id] == r.text
+    toks = d.select(
+        (F.col("doc_id") >= stride).alias("r1"),
+        F.explode(F.split("text", " ")).alias("tok"),
+    )
+    overlap = (
+        toks.filter("r1").select("tok").distinct()
+        .join(toks.filter("NOT r1").select("tok").distinct(), "tok")
+        .count()
+    )
+    assert overlap == 0
+
+    # embedding sign flips preserve norms exactly and decorrelate
+    # replicas (cosine with the source vector well below any
+    # near-dup threshold)
+    e = spark.read.parquet(f"{out}/embeddings.parquet")
+    src_e = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    vstride = 10 ** len(str(src_e.agg(F.max("vec_id")).first()[0]))
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.col(c).cast("array<double>"), F.lit(0.0), lambda a, x: a + x * x
+        )
+    )
+    a = e.filter(F.col("vec_id") < vstride).select("vec_id", norm("embedding").alias("na"), F.col("embedding").alias("ea"))
+    b = e.filter((F.col("vec_id") >= vstride) & (F.col("vec_id") < 2 * vstride)).select(
+        (F.col("vec_id") - vstride).alias("vec_id"),
+        norm("embedding").alias("nb"),
+        F.col("embedding").alias("eb"),
+    )
+    j = a.join(b, "vec_id").select(
+        (F.abs(F.col("na") - F.col("nb"))).alias("dn"),
+        (
+            F.aggregate(
+                F.zip_with(
+                    F.col("ea").cast("array<double>"),
+                    F.col("eb").cast("array<double>"),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / (F.col("na") * F.col("nb"))
+        ).alias("cos"),
+    )
+    stats = j.agg(F.max("dn").alias("dn"), F.max(F.abs("cos")).alias("c")).first()
+    assert stats["dn"] == 0.0  # norms preserved bit-for-bit
+    assert stats["c"] < 0.9  # replicas are not planted twins
