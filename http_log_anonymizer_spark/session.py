@@ -95,6 +95,12 @@ def get_spark(
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # One BLAS thread per Python worker: task-level parallelism
+        # already fills the cores (operators/gemm.py, topk.py size their
+        # blocks to ~2x parallelism), so an uncapped OpenBLAS would
+        # oversubscribe cores x workers threads on every numpy matmul.
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
         .config(
             "spark.sql.warehouse.dir",
             os.environ.get("SPARK_WAREHOUSE_DIR", "/tmp/hla-spark-warehouse"),
