@@ -125,6 +125,16 @@ def _shingle_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _shingle_arrays(spark, sf_dir).select("doc_id", F.explode("sh").alias("s"))
 
 
+def hashed_shingle_transform(d: DataFrame) -> DataFrame:
+    """(doc_id, text, ...) -> (doc_id, sh): the tokenize+hash projection
+    of :func:`_hashed_shingle_arrays`, reusable over any document-shaped
+    DataFrame (batch tables, micro-batches — streaming/neardup.py)."""
+    return d.select("doc_id", tokens_ws("text").alias("toks")).select(
+        "doc_id",
+        F.array_distinct(F.transform(shingles("toks"), lambda s: hash64(s))).alias("sh"),
+    )
+
+
 def _hashed_shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, sh): distinct HASHED word-3-gram shingles per document —
     ``sh`` is ``array<long>``, each element ``hash64(shingle)``.
@@ -143,13 +153,7 @@ def _hashed_shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct-after-hash equals hash-after-distinct as a SET (duplicate
     shingles collapse either way), so signatures are unchanged from the
     string-keyed pipeline."""
-    d = load_table(spark, sf_dir, "documents", spread=True)
-    return d.select("doc_id", tokens_ws("text").alias("toks")).select(
-        "doc_id",
-        F.array_distinct(
-            F.transform(shingles("toks"), lambda s: hash64(s))
-        ).alias("sh"),
-    )
+    return hashed_shingle_transform(load_table(spark, sf_dir, "documents", spread=True))
 
 
 _EDGES_SQL = f"""
