@@ -42,7 +42,7 @@ import hashlib
 import math
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 TABLES = (
