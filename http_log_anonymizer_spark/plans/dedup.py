@@ -1204,3 +1204,83 @@ def dup_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source contamination matrix: pairwise shingle overlap between
+# corpus SOURCES — the dedup diagnostic that tells you which crawls /
+# dumps share content before any document-level policy runs.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "source_overlap_matrix",
+    oracle=f"""
+WITH t AS (
+  SELECT source, string_split(text, ' ') AS toks FROM documents
+),
+e AS (
+  SELECT DISTINCT source, unnest(list_transform({shingles_sql('toks')},
+         s -> {hash64_sql('s')})) AS h
+  FROM t
+),
+sz AS (SELECT source, count(*) AS n FROM e GROUP BY source),
+inter AS (
+  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+  FROM e a JOIN e b ON a.h = b.h AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT i.source_a, i.source_b, i.n_shared,
+       sa.n AS n_a, sb.n AS n_b,
+       round(i.n_shared * 1.0 / (sa.n + sb.n - i.n_shared), 4) AS jaccard
+FROM inter i
+JOIN sz sa ON sa.source = i.source_a
+JOIN sz sb ON sb.source = i.source_b
+ORDER BY source_a, source_b
+""",
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise word-3-gram overlap between SOURCES (per-source distinct
+    hashed shingle sets -> intersection counts + Jaccard): the
+    corpus-level contamination matrix a curation run reads before
+    choosing dedup scope (decontaminate_docs is the doc-level analog
+    against a benchmark set).
+
+    Scale shape: the per-source distinct collapses via map-side
+    combine; the pairwise intersection is ONE equi-join on the shingle
+    hash (shuffle keyed on h — never source x source scans), and
+    output is sources^2 rows. Hashed shingles keep the join fixed-width
+    (see _hashed_shingle_arrays)."""
+    d = load_table(spark, sf_dir, "documents", spread=True)
+    e = (
+        d.select("source", tokens_ws("text").alias("toks"))
+        .select("source", F.explode(shingles("toks")).alias("s"))
+        .select("source", hash64("s").alias("h"))
+        .distinct()
+    )
+    e = e.localCheckpoint(eager=True)  # sizes + self-join reuse one build
+    sz = e.groupBy("source").agg(F.count("*").alias("n"))
+    a, b = e.alias("a"), e.alias("b")
+    inter = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b"))
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sz.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+    sb = sz.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_shared") * 1.0 / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+                4,
+            ).alias("jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )

@@ -1177,3 +1177,91 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "neg_label", "rank", "cos")
         .orderBy("query_id", "rank")
     )
+
+
+@register(
+    "ann_lsh_recall_report",
+    oracle=f"""
+WITH {UNIT_CTE_SQL},
+q AS (SELECT vec_id AS query_id, ue AS qe FROM unit WHERE vec_id % 100 = 0),
+bscored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         round({dot_sql('q.qe', 'c.ue', _DIM)}, 4) AS cos
+  FROM q JOIN unit c ON c.vec_id <> q.query_id
+),
+btop AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+    ) AS rank FROM bscored
+  ) WHERE rank <= {_TOPK}
+),
+bk AS (SELECT vec_id, ue, {_bucket_sql('embedding')} AS bucket FROM unit),
+qb AS (
+  SELECT vec_id AS query_id, ue AS qe, bucket AS qbucket
+  FROM bk WHERE vec_id % 100 = 0
+),
+lscored AS (
+  SELECT qb.query_id, c.vec_id AS neighbor_id,
+         round({dot_sql('qb.qe', 'c.ue', _DIM)}, 4) AS cos
+  FROM qb JOIN bk c ON c.bucket = qb.qbucket AND c.vec_id <> qb.query_id
+),
+ltop AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+    ) AS rank FROM lscored
+  ) WHERE rank <= {_TOPK}
+),
+hits AS (
+  SELECT b.query_id, count(l.neighbor_id) AS n_hits
+  FROM btop b LEFT JOIN ltop l
+    ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id
+  GROUP BY b.query_id
+)
+SELECT query_id,
+       {_TOPK} AS k,
+       CAST(n_hits AS BIGINT) AS n_hits,
+       round(n_hits * 1.0 / {_TOPK}, 4) AS recall
+FROM hits
+ORDER BY query_id
+""",
+)
+def ann_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@{_TOPK} of the LSH index against exact brute
+    force, as a REGISTERED artifact: both rankings are deterministic
+    (rounded-cos + id tie-breaks), so the accuracy claim itself is
+    driver-hash-checked instead of living only in a local test — the
+    index-quality report an ANN deployment publishes next to its
+    latency numbers.
+
+    Scale shape: the brute side runs on operators/topk.py (partial
+    top-k, corpus streams once); the LSH side is the bucket equi-join
+    of ann_lsh_topk; the comparison joins two queries x k row sets —
+    negligible. This is 'measure the index on the corpus it serves',
+    not a second index build."""
+    from http_log_anonymizer_spark.operators.topk import brute_topk
+
+    u = _unit_table(spark, sf_dir, cache=False)
+    q = u.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("ue").alias("qe")
+    )
+    btop = brute_topk(u, q, k=_TOPK).select("query_id", "neighbor_id")
+    ltop = ann_lsh_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = (
+        btop.alias("b")
+        .join(
+            ltop.alias("l"),
+            (F.col("l.query_id") == F.col("b.query_id"))
+            & (F.col("l.neighbor_id") == F.col("b.neighbor_id")),
+            "left",
+        )
+        .groupBy(F.col("b.query_id").alias("query_id"))
+        .agg(F.count(F.col("l.neighbor_id")).alias("n_hits"))
+    )
+    return hits.select(
+        "query_id",
+        F.lit(_TOPK).alias("k"),
+        F.col("n_hits").cast("long").alias("n_hits"),
+        F.round(F.col("n_hits") * 1.0 / _TOPK, 4).alias("recall"),
+    ).orderBy("query_id")
