@@ -23,6 +23,9 @@ is too slow, prune candidates with LSH first (plans/similarity.py).
 
 ``scratch_dir`` must be readable by executors (any shared filesystem on
 a cluster; the default system temp dir is correct for local mode).
+Shard materialization, reuse across repeated runs (``cache_key``), and
+exit-time cleanup live in operators/side_input.py (ADVICE r03: scratch
+dirs were leaked per call and caller dirs were overwritten).
 
 Results are float64 BLAS sums — NOT bit-identical to the fold-based
 path, so equality tests compare at a tolerance; the Catalyst path
@@ -31,13 +34,17 @@ remains the exact-determinism oracle.
 
 from __future__ import annotations
 
-import tempfile
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+from http_log_anonymizer_spark.operators.side_input import (
+    read_shard,
+    shard_dirs,
+    shard_vectors,
+)
 
 PAIR_SCHEMA = StructType(
     [
@@ -55,36 +62,23 @@ _DEFAULT_SHARD_BYTES = 128 << 20
 _BLOCK_ROWS = 4096
 
 
-def _read_shard(shard_dir: str, dim: int) -> tuple[np.ndarray, np.ndarray]:
-    """(ids, matrix) from one shard's parquet files — runs inside the
-    Python worker, reading directly from storage."""
-    import pyarrow.dataset as ds
-
-    try:
-        dataset = ds.dataset(shard_dir, format="parquet")
-    except FileNotFoundError:
-        # a hash residue no vec_id mapped to: legitimately empty shard
-        return np.empty(0, dtype=np.int64), np.empty((0, dim), dtype=np.float64)
-    table = dataset.to_table(columns=["vec_id", "ue"])
-    ids = table["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-    flat = table["ue"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
-    return ids, np.asarray(flat, dtype=np.float64).reshape(-1, dim)
-
-
 def gemm_neardup_pairs(
     units: DataFrame,
     threshold: float,
     shard_bytes: int = _DEFAULT_SHARD_BYTES,
     scratch_dir: str | None = None,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """All-pairs cosine >= threshold over a (vec_id, ue) unit-vector
     DataFrame, computed as blocked matrix products against corpus
     shards of at most ``shard_bytes`` each. Emits vec_a < vec_b.
 
     A pair lands in exactly one shard's output (the shard owning
-    vec_b), so no distinct is needed. Shard files persist under
-    ``scratch_dir`` for the lifetime of the returned (lazy) plan; the
-    default is a fresh system temp directory.
+    vec_b), so no distinct is needed. Shard files are managed by
+    operators/side_input.py: fresh temp roots are removed at process
+    exit, ``cache_key`` reuses a prior materialization of the same
+    input, and a caller-supplied ``scratch_dir`` gets a fresh
+    subdirectory (its contents are never clobbered).
     """
     spark = units.sparkSession
     # Cheap stats: count() prunes the unit-vector projection entirely
@@ -96,24 +90,17 @@ def gemm_neardup_pairs(
     if n == 0:
         return spark.createDataFrame([], PAIR_SCHEMA)
     dim = len(units.select("ue").limit(1).first()["ue"])
-    rows_per_shard = max(1, shard_bytes // (dim * 8))
-    n_shards = max(1, -(-n // rows_per_shard))
 
     # Materialize shards executor-side: one shuffle on the shard key,
-    # one file per shard (repartition by _shard before partitionBy so a
-    # shard is a single ~shard_bytes parquet file, not task-count
-    # fragments). Deterministic assignment on vec_id.
-    shard_root = scratch_dir or tempfile.mkdtemp(prefix="gemm_shards_")
-    (
-        units.select(
-            "vec_id",
-            F.col("ue").cast("array<double>").alias("ue"),
-            F.pmod(F.hash("vec_id"), F.lit(n_shards)).alias("_shard"),
-        )
-        .repartition(n_shards, F.col("_shard"))
-        .write.partitionBy("_shard")
-        .mode("overwrite")
-        .parquet(shard_root)
+    # one ~shard_bytes file per shard, deterministic assignment on
+    # vec_id (side_input.shard_vectors).
+    shard_root, n_shards = shard_vectors(
+        units,
+        n,
+        dim,
+        shard_bytes=shard_bytes,
+        scratch_dir=scratch_dir,
+        cache_key=cache_key,
     )
 
     # The LEFT side reads the just-written shard parquet back — the
@@ -139,14 +126,14 @@ def gemm_neardup_pairs(
         target_blocks = min(2 * par, max(1, -(-n // 256)))
         left = left.repartition(target_blocks)
 
-    shard_dirs = [f"{shard_root}/_shard={k}" for k in range(n_shards)]
+    dirs = shard_dirs(shard_root, n_shards)
 
     def block(batches):
         for pdf in batches:
             blk_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             blk = np.array(list(pdf["ue"]), dtype=np.float64)
-            for shard_dir in shard_dirs:
-                all_ids, all_mat = _read_shard(shard_dir, dim)
+            for shard_dir in dirs:
+                all_ids, all_mat, _ = read_shard(shard_dir, dim)
                 sims = blk @ all_mat.T  # (block x shard) in one BLAS call
                 li, ri = np.nonzero(sims >= threshold)
                 la, ra = blk_ids[li], all_ids[ri]

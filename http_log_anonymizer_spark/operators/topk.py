@@ -20,8 +20,16 @@ while staying BIT-IDENTICAL to the fold:
   so the shuffle carries partitions x queries x k candidate rows — not
   corpus x queries — and the final window ranks a tiny set.
 
-The query set broadcasts (bounded workload, same contract as the
-Catalyst BNLJ it replaces); the corpus only streams.
+Scale shape (VERDICT r03 item 1): the registered callers pass a
+CORPUS-PROPORTIONAL query set (``vec_id % 100 == 0``), so the query
+side must not transit the driver. It materializes executor-side as
+hash-sharded parquet (operators/side_input.py — the gemm.py pattern)
+and each kernel task streams query shards straight from storage:
+driver memory is O(1), peak task memory is one corpus Arrow batch plus
+one ~128 MiB query shard, and total read traffic is
+corpus-partitions x query-set-size — the standard blocked tradeoff,
+served by the storage layer in parallel. A query appears in exactly
+one shard, so per-(partition, query) partial top-k is unchanged.
 """
 
 from __future__ import annotations
@@ -32,6 +40,12 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
+from http_log_anonymizer_spark.operators.side_input import (
+    read_shard,
+    shard_dirs,
+    shard_vectors,
+)
+
 _CAND_SCHEMA = StructType(
     [
         StructField("query_id", LongType()),
@@ -39,6 +53,8 @@ _CAND_SCHEMA = StructType(
         StructField("cos_raw", DoubleType()),
     ]
 )
+
+_RESULT_SCHEMA = "query_id long, neighbor_id long, rank int, cos double"
 
 
 def _round_half_away(x: np.ndarray, decimals: int) -> np.ndarray:
@@ -58,6 +74,8 @@ def brute_topk(
     round_decimals: int = 4,
     margin: int = 8,
     exclude_label: bool = False,
+    cache_key: str | None = None,
+    shard_bytes: int | None = None,
 ) -> DataFrame:
     """(query_id, neighbor_id, rank, cos): exact top-k cosine neighbors
     of every query over a (vec_id, ue) unit-vector corpus, excluding
@@ -70,18 +88,29 @@ def brute_topk(
     ``exclude_label=True`` additionally drops candidates whose
     ``label`` equals the query's ``xlabel`` (hard-negative mining:
     nearest neighbors from OTHER classes); both sides must then carry
-    those columns."""
+    those columns.
+
+    ``cache_key`` (optional) reuses the query-shard materialization
+    across repeated runs on the same immutable input within one
+    process (see operators/side_input.py)."""
     spark = units.sparkSession
-    q_cols = ["query_id", "qe"] + (["xlabel"] if exclude_label else [])
-    q_rows = queries.select(*q_cols).collect()
-    qids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
-    qmat = np.array([r["qe"] for r in q_rows], dtype=np.float64)
-    qlab = (
-        np.array([r["xlabel"] for r in q_rows], dtype=np.int64)
-        if exclude_label
-        else None
+    nq = queries.count()
+    if nq == 0:
+        return spark.createDataFrame([], _RESULT_SCHEMA)
+    dim = len(queries.select("qe").limit(1).first()["qe"])
+    q_extra = ["xlabel"] if exclude_label else []
+    shard_kw = {"shard_bytes": shard_bytes} if shard_bytes else {}
+    q_root, n_qshards = shard_vectors(
+        queries,
+        nq,
+        dim,
+        key_col="query_id",
+        vec_col="qe",
+        extra=q_extra,
+        cache_key=cache_key,
+        **shard_kw,
     )
-    b_q = spark.sparkContext.broadcast((qids, qmat, qlab))
+    q_dirs = shard_dirs(q_root, n_qshards)
     take = k + margin
 
     # Spread SMALL corpora across the cores: a replica-scaled or
@@ -95,29 +124,56 @@ def brute_topk(
     if n <= 4096 * sc.defaultParallelism:
         units = units.repartition(min(sc.defaultParallelism, max(1, n // 512)))
 
+    def _score_shard(qids, qmat, qlab, cids, cmat, clab):
+        nq_s, _ = qmat.shape
+        acc = np.zeros((nq_s, len(cids)))
+        for d in range(dim):  # fold order: (0.0 + t0) + t1 + ...
+            acc += np.multiply.outer(qmat[:, d], cmat[:, d])
+        r = _round_half_away(acc, round_decimals)
+        out_q, out_n, out_c = [], [], []
+        for qi in range(nq_s):
+            mask = cids != qids[qi]
+            if clab is not None:
+                mask &= clab != qlab[qi]
+            row_ids, row_r, row_raw = cids[mask], r[qi][mask], acc[qi][mask]
+            sel = np.lexsort((row_ids, -row_r))[:take]
+            out_q.append(np.full(len(sel), qids[qi], dtype=np.int64))
+            out_n.append(row_ids[sel])
+            out_c.append(row_raw[sel])
+        return out_q, out_n, out_c
+
     def gen(batches):
-        ids_q, mat_q, lab_q = b_q.value
-        nq, dim = mat_q.shape
+        # One query shard in memory at a time; a single-shard query set
+        # (the common small-SF case) is loaded once per task, not once
+        # per Arrow batch.
+        cached = None
         for pdf in batches:
             cids = pdf["vec_id"].to_numpy(dtype=np.int64)
             cmat = np.array(list(pdf["ue"]), dtype=np.float64)
             clab = (
-                pdf["label"].to_numpy(dtype=np.int64) if lab_q is not None else None
+                pdf["label"].to_numpy(dtype=np.int64) if exclude_label else None
             )
-            acc = np.zeros((nq, len(cids)))
-            for d in range(dim):  # fold order: (0.0 + t0) + t1 + ...
-                acc += np.multiply.outer(mat_q[:, d], cmat[:, d])
-            r = _round_half_away(acc, round_decimals)
             out_q, out_n, out_c = [], [], []
-            for qi in range(nq):
-                mask = cids != ids_q[qi]
-                if clab is not None:
-                    mask &= clab != lab_q[qi]
-                row_ids, row_r, row_raw = cids[mask], r[qi][mask], acc[qi][mask]
-                sel = np.lexsort((row_ids, -row_r))[:take]
-                out_q.append(np.full(len(sel), ids_q[qi], dtype=np.int64))
-                out_n.append(row_ids[sel])
-                out_c.append(row_raw[sel])
+            for qdir in q_dirs:
+                if len(q_dirs) == 1:
+                    if cached is None:
+                        cached = read_shard(
+                            qdir, dim, key_col="query_id", vec_col="qe", extra=q_extra
+                        )
+                    qids, qmat, qex = cached
+                else:
+                    qids, qmat, qex = read_shard(
+                        qdir, dim, key_col="query_id", vec_col="qe", extra=q_extra
+                    )
+                if len(qids) == 0:
+                    continue
+                qlab = qex[0] if exclude_label else None
+                oq, on, oc = _score_shard(qids, qmat, qlab, cids, cmat, clab)
+                out_q += oq
+                out_n += on
+                out_c += oc
+            if not out_q:
+                continue
             yield pd.DataFrame(
                 {
                     "query_id": np.concatenate(out_q),
