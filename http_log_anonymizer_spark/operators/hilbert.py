@@ -32,9 +32,14 @@ _ORDER = 16  # 16 bits per dimension -> codes in [0, 2^32)
 
 def hilbert_d(x: np.ndarray, y: np.ndarray, order: int = _ORDER) -> np.ndarray:
     """Vectorized (x, y) -> Hilbert distance for a 2^order grid
-    (standard rotate/reflect walk, applied to whole arrays per bit)."""
-    x = x.astype(np.int64).copy()
-    y = y.astype(np.int64).copy()
+    (standard rotate/reflect walk, applied to whole arrays per bit).
+    Inputs are masked to the low ``order`` bits — the same domain clamp
+    hilbert_sql applies — so out-of-range coordinates (e.g.
+    replica-shifted sf1 keys) agree between kernel and oracle instead
+    of diverging in the s-1-x reflection (ADVICE r03)."""
+    mask = (np.int64(1) << order) - 1
+    x = x.astype(np.int64) & mask
+    y = y.astype(np.int64) & mask
     d = np.zeros_like(x)
     s = np.int64(1) << (order - 1)
     while s > 0:

@@ -269,6 +269,30 @@ def test_hilbert_bijective_and_adjacent(spark):
     assert steps.filter(F.col("step") != 1).count() == 0
 
 
+def test_hilbert_kernel_masks_like_oracle(duck):
+    """Out-of-range coordinates (>= 2^order, e.g. replica-shifted sf1
+    keys) must agree between the numpy kernel and the SQL oracle: both
+    clamp to the low `order` bits (ADVICE r03 — the kernel previously
+    reflected on the unmasked value)."""
+    import numpy as np
+
+    from http_log_anonymizer_spark.operators.hilbert import hilbert_d, hilbert_sql
+
+    xs = np.array([0, 63, 64, 65, 100_000, 2**32 + 7], dtype=np.int64)
+    ys = np.array([5, 64, 63, 70_001, 123_456, 2**20 + 3], dtype=np.int64)
+    got = hilbert_d(xs, ys, order=6)
+    vals = ", ".join(f"({i}, {x}, {y})" for i, (x, y) in enumerate(zip(xs, ys)))
+    sql = (
+        "WITH pts(i, px, py) AS (VALUES "
+        + vals
+        + "),\n"
+        + hilbert_sql("pts", "px", "py", carry=["i"], order=6)
+        + "\nSELECT hcode FROM hilbert ORDER BY i"
+    )
+    want = [r[0] for r in duck.execute(sql).fetchall()]
+    assert list(got) == want
+
+
 def test_hilbert_locality_beats_morton(spark):
     """Range-partitioning on the Hilbert code must give per-partition
     bounding rectangles no worse than Morton's on the same grid (sum of

@@ -6,7 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from http_log_anonymizer_spark.sources.scale_gen import generate
+from http_log_anonymizer_spark.sources.scale_gen import _stride_for, generate
 from tests.conftest import SF_SMOKE
 
 
@@ -30,7 +30,9 @@ def test_scale_gen_invariants(spark, tmp_path):
     # sets fully disjoint from replica 0 (whole-vocabulary rename)
     d = spark.read.parquet(f"{out}/documents.parquet")
     src_d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
-    stride = 10 ** len(str(src_d.agg(F.max("doc_id")).first()[0]))
+    # reuse the generator's own stride rule — re-deriving it from digit
+    # count diverges on all-nines max keys (ADVICE r03)
+    stride = _stride_for(spark, SF_SMOKE, "documents", "doc_id")
     r0 = {r.doc_id: r.text for r in d.filter(F.col("doc_id") < stride).collect()}
     for r in src_d.collect():
         assert r0[r.doc_id] == r.text
@@ -50,7 +52,7 @@ def test_scale_gen_invariants(spark, tmp_path):
     # near-dup threshold)
     e = spark.read.parquet(f"{out}/embeddings.parquet")
     src_e = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
-    vstride = 10 ** len(str(src_e.agg(F.max("vec_id")).first()[0]))
+    vstride = _stride_for(spark, SF_SMOKE, "embeddings", "vec_id")
     norm = lambda c: F.sqrt(  # noqa: E731
         F.aggregate(
             F.col(c).cast("array<double>"), F.lit(0.0), lambda a, x: a + x * x
