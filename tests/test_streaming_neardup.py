@@ -93,6 +93,125 @@ def test_streaming_neardup_dedup_across_batches_and_restart(spark, tmp_path):
     assert idx_docs == accepted2
 
 
+def _bdf(spark, docs):
+    return spark.createDataFrame(docs, "doc_id long, text string")
+
+
+def test_torn_batch_replay_repairs_state(spark, tmp_path):
+    """ADVICE r03: a crash that tears the three state writes must not
+    leave a permanent dedup hole. The sink writes per-batch partitions
+    with overwrite semantics and probes EXCLUDING the in-flight batch,
+    so replaying the torn batch reconstructs identical state no matter
+    which subset of writes survived."""
+    import shutil
+
+    rng = random.Random(3)
+    base = tmp_path / "state"
+    sink = NearDupDedupSink(str(base))
+
+    docs0 = [_doc(i, rng) for i in range(10)]
+    sink.write(_bdf(spark, docs0), 0)
+
+    near2 = {"doc_id": 12, "text": docs0[2]["text"]}
+    docs1 = [_doc(10, rng), _doc(11, rng), near2]
+    sink.write(_bdf(spark, docs1), 1)
+    clean_docs = sorted(
+        r.doc_id for r in spark.read.parquet(str(base / "docs")).collect()
+    )
+    assert 12 not in clean_docs
+
+    # tear shape from the ADVICE scenario: index rows for batch 1
+    # survive, shingle + doc rows do not
+    shutil.rmtree(base / "shingles" / "_batch=b1")
+    shutil.rmtree(base / "docs" / "_batch=b1")
+    sink.write(_bdf(spark, docs1), 1)  # checkpoint replay
+    assert (
+        sorted(r.doc_id for r in spark.read.parquet(str(base / "docs")).collect())
+        == clean_docs
+    )
+
+    # the repaired state must still catch future near-dups of batch-1
+    # docs (the exact failure the torn index caused before)
+    sink.write(_bdf(spark, [{"doc_id": 20, "text": docs1[0]["text"]}, _doc(21, rng)]), 2)
+    final = {r.doc_id for r in spark.read.parquet(str(base / "docs")).collect()}
+    assert final == set(clean_docs) | {21}
+    # exactly-once: replay contributed no duplicate doc rows
+    n_rows = spark.read.parquet(str(base / "docs")).count()
+    assert n_rows == len(final)
+
+
+def test_long_stream_compaction_bounds_state_files(spark, tmp_path):
+    """VERDICT r03 item 3: a long-running stream must not accumulate
+    one file set per batch forever. With compact_every=8, 50
+    micro-batches end with a bounded number of state partitions and
+    the SAME accept/drop decisions as an uncompacted sink."""
+    from http_log_anonymizer_spark.streaming.neardup import _subdirs
+
+    rng = random.Random(11)
+    base = tmp_path / "state"
+    sink = NearDupDedupSink(str(base), compact_every=8)
+
+    next_id = 0
+    expect_drop = set()
+    seen_w1 = False
+    for b in range(50):
+        batch = []
+        for _ in range(3):
+            batch.append(_doc(next_id, rng))
+            next_id += 1
+        if b % 5 == 4:  # within-batch exact copy: always drops
+            batch.append({"doc_id": next_id, "text": batch[0]["text"][:]})
+            expect_drop.add(next_id)
+            next_id += 1
+        if b % 7 == 6:  # cross-batch exact dup: first one wins
+            batch.append({"doc_id": next_id, "text": " ".join(["w1"] * 30)})
+            if seen_w1:
+                expect_drop.add(next_id)
+            seen_w1 = True
+            next_id += 1
+        sink.write(_bdf(spark, batch), b)
+
+    got = {r.doc_id for r in spark.read.parquet(str(base / "docs")).collect()}
+    assert got == set(range(next_id)) - expect_drop
+    # partitions stay bounded: at most compact_every-1 b-dirs + 1 c-dir
+    for root in ("docs", "index", "shingles"):
+        dirs = _subdirs(str(base / root))
+        assert len(dirs) <= 8, (root, dirs)
+
+
+def test_compaction_recovery_unwinds_torn_target(spark, tmp_path):
+    """A compaction torn before its target completed must be unwound
+    (target deleted, sources kept); one torn after completion must be
+    finished (sources deleted)."""
+    import json as _json
+
+    rng = random.Random(5)
+    base = tmp_path / "state"
+    sink = NearDupDedupSink(str(base), compact_every=4)
+    for b in range(3):
+        sink.write(_bdf(spark, [_doc(b * 10 + i, rng) for i in range(2)]), b)
+    docs_before = {
+        r.doc_id for r in spark.read.parquet(str(base / "docs")).collect()
+    }
+
+    # torn BEFORE completion: incomplete target (no _SUCCESS)
+    target = base / "index" / "_batch=c99"
+    target.mkdir(parents=True)
+    (target / "part-garbage.parquet").write_bytes(b"not parquet")
+    marker = {
+        str(base / "index"): {
+            "target": "_batch=c99",
+            "sources": ["_batch=b0", "_batch=b1"],
+        }
+    }
+    (base / "_COMPACTING.json").write_text(_json.dumps(marker))
+    sink.write(_bdf(spark, [_doc(100, rng)]), 3)
+    assert not target.exists()  # unwound
+    assert (base / "index" / "_batch=b0").exists()  # sources kept
+    docs_now = {r.doc_id for r in spark.read.parquet(str(base / "docs")).collect()}
+    assert docs_now == docs_before | {100}
+
+
 def test_streaming_neardup_agrees_with_batch_policy(spark, tmp_path):
     """Streaming accept/drop must equal the batch greedy-by-id policy
     (drop any doc with a verified pair to a lower id) when ids arrive
