@@ -898,6 +898,128 @@ def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- parameterized (many-query) BM25: the lexical twin of the ANN tier's
+# many-query shape (ann_lsh_topk & co. probe one query PER corpus slice) ---
+
+_BMQ_STRIDE = 100  # every 100th doc becomes a query (corpus-proportional)
+_BMQ_QTERMS = 5  # top-tf terms of the query doc form its term set
+_BMQ_TOPK = 10
+
+
+@register(
+    "bm25_query_table",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) * 1.0 / count(*) FROM dl) AS avgdl
+),
+qt AS (
+  SELECT query_id, term FROM (
+    SELECT doc_id AS query_id, term,
+           row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, term) AS r
+    FROM tf WHERE doc_id % {_BMQ_STRIDE} = 0
+  ) WHERE r <= {_BMQ_QTERMS}
+),
+contrib AS (
+  SELECT q.query_id, tf.doc_id,
+         ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+           * tf.tf * ({_BM25_K1} + 1)
+           / (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / s.avgdl))
+           AS c
+  FROM tf
+  JOIN qt q ON q.term = tf.term AND tf.doc_id <> q.query_id
+  JOIN df d ON d.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+scored AS (
+  SELECT query_id, doc_id, round(sum(c), 4) AS bm25
+  FROM contrib GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT query_id, doc_id, rank, bm25 FROM ranked WHERE rank <= {_BMQ_TOPK}
+ORDER BY query_id, rank
+""",
+)
+def bm25_query_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 over a query TABLE: every {_BMQ_STRIDE}th document becomes a
+    query whose term set is its own top-{_BMQ_QTERMS} tf terms
+    (tf-desc/term tie-break), and each query retrieves its top-
+    {_BMQ_TOPK} other documents — the parameterized lexical workload
+    matching the ANN tier's many-query shape (``ann_lsh_topk`` probes
+    one query per corpus slice the same way). In production the query
+    table is any parquet/stream of (query_id, term) rows; here it is
+    derived deterministically from the corpus so the DuckDB oracle can
+    replay it exactly.
+
+    Scale shape — the query set is CORPUS-PROPORTIONAL, so it is never
+    broadcast and never collected (the ``operators/topk.py`` lesson):
+    scoring is a posting-list equi-join of tf against the query-term
+    table on ``term`` — both sides shuffle-partition by term, which is
+    exactly the inverted-index sharding a distributed lexical engine
+    uses. High-df terms are hot keys; AQE skew-join splits them at
+    runtime. Per-query ranking is one window partitioned by query_id
+    (parallel across queries), never a global sort.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens_ws("text")).alias("term"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tok.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    stats = d.agg(F.count("*").alias("n")).crossJoin(
+        dl.agg((F.sum("dl") * 1.0 / F.count("*")).alias("avgdl"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("tf"), "term")
+    qt = (
+        tf.filter((F.col("doc_id") % _BMQ_STRIDE) == 0)
+        .select(F.col("doc_id").alias("query_id"), "term", "tf")
+        .select("query_id", "term", F.row_number().over(wq).alias("r"))
+        .filter(F.col("r") <= _BMQ_QTERMS)
+        .drop("r")
+    )
+    idf = F.log(1 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    contrib = (
+        tf.join(qt, "term")  # deliberate non-broadcast: query set scales with corpus
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .join(dfreq, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "doc_id",
+            (
+                idf
+                * F.col("tf")
+                * (_BM25_K1 + 1)
+                / (
+                    F.col("tf")
+                    + _BM25_K1
+                    * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("c"),
+        )
+    )
+    scored = contrib.groupBy("query_id", "doc_id").agg(
+        F.round(F.sum("c"), 4).alias("bm25")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("bm25"), "doc_id")
+    return (
+        scored.select("query_id", "doc_id", F.row_number().over(w).alias("rank"), "bm25")
+        .filter(F.col("rank") <= _BMQ_TOPK)
+        .select("query_id", "doc_id", "rank", "bm25")
+        .orderBy("query_id", "rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Document chunking — the RAG / context-window prep step: split every
 # document into fixed-size overlapping token windows with stable ids.
