@@ -34,6 +34,25 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def partial_topk_prune(
+    df: DataFrame, group_cols: list[str], k: int, sort_cols: list[str]
+) -> DataFrame:
+    """Phase 1 alone: per input partition, keep only the k best
+    ``sort_cols`` rows per group (or globally when ``group_cols`` is
+    empty). Narrow — no shuffle; the output is a superset of the exact
+    per-group top-k, suitable for feeding an exact finisher or a
+    streaming state merge."""
+
+    def prune(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            s = pdf.sort_values(sort_cols, kind="mergesort")
+            yield s.groupby(group_cols, sort=False).head(k) if group_cols else s.head(k)
+
+    return df.mapInPandas(prune, df.schema)
+
+
 def reservoir_per_group(
     df: DataFrame,
     group_cols: list[str],
@@ -50,18 +69,7 @@ def reservoir_per_group(
     nondeterministic.
     """
     sort_cols = [priority_col, *tiebreak_cols]
-
-    def prune(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            yield (
-                pdf.sort_values(sort_cols, kind="mergesort")
-                .groupby(group_cols, sort=False)
-                .head(k)
-            )
-
-    reduced = df.mapInPandas(prune, df.schema)
+    reduced = partial_topk_prune(df, group_cols, k, sort_cols)
     w = Window.partitionBy(*group_cols).orderBy(*sort_cols)
     return reduced.select("*", F.row_number().over(w).alias("rnk")).filter(
         F.col("rnk") <= k
