@@ -107,6 +107,10 @@ def main() -> None:
             spark.conf.set(
                 "spark.sql.shuffle.partitions", str(shuffle_partitions_for_sf(1.0))
             )
+            # drop the sf0.1 series' cached tables: they can't serve the
+            # sf1 plans but their memory residency distorts sf1 numbers
+            # (executor memory pressure / GC churn on the big queries)
+            spark.catalog.clearCache()
             sf1_timings = _noop_best_of_2(spark, bench_queries, sf1_dir)
             result["queries_sf1"] = sf1_timings
             result["sf1_total"] = round(sum(sf1_timings.values()), 3)

@@ -601,11 +601,18 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The signature table is cached eagerly: it feeds BOTH sides of the
     candidate self-join, and signature construction (the corpus scan)
-    is the expensive stage — uncached, Spark would run it twice."""
+    is the expensive stage — uncached, Spark would run it twice.
+
+    No final sort: the pair set is deterministic and the correctness
+    contract is order-insensitive (the driver's comparator sorts rows
+    before hashing), so a global orderBy would add one full exchange +
+    sort of the ENTIRE pair output — at sf1 that single sort was 10 s
+    of a 12.5 s query (r04 measurement: the banded join itself emits
+    30 M pairs in 2.2 s)."""
     sig = simhash_signatures(load_table(spark, sf_dir, "documents", spread=True)).cache()
     sig.count()  # eager: lazily-built caches double-build when first
     #            probed from both sides of a join within one action
-    return simhash_banded_pairs(sig).orderBy("doc_a", "doc_b")
+    return simhash_banded_pairs(sig)
 
 
 # Bit-vote counters pack 4-per-long (16-bit fields): the groupBy
@@ -747,6 +754,56 @@ def simhash_banded_pairs(sig: DataFrame, hamming_max: int = _HAMMING_MAX) -> Dat
             F.col("b.doc_id").alias("doc_b"),
             ham.alias("hamming"),
         )
+    )
+
+
+@register(
+    "dedup_simhash_stats",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tk FROM documents
+),
+h AS (SELECT doc_id, {hash64_sql('tk', 'sim')} AS hv FROM tok),
+bits AS (
+  SELECT doc_id,
+         {", ".join(
+           f"sum(CASE WHEN (hv >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+           for j in range(_SIMHASH_BITS)
+         )}
+  FROM h GROUP BY doc_id
+),
+sig AS (
+  SELECT doc_id,
+         {" + ".join(
+           f"(CASE WHEN s{j} >= 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+           for j in range(_SIMHASH_BITS)
+         )} AS simhash
+  FROM bits
+),
+pairs AS (
+  SELECT bit_count(xor(a.simhash, b.simhash)) AS hamming
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= {_HAMMING_MAX}
+)
+SELECT hamming, count(*) AS n_pairs
+FROM pairs GROUP BY hamming ORDER BY hamming
+""",
+)
+def dedup_simhash_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counts-only companion to :func:`dedup_simhash`: the pair-count
+    histogram by hamming distance. A dedup CAMPAIGN usually needs this
+    number first (how aggressive is a given threshold on this corpus?)
+    — and it must not cost a pair-table materialization to answer: the
+    banded join's output feeds straight into a 5-group aggregate with
+    map-side combine, so the full pair set never hits storage or a
+    sort, only {_HAMMING_MAX} + 1 counter rows per partition shuffle."""
+    sig = simhash_signatures(load_table(spark, sf_dir, "documents", spread=True)).cache()
+    sig.count()
+    return (
+        simhash_banded_pairs(sig)
+        .groupBy("hamming")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("hamming")
     )
 
 

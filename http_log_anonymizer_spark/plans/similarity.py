@@ -52,7 +52,7 @@ def _unit_table(
     """(vec_id, [extra...], ue): unit-vector table. Cache when the table
     is scanned more than ~twice (all-pairs, LSH index); a single-pass
     consumer is cheaper without the materialization."""
-    e = load_table(spark, sf_dir, "embeddings", spread=True)
+    e = load_table(spark, sf_dir, "embeddings", spread=True, bytes_per_task=256 * 1024)
     n = e.select("vec_id", *extra, "embedding", norm_column("embedding").alias("nrm"))
     u = n.select("vec_id", *extra, unit_from("embedding", "nrm").alias("ue"))
     if cache:
@@ -231,7 +231,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     indexing the raw array avoids re-evaluating the unit transform per
     term (Catalyst does not CSE through the projection). The bucketed
     index is cached — built once, probed by every query."""
-    e = load_table(spark, sf_dir, "embeddings", spread=True)
+    e = load_table(spark, sf_dir, "embeddings", spread=True, bytes_per_task=256 * 1024)
     n = e.select("vec_id", "embedding", norm_column("embedding").alias("nrm"))
     b = n.select(
         "vec_id",
@@ -339,7 +339,7 @@ def embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets agree, computed from the two carried bucket arrays) — no
     distinct over the candidate set; the oracle's GROUP BY produces the
     identical pair set."""
-    e = load_table(spark, sf_dir, "embeddings", spread=True)
+    e = load_table(spark, sf_dir, "embeddings", spread=True, bytes_per_task=256 * 1024)
     n = e.select(
         "vec_id",
         "embedding",
@@ -500,7 +500,7 @@ def ivf_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Centroids use integer-quantized sums so both engines agree exactly;
     this is the assignment/refinement primitive an IVF ANN index builds
     on."""
-    e = load_table(spark, sf_dir, "embeddings", spread=True)
+    e = load_table(spark, sf_dir, "embeddings", spread=True, bytes_per_task=256 * 1024)
     comp = (
         e.select("label", "vec_id", F.posexplode(F.col("embedding").cast("array<double>")))
         .withColumnRenamed("pos", "pos0")
@@ -644,7 +644,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     optimize. No shuffle touches the corpus except the per-cell
     hash-partition of the candidate join.
     """
-    e = load_table(spark, sf_dir, "embeddings", spread=True)
+    e = load_table(spark, sf_dir, "embeddings", spread=True, bytes_per_task=256 * 1024)
     n = e.select("vec_id", "label", "embedding", norm_column("embedding").alias("nrm"))
     u = n.select(
         "vec_id", "label", "embedding", unit_from("embedding", "nrm").alias("ue")
@@ -684,7 +684,7 @@ _QSCALE = 200  # values are in [-0.53, 0.46]; floor(x*200) fits int8 range
 
 def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, qv): integer-quantized embedding codes."""
-    e = load_table(spark, sf_dir, "embeddings", spread=True)
+    e = load_table(spark, sf_dir, "embeddings", spread=True, bytes_per_task=256 * 1024)
     qv = F.transform(
         F.col("embedding").cast("array<double>"),
         lambda x: F.floor(x * _QSCALE).cast("long"),
@@ -725,7 +725,7 @@ def embed_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes, 4x smaller than float32) with per-label reconstruction MSE.
     The storage-shrinking step an IVF-PQ index starts from; quantized
     codes are exact integers, so engines agree bit-for-bit."""
-    e = load_table(spark, sf_dir, "embeddings", spread=True)
+    e = load_table(spark, sf_dir, "embeddings", spread=True, bytes_per_task=256 * 1024)
     q = _quantized(spark, sf_dir)
     joined = e.join(q, ["vec_id"]).select(
         q.label.alias("label"),
@@ -851,7 +851,7 @@ def ann_ivf_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     fewer bytes per vector (codes, not floats); a final exact re-rank
     of survivors (ann_brute_topk's scorer) restores full precision.
     """
-    e = load_table(spark, sf_dir, "embeddings", spread=True)
+    e = load_table(spark, sf_dir, "embeddings", spread=True, bytes_per_task=256 * 1024)
     q8 = _quantized(spark, sf_dir).cache()
     q8.count()  # eager: candidate side, probed per query cell
 
@@ -953,7 +953,7 @@ def kmeans_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     in tests/test_kmeans.py."""
     from http_log_anonymizer_spark.operators.kmeans import kmeans_quantized
 
-    e = load_table(spark, sf_dir, "embeddings", spread=True).select("vec_id", "embedding")
+    e = load_table(spark, sf_dir, "embeddings", spread=True, bytes_per_task=256 * 1024).select("vec_id", "embedding")
     assignments, _centroids = kmeans_quantized(e, k=_KM_K, rounds=_KM_ROUNDS)
     return (
         assignments.groupBy("cluster")
@@ -1017,7 +1017,7 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     additionally asserted in tests/test_scale_operators.py."""
     from http_log_anonymizer_spark.operators.kmeans import kmeans_quantized
 
-    e = load_table(spark, sf_dir, "embeddings", spread=True).select("vec_id", "embedding")
+    e = load_table(spark, sf_dir, "embeddings", spread=True, bytes_per_task=256 * 1024).select("vec_id", "embedding")
     assignments, centroids = kmeans_quantized(e, k=_KM_K, rounds=_KM_ROUNDS)
     cv = spark.createDataFrame(
         [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)],
@@ -1095,7 +1095,7 @@ def ivf_residual_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     measurement that sizes that grid per cell. All arithmetic mirrors
     the oracle term-for-term: centroid from exact integer sums, floor
     quantization, left-fold sums."""
-    e = load_table(spark, sf_dir, "embeddings", spread=True)
+    e = load_table(spark, sf_dir, "embeddings", spread=True, bytes_per_task=256 * 1024)
     cv = _centroid_arrays(e)
     sq = lambda x: x * x  # noqa: E731
     qerr = lambda x: sq(x - F.floor(x * _QSCALE) / _QSCALE)  # noqa: E731

@@ -50,7 +50,12 @@ _TIMESTAMP_NS_COLS = {
 }
 
 
-def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+def _spread(
+    spark: SparkSession,
+    df: DataFrame,
+    input_bytes: int | None = None,
+    bytes_per_task: int = 256 * 1024,
+) -> DataFrame:
     """Widen a scan to at least the cluster's core count — ONLY if the
     source provides fewer splits than that.
 
@@ -77,15 +82,49 @@ def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
     tiny partitions multiplies worker spawns + Arrow round-trips
     (measured: 3-6x slower on the multimodal decode and blocked-GEMM
     queries at sf0.1). Such operators size their own partitioning by
-    rows (see operators/gemm.py)."""
+    rows (see operators/gemm.py).
+
+    ``bytes_per_task`` bounds the fan-out by DATA SIZE: the partition
+    count becomes ``min(cores, ceil(input_bytes / bytes_per_task))``
+    instead of the full core count. Consumers whose per-row CPU is
+    moderate (vector dots/folds) use this so a small input doesn't
+    shatter into near-empty partitions whose per-task scheduling
+    overhead exceeds the work (measured r04: 32-way spread of the
+    800 KB sf0.1 embeddings costs +0.2-0.4 s per warm ANN query vs a
+    3-way spread, while sf1's 8 MB still fans out to all cores).
+    Shingle-md5-bound consumers keep the unbounded default — their
+    per-byte CPU is high enough that even KB-sized partitions pay off
+    (measured: minhash 2.4 s -> 1.1 s with full spread at sf0.1)."""
     target = spark.sparkContext.defaultParallelism
+    if input_bytes is not None:
+        target = min(target, max(1, -(-input_bytes // bytes_per_task)))
+    if target <= 1:
+        return df
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
 
 
+def _table_bytes(sf_dir: str, name: str) -> int:
+    p = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isdir(p):
+        return sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _, files in os.walk(p)
+            for f in files
+        )
+    try:
+        return os.path.getsize(p)
+    except OSError:
+        return 0
+
+
 def load_table(
-    spark: SparkSession, sf_dir: str, name: str, spread: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    spread: bool = False,
+    bytes_per_task: int | None = None,
 ) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # Timestamps in the oracle (DuckDB) are naive; pin the session TZ so
@@ -100,7 +139,8 @@ def load_table(
         if dtype == "timestamp_ntz":
             df = df.withColumn(c, F.col(c).cast("timestamp"))
     if spread:
-        df = _spread(spark, df)
+        size = _table_bytes(sf_dir, name) if bytes_per_task else None
+        df = _spread(spark, df, size, bytes_per_task or 256 * 1024)
     return df
 
 
