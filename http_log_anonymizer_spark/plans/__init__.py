@@ -21,72 +21,73 @@ from http_log_anonymizer_spark.plans import scalars  # noqa: E402,F401
 from http_log_anonymizer_spark.plans import analytics  # noqa: E402,F401
 from http_log_anonymizer_spark.plans import curation  # noqa: E402,F401
 
-# Round-3 window (VERDICT r02 next-step 1): every query that has NEVER
-# held a driver correctness slot (35 — the r01+r02 window union covered
-# 88 of 123), plus the 5 queries whose brand-new oracles flip them from
-# `no_oracle` to hash-checked this round, plus queries whose plans or
-# outputs changed this round and so need re-verification, plus two
-# flagship parity anchors. Everything outside the window stays locally
-# gated by tests/test_registry_oracle.py (same comparator).
+# Round-4 window (VERDICT r03 next-step 2): the 4 queries that have
+# never held a driver slot (committed after r03's verification run —
+# green rows here make the driver-verified union 133/133 minus this
+# round's additions), plus this round's NEW queries, plus every query
+# whose PLAN changed this round (the whole similarity family: byte-
+# sized spread + the brute-topk parquet side-input; dedup_simhash's
+# dropped sort; the hilbert kernel masking), plus two flagship parity
+# anchors, with the remaining slots re-verifying queries whose only
+# driver row is from r01 (the stalest verification). Everything outside
+# the window stays locally gated by tests/test_registry_oracle.py
+# (same comparator).
 _WINDOW = [
-    # --- 35 never-driver-checked (CORRECTNESS_r01 ∪ r02 complement) ---
-    "array_feature_stats",
-    "sliding_window_traffic",
-    "unpivot_lineitem_metrics",
-    "map_ops_explode",
-    "null_semantics",
-    "nation_market_share",
-    "event_funnel",
-    "retention_cohorts",
-    "event_transition_matrix",
-    "winsorized_stats",
-    "data_quality_report",
-    "snapshot_diff_cdc",
-    "user_entropy_scores",
-    "rolling_correlation",
-    "kmv_cohort_overlap",
-    "promo_revenue_share",
-    "large_order_customers",
-    "bpe_pretokenize_stats",
-    "blocklist_hit_report",
-    "pack_sequences",
-    "apply_mix_sampling",
-    "bpe_learn_merges",
-    "embed_quantization_error",
-    "ivf_residual_quantization",
-    "kmeans_cluster_sizes",
-    "dedup_ngram_jaccard",
-    "embed_neardup",
-    "ann_quantized_topk",
-    "weighted_reservoir_sample",
-    "ivf_cluster_stats",
-    "pii_source_summary",
-    "multimodal_resize_features",
-    "dedup_clusters_star",
-    "ann_ivf_adc_topk",
-    "stratified_sample",
-    # --- 5 newly oracled (were `no_oracle` rows in r01/r02) ---
-    "ann_ivf_kmeans_topk",
-    "distinct_users_approx",
-    "frequent_resources_sketch",
-    "latency_quantile_sketch",
+    # --- never-driver-checked (committed after the r03 run) ---
+    "ann_lsh_recall_report",
+    "source_overlap_matrix",
+    "temperature_mix_weights",
+    "padding_efficiency",
+    # --- new round-4 queries ---
+    "bm25_query_table",
+    "dedup_simhash_stats",
+    # --- plans changed this round: re-verify ---
+    "dedup_simhash",
     "hilbert_layout",
-    # --- changed this round: re-verify ---
-    "dsir_importance_weights",
-    "embed_neardup_gemm",
-    "dedup_minhash_lsh",
-    # --- new round-3 queries (flagship anchors http_totals /
-    #     llm_corpus_report yield their slots: both carry green driver
-    #     rows from r01 AND r02 and are unchanged this round) ---
-    "bm25_retrieval",
-    "bpe_encode_stats",
-    "doc_chunking",
-    "hard_negative_mining",
-    # --- r02-green anchors whose plans changed this round (partial
-    #     top-k operator / spread=True embeddings scans) ---
     "ann_brute_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "ann_quantized_topk",
+    "ann_ivf_adc_topk",
+    "ann_ivf_kmeans_topk",
+    "embed_neardup",
+    "embed_neardup_lsh",
+    "embed_neardup_gemm",
+    "embed_quantization_error",
+    "semdedup_cells",
+    "ivf_cluster_stats",
+    "ivf_residual_quantization",
+    "kmeans_cluster_sizes",
+    "hard_negative_mining",
+    # --- flagship parity anchors ---
+    "http_totals",
+    "llm_corpus_report",
+    # --- stalest re-verification (driver row only from r01) ---
+    "session_window_agg",
+    "sessionize_events",
+    "hypertable_rollup",
+    "gapfill_locf",
+    "zorder_layout",
+    "range_join_error_context",
+    "grouping_sets_totals",
+    "rollup_region_nation",
+    "pivot_avg_value",
+    "value_percentiles",
+    "user_zscore_outliers",
+    "nation_volume",
+    "pricing_summary",
+    "shipping_priority",
+    "top_orders_per_customer",
+    "best_order_per_customer",
+    "customer_running_revenue",
+    "distinct_users_exact",
+    "top_terms_per_lang",
+    "user_cohort_setops",
+    "json_props_stats",
+    "orders_without_lineitems",
+    "nation_trade_flow",
+    "blocking_supplier",
+    "dormant_rich_customers",
 ]
 
 
