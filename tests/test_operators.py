@@ -519,3 +519,32 @@ def test_compaction_refuses_same_src_dst_spellings(spark, tmp_path):
     # an honestly distinct destination still works
     compact_parquet(spark, src, str(tmp_path / "other"))
     assert spark.read.parquet(str(tmp_path / "other")).count() == 100
+
+
+def test_spread_sizes_fanout_by_input_bytes(spark):
+    """sources.batch._spread: unbounded spread fans a single-split scan
+    to the core count; byte-sized spread caps the fan-out at
+    ceil(input_bytes / bytes_per_task) so tiny inputs don't shatter
+    into near-empty partitions; an already-wide frame is never
+    coalesced (the 100 TB guard)."""
+    from http_log_anonymizer_spark.sources.batch import _spread
+
+    par = spark.sparkContext.defaultParallelism
+    df = spark.range(1000).coalesce(1)
+
+    assert _spread(spark, df).rdd.getNumPartitions() == par
+    # 800 KB at 256 KB/task -> 4 partitions
+    n = _spread(spark, df, input_bytes=800 << 10, bytes_per_task=256 << 10)
+    assert n.rdd.getNumPartitions() == min(par, 4)
+    # input smaller than one task's budget: no exchange at all
+    small = _spread(spark, df, input_bytes=100 << 10, bytes_per_task=256 << 10)
+    assert small.rdd.getNumPartitions() == 1
+    # huge input: byte sizing saturates at the core count
+    big = _spread(spark, df, input_bytes=1 << 40, bytes_per_task=256 << 10)
+    assert big.rdd.getNumPartitions() == par
+    # already-wide scans are untouched (never coalesce)
+    wide = spark.range(10000).repartition(par * 2)
+    assert _spread(spark, wide).rdd.getNumPartitions() == par * 2
+    assert (
+        _spread(spark, wide, input_bytes=1 << 20).rdd.getNumPartitions() == par * 2
+    )
