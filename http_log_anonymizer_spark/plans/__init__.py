@@ -41,6 +41,7 @@ _WINDOW = [
     # --- new round-4 queries ---
     "bm25_query_table",
     "dedup_simhash_stats",
+    "dedup_simhash_wide",
     # --- plans changed this round: re-verify ---
     "dedup_simhash",
     "hilbert_layout",
@@ -87,7 +88,6 @@ _WINDOW = [
     "orders_without_lineitems",
     "nation_trade_flow",
     "blocking_supplier",
-    "dormant_rich_customers",
 ]
 
 

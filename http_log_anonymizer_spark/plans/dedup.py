@@ -627,30 +627,34 @@ _PACK_MASK = (1 << _PACK_WIDTH) - 1
 _N_PACKS = -(-_SIMHASH_BITS // _PACK_FIELDS)
 
 
-def simhash_signatures(d: DataFrame) -> DataFrame:
+def simhash_signatures(d: DataFrame, bits: int = _SIMHASH_BITS) -> DataFrame:
     """(doc_id, text) -> (doc_id, simhash): per-bit majority vote over
     the document's distinct token hashes, folded to a signed-long
-    signature. One explode + one groupBy; majority vote for bit j is
+    signature of ``bits`` (< 63: the fold must stay positive in a
+    signed BIGINT, and DuckDB errors on BIGINT overflow where Spark
+    would wrap). One explode + one groupBy; majority vote for bit j is
     2*cnt_j >= n (identical to sum(+/-1) >= 0, and to the DuckDB
     oracle's CASE sum)."""
+    assert bits < 63, bits
+    n_packs = -(-bits // _PACK_FIELDS)
     tok = d.select("doc_id", F.explode(F.array_distinct(tokens_ws("text"))).alias("tk"))
     hv = hash64("tk", "sim")
 
     def _packed(p: int) -> F.Column:
-        bits = range(p * _PACK_FIELDS, min((p + 1) * _PACK_FIELDS, _SIMHASH_BITS))
+        brange = range(p * _PACK_FIELDS, min((p + 1) * _PACK_FIELDS, bits))
         return reduce(
             lambda acc, j: acc
             + F.shiftleft(
                 F.shiftright(hv, j).bitwiseAND(F.lit(1)),
                 (j - p * _PACK_FIELDS) * _PACK_WIDTH,
             ),
-            list(bits)[1:],
-            F.shiftright(hv, list(bits)[0]).bitwiseAND(F.lit(1)),
+            list(brange)[1:],
+            F.shiftright(hv, list(brange)[0]).bitwiseAND(F.lit(1)),
         )
 
     packed = tok.groupBy("doc_id").agg(
         F.count("*").alias("n"),
-        *[F.sum(_packed(p)).alias(f"p{p}") for p in range(_N_PACKS)],
+        *[F.sum(_packed(p)).alias(f"p{p}") for p in range(n_packs)],
     )
 
     def _cnt(j: int) -> F.Column:
@@ -662,7 +666,7 @@ def simhash_signatures(d: DataFrame) -> DataFrame:
         + F.when(_cnt(j) * 2 >= F.col("n"), F.lit(1 << j).cast("long")).otherwise(
             F.lit(0).cast("long")
         ),
-        range(1, _SIMHASH_BITS),
+        range(1, bits),
         F.when(_cnt(0) * 2 >= F.col("n"), F.lit(1).cast("long")).otherwise(
             F.lit(0).cast("long")
         ),
@@ -695,10 +699,21 @@ def simhash_allpairs_pairs(sig: DataFrame, hamming_max: int = _HAMMING_MAX) -> D
 # bits instead of 4, so buckets are up to 8x finer — fewer false
 # candidates to hamming-filter.
 _BAND_WIDTHS = (7, 7, 6, 6, 6)  # sums to _SIMHASH_BITS; len = _HAMMING_MAX + 1
-_BAND_OFFSETS = tuple(sum(_BAND_WIDTHS[:i]) for i in range(len(_BAND_WIDTHS)))
 
 
-def simhash_banded_pairs(sig: DataFrame, hamming_max: int = _HAMMING_MAX) -> DataFrame:
+def band_widths(bits: int, hamming_max: int) -> tuple[int, ...]:
+    """Minimum-count lossless band layout: ``hamming_max + 1`` bands of
+    near-equal width summing to ``bits`` (widest first)."""
+    n = hamming_max + 1
+    base, rem = divmod(bits, n)
+    return tuple([base + 1] * rem + [base] * (n - rem))
+
+
+def simhash_banded_pairs(
+    sig: DataFrame,
+    hamming_max: int = _HAMMING_MAX,
+    widths: tuple[int, ...] = _BAND_WIDTHS,
+) -> DataFrame:
     """Banded SimHash candidate join — the scale path when qualifying
     pairs are SPARSE (real corpora; the registered query's corpus is
     dense, see dedup_simhash docstring).
@@ -714,12 +729,19 @@ def simhash_banded_pairs(sig: DataFrame, hamming_max: int = _HAMMING_MAX) -> Dat
 
     Input: (doc_id, simhash). Output: (doc_a, doc_b, hamming), same
     contract as dedup_simhash.
+
+    Key width is the SCALE knob: candidates grow as n^2 / 2^width per
+    band, so a fingerprint must be wide enough that band keys carry
+    ~log2(n) bits (measured r04: the 32-bit layout's 6-7-bit keys
+    degenerate at 500k docs — ~5G candidate probes, 186 s — while the
+    60-bit layout's 12-bit keys cut that 30x; see dedup_simhash_wide).
     """
-    n_bands = len(_BAND_WIDTHS)
+    n_bands = len(widths)
+    offsets = tuple(sum(widths[:i]) for i in range(n_bands))
 
     def _key(col, bd: int) -> F.Column:
-        mask = (1 << _BAND_WIDTHS[bd]) - 1
-        return F.shiftright(col, _BAND_OFFSETS[bd]).bitwiseAND(F.lit(mask))
+        mask = (1 << widths[bd]) - 1
+        return F.shiftright(col, offsets[bd]).bitwiseAND(F.lit(mask))
 
     band_structs = [
         F.struct(
@@ -804,6 +826,63 @@ def dedup_simhash_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("hamming")
         .agg(F.count("*").alias("n_pairs"))
         .orderBy("hamming")
+    )
+
+
+def _simhash_sig_sql(bits: int) -> str:
+    """DuckDB CTEs computing (doc_id, simhash) at ``bits`` — the oracle
+    twin of :func:`simhash_signatures`."""
+    sums = ", ".join(
+        f"sum(CASE WHEN (hv >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(bits)
+    )
+    fold = " + ".join(
+        f"(CASE WHEN s{j} >= 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(bits)
+    )
+    return f"""tok AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tk FROM documents
+),
+h AS (SELECT doc_id, {hash64_sql('tk', 'sim')} AS hv FROM tok),
+bits AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id),
+sig AS (SELECT doc_id, {fold} AS simhash FROM bits)"""
+
+
+_WIDE_BITS = 60
+
+
+@register(
+    "dedup_simhash_wide",
+    oracle=f"""
+WITH {_simhash_sig_sql(_WIDE_BITS)}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {_HAMMING_MAX}
+ORDER BY doc_a, doc_b
+""",
+)
+def dedup_simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup with a {_WIDE_BITS}-bit fingerprint (hamming <=
+    {_HAMMING_MAX}) — the layout that survives web-scale corpora, after
+    Manku, Jain & Sarma's production design (WWW 2007: 64-bit simhash,
+    small hamming radius, wide table keys). Banding is the same
+    pigeonhole equi-join as :func:`dedup_simhash`, but each of the 5
+    band keys now carries {_WIDE_BITS // 5} bits instead of 6-7, so
+    per-band bucket occupancy — and with it the candidate count, which
+    grows as n^2 / 2^width — drops by ~2^5 per band. Measured r04 on
+    the 500k-doc sf10 corpus: the 32-bit layout probes ~5G candidate
+    pairs (186 s); this layout is the one registered in the sf10 bench
+    series. The wider fingerprint also makes hamming <= 4 a stricter
+    RELATIVE threshold (4/60 vs 4/32), which is the Manku et al.
+    operating point: high precision near-dup at web scale, not a dense
+    similarity report (dedup_simhash keeps that role)."""
+    sig = simhash_signatures(
+        load_table(spark, sf_dir, "documents", spread=True), bits=_WIDE_BITS
+    ).cache()
+    sig.count()
+    return simhash_banded_pairs(
+        sig, widths=band_widths(_WIDE_BITS, _HAMMING_MAX)
     )
 
 

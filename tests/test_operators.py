@@ -548,3 +548,52 @@ def test_spread_sizes_fanout_by_input_bytes(spark):
     assert (
         _spread(spark, wide, input_bytes=1 << 20).rdd.getNumPartitions() == par * 2
     )
+
+
+def test_simhash_wide_banding_lossless_and_layout(spark):
+    """60-bit banding (dedup_simhash_wide's layout) must be exactly as
+    lossless as the 32-bit default, including pairs whose differing
+    bits live in the high band; band_widths must tile any (bits,
+    hamming) pair."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from http_log_anonymizer_spark.plans.dedup import (
+        _HAMMING_MAX,
+        band_widths,
+        simhash_banded_pairs,
+    )
+
+    assert band_widths(32, 4) == (7, 7, 6, 6, 6)
+    assert band_widths(60, 4) == (12, 12, 12, 12, 12)
+    assert band_widths(64, 3) == (16, 16, 16, 16)
+    assert sum(band_widths(61, 4)) == 61
+
+    rows = []
+    for i in range(300):
+        h = int(hashlib.md5(f"sig60|{i}".encode()).hexdigest()[:15], 16)  # 60 bits
+        rows.append((i, h))
+        if i % 7 == 0:  # 4 flipped bits scattered across bands, incl. bit 59
+            rows.append((1000 + i, h ^ ((1 << 59) | (1 << 40) | (1 << 13) | 1)))
+    sig = spark.createDataFrame(rows, "doc_id long, simhash long")
+
+    got = sorted(
+        tuple(r)
+        for r in simhash_banded_pairs(sig, widths=band_widths(60, _HAMMING_MAX)).collect()
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    want = sorted(
+        tuple(r)
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(ham <= _HAMMING_MAX)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .collect()
+    )
+    assert got == want
+    assert len(got) >= 43  # the planted quadruple-flip pairs are all found
