@@ -119,19 +119,17 @@ def _delete_dir(path: str) -> None:
         pass
 
 
-class NearDupDedupSink:
-    """foreachBatch writer: near-dedup a (doc_id, text, ...) stream
-    against all previously ACCEPTED documents. ``base_dir`` must be
-    executor-readable (shared filesystem on a cluster); state and the
-    stream's checkpoint are a unit — reusing state with a fresh
-    checkpoint restarts batch ids and is unsupported."""
+class PartitionedStateSink:
+    """Shared machinery for foreachBatch sinks keeping append-mostly
+    state as N parquet roots of per-batch ``_batch=b{id}`` partitions:
+    torn-batch repair by overwrite+replay-exclusion, and marker-
+    protocol compaction. Subclasses set ``_roots`` (tuple of root
+    dirs) and call :meth:`_recover` + :meth:`_maybe_compact` at the
+    top of their ``write``."""
 
-    def __init__(self, base_dir: str, compact_every: int = 16) -> None:
-        self.base_dir = base_dir
-        self.docs_dir = posixpath.join(base_dir, "docs")
-        self.index_dir = posixpath.join(base_dir, "index")
-        self.shingle_dir = posixpath.join(base_dir, "shingles")
-        self.compact_every = max(2, compact_every)
+    base_dir: str
+    compact_every: int
+    _roots: tuple[str, ...]
 
     # -- compaction marker protocol ------------------------------------
 
@@ -161,15 +159,14 @@ class NearDupDedupSink:
         """Fold all committed ``_batch=*`` partitions (everything
         except the in-flight batch's) into one, crash-safely."""
         tag = f"b{batch_id}"
-        roots = (self.docs_dir, self.index_dir, self.shingle_dir)
         sources = {
-            r: [d for d in _subdirs(r) if d != f"_batch={tag}"] for r in roots
+            r: [d for d in _subdirs(r) if d != f"_batch={tag}"] for r in self._roots
         }
-        if len(sources[self.index_dir]) < self.compact_every:
+        if max((len(s) for s in sources.values()), default=0) < self.compact_every:
             return
         plan = {
             r: {"target": f"_batch=c{batch_id}", "sources": sources[r]}
-            for r in roots
+            for r in self._roots
             if sources[r]
         }
         f, p = _fs_for(self._marker_path())
@@ -198,6 +195,22 @@ class NearDupDedupSink:
         if not dirs:
             return None
         return spark.read.parquet(*[posixpath.join(root, d) for d in dirs])
+
+
+class NearDupDedupSink(PartitionedStateSink):
+    """foreachBatch writer: near-dedup a (doc_id, text, ...) stream
+    against all previously ACCEPTED documents. ``base_dir`` must be
+    executor-readable (shared filesystem on a cluster); state and the
+    stream's checkpoint are a unit — reusing state with a fresh
+    checkpoint restarts batch ids and is unsupported."""
+
+    def __init__(self, base_dir: str, compact_every: int = 16) -> None:
+        self.base_dir = base_dir
+        self.docs_dir = posixpath.join(base_dir, "docs")
+        self.index_dir = posixpath.join(base_dir, "index")
+        self.shingle_dir = posixpath.join(base_dir, "shingles")
+        self.compact_every = max(2, compact_every)
+        self._roots = (self.docs_dir, self.index_dir, self.shingle_dir)
 
     # -- the sink ------------------------------------------------------
 
