@@ -56,6 +56,9 @@ PAIR_SCHEMA = StructType(
 
 _DEFAULT_SHARD_BYTES = 128 << 20
 
+# Per-task ceiling for a (block-chunk x shard) similarity matrix.
+_SIMS_BYTES = 128 << 20
+
 # Minimum rows a left-side block should hold before it is worth a
 # dedicated partition (and so a dedicated Python worker): below this,
 # per-worker overhead dominates the matmul.
@@ -117,13 +120,18 @@ def gemm_neardup_pairs(
     sc = spark.sparkContext
     left = spark.read.parquet(shard_root).select("vec_id", "ue")
     par = sc.defaultParallelism
-    if n <= _BLOCK_ROWS * par:
-        # Small corpus: the work is still O(n^2 * dim) FLOPs, so fat
-        # blocks must yield to core count — ceil(n/_BLOCK_ROWS) blocks
-        # left 27 of 32 cores idle and made the sf1 all-pairs pass
-        # FLOP-serial (measured 15 s; ~2 s at 2x-parallelism blocks).
-        # Floor of 256 rows keeps per-worker overhead amortized.
-        target_blocks = min(2 * par, max(1, -(-n // 256)))
+    # The work is O(n^2 * dim) FLOPs regardless of byte size, so block
+    # count must track CORE COUNT, not file splits: ceil(n/_BLOCK_ROWS)
+    # blocks left 27 of 32 cores idle at sf1 (measured 15 s vs ~2 s at
+    # 2x-parallelism blocks), and natural ~128 MiB splits made the
+    # 200k-row sf10 corpus (100 MB = ONE split) fully FLOP-serial
+    # (>35 min for a ~3 min job — caught r04). Floor of 256 rows keeps
+    # per-worker overhead amortized on tiny corpora. The estimated
+    # natural split count gates the exchange so a genuinely wide scan
+    # (big data on a big cluster) is never reshuffled.
+    target_blocks = min(2 * par, max(1, -(-n // 256)))
+    natural_splits = max(1, (n * dim * 8) // (128 << 20))
+    if natural_splits < target_blocks:
         left = left.repartition(target_blocks)
 
     dirs = shard_dirs(shard_root, n_shards)
@@ -134,12 +142,26 @@ def gemm_neardup_pairs(
             blk = np.array(list(pdf["ue"]), dtype=np.float64)
             for shard_dir in dirs:
                 all_ids, all_mat, _ = read_shard(shard_dir, dim)
-                sims = blk @ all_mat.T  # (block x shard) in one BLAS call
-                li, ri = np.nonzero(sims >= threshold)
-                la, ra = blk_ids[li], all_ids[ri]
-                keep = la < ra  # dedupe symmetric pairs, drop self
-                yield pd.DataFrame(
-                    {"vec_a": la[keep], "vec_b": ra[keep], "cos": sims[li, ri][keep]}
-                )
+                if len(all_ids) == 0:
+                    continue
+                # Bound the sims buffer: a full (block x shard) product
+                # is block_rows x shard_rows x 8 bytes — 5 GB per task
+                # at the 200k-row sf10 corpus (the Python workers
+                # OOM-crashed; caught r04). Sub-chunk the block so each
+                # BLAS call materializes <= _SIMS_BYTES; FLOPs and
+                # output are unchanged.
+                step = max(1, _SIMS_BYTES // (len(all_ids) * 8))
+                for s in range(0, len(blk_ids), step):
+                    sims = blk[s : s + step] @ all_mat.T
+                    li, ri = np.nonzero(sims >= threshold)
+                    la, ra = blk_ids[s : s + step][li], all_ids[ri]
+                    keep = la < ra  # dedupe symmetric pairs, drop self
+                    yield pd.DataFrame(
+                        {
+                            "vec_a": la[keep],
+                            "vec_b": ra[keep],
+                            "cos": sims[li, ri][keep],
+                        }
+                    )
 
     return left.mapInPandas(block, PAIR_SCHEMA)

@@ -124,22 +124,31 @@ def brute_topk(
     if n <= 4096 * sc.defaultParallelism:
         units = units.repartition(min(sc.defaultParallelism, max(1, n // 512)))
 
+    # Per-task ceiling for the (query-chunk x candidate-batch) score
+    # matrix: a full query SHARD can hold ~262k vectors (128 MiB / dim),
+    # which against a 10k-row Arrow batch would materialize a ~21 GB
+    # accumulator. Sub-chunk the query rows instead — FLOPs, fold order
+    # and output are unchanged.
+    _acc_bytes = 128 << 20
+
     def _score_shard(qids, qmat, qlab, cids, cmat, clab):
-        nq_s, _ = qmat.shape
-        acc = np.zeros((nq_s, len(cids)))
-        for d in range(dim):  # fold order: (0.0 + t0) + t1 + ...
-            acc += np.multiply.outer(qmat[:, d], cmat[:, d])
-        r = _round_half_away(acc, round_decimals)
         out_q, out_n, out_c = [], [], []
-        for qi in range(nq_s):
-            mask = cids != qids[qi]
-            if clab is not None:
-                mask &= clab != qlab[qi]
-            row_ids, row_r, row_raw = cids[mask], r[qi][mask], acc[qi][mask]
-            sel = np.lexsort((row_ids, -row_r))[:take]
-            out_q.append(np.full(len(sel), qids[qi], dtype=np.int64))
-            out_n.append(row_ids[sel])
-            out_c.append(row_raw[sel])
+        step = max(1, _acc_bytes // (max(1, len(cids)) * 8))
+        for s in range(0, len(qids), step):
+            q_ids, q_mat = qids[s : s + step], qmat[s : s + step]
+            acc = np.zeros((len(q_ids), len(cids)))
+            for d in range(dim):  # fold order: (0.0 + t0) + t1 + ...
+                acc += np.multiply.outer(q_mat[:, d], cmat[:, d])
+            r = _round_half_away(acc, round_decimals)
+            for qi in range(len(q_ids)):
+                mask = cids != q_ids[qi]
+                if clab is not None:
+                    mask &= clab != qlab[s + qi]
+                row_ids, row_r, row_raw = cids[mask], r[qi][mask], acc[qi][mask]
+                sel = np.lexsort((row_ids, -row_r))[:take]
+                out_q.append(np.full(len(sel), q_ids[qi], dtype=np.int64))
+                out_n.append(row_ids[sel])
+                out_c.append(row_raw[sel])
         return out_q, out_n, out_c
 
     def gen(batches):
