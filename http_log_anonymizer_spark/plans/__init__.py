@@ -42,6 +42,7 @@ _WINDOW = [
     "bm25_query_table",
     "dedup_simhash_stats",
     "dedup_simhash_wide",
+    "hybrid_rrf_fusion",
     # --- plans changed this round: re-verify ---
     "dedup_simhash",
     "hilbert_layout",
@@ -87,7 +88,6 @@ _WINDOW = [
     "json_props_stats",
     "orders_without_lineitems",
     "nation_trade_flow",
-    "blocking_supplier",
 ]
 
 

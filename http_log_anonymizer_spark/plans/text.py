@@ -1084,3 +1084,82 @@ def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(chunk).alias("chunk_len"),
         F.md5(F.array_join(chunk, " ")).alias("chunk_hash"),
     ).orderBy("doc_id", "chunk_id")
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of the lexical (BM25) and
+# dense (hyperplane-LSH ANN) rankers — the standard way a RAG stack
+# combines sparse and dense retrieval (Cormack, Clarke & Buettcher,
+# SIGIR 2009: RRF outperforms either system and needs no score
+# calibration, only ranks).
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60  # the canonical damping constant from the RRF paper
+_RRF_TOPK = 10
+
+
+def _rrf_oracle() -> str:
+    from http_log_anonymizer_spark.plans.registry import REGISTRY
+
+    lex = REGISTRY["bm25_query_table"].oracle
+    dense = REGISTRY["ann_lsh_topk"].oracle
+    return f"""
+WITH lex AS ({lex}),
+dense AS ({dense}),
+pooled AS (
+  SELECT query_id, doc_id AS cand, rank FROM lex
+  UNION ALL
+  SELECT query_id, neighbor_id AS cand, rank FROM dense
+),
+fused AS (
+  SELECT query_id, cand,
+         round(sum(1.0 / ({_RRF_K} + rank)), 6) AS rrf,
+         count(*) AS n_systems
+  FROM pooled GROUP BY query_id, cand
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY rrf DESC, cand
+  ) AS rank FROM fused
+)
+SELECT query_id, cand, rank, rrf, n_systems
+FROM ranked WHERE rank <= {_RRF_TOPK}
+ORDER BY query_id, rank
+"""
+
+
+@register("hybrid_rrf_fusion", oracle=_rrf_oracle())
+def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (k={_RRF_K}) of ``bm25_query_table``
+    (sparse, over documents) and ``ann_lsh_topk`` (dense, over
+    embeddings): each candidate scores sum(1/(k + rank)) across the
+    systems that retrieved it, re-ranked per query. Queries present in
+    only one system fuse over that system alone (RRF's standard
+    degenerate case); candidates retrieved by both get the additive
+    boost that makes hybrid retrieval beat either ranker.
+
+    Scale shape: both inputs are already per-query top-k tables (each
+    bounded at queries x k rows), so fusion is one groupBy and one
+    per-query window over a RANK-bounded set — the fusion stage adds no
+    corpus-sized work regardless of corpus scale, which is exactly why
+    RRF is the production default for hybrid search. Determinism: ranks
+    fuse (not raw scores), the fused score is rounded before ordering,
+    and candidate id breaks ties."""
+    from http_log_anonymizer_spark.plans.registry import REGISTRY
+
+    lex = REGISTRY["bm25_query_table"].spark_fn(spark, sf_dir)
+    dense = REGISTRY["ann_lsh_topk"].spark_fn(spark, sf_dir)
+    pooled = lex.select(
+        "query_id", F.col("doc_id").alias("cand"), "rank"
+    ).unionByName(dense.select("query_id", F.col("neighbor_id").alias("cand"), "rank"))
+    fused = pooled.groupBy("query_id", "cand").agg(
+        F.round(F.sum(1.0 / (_RRF_K + F.col("rank"))), 6).alias("rrf"),
+        F.count("*").alias("n_systems"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rrf"), "cand")
+    return (
+        fused.select("*", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= _RRF_TOPK)
+        .select("query_id", "cand", "rank", "rrf", "n_systems")
+        .orderBy("query_id", "rank")
+    )
