@@ -59,7 +59,59 @@ def _epoch_id(name: str) -> int:
     return int(name.split("=b", 1)[1])
 
 
-class StreamingReservoirSink:
+class EpochStateSink:
+    """Shared machinery for foreachBatch sinks whose ENTIRE state is one
+    small mergeable summary (reservoir, counter sketch): each batch
+    writes the full summary to a fresh ``_batch=b{id}`` epoch directory
+    and reads the newest committed epoch other than its own, so a
+    replayed batch recomputes from exactly the pre-batch state and
+    overwrites any torn attempt. The superseded epoch is deleted only
+    by a LATER batch — the pre-batch state survives until the
+    checkpoint has durably committed the batch that replaced it.
+    Subclasses set ``base_dir`` and implement ``write``."""
+
+    base_dir: str
+
+    def _committed(self, exclude_tag: str) -> list[str]:
+        return sorted(
+            (
+                d
+                for d in _subdirs(self.base_dir)
+                if d != f"_batch={exclude_tag}"
+                and _exists(posixpath.join(self.base_dir, d, "_SUCCESS"))
+            ),
+            key=_epoch_id,
+        )
+
+    def _read_state(self, spark: SparkSession, exclude_tag: str) -> DataFrame | None:
+        done = self._committed(exclude_tag)
+        if not done:
+            return None
+        return spark.read.parquet(posixpath.join(self.base_dir, done[-1]))
+
+    def current(self, spark: SparkSession) -> DataFrame | None:
+        """The summary as of the last committed batch, or None before
+        the first batch."""
+        return self._read_state(spark, exclude_tag="")
+
+    def _housekeep(self, exclude_tag: str) -> None:
+        """Drop superseded epochs and torn garbage: keep the newest
+        committed epoch; everything else (older committed, uncommitted
+        non-in-flight) is dead. The in-flight tag's own dir is left for
+        the overwrite to replace."""
+        done = self._committed(exclude_tag)
+        keep = set(done[-1:]) | {f"_batch={exclude_tag}"}
+        for d in _subdirs(self.base_dir):
+            if d not in keep:
+                _delete_dir(posixpath.join(self.base_dir, d))
+
+    def _write_epoch(self, df: DataFrame, tag: str) -> None:
+        df.coalesce(1).write.mode("overwrite").parquet(
+            posixpath.join(self.base_dir, f"_batch={tag}")
+        )
+
+
+class StreamingReservoirSink(EpochStateSink):
     """foreachBatch writer maintaining a deterministic k-per-group
     reservoir keyed by ``hash64(cast(key_col as string), seed)``.
 
@@ -82,41 +134,6 @@ class StreamingReservoirSink:
         self.key_col = key_col
         self.group_cols = list(group_cols)
         self.seed = seed
-
-    # -- state ---------------------------------------------------------
-
-    def _committed(self, exclude_tag: str) -> list[str]:
-        return sorted(
-            (
-                d
-                for d in _subdirs(self.base_dir)
-                if d != f"_batch={exclude_tag}"
-                and _exists(posixpath.join(self.base_dir, d, "_SUCCESS"))
-            ),
-            key=_epoch_id,
-        )
-
-    def _read_state(self, spark: SparkSession, exclude_tag: str) -> DataFrame | None:
-        done = self._committed(exclude_tag)
-        if not done:
-            return None
-        return spark.read.parquet(posixpath.join(self.base_dir, done[-1]))
-
-    def current(self, spark: SparkSession) -> DataFrame | None:
-        """The reservoir as of the last committed batch (rank column
-        ``rnk`` included), or None before the first batch."""
-        return self._read_state(spark, exclude_tag="")
-
-    def _housekeep(self, exclude_tag: str) -> None:
-        """Drop superseded epochs and torn garbage: keep the newest
-        committed epoch; everything else (older committed, uncommitted
-        non-in-flight) is dead. The in-flight tag's own dir is left for
-        the overwrite to replace."""
-        done = self._committed(exclude_tag)
-        keep = set(done[-1:]) | {f"_batch={exclude_tag}"}
-        for d in _subdirs(self.base_dir):
-            if d not in keep:
-                _delete_dir(posixpath.join(self.base_dir, d))
 
     # -- the sink ------------------------------------------------------
 
@@ -145,6 +162,4 @@ class StreamingReservoirSink:
         sample = merged.select("*", F.row_number().over(w).alias("rnk")).filter(
             F.col("rnk") <= self.k
         )
-        sample.coalesce(1).write.mode("overwrite").parquet(
-            posixpath.join(self.base_dir, f"_batch={tag}")
-        )
+        self._write_epoch(sample, tag)
