@@ -115,3 +115,48 @@ def test_asof_join_matched_row_null_is_not_backfilled(spark):
     assert row["tag"] == "new"
     assert row["v"] is None  # matched row's NULL, not 7 from the older row
     assert row["rts_right" if "rts_right" in row.asDict() else "rts"] is not None
+
+
+# ---------------------------------------------------------------------------
+# band_widths (plans/dedup.py) and the Misra-Gries reference fold
+# ---------------------------------------------------------------------------
+
+
+@given(st.integers(8, 62), st.integers(0, 7))
+def test_band_widths_tile_losslessly(bits, hamming_max):
+    from http_log_anonymizer_spark.plans.dedup import band_widths
+
+    w = band_widths(bits, hamming_max)
+    assert len(w) == hamming_max + 1  # pigeonhole minimum
+    assert sum(w) == bits  # exact tiling, no bit unused/reused
+    assert max(w) - min(w) <= 1  # near-equal: widest keys possible
+    assert sorted(w, reverse=True) == list(w)
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(0, 25).map(lambda i: f"i{i}"), min_size=0, max_size=60),
+        min_size=1,
+        max_size=6,
+    ),
+    st.integers(1, 8),
+)
+@settings(max_examples=50)
+def test_misra_gries_fold_invariants(batches, m):
+    """The reference fold (the exact algorithm the streaming sink
+    replays) must keep <= m counters, only underestimate, stay within
+    the N/(m+1) error bound, and retain every true heavy hitter."""
+    import collections
+
+    from tests.test_streaming_frequent import _reference_fold
+
+    state = _reference_fold(batches, m)
+    exact = collections.Counter(i for b in batches for i in b)
+    n = sum(exact.values())
+    assert len(state) <= m
+    for item, est in state.items():
+        assert 0 < est <= exact[item]
+        assert exact[item] - est <= n / (m + 1)
+    for item, c in exact.items():
+        if c > n / (m + 1):
+            assert item in state
