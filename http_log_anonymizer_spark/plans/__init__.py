@@ -43,6 +43,7 @@ _WINDOW = [
     "dedup_simhash_stats",
     "dedup_simhash_wide",
     "hybrid_rrf_fusion",
+    "cms_user_frequency",
     # --- plans changed this round: re-verify ---
     "dedup_simhash",
     "hilbert_layout",
@@ -87,7 +88,6 @@ _WINDOW = [
     "user_cohort_setops",
     "json_props_stats",
     "orders_without_lineitems",
-    "nation_trade_flow",
 ]
 
 

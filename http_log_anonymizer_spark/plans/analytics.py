@@ -2630,3 +2630,113 @@ def large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan, J.Alg 2005) with EXACT
+# cross-engine replay: the hash functions are md5-derived, so Spark and
+# DuckDB build bit-identical counter tables — the sketch CONSTRUCTION
+# itself is driver-hash-verified, not just its outputs (the same
+# discipline as kmv_cohort_overlap; HLL/top-k/GK stay engine-opaque).
+# ---------------------------------------------------------------------------
+
+_CMS_DEPTH = 4
+_CMS_WIDTH = 64
+_CMS_TOP = 20
+
+
+def _cms_oracle() -> str:
+    from http_log_anonymizer_spark.functions.text import hash64_sql
+
+    rows = " UNION ALL ".join(
+        f"SELECT user_id, n, {j} AS j, "
+        f"{hash64_sql('CAST(user_id AS VARCHAR)', f'cms{j}')} % {_CMS_WIDTH} AS bucket "
+        "FROM per_user"
+        for j in range(_CMS_DEPTH)
+    )
+    return f"""
+WITH per_user AS (
+  SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+),
+keyed AS ({rows}),
+counters AS (
+  SELECT j, bucket, sum(n) AS c FROM keyed GROUP BY j, bucket
+),
+est AS (
+  SELECT k.user_id, min(c.c) AS cms_est
+  FROM (SELECT DISTINCT user_id, j, bucket FROM keyed) k
+  JOIN counters c ON c.j = k.j AND c.bucket = k.bucket
+  GROUP BY k.user_id
+),
+total AS (SELECT sum(n) AS total_n FROM per_user),
+top AS (
+  SELECT user_id, n FROM per_user ORDER BY n DESC, user_id LIMIT {_CMS_TOP}
+)
+SELECT t.user_id AS user_id,
+       t.n AS exact_n,
+       CAST(e.cms_est AS BIGINT) AS cms_est,
+       e.cms_est >= t.n AS never_underestimates,
+       (e.cms_est - t.n) * {_CMS_WIDTH} <= 2 * s.total_n AS within_2n_over_w
+FROM top t
+JOIN est e ON e.user_id = t.user_id
+CROSS JOIN total s
+ORDER BY exact_n DESC, user_id
+"""
+
+
+@register("cms_user_frequency", oracle=_cms_oracle())
+def cms_user_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency estimation over event users: a
+    {_CMS_DEPTH} x {_CMS_WIDTH} counter table built with md5-derived
+    hashes, point estimates as the min over rows, reported for the top
+    {_CMS_TOP} users next to their exact counts with the sketch's two
+    deterministic properties (never underestimates; the classic
+    eps = 2/width error bound as a per-user boolean).
+
+    Scale shape: the sketch is built from the per-user aggregate (one
+    shuffle with map-side combine), then {_CMS_DEPTH} narrow
+    projections into a {_CMS_DEPTH * _CMS_WIDTH}-row counter table —
+    broadcastable anywhere, mergeable by addition across partitions,
+    streams, or days (the same reason the streaming heavy-hitter sink
+    can adopt it). Estimation joins each queried key against
+    {_CMS_DEPTH} counter rows — O(1) per key, independent of
+    cardinality."""
+    from http_log_anonymizer_spark.functions.text import hash64
+
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(F.count("*").alias("n")).cache()
+    keyed = None
+    for j in range(_CMS_DEPTH):
+        k = per_user.select(
+            "user_id",
+            "n",
+            F.lit(j).alias("j"),
+            (hash64(F.col("user_id").cast("string"), f"cms{j}") % _CMS_WIDTH).alias(
+                "bucket"
+            ),
+        )
+        keyed = k if keyed is None else keyed.unionByName(k)
+    counters = keyed.groupBy("j", "bucket").agg(F.sum("n").alias("c"))
+    est = (
+        keyed.select("user_id", "j", "bucket")
+        .distinct()
+        .join(F.broadcast(counters), ["j", "bucket"])
+        .groupBy("user_id")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    total = per_user.agg(F.sum("n").alias("total_n"))
+    top = per_user.orderBy(F.desc("n"), "user_id").limit(_CMS_TOP)
+    return (
+        top.join(est, "user_id")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "user_id",
+            F.col("n").alias("exact_n"),
+            F.col("cms_est").cast("long").alias("cms_est"),
+            (F.col("cms_est") >= F.col("n")).alias("never_underestimates"),
+            ((F.col("cms_est") - F.col("n")) * _CMS_WIDTH <= 2 * F.col("total_n")).alias(
+                "within_2n_over_w"
+            ),
+        )
+        .orderBy(F.desc("exact_n"), "user_id")
+    )
