@@ -142,14 +142,15 @@ def test_torn_batch_replay_repairs_state(spark, tmp_path):
 
 def test_long_stream_compaction_bounds_state_files(spark, tmp_path):
     """VERDICT r03 item 3: a long-running stream must not accumulate
-    one file set per batch forever. With compact_every=8, 50
-    micro-batches end with a bounded number of state partitions and
+    one file set per batch forever. With compact_every=4, 50
+    micro-batches exercise BOTH compaction tiers (b->c folds and the
+    c->c refold) and end with a bounded number of state partitions and
     the SAME accept/drop decisions as an uncompacted sink."""
     from http_log_anonymizer_spark.streaming.neardup import _subdirs
 
     rng = random.Random(11)
     base = tmp_path / "state"
-    sink = NearDupDedupSink(str(base), compact_every=8)
+    sink = NearDupDedupSink(str(base), compact_every=4)
 
     next_id = 0
     expect_drop = set()
@@ -173,10 +174,15 @@ def test_long_stream_compaction_bounds_state_files(spark, tmp_path):
 
     got = {r.doc_id for r in spark.read.parquet(str(base / "docs")).collect()}
     assert got == set(range(next_id)) - expect_drop
-    # partitions stay bounded: at most compact_every-1 b-dirs + 1 c-dir
+    # partitions stay bounded under 2 tiers: < compact_every b-dirs
+    # plus < compact_every c-dirs (+1 for the in-flight overlap)
     for root in ("docs", "index", "shingles"):
         dirs = _subdirs(str(base / root))
-        assert len(dirs) <= 8, (root, dirs)
+        assert len(dirs) <= 2 * 4 + 1, (root, dirs)
+        # the second tier actually ran: c-partitions were themselves
+        # refolded, so fewer than compact_every c-dirs remain even
+        # though 50 batches produced ~12 b->c folds
+        assert sum(d.startswith("_batch=c") for d in dirs) < 4 + 1, dirs
 
 
 def test_compaction_recovery_unwinds_torn_target(spark, tmp_path):
