@@ -44,6 +44,7 @@ _WINDOW = [
     "dedup_simhash_wide",
     "hybrid_rrf_fusion",
     "cms_user_frequency",
+    "dedup_simhash_xwide",
     # --- plans changed this round: re-verify ---
     "dedup_simhash",
     "hilbert_layout",
@@ -87,7 +88,6 @@ _WINDOW = [
     "top_terms_per_lang",
     "user_cohort_setops",
     "json_props_stats",
-    "orders_without_lineitems",
 ]
 
 

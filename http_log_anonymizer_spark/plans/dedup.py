@@ -886,6 +886,187 @@ def dedup_simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Multi-word SimHash: fingerprints past the one-BIGINT ceiling.
+#
+# A signed 64-bit column caps single-word fingerprints at 60 usable
+# bits, which caps lossless band keys at 12 bits (hamming <= 4) — and
+# banded candidates grow as n^2 / 2^key_width, so 12-bit keys saturate
+# around ~1M documents. The fix is the same as going 32 -> 60: more
+# fingerprint bits, carried as MULTIPLE long columns with independent
+# md5 hash streams per word. Bands are laid out so none straddles a
+# word boundary; hamming is the sum of per-word popcounts. Everything
+# stays engine-replayable (the oracle folds the same words).
+# ---------------------------------------------------------------------------
+
+_XWIDE_WORDS = (60, 40)  # 100 bits -> 5 aligned bands of 20
+_XWIDE_BANDS = ((0, 0, 20), (0, 20, 20), (0, 40, 20), (1, 0, 20), (1, 20, 20))
+
+
+def simhash_signatures_words(
+    d: DataFrame, word_bits: tuple[int, ...] = _XWIDE_WORDS
+) -> DataFrame:
+    """(doc_id, text) -> (doc_id, sig0, sig1, ...): one majority-vote
+    fingerprint word per entry of ``word_bits``, each fed by an
+    independent md5 hash stream (seed ``sim{w}``), all folded in ONE
+    explode + ONE groupBy (the packed bit-vote counters of
+    :func:`simhash_signatures`, concatenated across words)."""
+    assert all(b < 63 for b in word_bits), word_bits
+    tok = d.select("doc_id", F.explode(F.array_distinct(tokens_ws("text"))).alias("tk"))
+    hvs = [hash64("tk", f"sim{w}") for w in range(len(word_bits))]
+
+    aggs = [F.count("*").alias("n")]
+    for w, bits in enumerate(word_bits):
+        n_packs = -(-bits // _PACK_FIELDS)
+        for p in range(n_packs):
+            brange = list(range(p * _PACK_FIELDS, min((p + 1) * _PACK_FIELDS, bits)))
+            packed = reduce(
+                lambda acc, j: acc
+                + F.shiftleft(
+                    F.shiftright(hvs[w], j).bitwiseAND(F.lit(1)),
+                    (j - p * _PACK_FIELDS) * _PACK_WIDTH,
+                ),
+                brange[1:],
+                F.shiftright(hvs[w], brange[0]).bitwiseAND(F.lit(1)),
+            )
+            aggs.append(F.sum(packed).alias(f"w{w}p{p}"))
+    packed = tok.groupBy("doc_id").agg(*aggs)
+
+    sigs = []
+    for w, bits in enumerate(word_bits):
+
+        def _cnt(j: int, w=w) -> F.Column:
+            p, k = divmod(j, _PACK_FIELDS)
+            return F.shiftright(F.col(f"w{w}p{p}"), k * _PACK_WIDTH).bitwiseAND(
+                F.lit(_PACK_MASK)
+            )
+
+        sig = reduce(
+            lambda acc, j: acc
+            + F.when(_cnt(j) * 2 >= F.col("n"), F.lit(1 << j).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            ),
+            range(1, bits),
+            F.when(_cnt(0) * 2 >= F.col("n"), F.lit(1).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            ),
+        )
+        sigs.append(sig.alias(f"sig{w}"))
+    return packed.select("doc_id", *sigs)
+
+
+def simhash_banded_pairs_words(
+    sig: DataFrame,
+    bands: tuple[tuple[int, int, int], ...] = _XWIDE_BANDS,
+    hamming_max: int = _HAMMING_MAX,
+) -> DataFrame:
+    """Banded candidate join over multi-word signatures: ``bands`` is a
+    tuple of (word, offset, width) triples tiling every fingerprint bit
+    (pigeonhole losslessness needs exactly that); key extraction,
+    first-match dedup and the hamming filter mirror
+    :func:`simhash_banded_pairs`, with hamming summed across words."""
+    n_words = 1 + max(b[0] for b in bands)
+    sig_cols = [f"sig{w}" for w in range(n_words)]
+
+    def _key(prefix: str, bd: int) -> F.Column:
+        w, off, width = bands[bd]
+        return F.shiftright(F.col(f"{prefix}sig{w}"), off).bitwiseAND(
+            F.lit((1 << width) - 1)
+        )
+
+    band_structs = [
+        F.struct(F.lit(bd).alias("band_id"), _key("", bd).alias("bkey"))
+        for bd in range(len(bands))
+    ]
+    rows = sig.select(
+        "doc_id", *sig_cols, F.explode(F.array(*band_structs)).alias("bd")
+    ).select("doc_id", *sig_cols, "bd.band_id", "bd.bkey")
+    a, b = rows.alias("a"), rows.alias("b")
+
+    first_match = reduce(
+        lambda acc, bd: acc.when(_key("a.", bd) == _key("b.", bd), F.lit(bd)),
+        range(1, len(bands)),
+        F.when(_key("a.", 0) == _key("b.", 0), F.lit(0)),
+    )
+    ham = reduce(
+        lambda acc, w: acc
+        + F.bit_count(F.col(f"a.sig{w}").bitwiseXOR(F.col(f"b.sig{w}"))),
+        range(1, n_words),
+        F.bit_count(F.col("a.sig0").bitwiseXOR(F.col("b.sig0"))),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter((ham <= hamming_max) & (F.col("a.band_id") == first_match))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+    )
+
+
+def _simhash_sig_words_sql(word_bits: tuple[int, ...]) -> str:
+    """DuckDB CTEs computing (doc_id, sig0, sig1, ...) — oracle twin of
+    :func:`simhash_signatures_words`."""
+    hv_cols = ", ".join(
+        f"{hash64_sql('tk', f'sim{w}')} AS hv{w}" for w in range(len(word_bits))
+    )
+    sums = ", ".join(
+        f"sum(CASE WHEN (hv{w} >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{w}_{j}"
+        for w, bits in enumerate(word_bits)
+        for j in range(bits)
+    )
+    folds = ", ".join(
+        " + ".join(
+            f"(CASE WHEN s{w}_{j} >= 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+            for j in range(bits)
+        )
+        + f" AS sig{w}"
+        for w, bits in enumerate(word_bits)
+    )
+    return f"""tok AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tk FROM documents
+),
+h AS (SELECT doc_id, {hv_cols} FROM tok),
+bits AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id),
+sig AS (SELECT doc_id, {folds} FROM bits)"""
+
+
+@register(
+    "dedup_simhash_xwide",
+    oracle=f"""
+WITH {_simhash_sig_words_sql(_XWIDE_WORDS)}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.sig0, b.sig0)) + bit_count(xor(a.sig1, b.sig1)) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig0, b.sig0)) + bit_count(xor(a.sig1, b.sig1)) <= {_HAMMING_MAX}
+ORDER BY doc_a, doc_b
+""",
+)
+def dedup_simhash_xwide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup with a 100-bit TWO-WORD fingerprint (60+40-bit
+    longs, independent md5 streams; hamming <= {_HAMMING_MAX} summed
+    across words) banded into 5 aligned 20-bit keys — the layout for
+    corpora past the single-word ceiling: 12-bit keys
+    (dedup_simhash_wide) saturate around ~1M docs, 20-bit keys carry
+    to ~100M-1B docs, and the same construction extends word-by-word
+    (banded candidates stay n^2 / 2^20 per band while the signature
+    cost grows only linearly in words). Signature build is still ONE
+    explode + ONE groupBy — the packed bit-vote counters just
+    concatenate across words. Measured r04 at sf10 (500k docs): see
+    SCALE.md."""
+    sig = simhash_signatures_words(
+        load_table(spark, sf_dir, "documents", spread=True)
+    ).cache()
+    sig.count()
+    return simhash_banded_pairs_words(sig)
+
+
 def winnow_fingerprints(d: DataFrame) -> DataFrame:
     """(doc_id, wh) winnow fingerprint index from a (doc_id, toks)
     table: per-document window minima of position-tagged shingle

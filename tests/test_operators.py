@@ -597,3 +597,45 @@ def test_simhash_wide_banding_lossless_and_layout(spark):
     )
     assert got == want
     assert len(got) >= 43  # the planted quadruple-flip pairs are all found
+
+
+def test_simhash_multiword_banding_lossless(spark):
+    """Two-word (60+40-bit) banding must be lossless for pairs whose
+    differing bits are spread across BOTH words, including word-edge
+    bits (59 of word 0, 39 of word 1)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from http_log_anonymizer_spark.plans.dedup import (
+        _HAMMING_MAX,
+        simhash_banded_pairs_words,
+    )
+
+    rows = []
+    for i in range(250):
+        h0 = int(hashlib.md5(f"a|{i}".encode()).hexdigest()[:15], 16)  # 60 bits
+        h1 = int(hashlib.md5(f"b|{i}".encode()).hexdigest()[:10], 16)  # 40 bits
+        rows.append((i, h0, h1))
+        if i % 5 == 0:  # 2 flips in each word, at edges and interiors
+            rows.append((1000 + i, h0 ^ ((1 << 59) | (1 << 7)), h1 ^ ((1 << 39) | 1)))
+    sig = spark.createDataFrame(rows, "doc_id long, sig0 long, sig1 long")
+
+    got = sorted(tuple(r) for r in simhash_banded_pairs_words(sig).collect())
+    a, b = sig.alias("a"), sig.alias("b")
+    ham = F.bit_count(F.col("a.sig0").bitwiseXOR(F.col("b.sig0"))) + F.bit_count(
+        F.col("a.sig1").bitwiseXOR(F.col("b.sig1"))
+    )
+    want = sorted(
+        tuple(r)
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(ham <= _HAMMING_MAX)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .collect()
+    )
+    assert got == want
+    assert len(got) >= 50  # every planted 4-flip pair is found
