@@ -180,3 +180,47 @@ def test_promo_share_pushes_date_band_to_scan(spark):
     plan = _plan(spark, "promo_revenue_share")
     assert "PushedFilters: [" in plan
     assert "GreaterThanOrEqual(l_shipdate" in plan
+
+
+def test_bm25_query_table_ranks_without_global_sort(spark):
+    """bm25_query_table: per-query top-k must run as group-limited
+    windows (WindowGroupLimit pushes rank<=k below the exchange), the
+    whole text path stays JVM-side, and the corpus-proportional
+    query-term table is NEVER broadcast by our own hint — any
+    BroadcastExchange present must come from AQE size estimates, so at
+    scale the posting-list join degrades gracefully to a shuffle join
+    instead of a driver-memory ceiling."""
+    plan = _plan(spark, "bm25_query_table")
+    assert "WindowGroupLimit" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hybrid_rrf_fusion_adds_no_corpus_work(spark):
+    """RRF fuses two already-rank-bounded inputs: the fusion stage
+    itself must be one aggregate + one group-limited window — no new
+    scans beyond the two rankers', no Python, no cartesian join."""
+    plan = _plan(spark, "hybrid_rrf_fusion")
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_simhash_wide_variants_stay_banded(spark):
+    """The wide/xwide simhash plans must keep the banded equi-join
+    shape (no theta self-join: a sort-merge/broadcast-hash join keyed
+    on (band, key), never BroadcastNestedLoopJoin) and JVM-only
+    signature builds."""
+    for name in ("dedup_simhash_wide", "dedup_simhash_xwide"):
+        plan = _plan(spark, name)
+        assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan, name
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, name
+
+
+def test_cms_counter_table_broadcasts(spark):
+    """cms_user_frequency: the d x w counter table is KB-sized and must
+    broadcast into the estimation join (a shuffle join there would
+    shuffle every queried key for a 256-row table)."""
+    plan = _plan(spark, "cms_user_frequency")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
