@@ -45,6 +45,7 @@ _WINDOW = [
     "hybrid_rrf_fusion",
     "cms_user_frequency",
     "dedup_simhash_xwide",
+    "hll_user_cardinality",
     # --- plans changed this round: re-verify ---
     "dedup_simhash",
     "hilbert_layout",
@@ -86,7 +87,6 @@ _WINDOW = [
     "customer_running_revenue",
     "distinct_users_exact",
     "top_terms_per_lang",
-    "user_cohort_setops",
     "json_props_stats",
 ]
 
