@@ -46,6 +46,7 @@ _WINDOW = [
     "cms_user_frequency",
     "dedup_simhash_xwide",
     "hll_user_cardinality",
+    "ams_f2_selfjoin_size",
     # --- plans changed this round: re-verify ---
     "dedup_simhash",
     "hilbert_layout",
@@ -86,7 +87,6 @@ _WINDOW = [
     "best_order_per_customer",
     "customer_running_revenue",
     "distinct_users_exact",
-    "top_terms_per_lang",
     "json_props_stats",
 ]
 

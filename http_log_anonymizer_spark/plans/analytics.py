@@ -2854,3 +2854,76 @@ def hll_user_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("est", 4).alias("hll_est"),
         (F.abs(F.col("est") - F.col("n")) <= 0.4 * F.col("n")).alias("within_3_sigma"),
     )
+
+
+# ---------------------------------------------------------------------------
+# AMS second-moment sketch (Alon, Matias & Szegedy, STOC 1996) — F2 =
+# sum of squared frequencies = the self-join size, the quantity join
+# optimizers and skew detectors estimate. Third member of the
+# exact-replay sketch family (CMS: frequencies, HLL: cardinality):
+# sign hashes are md5-derived bits, so every counter is bit-identical
+# across engines and the whole construction hash-verifies.
+# ---------------------------------------------------------------------------
+
+_AMS_K = 9  # independent estimators; median-of-9
+
+
+def _ams_oracle() -> str:
+    from http_log_anonymizer_spark.functions.text import hash64_sql
+
+    signs = ", ".join(
+        f"sum(n * (1 - 2 * ({hash64_sql('CAST(user_id AS VARCHAR)', f'ams{j}')} & 1))) AS z{j}"
+        for j in range(_AMS_K)
+    )
+    zs = ", ".join(f"CAST(z{j} AS DOUBLE) * z{j}" for j in range(_AMS_K))
+    return f"""
+WITH per_user AS (
+  SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+),
+sketch AS (SELECT {signs} FROM per_user),
+est AS (SELECT median(u.x) AS f2_est FROM sketch, unnest([{zs}]) AS u(x)),
+exact AS (SELECT sum(n * n) AS f2 FROM per_user)
+SELECT CAST(e.f2 AS BIGINT) AS exact_f2,
+       round(s.f2_est, 4) AS ams_est,
+       abs(s.f2_est - e.f2) <= e.f2 AS within_factor_2
+FROM exact e CROSS JOIN est s
+"""
+
+
+@register("ams_f2_selfjoin_size", oracle=_ams_oracle())
+def ams_f2_selfjoin_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join size (F2 = sum of squared user frequencies) estimated
+    by {_AMS_K} independent AMS sign sketches (md5-derived +/-1 per
+    (estimator, key); each Z_j = sum f_x * s_j(x); E[Z^2] = F2),
+    combined by median and reported next to the exact value with the
+    within-2x accuracy bool. F2 is what a join planner consults before
+    self-joining a skewed key — the engine's own AQE skew decisions
+    rest on the same quantity.
+
+    Scale shape: one frequency aggregation (map-side combine), then
+    {_AMS_K} signed sums folded in a single 1-row aggregate —
+    mergeable by addition across partitions/streams/days, O(k) state.
+    Like the CMS/HLL twins, the construction is deterministic in both
+    engines, so the driver hash-checks the sketch itself."""
+    from http_log_anonymizer_spark.functions.text import hash64
+
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(F.count("*").alias("n"))
+    zs = [
+        F.sum(
+            F.col("n")
+            * (1 - 2 * hash64(F.col("user_id").cast("string"), f"ams{j}").bitwiseAND(F.lit(1)))
+        ).alias(f"z{j}")
+        for j in range(_AMS_K)
+    ]
+    sketch = per_user.agg(*zs)
+    sq = F.array(*[(F.col(f"z{j}").cast("double") * F.col(f"z{j}")) for j in range(_AMS_K)])
+    est = sketch.select(
+        F.element_at(F.array_sort(sq), (_AMS_K + 1) // 2).alias("f2_est")
+    )
+    exact = per_user.agg(F.sum(F.col("n") * F.col("n")).alias("f2"))
+    return exact.crossJoin(F.broadcast(est)).select(
+        F.col("f2").cast("long").alias("exact_f2"),
+        F.round("f2_est", 4).alias("ams_est"),
+        (F.abs(F.col("f2_est") - F.col("f2")) <= F.col("f2")).alias("within_factor_2"),
+    )
