@@ -2927,3 +2927,120 @@ def ams_f2_selfjoin_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("f2_est", 4).alias("ams_est"),
         (F.abs(F.col("f2_est") - F.col("f2")) <= F.col("f2")).alias("within_factor_2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-point PageRank (Page et al., 1999) over the part co-purchase
+# graph — the graph-analytics companion to the connected-components
+# operator (operators/components.py). All arithmetic is SCALED INTEGER
+# (rank units of 1e-9), so partial-aggregation order can't perturb a
+# single bit and the whole 5-round power iteration hash-verifies
+# against an unrolled-CTE DuckDB replay — the same determinism trick as
+# kmeans_quantized / hilbert_layout / bpe_learn_merges.
+# ---------------------------------------------------------------------------
+
+_PR_SCALE = 1_000_000_000  # 1e9 rank units per node of initial mass
+_PR_ROUNDS = 5
+_PR_TOP = 25
+
+
+def _pagerank_oracle() -> str:
+    base = int(0.15 * _PR_SCALE)
+    parts = [
+        f"""edges AS (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS w
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+),
+nodes AS (SELECT DISTINCT l_partkey AS node FROM lineitem),
+outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS wout FROM edges GROUP BY src),
+r0 AS (SELECT node, CAST({_PR_SCALE} AS BIGINT) AS r FROM nodes)"""
+    ]
+    for t in range(_PR_ROUNDS):
+        parts.append(
+            f"""r{t + 1} AS (
+  SELECT n.node,
+         CAST({base} + COALESCE(sum(f.flow), 0) AS BIGINT) AS r
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst, (r.r * 85 * e.w) // (100 * o.wout) AS flow
+    FROM edges e
+    JOIN r{t} r ON e.src = r.node
+    JOIN outw o ON e.src = o.src
+  ) f ON n.node = f.dst
+  GROUP BY n.node
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT node, r AS rank_scaled FROM r{_PR_ROUNDS}
+ORDER BY r DESC, node LIMIT {_PR_TOP}"""
+    )
+
+
+@register("pagerank_copurchase", oracle=_pagerank_oracle())
+def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_PR_TOP} parts by PageRank over the co-purchase graph
+    (parts are linked when they appear in the same order; edge weight =
+    co-occurrence multiplicity), {_PR_ROUNDS} power-iteration rounds
+    with damping 0.85 in scaled-integer arithmetic:
+
+        r_(t+1)(v) = floor(0.15 * SCALE)
+                     + sum over in-edges (u,v) of
+                         (r_t(u) * 85 * w(u,v)) div (100 * wout(u))
+
+    Integer div truncation makes every round exactly reproducible in
+    any engine (the oracle unrolls the rounds as CTEs), at the price of
+    leaking < 1e-9 of mass per edge per round — irrelevant to ranking.
+    Overflow bound: max rank < total mass = |V| * SCALE, so the
+    numerator needs |V| * SCALE * 85 * max_w < 2^63 — holds through
+    sf10 with 10^4 headroom (documented contract, not checked per row).
+
+    Scale shape: edges come from ONE self-equi-join on l_orderkey
+    (bounded per-order fan-out — no cartesian risk), then each round is
+    one join ranks-on-src (both sides partitioned by the same key) and
+    one groupBy(dst) with map-side combine. Rank state is |V| rows,
+    stays distributed; nothing visits the driver. Edges/out-weights are
+    localCheckpoint'd once since all {_PR_ROUNDS} rounds reuse them.
+    Dangling nodes (no out-edges) keep base rank and leak their surplus
+    — the classic simplification, identical in both engines."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    other = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("dst")
+    )
+    edges = (
+        li.join(other, (li.l_orderkey == other.o2) & (li.l_partkey != other.dst))
+        .groupBy(F.col("l_partkey").alias("src"), "dst")
+        .agg(F.count("*").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    nodes = li.select(F.col("l_partkey").alias("node")).distinct().localCheckpoint(
+        eager=True
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").alias("wout")).localCheckpoint(
+        eager=True
+    )
+    base = int(0.15 * _PR_SCALE)
+    ranks = nodes.select("node", F.lit(_PR_SCALE).cast("long").alias("r"))
+    for _ in range(_PR_ROUNDS):
+        flow = (
+            edges.join(ranks, edges.src == ranks.node)
+            .join(outw, "src")
+            .select(
+                "dst",
+                F.expr("(r * 85 * w) DIV (100 * wout)").alias("flow"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("flow").alias("inflow"))
+        )
+        ranks = nodes.join(flow, nodes.node == flow.dst, "left").select(
+            "node",
+            (F.lit(base) + F.coalesce(F.col("inflow"), F.lit(0)))
+            .cast("long")
+            .alias("r"),
+        )
+    return ranks.orderBy(F.desc("r"), "node").limit(_PR_TOP).select(
+        "node", F.col("r").alias("rank_scaled")
+    )

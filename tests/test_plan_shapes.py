@@ -224,3 +224,13 @@ def test_cms_counter_table_broadcasts(spark):
     plan = _plan(spark, "cms_user_frequency")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pagerank_edges_are_equi_join(spark):
+    """plans/analytics.py:pagerank_copurchase — the co-purchase edge
+    build must be an EQUI-join on l_orderkey (the partkey inequality is
+    a post-join filter), never a nested-loop product, and the rank
+    readout must be a TakeOrderedAndProject, not a global sort."""
+    plan = _plan(spark, "pagerank_copurchase")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
