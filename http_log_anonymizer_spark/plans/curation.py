@@ -1007,3 +1007,54 @@ def padding_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM subword vocabulary (Kudo, ACL 2018 / SentencePiece) — the
+# EM counterpart to bpe_learn_merges, with the Viterbi E-step
+# integer-quantized so the whole train loop replays in SQL
+# (operators/unigram.py).
+# ---------------------------------------------------------------------------
+
+_UNIGRAM_ROUNDS = 2
+_UNIGRAM_TOP = 40
+
+
+def _unigram_oracle() -> str:
+    from http_log_anonymizer_spark.operators.unigram import unigram_sql
+
+    return unigram_sql(
+        _UNIGRAM_ROUNDS,
+        "SELECT unnest(string_split(text, ' ')) AS tok FROM documents",
+        _UNIGRAM_TOP,
+    )
+
+
+@register("unigram_lm_vocab", oracle=_unigram_oracle())
+def unigram_lm_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-40 subword pieces (piece, cnt, piece_len) after 2 rounds of
+    integer-quantized Viterbi-EM unigram-LM training over the corpus
+    (operators/unigram.py): the E-step segments every vocabulary word
+    by (fewest pieces, then highest cumulative piece count, then
+    lexicographic path) — a total order in exact integers + byte
+    compares — and the M-step recounts piece usage. The fixed-round
+    run unrolls into a MATERIALIZED-CTE DuckDB replay, so the driver
+    hash-checks the LEARNED VOCABULARY itself, the same determinism
+    contract as bpe_learn_merges / kmeans_quantized.
+
+    Scale shape: trains on the (word, freq) VOCABULARY (one corpus
+    shuffle, map-side combined); spans, count joins and both EM rounds
+    are vocab-sized; the Viterbi DP is ONE JVM-side higher-order fold
+    per word — no Python, no per-position shuffle, nothing on the
+    driver. tests/test_unigram.py additionally proves the distributed
+    trainer identical to a pure-Python reference implementation."""
+    from http_log_anonymizer_spark.operators.unigram import train_unigram
+
+    d = load_table(spark, sf_dir, "documents", spread=True)
+    toks = d.select(F.explode(tokens_ws("text")).alias("tok"))
+    counts = train_unigram(toks, rounds=_UNIGRAM_ROUNDS)
+    return (
+        counts.select("piece", "cnt", F.length("piece").alias("piece_len"))
+        .orderBy(F.desc("cnt"), "piece")
+        .limit(_UNIGRAM_TOP)
+    )
