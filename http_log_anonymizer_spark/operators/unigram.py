@@ -277,3 +277,40 @@ SELECT piece, cnt, length(piece) AS piece_len
 FROM c{rounds}
 ORDER BY cnt DESC, piece LIMIT {top}"""
     )
+
+
+def unigram_encode_sql(rounds: int, token_sql: str) -> str:
+    """DuckDB CTE prefix for ENCODING with the trained model: replays
+    ``rounds`` EM rounds, then one extra E-step (round ``rounds+1``'s
+    segmentation IS the application of the final counts — its unused
+    recount CTEs are pruned by the planner). Exposes ``enc`` =
+    (word, n_sub): pieces per analysed word. Caller appends its own
+    final SELECT; the string already starts with WITH."""
+    return (
+        "WITH "
+        + _unigram_ctes(rounds + 1, token_sql)
+        + f""",
+enc AS (
+  SELECT word,
+         len(list_filter(string_split(path, chr(31)), x -> x <> '')) AS n_sub
+  FROM st{rounds + 1}_{MAX_WORD} WHERE i = n
+)"""
+    )
+
+
+def segment_lengths(tokens: DataFrame, rounds: int = 2) -> DataFrame:
+    """(word, n_sub): per-word piece counts under the model trained by
+    ``rounds`` EM rounds — the Spark twin of :func:`unigram_encode_sql`
+    (one extra E-step with the final counts)."""
+    vocab = word_vocab(tokens)
+    sp = spans(vocab).localCheckpoint(eager=True)
+    counts = seed_counts(sp)
+    for _ in range(rounds):
+        counts = usage_counts(segment_round(sp, counts))
+    seg = segment_round(sp, counts)
+    return seg.select(
+        "word",
+        F.size(
+            F.filter(F.split("path", _SEP), lambda x: x != F.lit(""))
+        ).alias("n_sub"),
+    )

@@ -1058,3 +1058,61 @@ def unigram_lm_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), "piece")
         .limit(_UNIGRAM_TOP)
     )
+
+
+def _unigram_encode_oracle() -> str:
+    from http_log_anonymizer_spark.operators.unigram import unigram_encode_sql
+
+    prefix = unigram_encode_sql(
+        _UNIGRAM_ROUNDS, "SELECT unnest(string_split(text, ' ')) AS tok FROM documents"
+    )
+    return f"""
+{prefix},
+tok AS (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents)
+SELECT lang,
+       count(*) AS n_tokens,
+       CAST(sum(e.n_sub) AS BIGINT) AS n_pieces,
+       round(sum(e.n_sub) * 1.0 / count(*), 4) AS pieces_per_token,
+       round(sum(length(t.word)) * 1.0 / sum(e.n_sub), 4) AS chars_per_piece
+FROM tok t JOIN enc e ON e.word = t.word
+GROUP BY lang ORDER BY lang
+"""
+
+
+@register("unigram_encode_stats", oracle=_unigram_encode_oracle())
+def unigram_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM APPLICATION — the other half of the train/apply
+    lifecycle (the bpe_encode_stats twin): segment the whole corpus
+    with the vocabulary unigram_lm_vocab just trained and report
+    per-language fertility (pieces per token, chars per piece). The
+    oracle replays training AND encoding (one extra unrolled E-step),
+    so the driver hash-checks the full lifecycle. Words longer than
+    the analysed-word cap are outside the model's domain and excluded
+    identically in both engines (inner join on the segmented vocab).
+
+    Scale shape: identical to bpe_encode_stats — the model trains on
+    the vocabulary; the corpus-sized side only joins its word stream
+    against the per-word segment lengths (a shuffle tokenization needs
+    anyway) and aggregates a handful of rows per lang with map-side
+    combine. All JVM-side."""
+    from http_log_anonymizer_spark.operators.unigram import segment_lengths
+
+    d = load_table(spark, sf_dir, "documents", spread=True)
+    toks = d.select(F.explode(tokens_ws("text")).alias("tok"))
+    seg = segment_lengths(toks, rounds=_UNIGRAM_ROUNDS)
+    words = d.select("lang", F.explode(tokens_ws("text")).alias("word"))
+    enc = words.join(seg, "word").select(
+        "lang", "n_sub", F.length("word").alias("n_chars")
+    )
+    return (
+        enc.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("n_sub").alias("n_pieces"),
+            F.round(F.sum("n_sub") * 1.0 / F.count("*"), 4).alias("pieces_per_token"),
+            F.round(F.sum("n_chars") * 1.0 / F.sum("n_sub"), 4).alias(
+                "chars_per_piece"
+            ),
+        )
+        .orderBy("lang")
+    )
