@@ -47,6 +47,9 @@ _WINDOW = [
     "dedup_simhash_xwide",
     "hll_user_cardinality",
     "ams_f2_selfjoin_size",
+    "pagerank_copurchase",
+    "unigram_lm_vocab",
+    "unigram_encode_stats",
     # --- plans changed this round: re-verify ---
     "dedup_simhash",
     "hilbert_layout",
@@ -83,11 +86,8 @@ _WINDOW = [
     "nation_volume",
     "pricing_summary",
     "shipping_priority",
-    "top_orders_per_customer",
     "best_order_per_customer",
     "customer_running_revenue",
-    "distinct_users_exact",
-    "json_props_stats",
 ]
 
 
