@@ -50,6 +50,7 @@ _WINDOW = [
     "pagerank_copurchase",
     "unigram_lm_vocab",
     "unigram_encode_stats",
+    "triangle_counts",
     # --- plans changed this round: re-verify ---
     "dedup_simhash",
     "hilbert_layout",
@@ -80,7 +81,6 @@ _WINDOW = [
     "range_join_error_context",
     "grouping_sets_totals",
     "rollup_region_nation",
-    "pivot_avg_value",
     "value_percentiles",
     "user_zscore_outliers",
     "nation_volume",

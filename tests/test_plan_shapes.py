@@ -234,3 +234,12 @@ def test_pagerank_edges_are_equi_join(spark):
     plan = _plan(spark, "pagerank_copurchase")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_triangle_counts_avoids_nested_loops(spark):
+    """plans/analytics.py:triangle_counts — wedge generation and
+    closure are pure equi-joins (the degree-ordered orientation keeps
+    them bounded); any nested-loop fallback would be quadratic."""
+    plan = _plan(spark, "triangle_counts")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
