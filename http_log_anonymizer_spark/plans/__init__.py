@@ -51,6 +51,7 @@ _WINDOW = [
     "unigram_lm_vocab",
     "unigram_encode_stats",
     "triangle_counts",
+    "rerank_fusion_topk",
     # --- plans changed this round: re-verify ---
     "dedup_simhash",
     "hilbert_layout",
@@ -85,7 +86,6 @@ _WINDOW = [
     "user_zscore_outliers",
     "nation_volume",
     "pricing_summary",
-    "shipping_priority",
     "best_order_per_customer",
     "customer_running_revenue",
 ]

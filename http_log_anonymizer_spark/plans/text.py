@@ -1163,3 +1163,126 @@ def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "cand", "rank", "rrf", "n_systems")
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Rerank stage over the fused candidate pool — the third tier of the
+# retrieval stack (retrieve -> fuse -> rerank). A production deployment
+# puts a cross-encoder model here (batched Pandas-UDF inference over
+# (query, candidate) text pairs); model weights don't exist in this
+# container, so the scorer is the deterministic feature twin — exact
+# unit-cosine + token Jaccard, linearly combined — which keeps ALL the
+# engine-side plumbing real (candidate pooling, per-side feature joins,
+# per-query rerank window) and makes the stage oracle-checkable.
+# ---------------------------------------------------------------------------
+
+_RERANK_TOP = 5
+_RERANK_WCOS = 0.7
+_RERANK_WJAC = 0.3
+
+
+def _rerank_oracle() -> str:
+    from http_log_anonymizer_spark.functions.vectors import UNIT_CTE_SQL, dot_sql
+    from http_log_anonymizer_spark.plans.registry import REGISTRY
+
+    fused = REGISTRY["hybrid_rrf_fusion"].oracle
+    dim = 64
+    return f"""
+WITH fused AS ({fused}),
+{UNIT_CTE_SQL.strip().lstrip()},
+toks AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS tk FROM documents
+),
+feat AS (
+  SELECT f.query_id, f.cand, f.rank AS rrf_rank,
+         COALESCE(round({dot_sql('uq.ue', 'uc.ue', dim)}, 4), 0.0) AS cos,
+         COALESCE(round(len(list_intersect(tq.tk, tc.tk)) * 1.0 /
+                        len(list_distinct(list_concat(tq.tk, tc.tk))), 6), 0.0) AS jacc
+  FROM fused f
+  LEFT JOIN unit uq ON uq.vec_id = f.query_id
+  LEFT JOIN unit uc ON uc.vec_id = f.cand
+  LEFT JOIN toks tq ON tq.doc_id = f.query_id
+  LEFT JOIN toks tc ON tc.doc_id = f.cand
+),
+scored AS (
+  SELECT *, round({_RERANK_WCOS} * cos + {_RERANK_WJAC} * jacc, 6) AS rerank_score
+  FROM feat
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY rerank_score DESC, cand
+  ) AS new_rank FROM scored
+)
+SELECT query_id, cand, new_rank, rerank_score, rrf_rank
+FROM ranked WHERE new_rank <= {_RERANK_TOP}
+ORDER BY query_id, new_rank
+"""
+
+
+@register("rerank_fusion_topk", oracle=_rerank_oracle())
+def rerank_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_RERANK_TOP} per query after RERANKING the hybrid RRF pool
+    with exact interaction features: 0.7 x exact unit-cosine
+    (embeddings) + 0.3 x token Jaccard (document texts), ties broken
+    by candidate id. Candidates missing a modality score 0 on that
+    feature (the standard missing-feature convention). The oracle
+    replays retrieve + fuse + rerank end to end, so the driver
+    hash-checks the full three-tier stack.
+
+    Scale shape: the pool is rank-bounded (queries x {_RRF_TOPK} rows)
+    BEFORE any expensive feature — that is the entire point of a
+    rerank tier: exact cosine and Jaccard run on O(Q * k) pairs, not
+    the corpus. Feature lookups are equi-joins keyed on vec_id/doc_id
+    (dimension-style; broadcastable when the candidate pool is small
+    relative to the corpus); the rerank window partitions by query.
+    All JVM-side (zip_with/aggregate folds + array_intersect) — a real
+    cross-encoder would swap the scorer for a batched Pandas UDF with
+    the same join/window frame."""
+    from http_log_anonymizer_spark.functions.vectors import dot
+    from http_log_anonymizer_spark.plans.registry import REGISTRY
+    from http_log_anonymizer_spark.plans.similarity import _unit_table
+
+    fused = REGISTRY["hybrid_rrf_fusion"].spark_fn(spark, sf_dir)
+    unit = _unit_table(spark, sf_dir, cache=False)
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(tokens_ws("text")).alias("tk")
+    )
+    uq = unit.select(F.col("vec_id").alias("query_id"), F.col("ue").alias("qe"))
+    uc = unit.select(F.col("vec_id").alias("cand"), F.col("ue").alias("ce"))
+    tq = toks.select(F.col("doc_id").alias("query_id"), F.col("tk").alias("qtk"))
+    tc = toks.select(F.col("doc_id").alias("cand"), F.col("tk").alias("ctk"))
+    feat = (
+        fused.select("query_id", "cand", F.col("rank").alias("rrf_rank"))
+        .join(uq, "query_id", "left")
+        .join(uc, "cand", "left")
+        .join(tq, "query_id", "left")
+        .join(tc, "cand", "left")
+        .select(
+            "query_id",
+            "cand",
+            "rrf_rank",
+            F.coalesce(F.round(dot("qe", "ce"), 4), F.lit(0.0)).alias("cos"),
+            F.coalesce(
+                F.round(
+                    F.size(F.array_intersect("qtk", "ctk"))
+                    * 1.0
+                    / F.size(F.array_union("qtk", "ctk")),
+                    6,
+                ),
+                F.lit(0.0),
+            ).alias("jacc"),
+        )
+    )
+    scored = feat.select(
+        "*",
+        F.round(
+            _RERANK_WCOS * F.col("cos") + _RERANK_WJAC * F.col("jacc"), 6
+        ).alias("rerank_score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rerank_score"), "cand")
+    return (
+        scored.select("*", F.row_number().over(w).alias("new_rank"))
+        .filter(F.col("new_rank") <= _RERANK_TOP)
+        .select("query_id", "cand", "new_rank", "rerank_score", "rrf_rank")
+        .orderBy("query_id", "new_rank")
+    )
