@@ -1,0 +1,120 @@
+"""Graph analytics (pagerank_copurchase, triangle_counts): the
+fixed-point PageRank fold and the degree-ordered triangle join must
+match plain-Python references on a hand-built order/part table — the
+oracle gate re-checks both against DuckDB at sf0.01; here the failure
+surface is readable."""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import functions as F
+
+
+def _orders(spark, baskets: list[list[int]]):
+    rows = [(oid, p) for oid, parts in enumerate(baskets) for p in parts]
+    return spark.createDataFrame(rows, "l_orderkey bigint, l_partkey bigint")
+
+
+def _write_sf(spark, tmp_path, baskets) -> str:
+    d = tmp_path / "sf"
+    _orders(spark, baskets).write.parquet(str(d / "lineitem.parquet"))
+    return str(d)
+
+
+def _reference_pagerank(baskets, rounds=5, scale=10**9):
+    edges: dict[tuple[int, int], int] = {}
+    for parts in baskets:
+        for a in parts:
+            for b in parts:
+                if a != b:
+                    edges[(a, b)] = edges.get((a, b), 0) + 1
+    nodes = sorted({p for parts in baskets for p in parts})
+    wout: dict[int, int] = {}
+    for (a, _b), w in edges.items():
+        wout[a] = wout.get(a, 0) + w
+    base = int(0.15 * scale)
+    r = {n: scale for n in nodes}
+    for _ in range(rounds):
+        nxt = {n: base for n in nodes}
+        for (a, b), w in edges.items():
+            nxt[b] += (r[a] * 85 * w) // (100 * wout[a])
+        r = nxt
+    return r
+
+
+def test_pagerank_matches_python_reference(spark, tmp_path):
+    from http_log_anonymizer_spark.plans import REGISTRY
+
+    baskets = [[1, 2, 3], [1, 2], [2, 3, 4], [4, 5], [1, 5, 6], [6], [2, 4]]
+    sf = _write_sf(spark, tmp_path, baskets)
+    got = {
+        r.node: r.rank_scaled
+        for r in REGISTRY["pagerank_copurchase"].spark_fn(spark, sf).collect()
+    }
+    ref = _reference_pagerank(baskets)
+    top = dict(sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))[:25])
+    assert got == top
+
+
+def _reference_triangles(baskets, minsup=2):
+    # pair weight = ordered co-occurrences / 2, like the query
+    pair_w: dict[tuple[int, int], int] = {}
+    for parts in baskets:
+        for a in parts:
+            for b in parts:
+                if a < b:
+                    pair_w[(a, b)] = pair_w.get((a, b), 0) + 1
+    edges = {e for e, w in pair_w.items() if w >= minsup}
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = {n: 0 for n in adj}
+    for a, b, c in itertools.combinations(sorted(adj), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            tri[a] += 1
+            tri[b] += 1
+            tri[c] += 1
+    return {n: (t, len(adj[n])) for n, t in tri.items() if t > 0}
+
+
+def test_triangles_match_python_reference(spark, tmp_path):
+    from http_log_anonymizer_spark.plans import REGISTRY
+
+    # repeated baskets so edges clear the support-2 threshold
+    baskets = [
+        [1, 2, 3],
+        [1, 2, 3],
+        [2, 3, 4],
+        [2, 3, 4],
+        [1, 3, 4],
+        [1, 3, 4],
+        [1, 2, 4, 5],
+        [1, 2, 4, 5],
+        [5, 6],
+    ]
+    sf = _write_sf(spark, tmp_path, baskets)
+    got = {
+        r.node: (r.n_triangles, r.degree)
+        for r in REGISTRY["triangle_counts"].spark_fn(spark, sf).collect()
+    }
+    ref = _reference_triangles(baskets)
+    top = dict(
+        sorted(ref.items(), key=lambda kv: (-kv[1][0], kv[0]))[:20]
+    )
+    assert got == top
+
+
+def test_pagerank_mass_is_conserved_up_to_truncation(spark, tmp_path):
+    """Total rank never exceeds initial mass (integer div only leaks
+    downward) and every node retains at least the base rank."""
+    from http_log_anonymizer_spark.plans import REGISTRY
+    from http_log_anonymizer_spark.plans.analytics import _PR_SCALE
+
+    baskets = [[1, 2], [2, 3], [3, 1], [1, 2, 3]]
+    sf = _write_sf(spark, tmp_path, baskets)
+    rows = REGISTRY["pagerank_copurchase"].spark_fn(spark, sf).collect()
+    n = 3
+    assert sum(r.rank_scaled for r in rows) <= n * _PR_SCALE
+    assert all(r.rank_scaled >= int(0.15 * _PR_SCALE) for r in rows)
