@@ -52,6 +52,7 @@ _WINDOW = [
     "unigram_encode_stats",
     "triangle_counts",
     "rerank_fusion_topk",
+    "k_anonymity_report",
     # --- plans changed this round: re-verify ---
     "dedup_simhash",
     "hilbert_layout",
@@ -80,7 +81,6 @@ _WINDOW = [
     "gapfill_locf",
     "zorder_layout",
     "range_join_error_context",
-    "grouping_sets_totals",
     "rollup_region_nation",
     "value_percentiles",
     "user_zscore_outliers",

@@ -368,3 +368,89 @@ def http_error_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour")
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit — the measurement that justifies the reference's
+# whole existence: does dropping the last IP octet (lib.rs:278-284)
+# actually make users indistinguishable? Sweeney's k-anonymity
+# (IJUFKS 2002): a release is k-anonymous when every quasi-identifier
+# combination is shared by >= k rows. This query audits BOTH stages
+# (raw vs anonymized) over the QI set (remote_addr, url, method), so
+# the anonymization LIFT is part of the hashed contract.
+# ---------------------------------------------------------------------------
+
+_KANON_CAP = 10  # histogram cap: class sizes >= cap share one bucket
+
+
+@register(
+    "k_anonymity_report",
+    oracle=f"""
+WITH {HTTP_LOG_SQL.strip()},
+staged AS (
+  SELECT 'raw' AS stage, remote_addr, url, method FROM http_log
+  UNION ALL
+  SELECT 'anon' AS stage,
+         regexp_replace(remote_addr, '[0-9]+$', 'x') AS remote_addr,
+         url, method
+  FROM http_log
+),
+classes AS (
+  SELECT stage, remote_addr, url, method, count(*) AS sz
+  FROM staged GROUP BY stage, remote_addr, url, method
+),
+tot AS (SELECT stage, CAST(sum(sz) AS BIGINT) AS n FROM classes GROUP BY stage),
+hist AS (
+  SELECT stage, least(sz, {_KANON_CAP}) AS class_size_bucket,
+         count(*) AS n_classes, CAST(sum(sz) AS BIGINT) AS n_rows
+  FROM classes GROUP BY stage, least(sz, {_KANON_CAP})
+)
+SELECT h.stage, h.class_size_bucket, h.n_classes, h.n_rows,
+       round(h.n_rows * 1.0 / t.n, 4) AS pct_rows
+FROM hist h JOIN tot t ON h.stage = t.stage
+ORDER BY h.stage, h.class_size_bucket
+""",
+)
+def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-size histogram of the quasi-identifier tuple
+    (remote_addr, url, method) BEFORE and AFTER IP anonymization —
+    the k-anonymity audit for the pipeline's core transform. A row in
+    bucket b means its QI class has b (capped at {_KANON_CAP}) rows;
+    the smallest populated bucket IS the release's k. Comparing the
+    'raw' and 'anon' stages shows the anonymization lift (mass moves
+    from bucket-1 singleton classes into large classes).
+
+    Scale shape: one groupBy over the QI key per stage (map-side
+    combine; the union of the two stages is a projection, not a second
+    scan cost — Spark scans events once per branch of the union but
+    each branch is a pure map), then a {_KANON_CAP}-row histogram
+    aggregate. Nothing driver-side; all integer arithmetic + one
+    rounded ratio. The audit-over-release pattern is what a privacy
+    team runs on every drop of an anonymized dataset."""
+    log = http_log_view(spark, sf_dir).select("remote_addr", "url", "method")
+    staged = log.select(F.lit("raw").alias("stage"), "remote_addr", "url", "method").unionByName(
+        log.select(
+            F.lit("anon").alias("stage"),
+            anonymize_ip_fast("remote_addr").alias("remote_addr"),
+            "url",
+            "method",
+        )
+    )
+    classes = staged.groupBy("stage", "remote_addr", "url", "method").agg(
+        F.count("*").alias("sz")
+    )
+    tot = classes.groupBy("stage").agg(F.sum("sz").alias("n"))
+    hist = classes.groupBy(
+        "stage", F.least("sz", F.lit(_KANON_CAP)).alias("class_size_bucket")
+    ).agg(F.count("*").alias("n_classes"), F.sum("sz").alias("n_rows"))
+    return (
+        hist.join(tot, "stage")
+        .select(
+            "stage",
+            "class_size_bucket",
+            "n_classes",
+            "n_rows",
+            F.round(F.col("n_rows") * 1.0 / F.col("n"), 4).alias("pct_rows"),
+        )
+        .orderBy("stage", "class_size_bucket")
+    )
