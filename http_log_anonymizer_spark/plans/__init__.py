@@ -53,6 +53,7 @@ _WINDOW = [
     "triangle_counts",
     "rerank_fusion_topk",
     "k_anonymity_report",
+    "bloom_membership_report",
     # --- plans changed this round: re-verify ---
     "dedup_simhash",
     "hilbert_layout",
@@ -81,7 +82,6 @@ _WINDOW = [
     "gapfill_locf",
     "zorder_layout",
     "range_join_error_context",
-    "rollup_region_nation",
     "value_percentiles",
     "user_zscore_outliers",
     "nation_volume",

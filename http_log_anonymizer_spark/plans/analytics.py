@@ -3186,3 +3186,148 @@ def triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_triangles"), "node")
         .limit(_TRI_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# Explicit Bloom filter (Bloom, CACM 1970) — MEMBERSHIP joins the
+# exact-replay sketch family (CMS: frequency, HLL: cardinality,
+# AMS: moments): md5-derived bit positions make the filter bit-set
+# identical in both engines, so construction, probe counts and the
+# false-positive accounting all hash-verify. This is the sketch behind
+# the engine's own runtime bloom-filter semi-join reduction (SCALE.md)
+# — here built explicitly so the mechanism itself is auditable.
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 256  # bits (small on purpose: measurable FP rate at gate SFs)
+_BLOOM_K = 2  # hash functions
+
+
+def _bloom_oracle() -> str:
+    from http_log_anonymizer_spark.functions.text import hash64_sql
+
+    pos = lambda j: f"{hash64_sql('CAST(user_id AS VARCHAR)', f'bloom{j}')} % {_BLOOM_M}"  # noqa: E731
+    member_bits = "\nUNION ALL\n".join(
+        f"SELECT DISTINCT {pos(j)} AS b FROM members" for j in range(_BLOOM_K)
+    )
+    probe_bits = "\nUNION ALL\n".join(
+        f"SELECT user_id, {pos(j)} AS b FROM probed" for j in range(_BLOOM_K)
+    )
+    return f"""
+WITH members AS (
+  -- an arbitrary ~50% behavioral cohort (odd purchase count): the
+  -- synthetic corpus gives every user every event type, so a
+  -- type-based cohort would saturate the probe set with true members
+  -- and leave the FP accounting vacuous at every scale factor
+  SELECT user_id FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id HAVING count(*) % 2 = 1
+),
+probed AS (SELECT DISTINCT user_id FROM events),
+bits AS (SELECT DISTINCT b FROM ({member_bits})),
+pb AS (SELECT DISTINCT user_id, b FROM ({probe_bits})),
+kd AS (
+  -- distinct positions per user: md5 collisions can yield < k
+  SELECT user_id, count(*) AS kd FROM pb GROUP BY user_id
+),
+hits AS (
+  SELECT p.user_id, count(bits.b) AS hit
+  FROM pb p LEFT JOIN bits ON p.b = bits.b
+  GROUP BY p.user_id
+),
+flags AS (
+  SELECT pr.user_id,
+         COALESCE(h.hit, 0) = k.kd AS positive,
+         m.user_id IS NOT NULL AS member
+  FROM probed pr
+  LEFT JOIN hits h ON pr.user_id = h.user_id
+  JOIN kd k ON pr.user_id = k.user_id
+  LEFT JOIN members m ON pr.user_id = m.user_id
+)
+SELECT count(*) FILTER (member) AS n_members,
+       count(*) AS n_probed,
+       count(*) FILTER (positive) AS bloom_positives,
+       count(*) FILTER (positive AND NOT member) AS false_positives,
+       count(*) FILTER (member AND NOT positive) AS false_negatives,
+       round(count(*) FILTER (positive AND NOT member) * 1.0
+             / greatest(count(*) FILTER (NOT member), 1), 6) AS fp_rate
+FROM flags
+"""
+
+
+@register("bloom_membership_report", oracle=_bloom_oracle())
+def bloom_membership_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a {_BLOOM_M}-bit / {_BLOOM_K}-hash Bloom filter over the
+    purchase-user cohort, probe EVERY user through it, and report the
+    full confusion accounting: members, positives, false positives,
+    false negatives (must be 0 — Bloom filters never miss), measured
+    FP rate. md5-derived bit positions keep the bit set identical
+    across engines, so the driver hash-checks the filter's behavior
+    itself.
+
+    Scale shape: the filter is <= {_BLOOM_M} distinct bit rows —
+    broadcastable, mergeable by union (bitwise OR) across partitions,
+    streams or days, the property the runtime semi-join reduction
+    relies on. Probing is an equi-join of (user, bit) pairs against
+    those {_BLOOM_M} rows + one groupBy(user) — O(k) per probe,
+    independent of cohort size."""
+    from http_log_anonymizer_spark.functions.text import hash64
+
+    e = load_table(spark, sf_dir, "events")
+    members = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("np"))
+        .filter(F.col("np") % 2 == 1)
+        .select("user_id")
+    )
+    probed = e.select("user_id").distinct()
+
+    def bit(j: int) -> F.Column:
+        return hash64(F.col("user_id").cast("string"), f"bloom{j}") % _BLOOM_M
+
+    bits = None
+    for j in range(_BLOOM_K):
+        bj = members.select(bit(j).alias("b"))
+        bits = bj if bits is None else bits.unionByName(bj)
+    bits = bits.distinct()
+    pb = None
+    for j in range(_BLOOM_K):
+        pj = probed.select("user_id", bit(j).alias("b"))
+        pb = pj if pb is None else pb.unionByName(pj)
+    pb = pb.distinct()
+    kdist = (
+        pb.groupBy("user_id").agg(F.count("*").alias("kd"))
+    )  # distinct positions per user (hash collisions can give < k)
+    hits = (
+        pb.join(F.broadcast(bits), "b", "left_semi")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("hit"))
+    )
+    flags = (
+        probed.join(hits, "user_id", "left")
+        .join(kdist, "user_id")
+        .join(members.select("user_id", F.lit(True).alias("m")), "user_id", "left")
+        .select(
+            "user_id",
+            (F.coalesce("hit", F.lit(0)) == F.col("kd")).alias("positive"),
+            F.coalesce("m", F.lit(False)).alias("member"),
+        )
+    )
+    return flags.agg(
+        F.sum(F.when(F.col("member"), 1).otherwise(0)).alias("n_members"),
+        F.count("*").alias("n_probed"),
+        F.sum(F.when(F.col("positive"), 1).otherwise(0)).alias("bloom_positives"),
+        F.sum(F.when(F.col("positive") & ~F.col("member"), 1).otherwise(0)).alias(
+            "false_positives"
+        ),
+        F.sum(F.when(F.col("member") & ~F.col("positive"), 1).otherwise(0)).alias(
+            "false_negatives"
+        ),
+        F.round(
+            F.sum(F.when(F.col("positive") & ~F.col("member"), 1).otherwise(0))
+            * 1.0
+            / F.greatest(
+                F.sum(F.when(~F.col("member"), 1).otherwise(0)), F.lit(1)
+            ),
+            6,
+        ).alias("fp_rate"),
+    )
