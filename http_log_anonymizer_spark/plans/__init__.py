@@ -54,6 +54,7 @@ _WINDOW = [
     "rerank_fusion_topk",
     "k_anonymity_report",
     "bloom_membership_report",
+    "hdr_latency_quantiles",
     # --- plans changed this round: re-verify ---
     "dedup_simhash",
     "hilbert_layout",
@@ -78,7 +79,6 @@ _WINDOW = [
     # --- stalest re-verification (driver row only from r01) ---
     "session_window_agg",
     "sessionize_events",
-    "hypertable_rollup",
     "gapfill_locf",
     "zorder_layout",
     "range_join_error_context",

@@ -3331,3 +3331,141 @@ def bloom_membership_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("fp_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Explicit HDR histogram quantiles (Tene's HdrHistogram; Masson et al.
+# VLDB'19 analyse the same bounded-relative-error bucketing as
+# DDSketch) — QUANTILES join the exact-replay sketch family with the
+# structure production latency pipelines actually merge: power-of-two
+# buckets with m mantissa bits give a deterministic, integer-only,
+# addition-mergeable summary with guaranteed relative error 2^-m.
+# `latency_quantile_sketch` exercises Spark's opaque approx_percentile;
+# this is the engine-replayable construction.
+# ---------------------------------------------------------------------------
+
+_HDR_M = 3  # mantissa bits -> relative error <= 1/8
+_HDR_QS = (0.5, 0.9, 0.99)
+
+
+def _hdr_bucket_sql(v: str) -> str:
+    # lower bound of v's bucket: clear all but the top m+1 bits
+    # (values < 2^m are exact). Integer-only given floor(log2(v)) —
+    # safe for the < 2^45 domain (see operator docstring).
+    return f"""CASE WHEN {v} < {1 << _HDR_M} THEN {v}
+  ELSE ({v} >> (CAST(floor(log2({v})) AS BIGINT) - {_HDR_M}))
+         << (CAST(floor(log2({v})) AS BIGINT) - {_HDR_M}) END"""
+
+
+def _hdr_oracle() -> str:
+    from http_log_anonymizer_spark.plans.http_log import HTTP_LOG_SQL
+
+    qcases = ", ".join(str(q) for q in _HDR_QS)
+    return f"""
+WITH {HTTP_LOG_SQL.strip()},
+vals AS (SELECT request_time_milli AS v FROM http_log),
+b AS (
+  SELECT {_hdr_bucket_sql('v')} AS lb, count(*) AS cnt FROM vals GROUP BY lb
+),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM b),
+cum AS (
+  SELECT lb, CAST(sum(cnt) OVER (ORDER BY lb) AS BIGINT) AS c FROM b
+),
+qs AS (SELECT unnest([{qcases}]) AS q),
+ranks AS (
+  SELECT q, CAST(ceil(q * t.n) AS BIGINT) AS r FROM qs CROSS JOIN tot t
+),
+est AS (
+  SELECT r.q, min(c.lb) AS est
+  FROM ranks r JOIN cum c ON c.c >= r.r GROUP BY r.q
+),
+vh AS (SELECT v, count(*) AS cnt FROM vals GROUP BY v),
+vcum AS (
+  SELECT v, CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS c FROM vh
+),
+exact AS (
+  SELECT r.q, min(s.v) AS exact
+  FROM ranks r JOIN vcum s ON s.c >= r.r GROUP BY r.q
+)
+SELECT e.q AS quantile, e.est AS hdr_est, x.exact AS exact_value,
+       8 * (x.exact - e.est) <= x.exact + 8 AS within_rel_bound
+FROM est e JOIN exact x ON e.q = x.q
+ORDER BY quantile
+"""
+
+
+def _hdr_bucket_spark(vname: str) -> F.Column:
+    # SQL form: the Python shiftright/shiftleft wrappers require a
+    # LITERAL shift count, but here the count is itself an expression
+    sh = f"CAST(floor(log2({vname})) AS INT) - {_HDR_M}"
+    return F.when(F.col(vname) < (1 << _HDR_M), F.col(vname)).otherwise(
+        F.expr(f"shiftleft(shiftright({vname}, {sh}), {sh})")
+    )
+
+
+@register("hdr_latency_quantiles", oracle=_hdr_oracle())
+def hdr_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 of request_time_milli from an explicit HDR
+    histogram ({_HDR_M} mantissa bits): bucket = value with all but
+    the top {_HDR_M + 1} bits cleared, quantile = smallest bucket
+    whose cumulative count reaches ceil(q*N), reported next to the
+    exact rank-statistic with the guaranteed-relative-error bool
+    (8*(exact-est) <= exact+8, the integer form of error <= 1/8 with
+    unit slack for the sub-2^{_HDR_M} exact range). All integer
+    arithmetic — both engines agree on every bucket, so the sketch
+    construction itself hash-verifies. Input domain must stay below
+    2^45 so floor(log2(v)) cannot straddle a boundary ulp (documented
+    contract; request_time_milli < 1000).
+
+    Scale shape: ONE groupBy over at most (45 - {_HDR_M}) * 2^{_HDR_M}
+    + 2^{_HDR_M} bucket keys (map-side combine collapses each
+    partition to that fixed size), a window over that fixed-size
+    table, and a broadcastable rank lookup. The histogram is
+    mergeable BY ADDITION across partitions, streams or days — the
+    property every production latency pipeline (and the streaming
+    twin in streaming/quantiles.py) builds on. The exact side runs
+    over the VALUE histogram (bounded integer domain), so even the
+    ground-truth column never needs a corpus-sized sort."""
+    from http_log_anonymizer_spark.plans.http_log import http_log_view
+
+    log = http_log_view(spark, sf_dir).select(
+        F.col("request_time_milli").alias("v")
+    )
+    b = log.groupBy(_hdr_bucket_spark("v").alias("lb")).agg(
+        F.count("*").alias("cnt")
+    )
+    tot = b.agg(F.sum("cnt").alias("n"))
+    wcum = Window.orderBy("lb").rowsBetween(Window.unboundedPreceding, 0)
+    wcum_v = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = b.select("lb", F.sum("cnt").over(wcum).alias("c"))
+    qs = spark.createDataFrame([(q,) for q in _HDR_QS], "q double")
+    ranks = qs.crossJoin(F.broadcast(tot)).select(
+        "q", F.ceil(F.col("q") * F.col("n")).cast("long").alias("r")
+    )
+    est = (
+        ranks.join(F.broadcast(cum), F.col("c") >= F.col("r"))
+        .groupBy("q")
+        .agg(F.min("lb").alias("est"))
+    )
+    # exact side via the VALUE histogram (the latency domain is a
+    # bounded integer set, so this window runs over <= |domain| rows —
+    # never a corpus-sized single-partition sort)
+    vh = log.groupBy("v").agg(F.count("*").alias("vcnt"))
+    vcum = vh.select("v", F.sum("vcnt").over(wcum_v).alias("c"))
+    exact = (
+        ranks.join(F.broadcast(vcum), F.col("c") >= F.col("r"))
+        .groupBy("q")
+        .agg(F.min("v").alias("exact"))
+    )
+    return (
+        est.join(exact, "q")
+        .select(
+            F.col("q").alias("quantile"),
+            F.col("est").alias("hdr_est"),
+            F.col("exact").alias("exact_value"),
+            (8 * (F.col("exact") - F.col("est")) <= F.col("exact") + 8).alias(
+                "within_rel_bound"
+            ),
+        )
+        .orderBy("quantile")
+    )
