@@ -160,3 +160,27 @@ def test_misra_gries_fold_invariants(batches, m):
     for item, c in exact.items():
         if c > n / (m + 1):
             assert item in state
+
+
+@given(st.integers(0, 2**45 - 1))
+def test_hdr_bucket_bounds_relative_error(v):
+    """streaming/quantiles.py + plans/analytics.py HDR bucketing: the
+    bucket lower bound never exceeds the value, the bucket width obeys
+    the 2^-m relative-error contract, and bucketing is monotone."""
+    import math
+
+    m = 3
+    if v < (1 << m):
+        lb = v
+    else:
+        s = int(math.floor(math.log2(v))) - m
+        lb = (v >> s) << s
+    assert lb <= v
+    assert 8 * (v - lb) <= v + 8  # relative error <= 1/8 (+unit slack)
+    # monotone: the next value's bucket is never smaller
+    if v + 1 < (1 << m):
+        nlb = v + 1
+    else:
+        s2 = int(math.floor(math.log2(v + 1))) - m
+        nlb = ((v + 1) >> s2) << s2
+    assert nlb >= lb
