@@ -243,3 +243,20 @@ def test_triangle_counts_avoids_nested_loops(spark):
     plan = _plan(spark, "triangle_counts")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_round4_queries_stay_jvm_side(spark):
+    """Every query added this round is pure Catalyst — no Python
+    evaluation node may appear in any of their physical plans."""
+    for name in (
+        "pagerank_copurchase",
+        "triangle_counts",
+        "unigram_lm_vocab",
+        "unigram_encode_stats",
+        "rerank_fusion_topk",
+        "k_anonymity_report",
+        "bloom_membership_report",
+        "hdr_latency_quantiles",
+    ):
+        plan = _plan(spark, name)
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, name
