@@ -55,6 +55,7 @@ _WINDOW = [
     "k_anonymity_report",
     "bloom_membership_report",
     "hdr_latency_quantiles",
+    "ann_lsh_wide_topk",
     # --- plans changed this round: re-verify ---
     "dedup_simhash",
     "hilbert_layout",
@@ -79,7 +80,6 @@ _WINDOW = [
     # --- stalest re-verification (driver row only from r01) ---
     "session_window_agg",
     "sessionize_events",
-    "gapfill_locf",
     "zorder_layout",
     "range_join_error_context",
     "value_percentiles",

@@ -61,12 +61,13 @@ def _unit_table(
     return u
 
 
-def _hyperplanes(tag: str = "") -> list[list[float]]:
+def _hyperplanes(tag: str = "", n: int | None = None) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes in [-1, 1)^64 from md5 —
     reproducible by any engine, inlined as literals on both sides.
-    ``tag`` derives independent tables for OR-construction."""
+    ``tag`` derives independent tables for OR-construction; ``n``
+    overrides the plane count (wide tables for the centi-scale tier)."""
     planes = []
-    for p in range(_N_PLANES):
+    for p in range(n if n is not None else _N_PLANES):
         row = []
         for d in range(_DIM):
             h = int(hashlib.md5(f"plane|{tag}{p}:{d}".encode()).hexdigest()[:15], 16)
@@ -1280,3 +1281,134 @@ def ann_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_hits").cast("long").alias("n_hits"),
         F.round(F.col("n_hits") * 1.0 / _TOPK, 4).alias("recall"),
     ).orderBy("query_id")
+
+
+# ---------------------------------------------------------------------------
+# Wide-bucket LSH ANN — the centi-scale tier of the LSH family. The
+# 4-bit demo layout (ann_lsh_topk) is candidate-QUADRATIC: expected
+# candidates per table are n*q/2^bits, so at 2M vectors / 20k queries
+# it degenerates exactly the way 32-bit simhash banding did at sf10
+# (ROADMAP r4) — and the answer is the same one Manku-style width
+# analysis gives: wider bucket keys, recall recovered by an
+# OR-construction over independent tables, not by narrower keys.
+# ---------------------------------------------------------------------------
+
+_WIDE_TABLES = 4
+_WIDE_BITS = 12  # 4096 buckets per table
+_WIDE_PLANES = [
+    _hyperplanes(tag=f"w{t}|", n=_WIDE_BITS) for t in range(_WIDE_TABLES)
+]
+
+_WIDE_BUCKET_COLS_SQL = ", ".join(
+    f"{_bucket_sql('embedding', _WIDE_PLANES[t])} AS b{t}"
+    for t in range(_WIDE_TABLES)
+)
+_WIDE_KEYS_SQL = " UNION ALL ".join(
+    f"SELECT vec_id, {t} AS t, b{t} AS bucket FROM wbk"
+    for t in range(_WIDE_TABLES)
+)
+
+
+@register(
+    "ann_lsh_wide_topk",
+    oracle=f"""
+WITH {UNIT_CTE_SQL},
+wbk AS MATERIALIZED (SELECT vec_id, ue, {_WIDE_BUCKET_COLS_SQL} FROM unit),
+k AS MATERIALIZED ({_WIDE_KEYS_SQL}),
+q AS (SELECT vec_id AS query_id, t, bucket FROM k WHERE vec_id % 100 = 0),
+cand AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id
+  FROM q JOIN k c
+    ON c.t = q.t AND c.bucket = q.bucket AND c.vec_id <> q.query_id
+  GROUP BY q.query_id, c.vec_id
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         round({dot_sql('qe.ue', 'ne.ue', _DIM)}, 4) AS cos
+  FROM cand c
+  JOIN wbk qe ON qe.vec_id = c.query_id
+  JOIN wbk ne ON ne.vec_id = c.neighbor_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+  ) AS rank FROM scored
+)
+SELECT query_id, neighbor_id, rank, cos FROM ranked WHERE rank <= {_TOPK}
+ORDER BY query_id, rank
+""",
+)
+def ann_lsh_wide_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-{_TOPK} from {_WIDE_TABLES} independent
+    {_WIDE_BITS}-bit hyperplane tables ({1 << _WIDE_BITS} buckets
+    each, OR-construction): the registered CENTI-SCALE tier of the
+    LSH ANN family. Expected candidates per table are n*q/2^bits —
+    widening from {_N_PLANES} to {_WIDE_BITS} bits cuts candidate
+    volume by 2^{_WIDE_BITS - _N_PLANES} while the {_WIDE_TABLES}-table
+    OR keeps recall for close neighbors (collision prob per table is
+    (1 - theta/pi)^{_WIDE_BITS}; the union recovers what one wide
+    table loses). Same width law that took wide simhash from 186 s to
+    20 s at sf10; at gate scale factors the wide buckets are mostly
+    singleton, so the result honestly reports only genuinely-close
+    collisions — the small-data degeneracy is the documented price of
+    a layout sized for 10^6+ vectors (dedup_simhash_wide precedent).
+
+    Scale shape: candidate generation is {_WIDE_TABLES} bucket
+    equi-joins (one posexplode'd join), first-matching-table dedup via
+    the carried bucket arrays (zero distinct shuffles), exact cosine
+    only on surviving candidates, per-query windowed top-k. Bucket
+    sign-bits come from md5-derived literal hyperplanes, so the DuckDB
+    oracle replays the SAME index and the driver hash-checks it."""
+    e = load_table(spark, sf_dir, "embeddings", spread=True, bytes_per_task=256 * 1024)
+    n = e.select(
+        "vec_id",
+        "embedding",
+        norm_column("embedding").alias("nrm"),
+        _plane_dots_all(
+            "embedding", [p for tbl in _WIDE_PLANES for p in tbl]
+        ).alias("pd"),
+    )
+    bucket_t = [
+        reduce(
+            lambda acc, p: acc
+            + F.when(
+                F.element_at("pd", t * _WIDE_BITS + p + 1) >= 0, F.lit(1 << p)
+            ).otherwise(0),
+            range(1, _WIDE_BITS),
+            F.when(F.element_at("pd", t * _WIDE_BITS + 1) >= 0, F.lit(1)).otherwise(0),
+        )
+        for t in range(_WIDE_TABLES)
+    ]
+    base = n.select(
+        "vec_id",
+        unit_from("embedding", "nrm").alias("ue"),
+        F.array(*bucket_t).alias("bks"),
+    ).cache()
+    base.count()  # eager: query and corpus sides both probe this index
+    k = base.select("vec_id", "ue", "bks", F.posexplode("bks").alias("t", "bucket"))
+    q = k.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("ue").alias("qe"),
+        F.col("bks").alias("qbks"),
+        "t",
+        "bucket",
+    )
+    first_match = F.array_position(
+        F.zip_with("qbks", "bks", lambda x, y: x == y), F.lit(True)
+    )
+    scored = (
+        q.join(k, ["t", "bucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .filter(first_match - 1 == F.col("t"))  # dedup across tables
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(dot("qe", "ue"), 4).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        scored.select("*", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= _TOPK)
+        .orderBy("query_id", "rank")
+    )
