@@ -3002,26 +3002,28 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bounded per-order fan-out — no cartesian risk), then each round is
     one join ranks-on-src (both sides partitioned by the same key) and
     one groupBy(dst) with map-side combine. Rank state is |V| rows,
-    stays distributed; nothing visits the driver. Edges/out-weights are
-    localCheckpoint'd once since all {_PR_ROUNDS} rounds reuse them.
+    stays distributed; nothing visits the driver. All {_PR_ROUNDS} rounds reuse the SAME
+    edge shuffle via ReusedExchange (no memory pinning).
     Dangling nodes (no out-edges) keep base rank and leak their surplus
     — the classic simplification, identical in both engines."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     other = li.select(
         F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("dst")
     )
+    # No explicit materialization: the edge subtree repeats once per
+    # iteration, and Spark serves every repeat from the SAME shuffle
+    # files via ReusedExchange (plan-asserted) — disk-backed and
+    # per-executor on a cluster. An earlier localCheckpoint variant
+    # pinned |E| deserialized rows in block-manager memory and OOM'd a
+    # 28 GB local heap at sf10 (240M edges); exchange reuse costs
+    # nothing and is memory-oblivious.
     edges = (
         li.join(other, (li.l_orderkey == other.o2) & (li.l_partkey != other.dst))
         .groupBy(F.col("l_partkey").alias("src"), "dst")
         .agg(F.count("*").alias("w"))
-        .localCheckpoint(eager=True)
     )
-    nodes = li.select(F.col("l_partkey").alias("node")).distinct().localCheckpoint(
-        eager=True
-    )
-    outw = edges.groupBy("src").agg(F.sum("w").alias("wout")).localCheckpoint(
-        eager=True
-    )
+    nodes = li.select(F.col("l_partkey").alias("node")).distinct()
+    outw = edges.groupBy("src").agg(F.sum("w").alias("wout"))
     base = int(0.15 * _PR_SCALE)
     ranks = nodes.select("node", F.lit(_PR_SCALE).cast("long").alias("r"))
     for _ in range(_PR_ROUNDS):
