@@ -166,6 +166,51 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — record, keep main series
             result["sf10_error"] = f"{type(exc).__name__}: {exc}"[:500]
 
+    # sf100 series — OPT-IN ONLY (SPARK_GRAFT_BENCH_SF100=1): a 22 GB
+    # series does not belong in a per-round driver loop. One cold pass
+    # over the centi-scale tiers; generation is one scale_gen call
+    # (mult=1000 from sf0.1, ~25 min). Narrow demo tiers are excluded
+    # by design — measured candidate-quadratic at this scale
+    # (SCALE.md "sf100 series").
+    if os.environ.get("SPARK_GRAFT_BENCH_SF100", "0") == "1":
+        try:
+            from http_log_anonymizer_spark.session import shuffle_partitions_for_sf
+
+            sf100_dir = os.environ.get(
+                "SPARK_GRAFT_SF100_DIR",
+                str(Path(__file__).resolve().parent / ".benchdata" / "sf100"),
+            )
+            if os.path.exists(os.path.join(sf100_dir, "_DONE")):
+                spark.conf.set(
+                    "spark.sql.shuffle.partitions",
+                    str(shuffle_partitions_for_sf(100.0)),
+                )
+                spark.catalog.clearCache()
+                names = [
+                    "http_totals",
+                    "unigram_lm_vocab",
+                    "dedup_simhash_wide",
+                    "dedup_simhash_xwide",
+                    "dedup_minhash_lsh",
+                    "sliding_window_traffic",
+                    "ann_lsh_wide_topk",
+                    "triangle_counts",
+                ]
+                sf100_timings: dict[str, float] = {}
+                for name in names:
+                    if name not in REGISTRY:
+                        continue
+                    t0 = time.perf_counter()
+                    REGISTRY[name].spark_fn(spark, sf100_dir).write.format(
+                        "noop"
+                    ).mode("overwrite").save()
+                    sf100_timings[name] = round(time.perf_counter() - t0, 3)
+                result["queries_sf100"] = sf100_timings
+                result["sf100_total"] = round(sum(sf100_timings.values()), 3)
+                result["sf100"] = 100.0
+        except Exception as exc:  # noqa: BLE001 — record, keep main series
+            result["sf100_error"] = f"{type(exc).__name__}: {exc}"[:500]
+
     print(json.dumps(result))
     spark.stop()
 
