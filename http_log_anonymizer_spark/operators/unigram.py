@@ -314,3 +314,113 @@ def segment_lengths(tokens: DataFrame, rounds: int = 2) -> DataFrame:
             F.filter(F.split("path", _SEP), lambda x: x != F.lit(""))
         ).alias("n_sub"),
     )
+
+
+# ---------------------------------------------------------------------------
+# WordPiece-style greedy longest-match encoding (Wu et al., 2016 —
+# the application-side algorithm of BERT's tokenizer) over the
+# unigram-trained piece vocabulary: the third classic subword
+# lifecycle next to BPE merges and unigram Viterbi.
+# ---------------------------------------------------------------------------
+
+
+def greedy_segment_stats(
+    tokens: DataFrame, rounds: int = 2, min_count: int = 2
+) -> DataFrame:
+    """(word, n_pieces, n_unk): greedy longest-match segmentation of
+    every analysed word against the vocabulary of pieces the
+    ``rounds``-round unigram trainer actually used at least
+    ``min_count`` times. At each position the longest matching piece
+    is consumed; a position with no match emits one single-char
+    UNK piece (per-position fallback — integer-deterministic, unlike
+    whole-word UNK which would hide partial coverage).
+
+    The greedy walk is ONE JVM-side fold per word over a broadcastable
+    (start -> longest-match) map — no Python, no per-position shuffle;
+    the jump table is built by a vocab equi-join on the span table,
+    which is the only corpus-vocabulary-sized work."""
+    vocab = word_vocab(tokens)
+    sp = spans(vocab).localCheckpoint(eager=True)
+    counts = seed_counts(sp)
+    for _ in range(rounds):
+        counts = usage_counts(segment_round(sp, counts))
+    pieces = counts.filter(F.col("cnt") >= min_count).select("piece")
+    bl = (
+        sp.join(pieces, "piece")
+        .groupBy("word", "st")
+        .agg(F.max(F.col("en") - F.col("st")).alias("bl"))
+    )
+    jumps = (
+        sp.select("word", "freq", "n").distinct()
+        .join(
+            bl.groupBy("word").agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct("st", "bl"))
+                ).alias("jmp")
+            ),
+            "word",
+            "left",
+        )
+    )
+    init = F.struct(
+        F.lit(1).alias("pos"), F.lit(0).alias("np"), F.lit(0).alias("nu")
+    )
+    def step(acc, i):
+        # NULL when the word has no jump map at all OR no match here
+        bl_val = F.when(
+            F.col("jmp").isNotNull(), F.element_at(F.col("jmp"), acc["pos"] - 1)
+        )
+        return F.when(i != acc["pos"], acc).otherwise(
+            F.when(
+                bl_val.isNotNull(),
+                F.struct(
+                    (acc["pos"] + bl_val).alias("pos"),
+                    (acc["np"] + 1).alias("np"),
+                    acc["nu"].alias("nu"),
+                ),
+            ).otherwise(
+                F.struct(
+                    (acc["pos"] + 1).alias("pos"),
+                    (acc["np"] + 1).alias("np"),
+                    (acc["nu"] + 1).alias("nu"),
+                )
+            )
+        )
+    folded = F.aggregate(F.sequence(F.lit(1), F.col("n")), init, step)
+    return jumps.select(
+        "word",
+        folded["np"].alias("n_pieces"),
+        folded["nu"].alias("n_unk"),
+    )
+
+
+def greedy_encode_sql(rounds: int, token_sql: str, min_count: int = 2) -> str:
+    """DuckDB CTE prefix replaying :func:`greedy_segment_stats`:
+    unigram training (``_unigram_ctes``) -> vocab cut at ``min_count``
+    -> per-(word, start) longest-match table -> the greedy walk as a
+    TRUE recursive CTE (the walk is sequential, not unrolled — each
+    step jumps by the matched length). Exposes ``genc`` =
+    (word, n_pieces, n_unk). Caller appends its own final SELECT; the
+    string already starts with WITH RECURSIVE."""
+    return (
+        "WITH RECURSIVE "
+        + _unigram_ctes(rounds, token_sql)
+        + f""",
+gvocab AS (SELECT piece FROM c{rounds} WHERE cnt >= {min_count}),
+gbl AS (
+  SELECT word, st, max(en - st) AS bl
+  FROM spans JOIN gvocab USING (piece)
+  GROUP BY word, st
+),
+gwalk AS (
+  SELECT word, n, 1 AS pos, 0 AS np, 0 AS nu FROM v
+  UNION ALL
+  SELECT w.word, w.n,
+         w.pos + COALESCE(b.bl, 1),
+         w.np + 1,
+         w.nu + CASE WHEN b.bl IS NULL THEN 1 ELSE 0 END
+  FROM gwalk w LEFT JOIN gbl b ON b.word = w.word AND b.st = w.pos - 1
+  WHERE w.pos <= w.n
+),
+genc AS (SELECT word, np AS n_pieces, nu AS n_unk FROM gwalk WHERE pos = n + 1)"""
+    )

@@ -56,6 +56,7 @@ _WINDOW = [
     "bloom_membership_report",
     "hdr_latency_quantiles",
     "ann_lsh_wide_topk",
+    "wordpiece_encode_stats",
     # --- plans changed this round: re-verify ---
     "dedup_simhash",
     "hilbert_layout",
@@ -80,7 +81,6 @@ _WINDOW = [
     # --- stalest re-verification (driver row only from r01) ---
     "session_window_agg",
     "sessionize_events",
-    "zorder_layout",
     "range_join_error_context",
     "value_percentiles",
     "user_zscore_outliers",

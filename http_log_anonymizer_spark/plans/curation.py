@@ -1116,3 +1116,65 @@ def unigram_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+def _wordpiece_oracle() -> str:
+    from http_log_anonymizer_spark.operators.unigram import greedy_encode_sql
+
+    prefix = greedy_encode_sql(
+        _UNIGRAM_ROUNDS, "SELECT unnest(string_split(text, ' ')) AS tok FROM documents"
+    )
+    return f"""
+{prefix},
+tok AS (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents)
+SELECT lang,
+       count(*) AS n_tokens,
+       CAST(sum(e.n_pieces) AS BIGINT) AS n_pieces,
+       CAST(sum(e.n_unk) AS BIGINT) AS n_unk,
+       round(sum(e.n_pieces) * 1.0 / count(*), 4) AS pieces_per_token,
+       round(sum(e.n_unk) * 1.0 / sum(e.n_pieces), 6) AS unk_rate
+FROM tok t JOIN genc e ON e.word = t.word
+GROUP BY lang ORDER BY lang
+"""
+
+
+@register("wordpiece_encode_stats", oracle=_wordpiece_oracle())
+def wordpiece_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece-style GREEDY longest-match encoding (Wu et al., 2016
+    — BERT's application-side algorithm) over the vocabulary the
+    unigram trainer just learned: per-language fertility plus the UNK
+    rate, the coverage number a tokenizer rollout is judged on. The
+    third subword lifecycle next to bpe_encode_stats (merge-rule
+    application) and unigram_encode_stats (Viterbi application) —
+    same corpus, same vocab source, three different application
+    semantics, all driver-hash-verified. The oracle replays training,
+    the vocabulary cut, the per-position longest-match table and the
+    sequential greedy walk (a TRUE recursive CTE — the walk's jumps
+    are data-dependent, unlike the unigram DP's unrollable
+    positions).
+
+    Scale shape: the longest-match jump table is one vocab-sized
+    equi-join + groupBy; the walk is one JVM-side fold per word over
+    a per-word int map; the corpus-sized side joins its word stream
+    against per-word stats and aggregates per lang with map-side
+    combine."""
+    from http_log_anonymizer_spark.operators.unigram import greedy_segment_stats
+
+    d = load_table(spark, sf_dir, "documents", spread=True)
+    toks = d.select(F.explode(tokens_ws("text")).alias("tok"))
+    seg = greedy_segment_stats(toks, rounds=_UNIGRAM_ROUNDS)
+    words = d.select("lang", F.explode(tokens_ws("text")).alias("word"))
+    enc = words.join(seg, "word")
+    return (
+        enc.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("n_pieces").alias("n_pieces"),
+            F.sum("n_unk").alias("n_unk"),
+            F.round(F.sum("n_pieces") * 1.0 / F.count("*"), 4).alias(
+                "pieces_per_token"
+            ),
+            F.round(F.sum("n_unk") * 1.0 / F.sum("n_pieces"), 6).alias("unk_rate"),
+        )
+        .orderBy("lang")
+    )

@@ -108,3 +108,34 @@ def test_em_rounds_move_mass(spark):
         ).items()
     )
     assert sum(r2.values()) < seed_total
+
+
+def test_greedy_encode_matches_python_reference(spark):
+    """greedy_segment_stats: the longest-match walk must equal a plain
+    Python greedy tokenizer over the same trained vocabulary."""
+    from http_log_anonymizer_spark.operators.unigram import greedy_segment_stats
+
+    words = _corpus_words()
+    toks = spark.createDataFrame([(w,) for w in words], "tok string")
+    got = {
+        r.word: (r.n_pieces, r.n_unk)
+        for r in greedy_segment_stats(toks, rounds=2, min_count=2).collect()
+    }
+
+    counts = _reference_train(words, rounds=2)
+    vocab = {p for p, c in counts.items() if c >= 2}
+    ref = {}
+    for w in sorted({w for w in words if 1 <= len(w) <= MAX_WORD}):
+        pos, np_, nu = 0, 0, 0
+        while pos < len(w):
+            for l in range(min(MAX_PIECE, len(w) - pos), 0, -1):
+                if w[pos : pos + l] in vocab:
+                    pos += l
+                    np_ += 1
+                    break
+            else:
+                pos += 1
+                np_ += 1
+                nu += 1
+        ref[w] = (np_, nu)
+    assert got == ref
