@@ -257,6 +257,7 @@ def test_round4_queries_stay_jvm_side(spark):
         "k_anonymity_report",
         "bloom_membership_report",
         "hdr_latency_quantiles",
+        "wordpiece_encode_stats",
     ):
         plan = _plan(spark, name)
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, name
