@@ -150,6 +150,7 @@ def main() -> None:
                     "session_window_agg",
                     "sliding_window_traffic",
                     "ann_lsh_topk",
+                    "ann_lsh_wide_topk",  # the scale-path ANN tier (r04 verdict)
                 ]
                 sf10_timings: dict[str, float] = {}
                 for name in names:

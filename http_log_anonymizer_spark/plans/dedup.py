@@ -853,6 +853,7 @@ _WIDE_BITS = 60
 
 @register(
     "dedup_simhash_wide",
+    bench=True,  # the scale-path simhash tier belongs in the headline set
     oracle=f"""
 WITH {_simhash_sig_sql(_WIDE_BITS)}
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -1311,6 +1311,7 @@ _WIDE_KEYS_SQL = " UNION ALL ".join(
 
 @register(
     "ann_lsh_wide_topk",
+    bench=True,  # the scale-path LSH ANN tier belongs in the headline set
     oracle=f"""
 WITH {UNIT_CTE_SQL},
 wbk AS MATERIALIZED (SELECT vec_id, ue, {_WIDE_BUCKET_COLS_SQL} FROM unit),

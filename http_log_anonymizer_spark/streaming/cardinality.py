@@ -63,8 +63,12 @@ class StreamingCardinalitySink(EpochStateSink):
     def _batch_registers(self, batch_df: DataFrame) -> DataFrame:
         """(bucket, m_j) registers for ONE batch — the same integer-only
         construction as the batch query: md5 hash, low-b-bits bucket,
-        tail rank = trailing zeros of the suffix + 1 (all-zero suffix
-        -> 55). Keep in lockstep with plans/analytics.py:hll_user_cardinality."""
+        tail rank = trailing zeros of the suffix + 1. The all-zero
+        suffix saturates at 61-b (the suffix is the top 60-b bits of a
+        60-bit hash, so rank can reach at most (60-b)+1) — for the
+        batch query's fixed b=6 that is 55; parameterizing keeps any
+        b in [4,16] in lockstep with its own batch construction. Keep
+        in lockstep with plans/analytics.py:hll_user_cardinality."""
         from http_log_anonymizer_spark.functions.text import hash64
 
         hashed = batch_df.select(
@@ -75,7 +79,7 @@ class StreamingCardinalitySink(EpochStateSink):
             F.shiftright("h", self.b).alias("v"),
         )
         low = F.col("v").bitwiseAND(-F.col("v"))
-        rank = F.when(F.col("v") == 0, F.lit(55)).otherwise(
+        rank = F.when(F.col("v") == 0, F.lit(61 - self.b)).otherwise(
             F.bit_count(low.bitwiseXOR(low - 1))
         )
         return (

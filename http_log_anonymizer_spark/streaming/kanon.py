@@ -21,6 +21,20 @@ than the raw one); a monitor over an unbounded-domain tuple would be
 misconfigured (documented contract, mirrored from the batch query's
 QI choice).
 
+Delivery contract (unlike the idempotent max/OR sketch sinks): the
+class-count merge is ADDITIVE, so rows REDELIVERED under a NEW batch
+id (an at-least-once upstream retrying across triggers, not a replay
+of the same batch) are counted again and inflate class sizes — the
+optimistic direction for a privacy audit (k reads HIGHER than the
+release's true k; a leak can hide behind phantom classmates). Same-
+batch-id replays are always safe (the epoch protocol recomputes from
+the pre-batch state). When the upstream is at-least-once across batch
+ids, pass ``dedup_key`` (a stable per-row key) so each batch drops
+intra-batch duplicates, and dedup the stream itself upstream with a
+watermarked ``dropDuplicates`` (streaming/aggregates.py) so a row
+cannot span two batch ids — with both in place the additive merge
+counts each physical row once.
+
 Parity asserted in tests/test_streaming_kanon.py: the persisted class
 table equals one batch groupBy over everything that ever arrived, the
 histogram matches the batch query's bucketing, and torn epochs repair.
@@ -39,12 +53,19 @@ class StreamingKAnonymityMonitor(EpochStateSink):
     ``qi_cols`` quasi-identifier tuple. Same state/checkpoint contract
     as the reservoir sink."""
 
-    def __init__(self, base_dir: str, qi_cols: tuple[str, ...], cap: int = 10) -> None:
+    def __init__(
+        self,
+        base_dir: str,
+        qi_cols: tuple[str, ...],
+        cap: int = 10,
+        dedup_key: str | None = None,
+    ) -> None:
         if not qi_cols:
             raise ValueError("need at least one quasi-identifier column")
         self.base_dir = base_dir
         self.qi_cols = list(qi_cols)
         self.cap = cap
+        self.dedup_key = dedup_key
 
     def write(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -52,6 +73,11 @@ class StreamingKAnonymityMonitor(EpochStateSink):
         self._housekeep(tag)
         if batch_df.isEmpty():
             return  # replaying an empty batch is a no-op
+        if self.dedup_key is not None:
+            # intra-batch half of the at-least-once contract (see module
+            # docstring); cross-batch dedup belongs upstream where the
+            # watermark bounds the key state.
+            batch_df = batch_df.dropDuplicates([self.dedup_key])
         counts = batch_df.groupBy(*self.qi_cols).agg(F.count("*").alias("sz"))
         state = self._read_state(spark, tag)
         if state is not None:

@@ -87,8 +87,10 @@ class StreamingBloomSink(EpochStateSink):
     def probe(self, spark: SparkSession, keys: DataFrame) -> DataFrame:
         """(key, positive): membership probe of ``keys`` (single
         column named ``key_col``) against the persisted filter. A key
-        is positive iff ALL its bit positions are set. Before the
-        first batch everything is negative (empty filter)."""
+        is positive iff ALL its bit positions are set. Returns ONE row
+        per DISTINCT key regardless of input multiplicity — the same
+        shape on the cold path (no state yet: everything negative) as
+        on the warm path, so callers see a stable cardinality."""
         from http_log_anonymizer_spark.functions.text import hash64
 
         state = self.current(spark)
@@ -104,7 +106,12 @@ class StreamingBloomSink(EpochStateSink):
         kb = kb.distinct()
         kd = kb.groupBy(self.key_col).agg(F.count("*").alias("kd"))
         if state is None:
-            return keys.select(self.key_col, F.lit(False).alias("positive"))
+            # distinct to match the warm path's one-row-per-key contract
+            return (
+                keys.select(self.key_col)
+                .distinct()
+                .select(self.key_col, F.lit(False).alias("positive"))
+            )
         hits = (
             kb.join(F.broadcast(state), "b", "left_semi")
             .groupBy(self.key_col)

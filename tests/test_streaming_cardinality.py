@@ -30,7 +30,8 @@ def _batch_registers(spark, keys, b=6, seed="hll"):
         F.shiftright("h", b).alias("v"),
     )
     low = F.col("v").bitwiseAND(-F.col("v"))
-    rank = F.when(F.col("v") == 0, F.lit(55)).otherwise(
+    # all-zero suffix saturates at (60-b)+1 — 55 for the batch query's b=6
+    rank = F.when(F.col("v") == 0, F.lit(61 - b)).otherwise(
         F.bit_count(low.bitwiseXOR(low - 1))
     )
     return {
@@ -108,6 +109,21 @@ def test_torn_epoch_and_gc(spark, tmp_path):
     from http_log_anonymizer_spark.streaming.neardup import _subdirs
 
     assert len(_subdirs(str(base))) <= 2
+
+
+def test_non_default_register_bits_stay_in_lockstep(spark, tmp_path):
+    # ADVICE r04: the all-zero-suffix rank must be 61-b, not a b=6
+    # hardcode — with b=8 the streaming fold must still equal its own
+    # batch construction (and the estimate must be sane).
+    rng = random.Random(41)
+    sink = StreamingCardinalitySink(str(tmp_path / "state"), b=8)
+    batches = [[rng.randrange(50_000) for _ in range(600)] for _ in range(3)]
+    for i, b in enumerate(batches):
+        sink.write(_bdf(spark, b), i)
+    everything = [k for b in batches for k in b]
+    assert _state(spark, sink) == _batch_registers(spark, everything, b=8)
+    exact = len(set(everything))
+    assert abs(sink.estimate(spark) - exact) <= 0.25 * exact  # 3σ at m=256
 
 
 def test_empty_batch_and_cold_estimate(spark, tmp_path):

@@ -86,3 +86,22 @@ def test_k_regression_is_visible_within_one_batch(spark, tmp_path):
     # a single overly-specific row arrives (e.g. an unmasked path)
     mon.write(_bdf(spark, [("198.51.0.x", "/r/1?user=42")]), 1)
     assert mon.k(spark) == 1
+
+
+def test_dedup_key_drops_intra_batch_duplicates(spark, tmp_path):
+    # ADVICE r04: additive merge counts redelivered rows again. With a
+    # stable row key, intra-batch duplicates are counted once; without
+    # it, the same duplicated batch inflates class sizes.
+    rows = [(f"198.51.{i % 2}.x", "/r/0", i % 3) for i in range(6)]
+    dup = rows + rows  # every row delivered twice inside one batch
+    bdf = spark.createDataFrame(dup, "ip string, url string, rid bigint")
+
+    plain = StreamingKAnonymityMonitor(str(tmp_path / "plain"), QI)
+    plain.write(bdf, 0)
+    assert sum(_state(spark, plain).values()) == len(dup)  # inflated
+
+    keyed = StreamingKAnonymityMonitor(
+        str(tmp_path / "keyed"), QI, dedup_key="rid"
+    )
+    keyed.write(bdf, 0)
+    assert sum(_state(spark, keyed).values()) == 3  # 3 distinct rids

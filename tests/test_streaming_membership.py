@@ -94,3 +94,16 @@ def test_cold_probe_and_fp_behavior(spark, tmp_path):
     fp = sum(1 for r in res if r.positive)
     # fill ~ 1-(1-1/M)^(K*400) ~ 0.69 -> fp_rate ~ 0.33; assert sane ceiling
     assert fp / len(non) < 0.6
+
+
+def test_probe_returns_one_row_per_distinct_key_both_paths(spark, tmp_path):
+    # ADVICE r04: cold and warm probes must agree on shape — one row
+    # per DISTINCT key, input multiplicity ignored.
+    sink = StreamingBloomSink(str(tmp_path / "state"), m=M, k=K)
+    dup_keys = [1, 1, 2, 2, 2, 3]
+    cold = sink.probe(spark, _bdf(spark, dup_keys)).collect()
+    assert len(cold) == 3 and all(not r.positive for r in cold)
+
+    sink.write(_bdf(spark, [1, 2]), 0)
+    warm = sink.probe(spark, _bdf(spark, dup_keys)).collect()
+    assert len(warm) == 3
