@@ -1061,6 +1061,126 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# sqrt-scaled IVF tier (VERDICT r04 item 2): cell count grows with the
+# corpus (k = round(sqrt(n)), the FAISS IndexIVF sizing rule), so cells
+# stay ~sqrt(n) wide and probing a FIXED number of cells costs
+# O(nprobe * sqrt(n)) per query — sub-linear, with REAL recall, unlike
+# the wide-LSH tier whose mostly-singleton buckets trade recall away.
+_SQRT_ROUNDS = 2
+_SQRT_NPROBE = 8
+_SQRT_K_SQL = "(SELECT CAST(round(sqrt(count(*))) AS BIGINT) FROM kqv)"
+
+
+def _sqrt_km_ctes() -> str:
+    from http_log_anonymizer_spark.operators.kmeans import kmeans_lloyd_sql
+
+    return kmeans_lloyd_sql(k=_SQRT_K_SQL, rounds=_SQRT_ROUNDS, qscale=1000, dim=_DIM)
+
+
+@register(
+    "ann_ivf_sqrt_topk",
+    bench=True,  # the data-scaled learned-IVF tier is a headline plan
+    oracle=f"""
+WITH {UNIT_CTE_SQL},
+{_sqrt_km_ctes()},
+q AS (
+  SELECT vec_id AS query_id, embedding AS qemb, ue AS qe
+  FROM unit WHERE vec_id % 100 = 0
+),
+kqd AS (
+  SELECT q.query_id, c.cluster AS label,
+         list_sum(list_transform(generate_series(1, {_DIM}),
+           i -> (CAST(q.qemb[i] AS DOUBLE) - c.c[i])
+              * (CAST(q.qemb[i] AS DOUBLE) - c.c[i]))) AS d2
+  FROM q CROSS JOIN kcent{_SQRT_ROUNDS} c
+),
+kprobed AS (
+  SELECT query_id, label FROM (
+    SELECT query_id, label,
+           row_number() OVER (
+             PARTITION BY query_id ORDER BY round(d2, 6), label
+           ) AS cr
+    FROM kqd
+  ) WHERE cr <= {_SQRT_NPROBE}
+),
+kscored AS (
+  SELECT q.query_id, u.vec_id AS neighbor_id,
+         round({dot_sql('q.qe', 'u.ue', _DIM)}, 4) AS cos
+  FROM kprobed p
+  JOIN q ON q.query_id = p.query_id
+  JOIN kassign{_SQRT_ROUNDS} a ON a.cluster = p.label
+  JOIN unit u ON u.vec_id = a.vec_id AND u.vec_id <> q.query_id
+),
+kranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+  ) AS rank FROM kscored
+)
+SELECT query_id, neighbor_id, rank, cos FROM kranked WHERE rank <= {_TOPK}
+ORDER BY query_id, rank
+""",
+)
+def ann_ivf_sqrt_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a DATA-SCALED learned coarse quantizer: k-means
+    with k = round(sqrt(n)) cells (the FAISS IndexIVF sizing rule —
+    cells of ~sqrt(n) vectors each), trained by the broadcast-table
+    Lloyd variant (operators/kmeans.py:kmeans_quantized_table, same
+    integer-quantized determinization as ann_ivf_kmeans_topk so the
+    DuckDB oracle replays training with a dynamic-k subquery), then
+    probe-{_SQRT_NPROBE}-cells + exact-cosine rerank.
+
+    Why this tier exists (VERDICT r04 item 2): the fixed-k learned
+    tier stops pruning as the corpus grows (cells widen linearly), and
+    the wide-LSH tier keeps its cost flat only because its buckets
+    degenerate toward singletons (recall decays). sqrt cells split the
+    difference exactly: per-query candidate work is
+    nprobe * n / k = {_SQRT_NPROBE} * sqrt(n) — sub-linear — while the
+    cells stay populated, so recall holds (measured vs ann_brute_topk
+    in tests + SCALE.md).
+
+    Scale shape: the trained centroid table is k x dim = sqrt(n) * d
+    doubles — 16 MB even at n = 10^9, d = 64 — so it ships per
+    executor at any corpus size (sqrt growth is what keeps it
+    bounded); per training round one scan with fused
+    assign+partial-update (operators/kmeans.py). Search runs the IVF
+    kernels (operators/ivf.py): probe ranks cells in one pass over the
+    query slice, and the scan cogroups the inverted file with its
+    probe list BY CELL — per-cell fold-order-exact numpy scoring with
+    local top-(k+margin) per (query, cell) — so the global rank window
+    sees q * nprobe * (k+margin) rows instead of every scored
+    candidate, and the probe set is never broadcast or collected (the
+    narrow-LSH tier's documented mistake). One driver-side count()
+    sizes k; it is the index-build's only full-scan action and is
+    column-pruned to row-group metadata."""
+    import math
+
+    from http_log_anonymizer_spark.operators.ivf import ivf_probe_cells, ivf_scan_topk
+    from http_log_anonymizer_spark.operators.kmeans import kmeans_quantized_table
+
+    e = load_table(
+        spark, sf_dir, "embeddings", spread=True, bytes_per_task=256 * 1024
+    ).select("vec_id", "embedding")
+    n = e.count()
+    k = int(round(math.sqrt(n)))
+    assignments, centroids = kmeans_quantized_table(
+        e, k=k, rounds=_SQRT_ROUNDS, qscale=1000
+    )
+
+    u = e.select(
+        "vec_id",
+        unit_from("embedding", norm_column("embedding")).alias("ue"),
+    ).join(assignments.select("vec_id", F.col("cluster").alias("label")), "vec_id")
+
+    qsrc = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 100 == 0)
+    q = qsrc.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qemb"),
+        unit_from("embedding", norm_column("embedding")).alias("qe"),
+    )
+    probed = ivf_probe_cells(q, centroids, _SQRT_NPROBE)
+    return ivf_scan_topk(u, probed, _TOPK)
+
+
 @register(
     "ivf_residual_quantization",
     oracle=f"""

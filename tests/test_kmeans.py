@@ -29,3 +29,58 @@ def test_kmeans_is_deterministic(spark):
     m1 = {r.vec_id: r.cluster for r in a1.collect()}
     m2 = {r.vec_id: r.cluster for r in a2.collect()}
     assert m1 == m2
+
+
+def test_kmeans_quantized_table_matches_literal_variant(spark):
+    """The broadcast-table/numpy Lloyd variant (kmeans_quantized_table,
+    used by the sqrt-scaled IVF tier) must produce the SAME learned
+    index as the k-literal-branches variant the fixed-k queries use —
+    identical assignments AND identical centroid floats, since both
+    claim to replay kmeans_lloyd_sql bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from http_log_anonymizer_spark.operators.kmeans import (
+        kmeans_quantized,
+        kmeans_quantized_table,
+    )
+
+    e = load_table(spark, SF_ORACLE, "embeddings").select("vec_id", "embedding")
+    a1, c1 = kmeans_quantized(e, k=8, rounds=2)
+    a2, c2 = kmeans_quantized_table(e, k=8, rounds=2)
+    assert c1 == c2  # same IEEE centroid values, component-for-component
+    r1 = {r.vec_id: r.cluster for r in a1.collect()}
+    r2 = {r.vec_id: r.cluster for r in a2.collect()}
+    assert r1 == r2
+
+
+def test_sqrt_ivf_recall_vs_brute_force(spark):
+    """ann_ivf_sqrt_topk (sqrt-scaled cells, kernel search) must be
+    deterministic and recover a solid share of the true top-5 while
+    scanning only nprobe*sqrt(n) candidates per query — and beat the
+    wide-LSH tier's recall, which is the trade it exists to fix
+    (VERDICT r04 item 2)."""
+    from http_log_anonymizer_spark.plans import REGISTRY
+
+    sf = SF_ORACLE
+    sq = REGISTRY["ann_ivf_sqrt_topk"].spark_fn(spark, sf).collect()
+    sq2 = REGISTRY["ann_ivf_sqrt_topk"].spark_fn(spark, sf).collect()
+    assert [tuple(r) for r in sq] == [tuple(r) for r in sq2]  # deterministic
+
+    brute = REGISTRY["ann_brute_topk"].spark_fn(spark, sf).collect()
+    got, want = {}, {}
+    for r in sq:
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in brute:
+        want.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert set(want) == set(got)
+    recall = sum(len(got[q] & want[q]) for q in want) / sum(len(want[q]) for q in want)
+
+    wl = REGISTRY["ann_lsh_wide_topk"].spark_fn(spark, sf).collect()
+    gotw = {}
+    for r in wl:
+        gotw.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recall_wide = sum(len(gotw.get(q, set()) & want[q]) for q in want) / sum(
+        len(want[q]) for q in want
+    )
+    assert recall >= 0.5, recall
+    assert recall > recall_wide, (recall, recall_wide)
