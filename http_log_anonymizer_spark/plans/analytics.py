@@ -3072,6 +3072,142 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Personalized PageRank (Jeh & Widom, WWW 2003) — per-seed restart
+# vectors over the same co-purchase graph: the retrieval-adjacent graph
+# operator ("parts related to THIS part", not "globally important
+# parts"). Same scaled-integer determinization as pagerank_copurchase,
+# but the teleport mass returns to each walk's SEED, so the state is a
+# sparse (seed, node, rank) table that only covers reached nodes.
+# ---------------------------------------------------------------------------
+
+_PPR_SEEDS = 5
+_PPR_ROUNDS = 4
+_PPR_TOP = 10
+
+
+def _ppr_oracle() -> str:
+    base = int(0.15 * _PR_SCALE)
+    parts = [
+        f"""edges AS (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS w
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+),
+outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS wout FROM edges GROUP BY src),
+seeds AS (
+  SELECT node FROM (
+    SELECT src AS node, count(*) AS dg FROM edges GROUP BY src
+  ) QUALIFY row_number() OVER (ORDER BY dg DESC, node) <= {_PPR_SEEDS}
+),
+p0 AS (SELECT node AS seed, node, CAST({_PR_SCALE} AS BIGINT) AS r FROM seeds)"""
+    ]
+    for t in range(_PPR_ROUNDS):
+        parts.append(
+            f"""p{t + 1} AS (
+  SELECT seed, node, CAST(sum(f) AS BIGINT) AS r FROM (
+    SELECT p.seed, e.dst AS node,
+           (p.r * 85 * e.w) // (100 * o.wout) AS f
+    FROM p{t} p
+    JOIN edges e ON e.src = p.node
+    JOIN outw o ON o.src = e.src
+    UNION ALL
+    SELECT node AS seed, node, {base} AS f FROM seeds
+  ) GROUP BY seed, node HAVING sum(f) > 0
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT seed, node, r AS rank_scaled, pos FROM (
+  SELECT seed, node, r,
+         row_number() OVER (PARTITION BY seed ORDER BY r DESC, node) AS pos
+  FROM p{_PPR_ROUNDS}
+) WHERE pos <= {_PPR_TOP}
+ORDER BY seed, pos"""
+    )
+
+
+@register("personalized_pagerank", oracle=_ppr_oracle())
+def personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from the {_PPR_SEEDS} highest-out-degree
+    parts (ties by id — a deterministic, SQL-replayable seed choice):
+    each walk restarts at its own seed, so the stationary mass answers
+    "which parts are related to THIS one through co-purchases" — the
+    graph-side twin of the ANN retrieval tiers. {_PPR_ROUNDS} rounds of
+
+        p_(t+1)(s, v) = [v = s] * floor(0.15 * SCALE)
+                        + sum over in-edges (u,v) of
+                            (p_t(s, u) * 85 * w(u,v)) div (100 * wout(u))
+
+    in the same scaled-integer arithmetic as pagerank_copurchase, with
+    zero-mass rows DROPPED each round (HAVING sum > 0) so the state
+    stays sparse in both engines. Reports each seed's top {_PPR_TOP}
+    (rank desc, node) as (seed, node, rank_scaled, pos).
+
+    Scale shape: the rank state is (seeds x reached-nodes) rows —
+    sparse by construction, never densified to seeds x |V|; each round
+    is one equi-join state-on-edges (edges served from the SAME
+    shuffle via ReusedExchange, the pagerank_copurchase memory lesson)
+    plus a groupBy(seed, dst) with map-side combine. Restart mass is a
+    seed-count-sized union, and the final per-seed top-k is a window
+    over the sparse state. Overflow: per-seed total mass is bounded by
+    SCALE / 0.15, so the flow numerator stays < 2^63 with the same
+    headroom argument as pagerank_copurchase."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    other = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("dst")
+    )
+    edges = (
+        li.join(other, (li.l_orderkey == other.o2) & (li.l_partkey != other.dst))
+        .groupBy(F.col("l_partkey").alias("src"), "dst")
+        .agg(F.count("*").alias("w"))
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").alias("wout"))
+    wd = Window.orderBy(F.desc("dg"), "node")
+    seeds = (
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.count("*").alias("dg"))
+        .select("node", F.row_number().over(wd).alias("rn"))
+        .filter(F.col("rn") <= _PPR_SEEDS)
+        .select("node")
+    )
+    base = int(0.15 * _PR_SCALE)
+    restart = seeds.select(
+        F.col("node").alias("seed"), "node", F.lit(base).cast("long").alias("f")
+    )
+    state = seeds.select(
+        F.col("node").alias("seed"), "node", F.lit(_PR_SCALE).cast("long").alias("r")
+    )
+    for _ in range(_PPR_ROUNDS):
+        flows = (
+            state.join(edges, state.node == edges.src)
+            .join(outw, "src")
+            .select(
+                "seed",
+                F.col("dst").alias("node"),
+                F.expr("(r * 85 * w) DIV (100 * wout)").alias("f"),
+            )
+        )
+        state = (
+            flows.unionByName(restart)
+            .groupBy("seed", "node")
+            .agg(F.sum("f").alias("r"))
+            .filter(F.col("r") > 0)
+        )
+    wp = Window.partitionBy("seed").orderBy(F.desc("r"), "node")
+    return (
+        state.select(
+            "seed", "node", F.col("r").alias("rank_scaled"),
+            F.row_number().over(wp).alias("pos"),
+        )
+        .filter(F.col("pos") <= _PPR_TOP)
+        .orderBy("seed", "pos")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Triangle counting (degree-ordered wedge join — the Cohen / Suri-
 # Vassilvitskii MapReduce formulation) over the part co-purchase
 # graph: with PageRank and connected components this completes the

@@ -118,3 +118,33 @@ def test_pagerank_mass_is_conserved_up_to_truncation(spark, tmp_path):
     n = 3
     assert sum(r.rank_scaled for r in rows) <= n * _PR_SCALE
     assert all(r.rank_scaled >= int(0.15 * _PR_SCALE) for r in rows)
+
+
+def test_personalized_pagerank_properties(spark):
+    """PPR invariants: deterministic; per-seed top list bounded; every
+    seed retains restart mass at its own node (the seed must appear in
+    its own result — teleportation guarantees nonzero self-mass); and
+    per-seed total reported mass stays under the SCALE/0.15 geometric
+    bound that the overflow argument relies on."""
+    from http_log_anonymizer_spark.plans import REGISTRY
+    from http_log_anonymizer_spark.plans.analytics import (
+        _PPR_SEEDS,
+        _PPR_TOP,
+        _PR_SCALE,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = REGISTRY["personalized_pagerank"].spark_fn(spark, sf).collect()
+    rows2 = REGISTRY["personalized_pagerank"].spark_fn(spark, sf).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in rows2]
+
+    by_seed: dict[int, list] = {}
+    for r in rows:
+        by_seed.setdefault(r.seed, []).append(r)
+    assert len(by_seed) == _PPR_SEEDS
+    for seed, rs in by_seed.items():
+        assert len(rs) <= _PPR_TOP
+        assert [r.pos for r in rs] == list(range(1, len(rs) + 1))
+        assert any(r.node == seed for r in rs), f"seed {seed} lost its restart mass"
+        assert all(r.rank_scaled > 0 for r in rs)
+        assert sum(r.rank_scaled for r in rs) < _PR_SCALE / 0.15
