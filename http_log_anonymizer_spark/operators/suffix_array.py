@@ -1,0 +1,228 @@
+"""Distributed suffix-array construction + LCP — the FULL exact-
+substring machinery of Lee et al. 2022 ("Deduplicating Training Data
+Makes Language Models Better", ExactSubstr), as opposed to the fixed-K
+shared-window approximation in ``plans/dedup.py:dup_span_report``.
+
+Construction (token-level, over the sentinel-concatenated corpus):
+
+- **Prefix doubling** (Manber & Myers 1990): rank_0 orders single
+  tokens; round r orders prefixes of length 2^r by the pair
+  (rank_{r-1}[i], rank_{r-1}[i + 2^{r-1}] or 0), re-densified each
+  round. Every rank is an exact integer produced by a deterministic
+  total order, so a FIXED number of rounds replays in SQL as unrolled
+  dense_rank CTEs (:func:`suffix_sql_parts`).
+- **Adjacent LCP by binary descent** over the retained rank tables:
+  lcp += 2^r whenever rank_r matches at the current offset, r from
+  high to low — the standard parallel alternative to Kasai's
+  sequential scan. Per-doc unique sentinels (chr(0) || doc_id) bound
+  every common prefix at document ends, so concatenated-corpus LCPs
+  are document-local by construction.
+
+Scale discipline — NO single-task global windows anywhere:
+
+- :func:`ranked`: distributed dense rank = distinct keys ->
+  ``repartitionByRange`` (total order across partitions; the TeraSort
+  layout) -> per-PARTITION row_number window (parallel) + per-partition
+  count offsets (one tiny driver collect of #partitions rows).
+- :func:`cumsum_by_range`: distributed prefix sum with the same
+  two-level pattern (range partition, per-partition cumsum, offsets of
+  per-partition totals).
+- lag/lead along suffix order are equi-joins on ``sa_idx ± 1``, not
+  windows; run-scoped mins partition by the (distributed) run id.
+
+Per round the work is one distinct + one range shuffle + one
+rank-join — O(N log maxlen) total, the textbook distributed SA cost.
+The corpus never visits the driver; driver state is #partitions-sized
+offset arrays.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _range_parts(df: DataFrame) -> int:
+    sc = df.sparkSession.sparkContext
+    return max(2, sc.defaultParallelism)
+
+
+def ranked(df: DataFrame, cols: list[str], out: str = "r") -> DataFrame:
+    """(cols..., out): DENSE rank of each distinct ``cols`` tuple under
+    its natural ascending order — bit-equal to SQL's
+    ``dense_rank() OVER (ORDER BY cols)`` but computed distributed:
+    distinct keys are range-partitioned (global total order across
+    partitions), ranked per-partition in parallel, and shifted by the
+    cumulative counts of earlier partitions (a #partitions-row driver
+    collect). Join the result back on ``cols`` to rank a full table."""
+    d = (
+        df.select(*cols)
+        .distinct()
+        .repartitionByRange(_range_parts(df), *[F.col(c) for c in cols])
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()  # pin sampled range boundaries for both passes
+    )
+    sizes = {r["_pid"]: r["n"] for r in d.groupBy("_pid").agg(F.count("*").alias("n")).collect()}
+    offs, acc = {}, 0
+    for pid in sorted(sizes):
+        offs[pid] = acc
+        acc += sizes[pid]
+    omap = F.create_map(
+        *[F.lit(x) for kv in offs.items() for x in kv]
+    )
+    w = Window.partitionBy("_pid").orderBy(*cols)
+    return d.select(
+        *cols,
+        (F.row_number().over(w) + omap[F.col("_pid")]).cast("long").alias(out),
+    )
+
+
+def cumsum_by_range(
+    df: DataFrame, order_col: str, val_col: str, out: str = "cum"
+) -> DataFrame:
+    """(*df.columns, out): running sum of ``val_col`` in ``order_col``
+    order (inclusive of the current row), computed with the same
+    two-level pattern as :func:`ranked` — per-partition window plus
+    per-partition total offsets. ``order_col`` values must be unique
+    (they are suffix positions here)."""
+    d = (
+        df.repartitionByRange(_range_parts(df), F.col(order_col))
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    totals = {
+        r["_pid"]: r["t"]
+        for r in d.groupBy("_pid").agg(F.sum(val_col).alias("t")).collect()
+    }
+    offs, acc = {}, 0
+    for pid in sorted(totals):
+        offs[pid] = acc
+        acc += totals[pid] or 0
+    omap = F.create_map(*[F.lit(x) for kv in offs.items() for x in kv])
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return d.select(
+        *df.columns,
+        (F.sum(val_col).over(w) + omap[F.col("_pid")]).cast("long").alias(out),
+    ).drop("_pid")
+
+
+def build_rank_tables(tokens: DataFrame, rounds: int) -> list[DataFrame]:
+    """rank tables [r_0 .. r_rounds], each (gpos, r): r_k orders corpus
+    suffixes by their first 2^k tokens (dense, deterministic).
+    ``tokens`` is (gpos long, tok string)."""
+    r0 = tokens.join(ranked(tokens, ["tok"]), "tok").select("gpos", "r")
+    tables = [r0.localCheckpoint()]
+    for k in range(1, rounds + 1):
+        h = 1 << (k - 1)
+        prev = tables[-1]
+        b = prev.select((F.col("gpos") - h).alias("gpos"), F.col("r").alias("rb"))
+        pairs = (
+            prev.select("gpos", F.col("r").alias("ra"))
+            .join(b, "gpos", "left")
+            .select("gpos", "ra", F.coalesce("rb", F.lit(0)).alias("rb"))
+        )
+        nr = pairs.join(ranked(pairs, ["ra", "rb"]), ["ra", "rb"]).select("gpos", "r")
+        tables.append(nr.localCheckpoint())
+    return tables
+
+
+def suffix_order(last_rank: DataFrame) -> DataFrame:
+    """(gpos, sa_idx): suffix-array order. The final rank is total
+    (unique sentinels), so ranking (r, gpos) is a row_number with a
+    deterministic no-op tie-break."""
+    return last_rank.join(
+        ranked(last_rank, ["r", "gpos"], out="sa_idx"), ["r", "gpos"]
+    ).select("gpos", "sa_idx")
+
+
+def adjacent_lcp(sa: DataFrame, rank_tables: list[DataFrame]) -> DataFrame:
+    """(sa_idx, gpos, prv, lcp): LCP between each suffix and its
+    predecessor in suffix-array order, by binary descent over the rank
+    tables (high round to low; lcp += 2^r on a rank match at offset
+    lcp). sa_idx = 1 has no predecessor -> lcp = 0, prv = -1."""
+    prev = sa.select((F.col("sa_idx") + 1).alias("sa_idx"), F.col("gpos").alias("prv"))
+    cur = sa.join(prev, "sa_idx", "left").select(
+        "sa_idx", "gpos", F.coalesce("prv", F.lit(-1)).alias("prv"),
+        F.lit(0).cast("long").alias("lcp"),
+    )
+    for r in range(len(rank_tables) - 2, -1, -1):
+        h = 1 << r
+        rt = rank_tables[r]
+        ra = rt.select(F.col("gpos").alias("_ga"), F.col("r").alias("_ra"))
+        rb = rt.select(F.col("gpos").alias("_gb"), F.col("r").alias("_rb"))
+        cur = (
+            cur.join(ra, cur.gpos + cur.lcp == ra._ga, "left")
+            .join(rb, cur.prv + cur.lcp == rb._gb, "left")
+            .select(
+                "sa_idx",
+                "gpos",
+                "prv",
+                F.when(
+                    (F.col("prv") >= 0)
+                    & F.col("_ra").isNotNull()
+                    & F.col("_rb").isNotNull()
+                    & (F.col("_ra") == F.col("_rb")),
+                    F.col("lcp") + h,
+                )
+                .otherwise(F.col("lcp"))
+                .alias("lcp"),
+            )
+        )
+    return cur
+
+
+# ---------------------------------------------------------------------------
+# DuckDB replay
+# ---------------------------------------------------------------------------
+
+
+def suffix_sql_parts(rounds: int) -> str:
+    """CTE chunk replaying the construction over a ``corpus`` CTE that
+    must expose (gpos, doc_id, pos, tok, is_sent). Exposes ``r0`` ..
+    ``r{rounds}`` (gpos, r), ``sa`` (gpos, sa_idx) and ``alcp``
+    (sa_idx, gpos, prv, lcp)."""
+    parts = [
+        """r0 AS MATERIALIZED (
+  SELECT gpos, dense_rank() OVER (ORDER BY tok) AS r FROM corpus
+)"""
+    ]
+    for k in range(1, rounds + 1):
+        h = 1 << (k - 1)
+        parts.append(
+            f"""r{k} AS MATERIALIZED (
+  SELECT gpos, dense_rank() OVER (ORDER BY ra, rb) AS r FROM (
+    SELECT a.gpos, a.r AS ra, COALESCE(b.r, 0) AS rb
+    FROM r{k - 1} a LEFT JOIN r{k - 1} b ON b.gpos = a.gpos + {h}
+  )
+)"""
+        )
+    parts.append(
+        f"""sa AS MATERIALIZED (
+  SELECT gpos, row_number() OVER (ORDER BY r, gpos) AS sa_idx FROM r{rounds}
+),
+d_init AS MATERIALIZED (
+  SELECT s.sa_idx, s.gpos, COALESCE(p.gpos, -1) AS prv, CAST(0 AS BIGINT) AS lcp
+  FROM sa s LEFT JOIN sa p ON p.sa_idx = s.sa_idx - 1
+)"""
+    )
+    prev = "d_init"
+    for r in range(rounds - 1, -1, -1):
+        h = 1 << r
+        parts.append(
+            f"""d{r} AS MATERIALIZED (
+  SELECT d.sa_idx, d.gpos, d.prv,
+         d.lcp + CASE WHEN d.prv >= 0 AND ra.r IS NOT NULL
+                       AND rb.r IS NOT NULL AND ra.r = rb.r
+                 THEN {h} ELSE 0 END AS lcp
+  FROM {prev} d
+  LEFT JOIN r{r} ra ON ra.gpos = d.gpos + d.lcp
+  LEFT JOIN r{r} rb ON rb.gpos = d.prv + d.lcp
+)"""
+        )
+        prev = f"d{r}"
+    parts.append(f"alcp AS MATERIALIZED (SELECT * FROM {prev})")
+    return ",\n".join(parts)
