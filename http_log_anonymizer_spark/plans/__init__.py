@@ -21,73 +21,71 @@ from http_log_anonymizer_spark.plans import scalars  # noqa: E402,F401
 from http_log_anonymizer_spark.plans import analytics  # noqa: E402,F401
 from http_log_anonymizer_spark.plans import curation  # noqa: E402,F401
 
-# Round-4 window (VERDICT r03 next-step 2): the 4 queries that have
-# never held a driver slot (committed after r03's verification run —
-# green rows here make the driver-verified union 133/133 minus this
-# round's additions), plus this round's NEW queries, plus every query
-# whose PLAN changed this round (the whole similarity family: byte-
-# sized spread + the brute-topk parquet side-input; dedup_simhash's
-# dropped sort; the hilbert kernel masking), plus two flagship parity
-# anchors, with the remaining slots re-verifying queries whose only
-# driver row is from r01 (the stalest verification). Everything outside
-# the window stays locally gated by tests/test_registry_oracle.py
-# (same comparator).
+# Round-5 window (VERDICT r04 next-step 1): this round's 4 NEW queries
+# + the one whose plan changed (data_quality_report count fusion) + two
+# flagship anchors + ALL 25 queries whose only driver row is from r01
+# (the staleness gap the verdict called out) + 18 of the next-stalest
+# (r02-only) rows, preferring families adjacent to this round's
+# additions. Everything outside the window stays locally gated by
+# tests/test_registry_oracle.py (same comparator).
 _WINDOW = [
-    # --- never-driver-checked (committed after the r03 run) ---
-    "ann_lsh_recall_report",
-    "source_overlap_matrix",
-    "temperature_mix_weights",
-    "padding_efficiency",
-    # --- new round-4 queries ---
-    "bm25_query_table",
-    "dedup_simhash_stats",
-    "dedup_simhash_wide",
-    "hybrid_rrf_fusion",
-    "cms_user_frequency",
-    "dedup_simhash_xwide",
-    "hll_user_cardinality",
-    "ams_f2_selfjoin_size",
-    "pagerank_copurchase",
-    "unigram_lm_vocab",
-    "unigram_encode_stats",
-    "triangle_counts",
-    "rerank_fusion_topk",
-    "k_anonymity_report",
-    "bloom_membership_report",
-    "hdr_latency_quantiles",
-    "ann_lsh_wide_topk",
-    "wordpiece_encode_stats",
-    # --- plans changed this round: re-verify ---
-    "dedup_simhash",
-    "hilbert_layout",
-    "ann_brute_topk",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "ann_quantized_topk",
-    "ann_ivf_adc_topk",
-    "ann_ivf_kmeans_topk",
-    "embed_neardup",
-    "embed_neardup_lsh",
-    "embed_neardup_gemm",
-    "embed_quantization_error",
-    "semdedup_cells",
-    "ivf_cluster_stats",
-    "ivf_residual_quantization",
-    "kmeans_cluster_sizes",
-    "hard_negative_mining",
+    # --- new round-5 queries (VERDICT r04 items 2, 7, 8, 9) ---
+    "ann_ivf_sqrt_topk",
+    "wordpiece_learn_merges",
+    "personalized_pagerank",
+    "suffix_array_dup_report",
+    # --- plan changed this round: re-verify (item 5: fused counts) ---
+    "data_quality_report",
     # --- flagship parity anchors ---
     "http_totals",
     "llm_corpus_report",
-    # --- stalest re-verification (driver row only from r01) ---
-    "session_window_agg",
-    "sessionize_events",
-    "range_join_error_context",
-    "value_percentiles",
-    "user_zscore_outliers",
-    "nation_volume",
-    "pricing_summary",
-    "best_order_per_customer",
-    "customer_running_revenue",
+    # --- stalest re-verification: every query whose ONLY driver row
+    # --- is from r01 (VERDICT r04 item 1 — all 25 of them)
+    "blocking_supplier",
+    "customer_order_distribution",
+    "customers_with_high_value_orders",
+    "disjunctive_filter_revenue",
+    "distinct_users_exact",
+    "dormant_rich_customers",
+    "gapfill_locf",
+    "grouping_sets_totals",
+    "hypertable_rollup",
+    "important_parts",
+    "json_props_stats",
+    "late_shipment_priority",
+    "nation_trade_flow",
+    "orders_without_lineitems",
+    "pivot_avg_value",
+    "revenue_leaders",
+    "rollup_region_nation",
+    "shipping_priority",
+    "small_quantity_revenue",
+    "supplier_part_diversity",
+    "top_orders_per_customer",
+    "top_terms_per_lang",
+    "user_cohort_setops",
+    "value_stats",
+    "zorder_layout",
+    # --- next-stalest (r02-only) fill, preferring families adjacent
+    # --- to this round's additions (dup/ANN/tokenizer + T4/T6 core)
+    "dup_span_report",
+    "dedup_exact",
+    "dedup_clusters",
+    "dedup_winnow_join",
+    "dedup_prefix_filter_join",
+    "doc_winnowing",
+    "doc_fingerprints",
+    "http_anonymize_rows",
+    "http_dedup_final",
+    "http_top_ips",
+    "http_monthly",
+    "http_totals_cube",
+    "json_encode_rows",
+    "token_stats",
+    "tfidf_top_terms",
+    "multimodal_decode_meta",
+    "reservoir_sample",
+    "asof_last_purchase",
 ]
 
 
