@@ -38,8 +38,47 @@ offset arrays.
 
 from __future__ import annotations
 
+import atexit
+import shutil
+import tempfile
+import uuid
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+_OWNED_DIRS: list[str] = []
+
+
+def _cleanup() -> None:
+    for d in _OWNED_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+atexit.register(_cleanup)
+
+
+def pin(df: DataFrame) -> DataFrame:
+    """Materialize ``df`` to scratch parquet and read it back — the
+    iteration-chain truncator for this module's doubling loops.
+
+    Why not checkpoint: on Spark 4.1.2 (measured, see
+    tests/test_suffix_array.py::test_pin_breaks_quadratic_chains) a
+    chain of self-joins where each level is ``localCheckpoint()``-ed —
+    or reliably ``checkpoint()``-ed, or ``cache()+count()``-ed — over a
+    base plan from this module re-executes DOUBLING work per level
+    (0.3, 0.5, 1.1, 2.7, 7.4, 19.9, 56.9 s ... at a CONSTANT 28k rows
+    per level, ending in a driver OOM building plan strings), even
+    though the optimized plan is a 35-char LogicalRDD scan and row
+    counts shrink. A parquet round-trip is flat (~0.3 s/level): the
+    written files are a hard lineage boundary nothing can re-execute
+    through. The scratch dirs are per-process temp, atexit-removed —
+    and on a cluster this is exactly how a production index build
+    persists its rounds anyway."""
+    root = tempfile.mkdtemp(prefix="graft_sa_")
+    _OWNED_DIRS.append(root)
+    path = f"{root}/{uuid.uuid4().hex[:8]}"
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)
 
 
 def _range_parts(df: DataFrame) -> int:
@@ -115,7 +154,7 @@ def build_rank_tables(tokens: DataFrame, rounds: int) -> list[DataFrame]:
     suffixes by their first 2^k tokens (dense, deterministic).
     ``tokens`` is (gpos long, tok string)."""
     r0 = tokens.join(ranked(tokens, ["tok"]), "tok").select("gpos", "r")
-    tables = [r0.localCheckpoint()]
+    tables = [pin(r0)]
     for k in range(1, rounds + 1):
         h = 1 << (k - 1)
         prev = tables[-1]
@@ -126,7 +165,7 @@ def build_rank_tables(tokens: DataFrame, rounds: int) -> list[DataFrame]:
             .select("gpos", "ra", F.coalesce("rb", F.lit(0)).alias("rb"))
         )
         nr = pairs.join(ranked(pairs, ["ra", "rb"]), ["ra", "rb"]).select("gpos", "r")
-        tables.append(nr.localCheckpoint())
+        tables.append(pin(nr))
     return tables
 
 
@@ -173,6 +212,64 @@ def adjacent_lcp(sa: DataFrame, rank_tables: list[DataFrame]) -> DataFrame:
             )
         )
     return cur
+
+
+def pair_lcp(
+    pairs: DataFrame, rank_tables: list[DataFrame], a_col: str, b_col: str
+) -> DataFrame:
+    """(*pairs.columns, lcp): exact LCP between the suffixes starting
+    at ``a_col`` and ``b_col`` (corpus positions), by the same binary
+    descent as :func:`adjacent_lcp` — rank tables make the LCP of ANY
+    suffix pair a log-rounds computation, so no RMQ structure over the
+    adjacent-LCP array is needed. All joins are equi-joins on computed
+    positions; the pair table never leaves the executors."""
+    cur = pairs.select("*", F.lit(0).cast("long").alias("lcp"))
+    for r in range(len(rank_tables) - 2, -1, -1):
+        h = 1 << r
+        rt = rank_tables[r]
+        ra = rt.select(F.col("gpos").alias("_ga"), F.col("r").alias("_ra"))
+        rb = rt.select(F.col("gpos").alias("_gb"), F.col("r").alias("_rb"))
+        cur = (
+            cur.join(ra, cur[a_col] + cur.lcp == ra._ga, "left")
+            .join(rb, cur[b_col] + cur.lcp == rb._gb, "left")
+            .select(
+                *pairs.columns,
+                F.when(
+                    F.col("_ra").isNotNull()
+                    & F.col("_rb").isNotNull()
+                    & (F.col("_ra") == F.col("_rb")),
+                    F.col("lcp") + h,
+                )
+                .otherwise(F.col("lcp"))
+                .alias("lcp"),
+            )
+        )
+    return cur
+
+
+def pair_descent_sql(rounds: int, src_cte: str, a: str, b: str, out_cte: str) -> str:
+    """CTE chunk replaying :func:`pair_lcp` over a pairs CTE named
+    ``src_cte`` with position columns ``a``/``b``: exposes ``{out_cte}``
+    = (*src columns, lcp)."""
+    parts = [
+        f"{out_cte}_init AS MATERIALIZED (SELECT *, CAST(0 AS BIGINT) AS lcp FROM {src_cte})"
+    ]
+    prev = f"{out_cte}_init"
+    for r in range(rounds - 1, -1, -1):
+        h = 1 << r
+        parts.append(
+            f"""{out_cte}_{r} AS MATERIALIZED (
+  SELECT d.* EXCLUDE (lcp),
+         d.lcp + CASE WHEN ra.r IS NOT NULL AND rb.r IS NOT NULL
+                       AND ra.r = rb.r THEN {h} ELSE 0 END AS lcp
+  FROM {prev} d
+  LEFT JOIN r{r} ra ON ra.gpos = d.{a} + d.lcp
+  LEFT JOIN r{r} rb ON rb.gpos = d.{b} + d.lcp
+)"""
+        )
+        prev = f"{out_cte}_{r}"
+    parts.append(f"{out_cte} AS MATERIALIZED (SELECT * FROM {prev})")
+    return ",\n".join(parts)
 
 
 # ---------------------------------------------------------------------------

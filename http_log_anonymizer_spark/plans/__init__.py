@@ -34,6 +34,7 @@ _WINDOW = [
     "wordpiece_learn_merges",
     "personalized_pagerank",
     "suffix_array_dup_report",
+    "suffix_selfrep_report",
     # --- plan changed this round: re-verify (item 5: fused counts) ---
     "data_quality_report",
     # --- flagship parity anchors ---
@@ -85,7 +86,6 @@ _WINDOW = [
     "tfidf_top_terms",
     "multimodal_decode_meta",
     "reservoir_sample",
-    "asof_last_purchase",
 ]
 
 

@@ -1623,11 +1623,58 @@ _SA_ROUNDS = 7
 _SA_MINLEN = _SPAN_K  # same threshold as the approximation: comparable
 
 
-def _sa_oracle() -> str:
-    from http_log_anonymizer_spark.operators.suffix_array import suffix_sql_parts
+def _sa_build(spark: SparkSession, sf_dir: str):
+    """Shared suffix-array build over the documents corpus: returns
+    (t2 = (doc_id, toks-with-sentinel, n), corpus positions, rank
+    tables, suffix order, adjacent LCPs). See operators/suffix_array.py
+    for the construction and its scale discipline."""
+    from http_log_anonymizer_spark.operators.suffix_array import (
+        adjacent_lcp,
+        build_rank_tables,
+        cumsum_by_range,
+        suffix_order,
+    )
 
-    return f"""
-WITH tk AS (
+    t = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens_ws("text").alias("toks")
+    )
+    t2 = t.select(
+        "doc_id",
+        F.concat(
+            "toks",
+            F.array(F.concat(F.lit("\x00"), F.col("doc_id").cast("string"))),
+        ).alias("toks"),
+        F.size("toks").alias("n"),
+    )
+    offs = cumsum_by_range(
+        t2.select("doc_id", "toks", "n", (F.col("n") + 1).alias("ln")),
+        "doc_id",
+        "ln",
+    ).select("doc_id", "toks", "n", (F.col("cum") - F.col("ln")).alias("off"))
+    corpus = offs.select(
+        "doc_id", "n", "off", F.posexplode("toks").alias("pos0", "tok")
+    ).select(
+        (F.col("off") + F.col("pos0") + 1).alias("gpos"),
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        "tok",
+        (F.col("pos0") + 1 > F.col("n")).alias("is_sent"),
+    ).localCheckpoint()
+
+    from http_log_anonymizer_spark.operators.suffix_array import pin
+
+    tables = build_rank_tables(corpus.select("gpos", "tok"), _SA_ROUNDS)
+    sa = suffix_order(tables[-1])
+    # pin: al is consumed by several downstream subplans (descent
+    # output feeds lcp minima, run windows AND the min tables) — and
+    # chained materialization over this base must be a parquet
+    # round-trip, not a checkpoint (see operators/suffix_array.py:pin).
+    al = pin(adjacent_lcp(sa, tables))
+    return t2, corpus, tables, sa, al
+
+
+# The corpus-prefix SQL shared by both suffix-array oracles.
+_SA_CORPUS_SQL = """tk AS (
   SELECT doc_id,
          list_append(string_split(text, ' '), chr(0) || CAST(doc_id AS VARCHAR)) AS toks,
          len(string_split(text, ' ')) AS n
@@ -1645,7 +1692,14 @@ corpus AS MATERIALIZED (
            generate_subscripts(toks, 1) AS pos, unnest(toks) AS tok
     FROM offs
   )
-),
+)"""
+
+
+def _sa_oracle() -> str:
+    from http_log_anonymizer_spark.operators.suffix_array import suffix_sql_parts
+
+    return f"""
+WITH {_SA_CORPUS_SQL},
 {suffix_sql_parts(_SA_ROUNDS)},
 ord AS MATERIALIZED (
   SELECT a.sa_idx, a.gpos, a.lcp, c.doc_id, c.pos, c.is_sent,
@@ -1748,43 +1802,9 @@ def suffix_array_dup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(N log maxlen) with ~3 shuffles per doubling round — the honest
     price of exactness; dup_span_report remains the 2-shuffle
     approximation for when fixed-K coverage suffices."""
-    from http_log_anonymizer_spark.operators.suffix_array import (
-        adjacent_lcp,
-        build_rank_tables,
-        cumsum_by_range,
-        suffix_order,
-    )
+    from http_log_anonymizer_spark.operators.suffix_array import cumsum_by_range
 
-    t = load_table(spark, sf_dir, "documents").select(
-        "doc_id", tokens_ws("text").alias("toks")
-    )
-    t2 = t.select(
-        "doc_id",
-        F.concat(
-            "toks",
-            F.array(F.concat(F.lit("\x00"), F.col("doc_id").cast("string"))),
-        ).alias("toks"),
-        F.size("toks").alias("n"),
-    )
-    offs = cumsum_by_range(
-        t2.select("doc_id", "toks", "n", (F.col("n") + 1).alias("ln")),
-        "doc_id",
-        "ln",
-    ).select("doc_id", "toks", "n", (F.col("cum") - F.col("ln")).alias("off"))
-    corpus = offs.select(
-        "doc_id", "n", "off", F.posexplode("toks").alias("pos0", "tok")
-    ).select(
-        (F.col("off") + F.col("pos0") + 1).alias("gpos"),
-        "doc_id",
-        (F.col("pos0") + 1).alias("pos"),
-        "tok",
-        (F.col("pos0") + 1 > F.col("n")).alias("is_sent"),
-    ).localCheckpoint()
-
-    tables = build_rank_tables(corpus.select("gpos", "tok"), _SA_ROUNDS)
-    sa = suffix_order(tables[-1])
-    al = adjacent_lcp(sa, tables)
-
+    t2, corpus, tables, sa, al = _sa_build(spark, sf_dir)
     cd = corpus.select("gpos", "doc_id", "pos", "is_sent")
     pd_ = corpus.select(F.col("gpos").alias("prv"), F.col("doc_id").alias("pdoc"))
     ord_ = (
@@ -1873,6 +1893,185 @@ def suffix_array_dup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_frac"),
             F.coalesce("n_islands", F.lit(0)).alias("n_islands"),
             F.coalesce("max_dup_span", F.lit(0)).alias("max_dup_span"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _sa_selfrep_oracle() -> str:
+    from http_log_anonymizer_spark.operators.suffix_array import (
+        pair_descent_sql,
+        suffix_sql_parts,
+    )
+
+    return f"""
+WITH {_SA_CORPUS_SQL},
+{suffix_sql_parts(_SA_ROUNDS)},
+ordx AS MATERIALIZED (
+  SELECT a.sa_idx, a.gpos, a.lcp, c.doc_id, c.pos, c.is_sent
+  FROM alcp a JOIN corpus c ON c.gpos = a.gpos
+),
+dpair AS (
+  SELECT doc_id, gpos AS gk,
+         lag(gpos) OVER (PARTITION BY doc_id ORDER BY sa_idx) AS gj
+  FROM ordx WHERE NOT is_sent
+),
+prange AS MATERIALIZED (
+  SELECT doc_id, gj, gk FROM dpair WHERE gj IS NOT NULL
+),
+{pair_descent_sql(_SA_ROUNDS, "prange", "gj", "gk", "plcp")},
+contrib AS (
+  SELECT gk AS gpos, lcp FROM plcp
+  UNION ALL
+  SELECT gj AS gpos, lcp FROM plcp
+),
+intra AS MATERIALIZED (
+  SELECT gpos, max(lcp) AS il FROM contrib GROUP BY gpos
+),
+marked AS (
+  SELECT o.doc_id, o.pos, i.il AS dl, o.pos + i.il - 1 AS en
+  FROM intra i JOIN ordx o ON o.gpos = i.gpos
+  WHERE i.il >= {_SA_MINLEN}
+),
+isl AS (
+  SELECT doc_id, pos, en, dl,
+         CASE WHEN pos > COALESCE(max(en) OVER (
+                  PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                ), -1) + 1
+              THEN 1 ELSE 0 END AS new_island
+  FROM marked
+),
+lab AS (
+  SELECT doc_id, pos, en, dl,
+         sum(new_island) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS island_id
+  FROM isl
+),
+per_island AS (
+  SELECT doc_id, island_id, max(en) - min(pos) + 1 AS cov
+  FROM lab GROUP BY doc_id, island_id
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(sum(cov) AS BIGINT) AS n_rep_tokens,
+         count(*) AS n_islands
+  FROM per_island GROUP BY doc_id
+),
+span_max AS (
+  SELECT doc_id, CAST(max(dl) AS BIGINT) AS max_rep_span FROM marked GROUP BY doc_id
+)
+SELECT t.doc_id,
+       t.n AS n_tokens,
+       COALESCE(p.n_rep_tokens, 0) AS n_rep_tokens,
+       round(COALESCE(p.n_rep_tokens, 0) * 1.0 / t.n, 4) AS rep_frac,
+       COALESCE(p.n_islands, 0) AS n_islands,
+       COALESCE(s.max_rep_span, 0) AS max_rep_span
+FROM tk t
+LEFT JOIN per_doc p ON t.doc_id = p.doc_id
+LEFT JOIN span_max s ON t.doc_id = s.doc_id
+ORDER BY t.doc_id
+"""
+
+
+@register("suffix_selfrep_report", oracle=_sa_selfrep_oracle())
+def suffix_selfrep_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTRA-document repetition via the suffix array — the exact
+    counterpart of the Gopher repetition heuristics
+    (gopher_quality_flags counts repeated fixed n-grams; this reports
+    the true maximal self-repeated spans): a position is repeated iff
+    its suffix shares >= {_SA_MINLEN} tokens with ANOTHER suffix of the
+    SAME document. The max same-doc LCP of a suffix is the max against
+    its two nearest same-doc neighbors in suffix-array order
+    (LCP-interval monotonicity), and because the rank tables are
+    retained, each pair's LCP is a DIRECT binary descent
+    (operators/suffix_array.py:pair_lcp) — log(maxlen) equi-joins, no
+    RMQ structure, no extra materializations.
+
+    Scale shape: everything the base construction already guarantees
+    (two-level ranks/prefix sums, no single-task global windows), plus
+    per-DOC windows for the pairing and islands and one descent chain
+    over the doc-consecutive pair table. The report columns mirror
+    suffix_array_dup_report with rep_* naming; max_rep_span is the
+    longest exact self-repeat — the span the Gopher n-gram ratios can
+    only bound."""
+    from http_log_anonymizer_spark.operators.suffix_array import pair_lcp, pin
+
+    t2, corpus, tables, sa, al = _sa_build(spark, sf_dir)
+    cd = corpus.select("gpos", "doc_id", "pos", "is_sent")
+    ordx = al.join(cd, "gpos").select(
+        "sa_idx", "gpos", "lcp", "doc_id", "pos", "is_sent"
+    )
+
+    wdoc = Window.partitionBy("doc_id").orderBy("sa_idx")
+    dpair = (
+        ordx.filter(~F.col("is_sent"))
+        .select(
+            "doc_id",
+            F.col("gpos").alias("gk"),
+            F.lag("gpos").over(wdoc).alias("gj"),
+        )
+        .filter(F.col("gj").isNotNull())
+    )
+    # pin: consumed twice by the contribution union below
+    plcp = pin(pair_lcp(dpair, tables, "gj", "gk"))
+
+    contrib = plcp.select(F.col("gk").alias("gpos"), "lcp").unionByName(
+        plcp.select(F.col("gj").alias("gpos"), "lcp")
+    )
+    intra = contrib.groupBy("gpos").agg(F.max("lcp").alias("il"))
+    marked = (
+        intra.join(ordx, "gpos")
+        .filter(F.col("il") >= _SA_MINLEN)
+        .select(
+            "doc_id",
+            "pos",
+            F.col("il").alias("dl"),
+            (F.col("pos") + F.col("il") - 1).alias("en"),
+        )
+    )
+    prev_end = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    isl = marked.select(
+        "doc_id",
+        "pos",
+        "en",
+        "dl",
+        F.when(
+            F.col("pos") > F.coalesce(F.max("en").over(prev_end), F.lit(-1)) + 1, 1
+        )
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    run_w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    lab = isl.select(
+        "doc_id", "pos", "en", "dl", F.sum("new_island").over(run_w).alias("island_id")
+    )
+    per_island = lab.groupBy("doc_id", "island_id").agg(
+        (F.max("en") - F.min("pos") + 1).alias("cov")
+    )
+    per_doc = per_island.groupBy("doc_id").agg(
+        F.sum("cov").alias("n_rep_tokens"), F.count("*").alias("n_islands")
+    )
+    span_max = marked.groupBy("doc_id").agg(F.max("dl").alias("max_rep_span"))
+    return (
+        t2.select("doc_id", F.col("n").alias("n_tokens"))
+        .join(per_doc, "doc_id", "left")
+        .join(span_max, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_rep_tokens", F.lit(0)).alias("n_rep_tokens"),
+            F.round(
+                F.coalesce("n_rep_tokens", F.lit(0)) * 1.0 / F.col("n_tokens"), 4
+            ).alias("rep_frac"),
+            F.coalesce("n_islands", F.lit(0)).alias("n_islands"),
+            F.coalesce("max_rep_span", F.lit(0)).alias("max_rep_span"),
         )
         .orderBy("doc_id")
     )

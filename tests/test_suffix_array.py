@@ -11,6 +11,8 @@ from http_log_anonymizer_spark.operators.suffix_array import (
     adjacent_lcp,
     build_rank_tables,
     cumsum_by_range,
+    pair_lcp,
+    pin,
     ranked,
     suffix_order,
 )
@@ -94,3 +96,73 @@ def test_max_dup_span_bounds(spark):
         else:
             assert _SA_MINLEN <= r.max_dup_span <= r.n_tokens
             assert r.max_dup_span <= r.n_dup_tokens
+
+
+def test_pair_lcp_on_tiny_corpus(spark):
+    """Direct binary-descent pair LCP: 'a b c a b $' — suffixes at
+    gpos 1 ('a b c a b $') and 4 ('a b $') share 2 tokens; 2 and 5
+    share 1; 1 and 2 share 0."""
+    tokens = _tiny_corpus(spark)
+    tables = build_rank_tables(tokens, 3)
+    pairs = spark.createDataFrame(
+        [(1, 4), (2, 5), (1, 2), (3, 6)], "ga long, gb long"
+    )
+    got = {(r.ga, r.gb): r.lcp for r in pair_lcp(pairs, tables, "ga", "gb").collect()}
+    assert got == {(1, 4): 2, (2, 5): 1, (1, 2): 0, (3, 6): 0}
+
+
+def test_pin_breaks_quadratic_chains(spark):
+    """Regression pin for the Spark 4.1.2 behavior that motivated
+    pin(): a chained self-join loop where each level is materialized
+    by localCheckpoint re-executes GROWING work per level over a base
+    from this module (measured: 0.3, 0.5, 1.1, 2.7, 7.4 s ... at a
+    constant 28k rows), while a parquet round-trip stays flat. This
+    test asserts the pin()-ed chain completes a depth that the
+    checkpoint chain demonstrably cannot within the same budget —
+    flat-cost per level on a small table."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    base = pin(
+        spark.range(20000).select(
+            F.col("id").alias("i"), (F.col("id") % 5).alias("v")
+        )
+    )
+    prev = base
+    times = []
+    for r in range(1, 9):
+        h = 1 << (r - 1)
+        b = prev.select((F.col("i") - h).alias("i"), F.col("v").alias("vb"))
+        t0 = time.perf_counter()
+        prev = pin(prev.join(b, "i").select("i", F.least("v", "vb").alias("v")))
+        times.append(time.perf_counter() - t0)
+    # flat: the last level must not cost more than 5x the median level
+    mid = sorted(times)[len(times) // 2]
+    assert times[-1] < 5 * mid + 1.0, times
+
+
+def test_selfrep_detects_planted_repetition(spark, tmp_path):
+    """A document repeating an 8-token phrase twice (separated by a
+    non-matching token) must be flagged with exactly two 8-token
+    islands and max_rep_span 8; an all-distinct doc must report zero.
+    (At sf0.001 no intra-doc 8-token repeats exist — the oracle-parity
+    run there is all-zero on both engines — so this plants its own.)"""
+    from http_log_anonymizer_spark.plans import REGISTRY
+
+    phrase = " ".join(f"p{i}" for i in range(8))
+    docs = [
+        (1, f"{phrase} z {phrase}"),          # 17 tokens, repeat of 8
+        (2, " ".join(f"q{i}" for i in range(12))),  # no repetition
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+
+    rows = {
+        r.doc_id: r
+        for r in REGISTRY["suffix_selfrep_report"].spark_fn(spark, str(tmp_path)).collect()
+    }
+    r1, r2 = rows[1], rows[2]
+    assert (r1.n_rep_tokens, r1.n_islands, r1.max_rep_span) == (16, 2, 8)
+    assert (r2.n_rep_tokens, r2.n_islands, r2.max_rep_span) == (0, 0, 0)
