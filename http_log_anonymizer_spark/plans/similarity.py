@@ -222,16 +222,23 @@ ORDER BY query_id, rank
     bench=True,
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-{_TOPK}: random-hyperplane LSH ({_N_PLANES} bits ->
-    {1 << _N_PLANES} buckets), search restricted to the query's bucket.
-    The cross join of the brute-force path becomes an equi-join on
-    bucket — at scale this is the difference between O(N*Q) and
-    O(N*Q/2^bits) comparisons, with recall tunable via multiple tables
-    (band OR-construction). Bucket sign-bits are computed on the RAW
-    embedding — the sign of a hyperplane dot is norm-invariant, and
-    indexing the raw array avoids re-evaluating the unit transform per
-    term (Catalyst does not CSE through the projection). The bucketed
-    index is cached — built once, probed by every query."""
+    """DEMO-tier approximate top-{_TOPK}: random-hyperplane LSH
+    ({_N_PLANES} bits -> {1 << _N_PLANES} buckets), search restricted
+    to the query's bucket. The cross join of the brute-force path
+    becomes an equi-join on bucket — O(N*Q/2^bits) comparisons — but
+    with only {1 << _N_PLANES} buckets the candidate count stays
+    CORPUS-QUADRATIC as n grows (measured: killed at 45 min at sf100);
+    this tier exists as the readable small-corpus demo and recall
+    playground. The registered SCALE tiers are ann_lsh_wide_topk
+    (4 x 12-bit OR-construction) and ann_ivf_sqrt_topk (sqrt-scaled
+    learned cells) — see SCALE.md "ANN index family". Bucket sign-bits
+    are computed on the RAW embedding — the sign of a hyperplane dot
+    is norm-invariant, and indexing the raw array avoids re-evaluating
+    the unit transform per term (Catalyst does not CSE through the
+    projection). The bucketed index is cached — built once, probed by
+    every query. The query side joins WITHOUT a forced broadcast (it
+    is corpus-proportional at 1% of n — r04 verdict): AQE picks
+    broadcast only while it actually fits."""
     e = load_table(spark, sf_dir, "embeddings", spread=True, bytes_per_task=256 * 1024)
     n = e.select("vec_id", "embedding", norm_column("embedding").alias("nrm"))
     b = n.select(
@@ -246,7 +253,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bucket").alias("qbucket"),
     )
     scored = (
-        b.join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
+        b.join(q, F.col("bucket") == F.col("qbucket"))
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
