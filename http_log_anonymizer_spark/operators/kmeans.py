@@ -348,57 +348,67 @@ def kmeans_quantized_table(
 
 
 def kmeans_lloyd_sql(
-    k: int | str = 8, rounds: int = 4, qscale: int = 1000, dim: int = 64
+    k: int | str = 8,
+    rounds: int = 4,
+    qscale: int = 1000,
+    dim: int = 64,
+    prefix: str = "",
+    src: str = "embeddings",
+    vec: str = "embedding",
 ) -> str:
     """DuckDB CTE chunk replaying :func:`kmeans_quantized` exactly:
     unrolled Lloyd iterations (no recursion, no RNG). Exposes
-    ``kassign{rounds}`` (vec_id, qv, cluster) and ``kcent{rounds}``
-    (cluster, c). Embed via ``WITH {kmeans_lloyd_sql(...)}, ...``."""
+    ``{prefix}kassign{rounds}`` (vec_id, qv, cluster) and
+    ``{prefix}kcent{rounds}`` (cluster, c). ``k`` may be an int or a
+    SQL scalar expression (dynamic sizing); ``prefix``/``src``/``vec``
+    let several independent trainings coexist in ONE query (the PQ
+    subspace codebooks train 4 instances over residual slices).
+    Embed via ``WITH {kmeans_lloyd_sql(...)}, ...``."""
     d2 = (
         f"list_sum(list_transform(generate_series(1, {dim}), "
         f"i -> (v.qv[i] / {qscale}.0 - c.c[i]) * (v.qv[i] / {qscale}.0 - c.c[i])))"
     )
     parts = [
-        f"""kqv AS (
+        f"""{prefix}kqv AS (
   SELECT vec_id,
-         list_transform(embedding,
+         list_transform({vec},
            x -> CAST(floor(CAST(x AS DOUBLE) * {qscale}) AS BIGINT)) AS qv
-  FROM embeddings
+  FROM {src}
 ),
-kcent0 AS (
+{prefix}kcent0 AS (
   SELECT cluster, list_transform(qv, x -> x / {qscale}.0) AS c FROM (
     SELECT qv,
            row_number() OVER (
              ORDER BY substring(md5('seed|' || CAST(vec_id AS VARCHAR)), 1, 15), vec_id
            ) - 1 AS cluster
-    FROM kqv
+    FROM {prefix}kqv
   ) WHERE cluster < {k}
 )"""
     ]
     for r in range(rounds + 1):
         parts.append(
-            f"""kassign{r} AS (
+            f"""{prefix}kassign{r} AS (
   SELECT vec_id, qv, cluster FROM (
     SELECT vec_id, qv, cluster,
            row_number() OVER (PARTITION BY vec_id ORDER BY round(d2, 6), cluster) AS rk
     FROM (
       SELECT v.vec_id, v.qv, c.cluster, {d2} AS d2
-      FROM kqv v CROSS JOIN kcent{r} c
+      FROM {prefix}kqv v CROSS JOIN {prefix}kcent{r} c
     )
   ) WHERE rk = 1
 )"""
         )
         if r < rounds:
             parts.append(
-                f"""kcent{r + 1} AS (
+                f"""{prefix}kcent{r + 1} AS (
   SELECT p.cluster, COALESCE(u.c, p.c) AS c
-  FROM kcent{r} p LEFT JOIN (
+  FROM {prefix}kcent{r} p LEFT JOIN (
     SELECT cluster, list(s / (n * {qscale}.0) ORDER BY pos) AS c
     FROM (
       SELECT cluster, pos, sum(x) AS s, count(*) AS n
       FROM (
         SELECT cluster, generate_subscripts(qv, 1) AS pos, unnest(qv) AS x
-        FROM kassign{r}
+        FROM {prefix}kassign{r}
       )
       GROUP BY cluster, pos
     )

@@ -35,6 +35,7 @@ _WINDOW = [
     "personalized_pagerank",
     "suffix_array_dup_report",
     "suffix_selfrep_report",
+    "ann_ivf_pq_topk",
     # --- plan changed this round: re-verify (item 5: fused counts) ---
     "data_quality_report",
     # --- flagship parity anchors ---
@@ -85,7 +86,6 @@ _WINDOW = [
     "token_stats",
     "tfidf_top_terms",
     "multimodal_decode_meta",
-    "reservoir_sample",
 ]
 
 

@@ -1188,6 +1188,209 @@ def ann_ivf_sqrt_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_scan_topk(u, probed, _TOPK)
 
 
+# True IVF-PQ (Jégou, Douze & Schmid, TPAMI 2011): coarse learned
+# cells + PRODUCT-QUANTIZED residual codebooks + asymmetric-distance
+# scan. ann_ivf_adc_topk quantizes residuals SCALAR-ly; this trains
+# per-subspace k-means codebooks — the actual FAISS IndexIVFPQ recipe.
+_PQ_M = 8  # subspaces (8 x 4-bit codes = 32 bits/vector; m=4 measured recall 0.16, m=8 acceptable)
+_PQ_DSUB = _DIM // _PQ_M
+_PQ_K = 16  # codebook entries per subspace (4-bit codes)
+_PQ_ROUNDS = 2
+_PQ_NPROBE = 3
+
+
+def _pq_oracle() -> str:
+    from http_log_anonymizer_spark.operators.kmeans import kmeans_lloyd_sql
+
+    KR = _KM_ROUNDS
+    sub_trains = []
+    for m in range(_PQ_M):
+        a = m * _PQ_DSUB + 1
+        b = (m + 1) * _PQ_DSUB
+        sub_trains.append(
+            f"pqsrc{m} AS MATERIALIZED (SELECT vec_id, r[{a}:{b}] AS sub FROM resid)"
+        )
+        sub_trains.append(
+            kmeans_lloyd_sql(
+                k=_PQ_K,
+                rounds=_PQ_ROUNDS,
+                dim=_PQ_DSUB,
+                prefix=f"pq{m}_",
+                src=f"pqsrc{m}",
+                vec="sub",
+            )
+        )
+    code_joins = "\n  ".join(
+        f"JOIN pq{m}_kassign{_PQ_ROUNDS} p{m} ON p{m}.vec_id = a.vec_id"
+        for m in range(_PQ_M)
+    )
+    code_cols = ", ".join(f"p{m}.cluster AS c{m}" for m in range(_PQ_M))
+    sub_dots = " + ".join(
+        f"list_sum(list_transform(generate_series(1, {_PQ_DSUB}), "
+        f"i -> CAST(s.qemb[{m * _PQ_DSUB} + i] AS DOUBLE) * t{m}.c[i]))"
+        for m in range(_PQ_M)
+    )
+    lut_joins = "\n  ".join(
+        f"JOIN pq{m}_kcent{_PQ_ROUNDS} t{m} ON t{m}.cluster = s.c{m}"
+        for m in range(_PQ_M)
+    )
+    return f"""
+WITH {_km_ctes()},
+resid AS MATERIALIZED (
+  SELECT e.vec_id, a.cluster,
+         list_transform(generate_series(1, {_DIM}),
+           i -> CAST(e.embedding[i] AS DOUBLE) - c.c[i]) AS r
+  FROM embeddings e
+  JOIN kassign{KR} a ON a.vec_id = e.vec_id
+  JOIN kcent{KR} c ON c.cluster = a.cluster
+),
+{",".join(sub_trains)},
+codes AS MATERIALIZED (
+  SELECT a.vec_id, a.cluster, {code_cols}
+  FROM kassign{KR} a
+  {code_joins}
+),
+q AS (
+  SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qemb
+  FROM embeddings WHERE vec_id % 100 = 0
+),
+kqd AS (
+  SELECT q.query_id, q.qemb, c.cluster AS label,
+         list_sum(list_transform(generate_series(1, {_DIM}),
+           i -> (q.qemb[i] - c.c[i]) * (q.qemb[i] - c.c[i]))) AS d2,
+         list_sum(list_transform(generate_series(1, {_DIM}),
+           i -> q.qemb[i] * c.c[i])) AS dqc
+  FROM q CROSS JOIN kcent{KR} c
+),
+kprobed AS (
+  SELECT query_id, qemb, label, dqc FROM (
+    SELECT query_id, qemb, label, dqc,
+           row_number() OVER (
+             PARTITION BY query_id ORDER BY round(d2, 6), label
+           ) AS cr
+    FROM kqd
+  ) WHERE cr <= {_PQ_NPROBE}
+),
+cand AS (
+  SELECT p.query_id, p.qemb, p.dqc, c.vec_id AS neighbor_id,
+         {", ".join(f"c.c{m}" for m in range(_PQ_M))}
+  FROM kprobed p JOIN codes c ON c.cluster = p.label AND c.vec_id <> p.query_id
+),
+scored AS (
+  SELECT s.query_id, s.neighbor_id,
+         round(s.dqc + {sub_dots}, 4) AS adc
+  FROM cand s
+  {lut_joins}
+),
+kranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY adc DESC, neighbor_id
+  ) AS rank FROM scored
+)
+SELECT query_id, neighbor_id, rank, adc FROM kranked WHERE rank <= {_TOPK}
+ORDER BY query_id, rank
+"""
+
+
+@register("ann_ivf_pq_topk", oracle=_pq_oracle())
+def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE IVF-PQ (Jégou et al., TPAMI 2011 — the FAISS IndexIVFPQ
+    recipe): learned coarse cells (the kmeans_quantized {_KM_K}-cell
+    quantizer), PRODUCT-quantized residuals — {_PQ_M} subspaces of
+    {_PQ_DSUB} dims, each with its own {_PQ_K}-entry k-means codebook
+    trained on the residual slices ({_PQ_ROUNDS} quantized Lloyd
+    rounds, SQL-replayed with per-subspace CTE prefixes) — and
+    asymmetric-distance search: score(q, x) = dot(q, c_cell) + sum_m
+    dot(q_sub_m, codebook_m[code_m(x)]), i.e. the query stays float
+    while candidates are 4 x 4-bit codes. ann_ivf_adc_topk is the
+    scalar-quantization cousin; this one carries the learned-codebook
+    machinery end to end, hash-verified through training, encoding AND
+    search.
+
+    Measured recall@5 at sf0.01, all at the same {_PQ_NPROBE}-cell
+    probe (the compression/recall trade, tests/test_scale_operators):
+    exact in-cell scoring (ann_ivf_kmeans_topk, 512 bits/vec) >= 0.6;
+    scalar ADC (ann_ivf_adc_topk, 512 bits) 0.40; THIS tier at 32
+    bits/vec 0.24 (m=4/16 bits measured 0.16 and was rejected). The
+    synthetic corpus is isotropic — no low-dim structure for PQ to
+    exploit — so these are floor numbers; the dial is m/k, paid in
+    code width.
+
+    Scale shape: codebooks are {_PQ_M} x {_PQ_K} x {_PQ_DSUB} doubles
+    (KBs — broadcast), codes are {_PQ_M} small ints per vector (16x
+    compression of the scan payload at d={_DIM}), candidates come from
+    the {_PQ_NPROBE}-cell probe (equi-join on the cell id, no forced
+    broadcast of the corpus-proportional probe side), and the ADC sum
+    is four {_PQ_DSUB}-dim dots against broadcast codebook rows."""
+    from http_log_anonymizer_spark.operators.kmeans import kmeans_quantized
+
+    e = load_table(
+        spark, sf_dir, "embeddings", spread=True, bytes_per_task=256 * 1024
+    ).select("vec_id", "embedding")
+    assignments, centroids = kmeans_quantized(e, k=_KM_K, rounds=_KM_ROUNDS)
+    cv = spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "label int, cvec array<double>",
+    )
+    resid = (
+        e.join(assignments.select("vec_id", F.col("cluster").alias("label")), "vec_id")
+        .join(F.broadcast(cv), "label")
+        .select(
+            "vec_id",
+            "label",
+            F.zip_with(
+                F.col("embedding").cast("array<double>"), "cvec", lambda x, c: x - c
+            ).alias("r"),
+        )
+        .localCheckpoint()
+    )
+
+    codes = resid.select("vec_id", "label")
+    luts = []
+    for m in range(_PQ_M):
+        sub = resid.select(
+            "vec_id", F.slice("r", m * _PQ_DSUB + 1, _PQ_DSUB).alias("embedding")
+        )
+        a_m, cents_m = kmeans_quantized(sub, k=_PQ_K, rounds=_PQ_ROUNDS)
+        codes = codes.join(
+            a_m.select("vec_id", F.col("cluster").alias(f"c{m}")), "vec_id"
+        )
+        luts.append(
+            spark.createDataFrame(
+                [(int(j), [float(x) for x in c]) for j, c in enumerate(cents_m)],
+                f"c{m} int, t{m} array<double>",
+            )
+        )
+
+    q = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qemb"),
+    )
+    probed = _probe_cells(q, cv, _PQ_NPROBE)
+    probed = probed.join(F.broadcast(cv), "label").select(
+        "query_id", "qemb", "label", dot("qemb", "cvec").alias("dqc")
+    )
+    cand = codes.join(probed, "label").filter(F.col("vec_id") != F.col("query_id"))
+    scored = cand
+    subtotal = F.col("dqc")
+    for m in range(_PQ_M):
+        scored = scored.join(F.broadcast(luts[m]), f"c{m}")
+        subtotal = subtotal + dot(
+            F.slice("qemb", m * _PQ_DSUB + 1, _PQ_DSUB), f"t{m}"
+        )
+    scored = scored.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(subtotal, 4).alias("adc"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc"), "neighbor_id")
+    return (
+        scored.select("*", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= _TOPK)
+        .orderBy("query_id", "rank")
+    )
+
+
 @register(
     "ivf_residual_quantization",
     oracle=f"""

@@ -182,3 +182,33 @@ def test_runtime_bloom_filter_prunes_probe_side(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_ivf_pq_recall_and_compression_trade(spark):
+    """IVF-PQ (32-bit codes) must recover a nontrivial share of the
+    true top-5 through lossy codebook scoring, and the recall ladder
+    must order as compression predicts: exact in-cell scoring >=
+    scalar ADC (512-bit) >= product-quantized ADC (32-bit) > 0."""
+    from collections import defaultdict
+
+    from http_log_anonymizer_spark.plans import REGISTRY
+
+    sf = "/root/testdata/sf0.01"
+
+    def top(name):
+        d = defaultdict(set)
+        for r in REGISTRY[name].spark_fn(spark, sf).collect():
+            d[r.query_id].add(r.neighbor_id)
+        return d
+
+    brute = top("ann_brute_topk")
+
+    def recall(d):
+        return sum(len(brute[q] & d.get(q, set())) for q in brute) / sum(
+            len(brute[q]) for q in brute
+        )
+
+    r_exact = recall(top("ann_ivf_kmeans_topk"))
+    r_adc = recall(top("ann_ivf_adc_topk"))
+    r_pq = recall(top("ann_ivf_pq_topk"))
+    assert r_exact >= r_adc >= r_pq > 0.1, (r_exact, r_adc, r_pq)
