@@ -36,6 +36,7 @@ _WINDOW = [
     "suffix_array_dup_report",
     "suffix_selfrep_report",
     "ann_ivf_pq_topk",
+    "embedding_pca_power",
     # --- plan changed this round: re-verify (item 5: fused counts) ---
     "data_quality_report",
     # --- flagship parity anchors ---
@@ -84,7 +85,6 @@ _WINDOW = [
     "http_totals_cube",
     "json_encode_rows",
     "token_stats",
-    "tfidf_top_terms",
     "multimodal_decode_meta",
 ]
 

@@ -1743,3 +1743,43 @@ def ann_lsh_wide_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _TOPK)
         .orderBy("query_id", "rank")
     )
+
+
+def _pca_oracle() -> str:
+    from http_log_anonymizer_spark.operators.pca import pca_power_sql
+
+    return "WITH " + pca_power_sql()
+
+
+@register("embedding_pca_power", oracle=_pca_oracle())
+def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading principal component of the embedding table by
+    integer-quantized POWER ITERATION (operators/pca.py) — the
+    whitening / collapse-diagnostic step ahead of semantic dedup and
+    quantizer training (SemDeDup whitens; PCA rotation concentrates
+    variance for PQ). Returns 64 rows (pos, loading, eig_q): the unit-
+    scaled eigenvector and the integer Rayleigh quotient.
+
+    Determinism contract (module docstring has the full ladder): the
+    corpus-sized work — exact integer first/second moments of the
+    quantized vectors — is one explode + map-side-combined groupBy;
+    the 64 x 64 moment matrix (constant size) then runs 6 fixed
+    power-iteration rounds in pure integer arithmetic with
+    truncate-toward-zero division, so the driver hash-checks the
+    TRAINED component itself, like kmeans/BPE/PageRank before it.
+    Driver state is d^2 + d + 1 integers — scale-independent."""
+    from http_log_anonymizer_spark.operators.pca import (
+        SCALE,
+        gram_tables,
+        power_iterate,
+    )
+
+    e = load_table(
+        spark, sf_dir, "embeddings", spread=True, bytes_per_task=256 * 1024
+    ).select("embedding")
+    n, S, G = gram_tables(e)
+    y, eig_q = power_iterate(n, S, G)
+    return spark.createDataFrame(
+        [(i + 1, round(y[i] / SCALE, 6), eig_q) for i in range(len(y))],
+        "pos int, loading double, eig_q long",
+    ).orderBy("pos")

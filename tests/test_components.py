@@ -96,3 +96,29 @@ def test_registered_star_clusters_match_minlabel_clusters(spark):
     b = REGISTRY["dedup_clusters_star"].spark_fn(spark, sf).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
     assert len(a) > 0
+
+
+def test_pca_power_matches_numpy_eigendecomposition(spark):
+    """The integer power iteration must converge to the true leading
+    eigenvector of the (float) covariance: |cos| between the returned
+    loading vector and numpy's top eigenvector >= 0.99 at sf0.01, and
+    the Rayleigh quotient must be positive."""
+    import numpy as np
+
+    from http_log_anonymizer_spark.plans import REGISTRY
+    from http_log_anonymizer_spark.sources.batch import load_table
+
+    sf = "/root/testdata/sf0.01"
+    rows = REGISTRY["embedding_pca_power"].spark_fn(spark, sf).collect()
+    y = np.array([r.loading for r in sorted(rows, key=lambda r: r.pos)])
+    assert rows[0].eig_q > 0
+
+    emb = np.array(
+        [r.embedding for r in load_table(spark, sf, "embeddings").select("embedding").collect()],
+        dtype=np.float64,
+    )
+    cov = np.cov(emb, rowvar=False)
+    w, v = np.linalg.eigh(cov)
+    top = v[:, -1]
+    cos = abs(float(np.dot(y, top) / (np.linalg.norm(y) * np.linalg.norm(top))))
+    assert cos >= 0.99, cos
