@@ -99,8 +99,12 @@ def ranked(df: DataFrame, cols: list[str], out: str = "r") -> DataFrame:
         .distinct()
         .repartitionByRange(_range_parts(df), *[F.col(c) for c in cols])
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint()  # pin sampled range boundaries for both passes
     )
+    # pin to scratch parquet: stabilizes the sampled range boundaries
+    # across the two passes AND keeps 10^7-row intermediates off the
+    # JVM heap (localCheckpoint pins deserialized blocks in the block
+    # manager — measured Java-heap OOM at N=27M on the default 8g)
+    d = pin(d)
     sizes = {r["_pid"]: r["n"] for r in d.groupBy("_pid").agg(F.count("*").alias("n")).collect()}
     offs, acc = {}, 0
     for pid in sorted(sizes):
@@ -127,8 +131,8 @@ def cumsum_by_range(
     d = (
         df.repartitionByRange(_range_parts(df), F.col(order_col))
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint()
     )
+    d = pin(d)  # same off-heap pin as ranked()
     totals = {
         r["_pid"]: r["t"]
         for r in d.groupBy("_pid").agg(F.sum(val_col).alias("t")).collect()
