@@ -1659,9 +1659,14 @@ def _sa_build(spark: SparkSession, sf_dir: str):
         (F.col("pos0") + 1).alias("pos"),
         "tok",
         (F.col("pos0") + 1 > F.col("n")).alias("is_sent"),
-    ).localCheckpoint()
+    )
 
     from http_log_anonymizer_spark.operators.suffix_array import pin
+
+    # off-heap pin: the exploded corpus is the largest intermediate
+    # (N positions x token strings); a localCheckpoint of it OOM'd the
+    # 8g heap at N=27M (sf100)
+    corpus = pin(corpus)
 
     tables = build_rank_tables(corpus.select("gpos", "tok"), _SA_ROUNDS)
     sa = suffix_order(tables[-1])
