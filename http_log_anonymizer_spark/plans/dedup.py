@@ -1719,13 +1719,18 @@ runs AS MATERIALIZED (
   FROM ord
 ),
 updown AS MATERIALIZED (
-  SELECT r.*, 
+  SELECT r.*,
          min(lcp) OVER (PARTITION BY run_id ORDER BY sa_idx
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS up,
-         COALESCE(min(nl) OVER (PARTITION BY run_id ORDER BY sa_idx DESC
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS down
+         min(nl) OVER (PARTITION BY run_id ORDER BY sa_idx DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS down
   FROM (
-    SELECT r.*, n.lcp AS nl
+    -- COALESCE at the lead join, not after the window min: the
+    -- corpus-last suffix has no successor, and a NULL nl would be
+    -- SKIPPED by min(), letting the final same-doc run's intra-doc
+    -- adjacent LCPs stand in for the (nonexistent) next other-doc
+    -- neighbor. Flooring nl at 0 per row keeps the down-chain honest.
+    SELECT r.*, COALESCE(n.lcp, 0) AS nl
     FROM runs r LEFT JOIN runs n ON n.sa_idx = r.sa_idx + 1
   ) r
 ),
@@ -1831,7 +1836,16 @@ def suffix_array_dup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     runs = cumsum_by_range(ord_, "sa_idx", "chg", out="run_id")
     nxt = runs.select((F.col("sa_idx") - 1).alias("sa_idx"), F.col("lcp").alias("nl"))
-    rr = runs.join(nxt, "sa_idx", "left")
+    # coalesce nl at the lead join (not after the run-window min): the
+    # corpus-last suffix has no successor row, and min() skips NULLs —
+    # without the floor, the final same-doc run's down-chain would fall
+    # back to INTRA-document adjacent LCPs, violating the "suffix of
+    # ANOTHER document" contract (ADVICE r05, verified live: a tail doc
+    # of ten repeated tokens reported dup_frac 0.9 with zero cross-doc
+    # overlap).
+    rr = runs.join(nxt, "sa_idx", "left").withColumn(
+        "nl", F.coalesce("nl", F.lit(0))
+    )
     w_up = (
         Window.partitionBy("run_id")
         .orderBy("sa_idx")
@@ -1847,7 +1861,7 @@ def suffix_array_dup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pos",
         "is_sent",
         F.min("lcp").over(w_up).alias("up"),
-        F.coalesce(F.min("nl").over(w_dn), F.lit(0)).alias("down"),
+        F.min("nl").over(w_dn).alias("down"),
     )
     marked = ud.filter(
         (~F.col("is_sent"))

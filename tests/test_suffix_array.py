@@ -166,3 +166,57 @@ def test_selfrep_detects_planted_repetition(spark, tmp_path):
     r1, r2 = rows[1], rows[2]
     assert (r1.n_rep_tokens, r1.n_islands, r1.max_rep_span) == (16, 2, 8)
     assert (r2.n_rep_tokens, r2.n_islands, r2.max_rep_span) == (0, 0, 0)
+
+
+def test_intra_doc_repeat_at_sa_tail_is_not_cross_doc(spark, tmp_path):
+    """ADVICE r05 (medium): the corpus-LAST suffix has no successor, so
+    its nl is NULL — and a min() that SKIPS the NULL lets the final
+    same-doc run's intra-document adjacent LCPs impersonate the
+    (nonexistent) next other-document neighbor. Plant exactly that
+    shape: doc 2 is ten repeated 'z' tokens (z sorts after every doc-1
+    token and after the sentinels, so its suffixes occupy the SA tail)
+    with ZERO cross-document overlap. Pre-fix both engines reported
+    n_dup_tokens=9 / dup_frac=0.9 / max_dup_span=9 for doc 2; the
+    contract says 0. The selfrep report must still see the repetition
+    (it is intra-doc), which pins that the fix floors the CROSS-doc
+    chain only."""
+    import duckdb
+
+    from http_log_anonymizer_spark.plans import REGISTRY
+
+    docs = [
+        (1, " ".join(f"q{i}" for i in range(12))),  # all-distinct filler
+        (2, " ".join(["z"] * 10)),                  # intra-doc repeat, SA tail
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+
+    q = REGISTRY["suffix_array_dup_report"]
+    rows = {r.doc_id: r for r in q.spark_fn(spark, str(tmp_path)).collect()}
+    assert (rows[1].n_dup_tokens, rows[1].n_islands, rows[1].max_dup_span) == (0, 0, 0)
+    assert (rows[2].n_dup_tokens, rows[2].n_islands, rows[2].max_dup_span) == (0, 0, 0)
+    assert rows[2].dup_frac == 0.0
+
+    # the oracle must agree on the planted corpus (shared-flaw guard:
+    # both engines had the bug, so sf-parity alone could never catch it)
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"'{tmp_path}/documents.parquet/*.parquet'"
+        )
+        duck = con.execute(q.oracle).df()
+    finally:
+        con.close()
+    from tests.oracle import compare
+
+    ok, msg = compare(q.spark_fn(spark, str(tmp_path)), duck)
+    assert ok, msg
+
+    # intra-doc repetition is still visible to the SELFREP report
+    rep = {
+        r.doc_id: r
+        for r in REGISTRY["suffix_selfrep_report"].spark_fn(spark, str(tmp_path)).collect()
+    }
+    assert rep[2].n_rep_tokens == 10 and rep[2].max_rep_span == 9
