@@ -149,8 +149,13 @@ def main() -> None:
                     "dedup_minhash_lsh",
                     "session_window_agg",
                     "sliding_window_traffic",
-                    "ann_lsh_topk",
-                    "ann_lsh_wide_topk",  # the scale-path ANN tier (r04 verdict)
+                    # ANN slots are the SCALE tiers only (r05 verdict):
+                    # the 16-bucket demo tier (ann_lsh_topk) is
+                    # candidate-quadratic and measured 123.7 s here —
+                    # it no longer represents any path a 100 TB run
+                    # would take.
+                    "ann_ivf_sqrt_topk",
+                    "ann_lsh_wide_topk",
                 ]
                 sf10_timings: dict[str, float] = {}
                 for name in names:
@@ -212,7 +217,36 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — record, keep main series
             result["sf100_error"] = f"{type(exc).__name__}: {exc}"[:500]
 
-    print(json.dumps(result))
+    # Output protocol (r05 verdict item 2: the r05 single line outgrew
+    # the driver's 2000-char tail buffer, so the round's numbers were
+    # recorded unparseable): print the FULL detail record first, then a
+    # COMPACT headline line LAST — the driver keeps the tail of stdout
+    # and parses the final complete JSON line, so the last line must
+    # stay well under the buffer (headline totals + the sf0.1 per-query
+    # dict only; per-series dicts live on the detail line).
+    detail = dict(result)
+    detail["metric"] = "registry_bench_detail"
+    print(json.dumps(detail))
+    compact_keys = (
+        "metric",
+        "value",
+        "unit",
+        "method",
+        "sf",
+        "queries",
+        "count_method_total",
+        "sf1_total",
+        "sf10_total",
+        "sf100_total",
+        "sf1_error",
+        "sf10_error",
+    )
+    compact = {k: result[k] for k in compact_keys if k in result}
+    line = json.dumps(compact)
+    if len(line) > 1800:  # never outgrow the tail buffer again
+        compact.pop("queries", None)
+        line = json.dumps(compact)
+    print(line)
     spark.stop()
 
 

@@ -39,6 +39,8 @@ offset arrays.
 from __future__ import annotations
 
 import atexit
+import os
+import posixpath
 import shutil
 import tempfile
 import uuid
@@ -51,10 +53,25 @@ _OWNED_DIRS: list[str] = []
 
 def _cleanup() -> None:
     for d in _OWNED_DIRS:
-        shutil.rmtree(d, ignore_errors=True)
+        _rm_scratch(d)
 
 
 atexit.register(_cleanup)
+
+
+def _rm_scratch(path: str) -> None:
+    """Delete a scratch dir on the filesystem that owns it (local or,
+    for URI roots, whatever pyarrow.fs resolves — HDFS/S3)."""
+    if "://" in path:
+        try:
+            from pyarrow import fs as pafs
+
+            f, p = pafs.FileSystem.from_uri(path)
+            f.delete_dir(p)
+        except Exception:  # noqa: BLE001 — best-effort atexit cleanup
+            pass
+    else:
+        shutil.rmtree(path, ignore_errors=True)
 
 
 def pin(df: DataFrame) -> DataFrame:
@@ -71,14 +88,29 @@ def pin(df: DataFrame) -> DataFrame:
     though the optimized plan is a 35-char LogicalRDD scan and row
     counts shrink. A parquet round-trip is flat (~0.3 s/level): the
     written files are a hard lineage boundary nothing can re-execute
-    through. The scratch dirs are per-process temp, atexit-removed —
-    and on a cluster this is exactly how a production index build
-    persists its rounds anyway."""
-    root = tempfile.mkdtemp(prefix="graft_sa_")
+    through.
+
+    Scratch location: ``spark.graft.scratchDir`` (Spark conf) or
+    ``$SPARK_GRAFT_SCRATCH_DIR``, else a driver-local temp dir. On a
+    MULTI-NODE cluster the configured root MUST be executor-shared
+    storage (HDFS/S3/NFS — ADVICE r05: a driver-local temp dir is only
+    correct in local mode, since executors read the files back);
+    production index builds persist their rounds to shared storage
+    anyway. Scratch dirs are per-process unique and atexit-removed."""
+    spark = df.sparkSession
+    conf_root = spark.conf.get("spark.graft.scratchDir", None) or os.environ.get(
+        "SPARK_GRAFT_SCRATCH_DIR"
+    )
+    if conf_root:
+        root = posixpath.join(conf_root.rstrip("/"), f"graft_sa_{uuid.uuid4().hex[:8]}")
+        if "://" not in root:
+            os.makedirs(root, exist_ok=True)
+    else:
+        root = tempfile.mkdtemp(prefix="graft_sa_")
     _OWNED_DIRS.append(root)
     path = f"{root}/{uuid.uuid4().hex[:8]}"
     df.write.mode("overwrite").parquet(path)
-    return df.sparkSession.read.parquet(path)
+    return spark.read.parquet(path)
 
 
 def _range_parts(df: DataFrame) -> int:

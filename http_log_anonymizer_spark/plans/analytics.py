@@ -3165,12 +3165,16 @@ def personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("w"))
     )
     outw = edges.groupBy("src").agg(F.sum("w").alias("wout"))
-    wd = Window.orderBy(F.desc("dg"), "node")
+    # seed pick is a distributed TakeOrderedAndProject (orderBy+limit),
+    # NOT an unpartitioned row_number window — a global window would
+    # funnel the full per-node degree table through one task (ADVICE
+    # r05); the total order (dg desc, node) is identical to the SQL
+    # replay's QUALIFY row_number, so results are unchanged.
     seeds = (
         edges.groupBy(F.col("src").alias("node"))
         .agg(F.count("*").alias("dg"))
-        .select("node", F.row_number().over(wd).alias("rn"))
-        .filter(F.col("rn") <= _PPR_SEEDS)
+        .orderBy(F.desc("dg"), "node")
+        .limit(_PPR_SEEDS)
         .select("node")
     )
     base = int(0.15 * _PR_SCALE)

@@ -219,7 +219,10 @@ ranked AS (
 SELECT query_id, neighbor_id, rank, cos FROM ranked WHERE rank <= {_TOPK}
 ORDER BY query_id, rank
 """,
-    bench=True,
+    # NOT bench: demo tier only (r05 verdict) — 16 buckets make the
+    # candidate set corpus-quadratic, so it must never occupy a series
+    # slot a reader could mistake for the ANN scale path. The benched
+    # tiers are ann_lsh_wide_topk and ann_ivf_sqrt_topk.
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DEMO-tier approximate top-{_TOPK}: random-hyperplane LSH
@@ -1786,8 +1789,9 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism contract (module docstring has the full ladder): the
     corpus-sized work — exact integer first/second moments of the
     quantized vectors — is one explode + map-side-combined groupBy;
-    the 64 x 64 moment matrix (constant size) then runs 6 fixed
-    power-iteration rounds in pure integer arithmetic with
+    the 64 x 64 moment matrix (constant size) then runs the fixed
+    operators/pca.py:ROUNDS (= 20) power-iteration rounds — one CTE
+    each in the SQL replay — in pure integer arithmetic with
     truncate-toward-zero division, so the driver hash-checks the
     TRAINED component itself, like kmeans/BPE/PageRank before it.
     Driver state is d^2 + d + 1 integers — scale-independent."""

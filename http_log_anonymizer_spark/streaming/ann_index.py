@@ -133,8 +133,14 @@ class StreamingIVFIndexSink(PartitionedStateSink):
 
     def index(self, spark: SparkSession) -> DataFrame | None:
         """The (vec_id, label, ue) inverted file over everything
-        indexed so far, or None before the first batch."""
-        return self._read_state(spark, self.index_dir, exclude_tag="")
+        COMMITTED so far, or None before the first batch. Reads are
+        committed-only (ADVICE r05): a torn in-flight ``_batch=b*``
+        write (crash mid-batch, no restart yet) has no ``_SUCCESS``
+        and is excluded, so readouts never surface partial rows — the
+        replay of that batch will overwrite it."""
+        return self._read_state(
+            spark, self.index_dir, exclude_tag="", committed_only=True
+        )
 
     def probe(
         self, spark: SparkSession, queries: DataFrame, nprobe: int = 8, k: int = 5

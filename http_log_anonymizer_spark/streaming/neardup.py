@@ -210,11 +210,41 @@ class PartitionedStateSink:
 
     # -- state reads ---------------------------------------------------
 
-    def _read_state(self, spark, root: str, exclude_tag: str) -> DataFrame | None:
+    def _read_state(
+        self, spark, root: str, exclude_tag: str, committed_only: bool = False
+    ) -> DataFrame | None:
         """All committed state rows under ``root`` — every partition
         except the in-flight batch's own (so a replay sees exactly the
-        pre-batch corpus regardless of how a prior attempt tore)."""
+        pre-batch corpus regardless of how a prior attempt tore).
+
+        ``committed_only=True`` is the out-of-band READER contract
+        (ADVICE r05: index()/probe() called without a write() to run
+        recovery first): partitions without Spark's ``_SUCCESS`` are
+        torn in-flight writes and are excluded, and a pending
+        compaction marker is resolved read-only with the recovery
+        rules — a completed target shadows its listed sources, an
+        incomplete target is ignored — so every crash window reads a
+        consistent snapshot without mutating state under a possibly
+        live writer."""
         dirs = [d for d in _subdirs(root) if d != f"_batch={exclude_tag}"]
+        if committed_only:
+            drop: set[str] = set()
+            mp = self._marker_path()
+            if _exists(mp):
+                f, p = _fs_for(mp)
+                with f.open_input_stream(p) as h:
+                    plan = json.loads(h.read().decode())
+                spec = plan.get(root)
+                if spec:
+                    if _exists(posixpath.join(root, spec["target"], "_SUCCESS")):
+                        drop.update(spec["sources"])
+                    else:
+                        drop.add(spec["target"])
+            dirs = [
+                d
+                for d in dirs
+                if d not in drop and _exists(posixpath.join(root, d, "_SUCCESS"))
+            ]
         if not dirs:
             return None
         return spark.read.parquet(*[posixpath.join(root, d) for d in dirs])

@@ -155,3 +155,31 @@ def test_cold_probe_is_empty_typed(spark, tmp_path):
         "rank",
         "cos",
     ]
+
+
+def test_readout_excludes_uncommitted_partition(spark, tmp_path):
+    """ADVICE r05: an in-flight ``_batch=b*`` partition torn mid-write
+    (no ``_SUCCESS``, no restart/replay yet) must NOT surface in
+    index()/probe() readouts — partial files could yield partial rows
+    or fail the read. Simulate the tear by dropping _SUCCESS from a
+    written partition; the replay then repairs it and the rows
+    reappear."""
+    rng = random.Random(29)
+    cents = _centroids(spark, _rows(range(100), rng))
+    base = tmp_path / "state"
+    sink = StreamingIVFIndexSink(str(base), cents)
+
+    b0, b1 = _rows(range(0, 30), rng), _rows(range(30, 60), rng)
+    sink.write(_bdf(spark, b0), 0)
+    sink.write(_bdf(spark, b1), 1)
+
+    # tear batch 1: remove the commit marker, leaving partial files
+    (base / "index" / "_batch=b1" / "_SUCCESS").unlink()
+    seen = {r.vec_id for r in sink.index(spark).collect()}
+    assert seen == set(range(30)), "torn partition leaked into readout"
+    probed = sink.probe(spark, _queries(spark, _rows([999], rng)), nprobe=8, k=5)
+    assert {r.neighbor_id for r in probed.collect()} <= set(range(30))
+
+    # replay repairs the tear; the rows come back
+    sink.write(_bdf(spark, b1), 1)
+    assert {r.vec_id for r in sink.index(spark).collect()} == set(range(60))

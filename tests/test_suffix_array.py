@@ -220,3 +220,22 @@ def test_intra_doc_repeat_at_sa_tail_is_not_cross_doc(spark, tmp_path):
         for r in REGISTRY["suffix_selfrep_report"].spark_fn(spark, str(tmp_path)).collect()
     }
     assert rep[2].n_rep_tokens == 10 and rep[2].max_rep_span == 9
+
+
+def test_pin_honors_configured_scratch_root(spark, tmp_path):
+    """ADVICE r05: on a multi-node cluster pin() must write to shared
+    storage, not the driver's local tempdir — spark.graft.scratchDir
+    (or $SPARK_GRAFT_SCRATCH_DIR) routes the scratch parquet. The
+    round-trip must land under the configured root and read back
+    intact."""
+    import os
+
+    root = tmp_path / "shared-scratch"
+    spark.conf.set("spark.graft.scratchDir", str(root))
+    try:
+        df = pin(spark.range(100).select(F.col("id").alias("i")))
+        assert df.count() == 100
+        subdirs = [d for d in os.listdir(root) if d.startswith("graft_sa_")]
+        assert subdirs, "pin() did not use the configured scratch root"
+    finally:
+        spark.conf.unset("spark.graft.scratchDir")
