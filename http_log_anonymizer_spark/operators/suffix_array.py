@@ -5,18 +5,22 @@ shared-window approximation in ``plans/dedup.py:dup_span_report``.
 
 Construction (token-level, over the sentinel-concatenated corpus):
 
-- **Prefix doubling** (Manber & Myers 1990): rank_0 orders single
-  tokens; round r orders prefixes of length 2^r by the pair
-  (rank_{r-1}[i], rank_{r-1}[i + 2^{r-1}] or 0), re-densified each
-  round. Every rank is an exact integer produced by a deterministic
-  total order, so a FIXED number of rounds replays in SQL as unrolled
+- **Prefix doubling** (Manber & Myers 1990) with a **radix-2 start**
+  (r05 verdict item 6): rank_0 orders token PAIRS directly — one
+  ranked() round cheaper than doubling up from single tokens — and
+  round k then orders prefixes of length 2^(k+1) by the pair
+  (rank_{k-1}[i], rank_{k-1}[i + 2^k] or 0), re-densified each round.
+  Every rank is an exact integer produced by a deterministic total
+  order, so a FIXED number of rounds replays in SQL as unrolled
   dense_rank CTEs (:func:`suffix_sql_parts`).
 - **Adjacent LCP by binary descent** over the retained rank tables:
-  lcp += 2^r whenever rank_r matches at the current offset, r from
-  high to low — the standard parallel alternative to Kasai's
-  sequential scan. Per-doc unique sentinels (chr(0) || doc_id) bound
-  every common prefix at document ends, so concatenated-corpus LCPs
-  are document-local by construction.
+  lcp += 2^(k+1) whenever rank_k matches at the current offset, k
+  from high to low, then one raw-token equality step (+1) restores
+  the single-token granularity the pair tables skip — the standard
+  parallel alternative to Kasai's sequential scan. Per-doc unique
+  sentinels (chr(0) || doc_id) bound every common prefix at document
+  ends, so concatenated-corpus LCPs are document-local by
+  construction.
 
 Scale discipline — NO single-task global windows anywhere:
 
@@ -186,13 +190,30 @@ def cumsum_by_range(
 
 
 def build_rank_tables(tokens: DataFrame, rounds: int) -> list[DataFrame]:
-    """rank tables [r_0 .. r_rounds], each (gpos, r): r_k orders corpus
-    suffixes by their first 2^k tokens (dense, deterministic).
-    ``tokens`` is (gpos long, tok string)."""
-    r0 = tokens.join(ranked(tokens, ["tok"]), "tok").select("gpos", "r")
+    """rank tables [r_0 .. r_{rounds-1}], each (gpos, r): r_k orders
+    corpus suffixes by their first 2^(k+1) tokens (dense,
+    deterministic); the last table covers 2^rounds tokens, same as the
+    pre-radix-2 scheme with one more table. ``tokens`` is (gpos long,
+    tok string).
+
+    RADIX-2 START (r05 verdict item 6): r_0 ranks token PAIRS
+    (tok[i], tok[i+1]) directly instead of doubling up from single
+    tokens — one ranked() round (distinct + range shuffle + rank join
+    + pin) cheaper for the same coverage. The missing single-token
+    granularity is restored in the LCP descent by a final raw-token
+    equality step (+1), which is a plain equi-join against the token
+    table — no rank build needed. The corpus-last position's missing
+    successor coalesces to '' (sorts before every real token and every
+    sentinel; its pair is unique anyway since the final sentinel is)."""
+    nxt = tokens.select((F.col("gpos") - 1).alias("gpos"), F.col("tok").alias("tok2"))
+    prs = (
+        tokens.join(nxt, "gpos", "left")
+        .select("gpos", "tok", F.coalesce("tok2", F.lit("")).alias("tok2"))
+    )
+    r0 = prs.join(ranked(prs, ["tok", "tok2"]), ["tok", "tok2"]).select("gpos", "r")
     tables = [pin(r0)]
-    for k in range(1, rounds + 1):
-        h = 1 << (k - 1)
+    for k in range(1, rounds):
+        h = 1 << k  # the previous table covers 2^k tokens
         prev = tables[-1]
         b = prev.select((F.col("gpos") - h).alias("gpos"), F.col("r").alias("rb"))
         pairs = (
@@ -214,18 +235,26 @@ def suffix_order(last_rank: DataFrame) -> DataFrame:
     ).select("gpos", "sa_idx")
 
 
-def adjacent_lcp(sa: DataFrame, rank_tables: list[DataFrame]) -> DataFrame:
+def adjacent_lcp(
+    sa: DataFrame, rank_tables: list[DataFrame], tokens: DataFrame
+) -> DataFrame:
     """(sa_idx, gpos, prv, lcp): LCP between each suffix and its
-    predecessor in suffix-array order, by binary descent over the rank
-    tables (high round to low; lcp += 2^r on a rank match at offset
-    lcp). sa_idx = 1 has no predecessor -> lcp = 0, prv = -1."""
+    predecessor in suffix-array order, by binary descent over the
+    radix-2 rank tables (table k covers 2^(k+1) tokens; lcp += 2^(k+1)
+    on a rank match at offset lcp, high table to low) plus a FINAL
+    raw-token equality step (+1) that restores the single-token
+    granularity the pair-start tables skip. Greedy exactness: the pair
+    tables floor lcp to 2*floor(L/2) (any even value is a sum of
+    distinct {2, 4, ..., 2^rounds}), and the token step supplies the
+    odd unit. ``tokens`` is the (gpos, tok) corpus. sa_idx = 1 has no
+    predecessor -> lcp = 0, prv = -1."""
     prev = sa.select((F.col("sa_idx") + 1).alias("sa_idx"), F.col("gpos").alias("prv"))
     cur = sa.join(prev, "sa_idx", "left").select(
         "sa_idx", "gpos", F.coalesce("prv", F.lit(-1)).alias("prv"),
         F.lit(0).cast("long").alias("lcp"),
     )
     for r in range(len(rank_tables) - 2, -1, -1):
-        h = 1 << r
+        h = 1 << (r + 1)
         rt = rank_tables[r]
         ra = rt.select(F.col("gpos").alias("_ga"), F.col("r").alias("_ra"))
         rb = rt.select(F.col("gpos").alias("_gb"), F.col("r").alias("_rb"))
@@ -247,21 +276,45 @@ def adjacent_lcp(sa: DataFrame, rank_tables: list[DataFrame]) -> DataFrame:
                 .alias("lcp"),
             )
         )
-    return cur
+    ta = tokens.select(F.col("gpos").alias("_ga"), F.col("tok").alias("_ta"))
+    tb = tokens.select(F.col("gpos").alias("_gb"), F.col("tok").alias("_tb"))
+    return (
+        cur.join(ta, cur.gpos + cur.lcp == ta._ga, "left")
+        .join(tb, cur.prv + cur.lcp == tb._gb, "left")
+        .select(
+            "sa_idx",
+            "gpos",
+            "prv",
+            F.when(
+                (F.col("prv") >= 0)
+                & F.col("_ta").isNotNull()
+                & F.col("_tb").isNotNull()
+                & (F.col("_ta") == F.col("_tb")),
+                F.col("lcp") + 1,
+            )
+            .otherwise(F.col("lcp"))
+            .alias("lcp"),
+        )
+    )
 
 
 def pair_lcp(
-    pairs: DataFrame, rank_tables: list[DataFrame], a_col: str, b_col: str
+    pairs: DataFrame,
+    rank_tables: list[DataFrame],
+    a_col: str,
+    b_col: str,
+    tokens: DataFrame,
 ) -> DataFrame:
     """(*pairs.columns, lcp): exact LCP between the suffixes starting
     at ``a_col`` and ``b_col`` (corpus positions), by the same binary
-    descent as :func:`adjacent_lcp` — rank tables make the LCP of ANY
-    suffix pair a log-rounds computation, so no RMQ structure over the
-    adjacent-LCP array is needed. All joins are equi-joins on computed
-    positions; the pair table never leaves the executors."""
+    descent as :func:`adjacent_lcp` (radix-2 tables + final raw-token
+    step) — rank tables make the LCP of ANY suffix pair a log-rounds
+    computation, so no RMQ structure over the adjacent-LCP array is
+    needed. All joins are equi-joins on computed positions; the pair
+    table never leaves the executors."""
     cur = pairs.select("*", F.lit(0).cast("long").alias("lcp"))
     for r in range(len(rank_tables) - 2, -1, -1):
-        h = 1 << r
+        h = 1 << (r + 1)
         rt = rank_tables[r]
         ra = rt.select(F.col("gpos").alias("_ga"), F.col("r").alias("_ra"))
         rb = rt.select(F.col("gpos").alias("_gb"), F.col("r").alias("_rb"))
@@ -280,19 +333,37 @@ def pair_lcp(
                 .alias("lcp"),
             )
         )
-    return cur
+    ta = tokens.select(F.col("gpos").alias("_ga"), F.col("tok").alias("_ta"))
+    tb = tokens.select(F.col("gpos").alias("_gb"), F.col("tok").alias("_tb"))
+    return (
+        cur.join(ta, cur[a_col] + cur.lcp == ta._ga, "left")
+        .join(tb, cur[b_col] + cur.lcp == tb._gb, "left")
+        .select(
+            *pairs.columns,
+            F.when(
+                F.col("_ta").isNotNull()
+                & F.col("_tb").isNotNull()
+                & (F.col("_ta") == F.col("_tb")),
+                F.col("lcp") + 1,
+            )
+            .otherwise(F.col("lcp"))
+            .alias("lcp"),
+        )
+    )
 
 
 def pair_descent_sql(rounds: int, src_cte: str, a: str, b: str, out_cte: str) -> str:
     """CTE chunk replaying :func:`pair_lcp` over a pairs CTE named
     ``src_cte`` with position columns ``a``/``b``: exposes ``{out_cte}``
-    = (*src columns, lcp)."""
+    = (*src columns, lcp). Descends the radix-2 tables (table k adds
+    2^(k+1)) and finishes with the raw-token unit step against the
+    ``corpus`` CTE."""
     parts = [
         f"{out_cte}_init AS MATERIALIZED (SELECT *, CAST(0 AS BIGINT) AS lcp FROM {src_cte})"
     ]
     prev = f"{out_cte}_init"
-    for r in range(rounds - 1, -1, -1):
-        h = 1 << r
+    for r in range(rounds - 2, -1, -1):
+        h = 1 << (r + 1)
         parts.append(
             f"""{out_cte}_{r} AS MATERIALIZED (
   SELECT d.* EXCLUDE (lcp),
@@ -304,7 +375,16 @@ def pair_descent_sql(rounds: int, src_cte: str, a: str, b: str, out_cte: str) ->
 )"""
         )
         prev = f"{out_cte}_{r}"
-    parts.append(f"{out_cte} AS MATERIALIZED (SELECT * FROM {prev})")
+    parts.append(
+        f"""{out_cte} AS MATERIALIZED (
+  SELECT d.* EXCLUDE (lcp),
+         d.lcp + CASE WHEN ta.tok IS NOT NULL AND tb.tok IS NOT NULL
+                       AND ta.tok = tb.tok THEN 1 ELSE 0 END AS lcp
+  FROM {prev} d
+  LEFT JOIN corpus ta ON ta.gpos = d.{a} + d.lcp
+  LEFT JOIN corpus tb ON tb.gpos = d.{b} + d.lcp
+)"""
+    )
     return ",\n".join(parts)
 
 
@@ -316,15 +396,20 @@ def pair_descent_sql(rounds: int, src_cte: str, a: str, b: str, out_cte: str) ->
 def suffix_sql_parts(rounds: int) -> str:
     """CTE chunk replaying the construction over a ``corpus`` CTE that
     must expose (gpos, doc_id, pos, tok, is_sent). Exposes ``r0`` ..
-    ``r{rounds}`` (gpos, r), ``sa`` (gpos, sa_idx) and ``alcp``
-    (sa_idx, gpos, prv, lcp)."""
+    ``r{rounds - 1}`` (gpos, r; table k covers 2^(k+1) tokens — the
+    radix-2 start), ``sa`` (gpos, sa_idx) and ``alcp`` (sa_idx, gpos,
+    prv, lcp; descent over the pair tables + the final raw-token unit
+    step, mirroring :func:`adjacent_lcp`)."""
     parts = [
         """r0 AS MATERIALIZED (
-  SELECT gpos, dense_rank() OVER (ORDER BY tok) AS r FROM corpus
+  SELECT gpos, dense_rank() OVER (ORDER BY tok, tok2) AS r FROM (
+    SELECT a.gpos, a.tok, COALESCE(b.tok, '') AS tok2
+    FROM corpus a LEFT JOIN corpus b ON b.gpos = a.gpos + 1
+  )
 )"""
     ]
-    for k in range(1, rounds + 1):
-        h = 1 << (k - 1)
+    for k in range(1, rounds):
+        h = 1 << k
         parts.append(
             f"""r{k} AS MATERIALIZED (
   SELECT gpos, dense_rank() OVER (ORDER BY ra, rb) AS r FROM (
@@ -335,7 +420,7 @@ def suffix_sql_parts(rounds: int) -> str:
         )
     parts.append(
         f"""sa AS MATERIALIZED (
-  SELECT gpos, row_number() OVER (ORDER BY r, gpos) AS sa_idx FROM r{rounds}
+  SELECT gpos, row_number() OVER (ORDER BY r, gpos) AS sa_idx FROM r{rounds - 1}
 ),
 d_init AS MATERIALIZED (
   SELECT s.sa_idx, s.gpos, COALESCE(p.gpos, -1) AS prv, CAST(0 AS BIGINT) AS lcp
@@ -343,8 +428,8 @@ d_init AS MATERIALIZED (
 )"""
     )
     prev = "d_init"
-    for r in range(rounds - 1, -1, -1):
-        h = 1 << r
+    for r in range(rounds - 2, -1, -1):
+        h = 1 << (r + 1)
         parts.append(
             f"""d{r} AS MATERIALIZED (
   SELECT d.sa_idx, d.gpos, d.prv,
@@ -357,5 +442,15 @@ d_init AS MATERIALIZED (
 )"""
         )
         prev = f"d{r}"
-    parts.append(f"alcp AS MATERIALIZED (SELECT * FROM {prev})")
+    parts.append(
+        f"""alcp AS MATERIALIZED (
+  SELECT d.sa_idx, d.gpos, d.prv,
+         d.lcp + CASE WHEN d.prv >= 0 AND ta.tok IS NOT NULL
+                       AND tb.tok IS NOT NULL AND ta.tok = tb.tok
+                 THEN 1 ELSE 0 END AS lcp
+  FROM {prev} d
+  LEFT JOIN corpus ta ON ta.gpos = d.gpos + d.lcp
+  LEFT JOIN corpus tb ON tb.gpos = d.prv + d.lcp
+)"""
+    )
     return ",\n".join(parts)

@@ -1674,7 +1674,7 @@ def _sa_build(spark: SparkSession, sf_dir: str):
     # output feeds lcp minima, run windows AND the min tables) — and
     # chained materialization over this base must be a parquet
     # round-trip, not a checkpoint (see operators/suffix_array.py:pin).
-    al = pin(adjacent_lcp(sa, tables))
+    al = pin(adjacent_lcp(sa, tables, corpus.select("gpos", "tok")))
     return t2, corpus, tables, sa, al
 
 
@@ -1788,9 +1788,11 @@ def suffix_array_dup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring dedup via the FULL suffix-array construction
     (Lee et al. 2022), not the fixed-K window approximation: build the
     token-level suffix array of the sentinel-concatenated corpus by
-    distributed prefix doubling ({_SA_ROUNDS} rounds — operators/
+    distributed prefix doubling (radix-2 pair start + {_SA_ROUNDS - 1}
+    doubling rounds for 2^{_SA_ROUNDS}-token coverage — operators/
     suffix_array.py), recover adjacent LCPs by binary descent over the
-    retained rank tables, and mark every position whose MAXIMAL common
+    retained rank tables plus a final raw-token unit step, and mark
+    every position whose MAXIMAL common
     prefix with a suffix of ANOTHER document (= max LCP against the
     nearest other-doc neighbor above/below in SA order, computed with
     run-scoped window minima) reaches {_SA_MINLEN} tokens. Maximal
@@ -2035,7 +2037,7 @@ def suffix_selfrep_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("gj").isNotNull())
     )
     # pin: consumed twice by the contribution union below
-    plcp = pin(pair_lcp(dpair, tables, "gj", "gk"))
+    plcp = pin(pair_lcp(dpair, tables, "gj", "gk", corpus.select("gpos", "tok")))
 
     contrib = plcp.select(F.col("gk").alias("gpos"), "lcp").unionByName(
         plcp.select(F.col("gj").alias("gpos"), "lcp")

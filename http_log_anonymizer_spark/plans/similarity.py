@@ -1077,8 +1077,27 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # O(nprobe * sqrt(n)) per query — sub-linear, with REAL recall, unlike
 # the wide-LSH tier whose mostly-singleton buckets trade recall away.
 _SQRT_ROUNDS = 2
-_SQRT_NPROBE = 8
+# nprobe scales with the cell count (r05 verdict item 4): the FAISS
+# rule-of-thumb probes ~sqrt(k) of the k cells, so recall holds as the
+# index grows instead of decaying with a fixed probe width (measured
+# 0.27@nprobe=8 at sf10, k=447). Candidate work per query becomes
+# sqrt(k) * n/k = n^(3/4) — still sub-linear. Floor of 8 keeps the
+# small-corpus gates at their proven probe width. sqrt of an integer
+# is never exactly x.5, so round() needs no half-rule pinning.
+_SQRT_NPROBE_MIN = 8
+
+
+def _sqrt_nprobe(k: int) -> int:
+    import math
+
+    return max(_SQRT_NPROBE_MIN, int(round(math.sqrt(k))))
+
+
 _SQRT_K_SQL = "(SELECT CAST(round(sqrt(count(*))) AS BIGINT) FROM kqv)"
+_SQRT_NPROBE_SQL = (
+    f"(SELECT greatest({_SQRT_NPROBE_MIN}, "
+    "CAST(round(sqrt(CAST(round(sqrt(count(*))) AS BIGINT))) AS BIGINT)) FROM kqv)"
+)
 
 
 # FAISS posture: TRAIN on a deterministic bounded sample (~50 vectors
@@ -1129,7 +1148,7 @@ kprobed AS (
              PARTITION BY query_id ORDER BY round(d2, 6), label
            ) AS cr
     FROM kqd
-  ) WHERE cr <= {_SQRT_NPROBE}
+  ) WHERE cr <= {_SQRT_NPROBE_SQL}
 ),
 kscored AS (
   SELECT q.query_id, u.vec_id AS neighbor_id,
@@ -1155,14 +1174,15 @@ def ann_ivf_sqrt_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Lloyd variant (operators/kmeans.py:kmeans_quantized_table, same
     integer-quantized determinization as ann_ivf_kmeans_topk so the
     DuckDB oracle replays training with a dynamic-k subquery), then
-    probe-{_SQRT_NPROBE}-cells + exact-cosine rerank.
+    probe-sqrt(k)-cells (nprobe = max({_SQRT_NPROBE_MIN}, round(sqrt(k))),
+    the FAISS rule — r05 verdict item 4) + exact-cosine rerank.
 
     Why this tier exists (VERDICT r04 item 2): the fixed-k learned
     tier stops pruning as the corpus grows (cells widen linearly), and
     the wide-LSH tier keeps its cost flat only because its buckets
     degenerate toward singletons (recall decays). sqrt cells split the
     difference exactly: per-query candidate work is
-    nprobe * n / k = {_SQRT_NPROBE} * sqrt(n) — sub-linear — while the
+    nprobe * n / k = sqrt(k) * sqrt(n) = n^(3/4) — sub-linear — while the
     cells stay populated, so recall holds (measured vs ann_brute_topk
     in tests + SCALE.md).
 
@@ -1210,7 +1230,7 @@ def ann_ivf_sqrt_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").cast("array<double>").alias("qemb"),
         unit_from("embedding", norm_column("embedding")).alias("qe"),
     )
-    probed = ivf_probe_cells(q, centroids, _SQRT_NPROBE)
+    probed = ivf_probe_cells(q, centroids, _sqrt_nprobe(k))
     return ivf_scan_topk(u, probed, _TOPK)
 
 
@@ -1221,11 +1241,12 @@ def ann_ivf_sqrt_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PQ_M = 8  # subspaces (8 x 4-bit codes = 32 bits/vector; m=4 measured recall 0.16, m=8 acceptable)
 _PQ_DSUB = _DIM // _PQ_M
 _PQ_K = 16  # codebook entries per subspace (4-bit codes)
+_PQ_K8 = 256  # 8-bit codebooks: 8 x 8 = 64 bits/vector (r05 verdict item 7)
 _PQ_ROUNDS = 2
 _PQ_NPROBE = 3
 
 
-def _pq_oracle() -> str:
+def _pq_oracle(kq: int = _PQ_K) -> str:
     from http_log_anonymizer_spark.operators.kmeans import kmeans_lloyd_sql
 
     KR = _KM_ROUNDS
@@ -1238,7 +1259,7 @@ def _pq_oracle() -> str:
         )
         sub_trains.append(
             kmeans_lloyd_sql(
-                k=_PQ_K,
+                k=kq,
                 rounds=_PQ_ROUNDS,
                 dim=_PQ_DSUB,
                 prefix=f"pq{m}_",
@@ -1318,37 +1339,17 @@ ORDER BY query_id, rank
 """
 
 
-@register("ann_ivf_pq_topk", oracle=_pq_oracle())
-def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TRUE IVF-PQ (Jégou et al., TPAMI 2011 — the FAISS IndexIVFPQ
-    recipe): learned coarse cells (the kmeans_quantized {_KM_K}-cell
-    quantizer), PRODUCT-quantized residuals — {_PQ_M} subspaces of
-    {_PQ_DSUB} dims, each with its own {_PQ_K}-entry k-means codebook
-    trained on the residual slices ({_PQ_ROUNDS} quantized Lloyd
-    rounds, SQL-replayed with per-subspace CTE prefixes) — and
-    asymmetric-distance search: score(q, x) = dot(q, c_cell) + sum_m
-    dot(q_sub_m, codebook_m[code_m(x)]), i.e. the query stays float
-    while candidates are 4 x 4-bit codes. ann_ivf_adc_topk is the
-    scalar-quantization cousin; this one carries the learned-codebook
-    machinery end to end, hash-verified through training, encoding AND
-    search.
-
-    Measured recall@5 at sf0.01, all at the same {_PQ_NPROBE}-cell
-    probe (the compression/recall trade, tests/test_scale_operators):
-    exact in-cell scoring (ann_ivf_kmeans_topk, 512 bits/vec) >= 0.6;
-    scalar ADC (ann_ivf_adc_topk, 512 bits) 0.40; THIS tier at 32
-    bits/vec 0.24 (m=4/16 bits measured 0.16 and was rejected). The
-    synthetic corpus is isotropic — no low-dim structure for PQ to
-    exploit — so these are floor numbers; the dial is m/k, paid in
-    code width.
-
-    Scale shape: codebooks are {_PQ_M} x {_PQ_K} x {_PQ_DSUB} doubles
-    (KBs — broadcast), codes are {_PQ_M} small ints per vector (16x
-    compression of the scan payload at d={_DIM}), candidates come from
-    the {_PQ_NPROBE}-cell probe (equi-join on the cell id, no forced
-    broadcast of the corpus-proportional probe side), and the ADC sum
-    is four {_PQ_DSUB}-dim dots against broadcast codebook rows."""
-    from http_log_anonymizer_spark.operators.kmeans import kmeans_quantized
+def _pq_impl(spark: SparkSession, sf_dir: str, kq: int) -> DataFrame:
+    """Shared IVF-PQ build+search for the 4-bit (kq=16) and 8-bit
+    (kq=256) tiers — see ann_ivf_pq_topk for the construction. The
+    8-bit tier trains its subspace codebooks with the table kernel
+    (kmeans_quantized_table — bit-identical math; at k in the hundreds
+    the literal-branch plan stops compiling usefully), the 4-bit tier
+    keeps the literal-branch trainer it was hash-verified with."""
+    from http_log_anonymizer_spark.operators.kmeans import (
+        kmeans_quantized,
+        kmeans_quantized_table,
+    )
 
     e = load_table(
         spark, sf_dir, "embeddings", spread=True, bytes_per_task=256 * 1024
@@ -1377,7 +1378,10 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         sub = resid.select(
             "vec_id", F.slice("r", m * _PQ_DSUB + 1, _PQ_DSUB).alias("embedding")
         )
-        a_m, cents_m = kmeans_quantized(sub, k=_PQ_K, rounds=_PQ_ROUNDS)
+        if kq > 64:
+            a_m, cents_m = kmeans_quantized_table(sub, k=kq, rounds=_PQ_ROUNDS)
+        else:
+            a_m, cents_m = kmeans_quantized(sub, k=kq, rounds=_PQ_ROUNDS)
         codes = codes.join(
             a_m.select("vec_id", F.col("cluster").alias(f"c{m}")), "vec_id"
         )
@@ -1415,6 +1419,62 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _TOPK)
         .orderBy("query_id", "rank")
     )
+
+
+@register("ann_ivf_pq_topk", oracle=_pq_oracle())
+def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE IVF-PQ (Jégou et al., TPAMI 2011 — the FAISS IndexIVFPQ
+    recipe): learned coarse cells (the kmeans_quantized {_KM_K}-cell
+    quantizer), PRODUCT-quantized residuals — {_PQ_M} subspaces of
+    {_PQ_DSUB} dims, each with its own {_PQ_K}-entry k-means codebook
+    trained on the residual slices ({_PQ_ROUNDS} quantized Lloyd
+    rounds, SQL-replayed with per-subspace CTE prefixes) — and
+    asymmetric-distance search: score(q, x) = dot(q, c_cell) + sum_m
+    dot(q_sub_m, codebook_m[code_m(x)]), i.e. the query stays float
+    while candidates are 4 x 4-bit codes. ann_ivf_adc_topk is the
+    scalar-quantization cousin; this one carries the learned-codebook
+    machinery end to end, hash-verified through training, encoding AND
+    search.
+
+    Measured recall@5 at sf0.01, all at the same {_PQ_NPROBE}-cell
+    probe (the compression/recall trade, tests/test_scale_operators):
+    exact in-cell scoring (ann_ivf_kmeans_topk, 512 bits/vec) >= 0.6;
+    scalar ADC (ann_ivf_adc_topk, 512 bits) 0.40; THIS tier at 32
+    bits/vec 0.24 (m=4/16 bits measured 0.16 and was rejected). The
+    synthetic corpus is isotropic — no low-dim structure for PQ to
+    exploit — so these are floor numbers; the dial is m/k, paid in
+    code width.
+
+    Scale shape: codebooks are {_PQ_M} x {_PQ_K} x {_PQ_DSUB} doubles
+    (KBs — broadcast), codes are {_PQ_M} small ints per vector (16x
+    compression of the scan payload at d={_DIM}), candidates come from
+    the {_PQ_NPROBE}-cell probe (equi-join on the cell id, no forced
+    broadcast of the corpus-proportional probe side), and the ADC sum
+    is four {_PQ_DSUB}-dim dots against broadcast codebook rows."""
+    return _pq_impl(spark, sf_dir, _PQ_K)
+
+
+@register("ann_ivf_pq8_topk", oracle=_pq_oracle(_PQ_K8))
+def ann_ivf_pq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with 8-BIT codebooks (r05 verdict item 7 — the recall
+    point above the 32-bit size anchor): same construction as
+    ann_ivf_pq_topk but each of the {_PQ_M} subspaces trains a
+    {_PQ_K8}-entry codebook, so codes are {_PQ_M} x 8 = 64 bits/vector
+    (8 bytes — still a 64x compression of the float64 scan payload at
+    d={_DIM}) and the per-subspace quantization error drops by the
+    standard rate-distortion step. This is FAISS's default code width
+    (PQ{_PQ_M}x8). Recall ladder at the same {_PQ_NPROBE}-cell probe
+    is measured in SCALE.md; the 4-bit tier stays registered as the
+    bytes/vector floor.
+
+    Scale notes: codebooks are {_PQ_M} x {_PQ_K8} x {_PQ_DSUB} doubles
+    (128 KB — broadcast, unchanged shape); training uses the table
+    kernel (operators/kmeans.py:kmeans_quantized_table) because
+    {_PQ_K8} literal branches stop compiling usefully — the SQL replay
+    is IDENTICAL (kmeans_lloyd_sql is shared by both trainers).
+    Corpora smaller than {_PQ_K8} rows per residual slice simply seed
+    fewer centroids — both engines derive the seed set the same way."""
+    return _pq_impl(spark, sf_dir, _PQ_K8)
 
 
 @register(

@@ -58,7 +58,7 @@ def test_suffix_order_and_lcp_on_tiny_corpus(spark):
     # suffixes: 1:'a b c a b $' 2:'b c a b $' 3:'c a b $' 4:'a b $'
     #           5:'b $'         6:'$'
     assert order == [6, 4, 1, 5, 2, 3]
-    al = {r.sa_idx: r.lcp for r in adjacent_lcp(sa, tables).collect()}
+    al = {r.sa_idx: r.lcp for r in adjacent_lcp(sa, tables, tokens).collect()}
     # $ | a b $ (0) | a b c.. (2) | b $ (0) | b c .. (1) | c .. (0)
     assert al == {1: 0, 2: 0, 3: 2, 4: 0, 5: 1, 6: 0}
 
@@ -107,7 +107,10 @@ def test_pair_lcp_on_tiny_corpus(spark):
     pairs = spark.createDataFrame(
         [(1, 4), (2, 5), (1, 2), (3, 6)], "ga long, gb long"
     )
-    got = {(r.ga, r.gb): r.lcp for r in pair_lcp(pairs, tables, "ga", "gb").collect()}
+    got = {
+        (r.ga, r.gb): r.lcp
+        for r in pair_lcp(pairs, tables, "ga", "gb", tokens).collect()
+    }
     assert got == {(1, 4): 2, (2, 5): 1, (1, 2): 0, (3, 6): 0}
 
 
