@@ -21,71 +21,70 @@ from http_log_anonymizer_spark.plans import scalars  # noqa: E402,F401
 from http_log_anonymizer_spark.plans import analytics  # noqa: E402,F401
 from http_log_anonymizer_spark.plans import curation  # noqa: E402,F401
 
-# Round-5 window (VERDICT r04 next-step 1): this round's 4 NEW queries
-# + the one whose plan changed (data_quality_report count fusion) + two
-# flagship anchors + ALL 25 queries whose only driver row is from r01
-# (the staleness gap the verdict called out) + 18 of the next-stalest
-# (r02-only) rows, preferring families adjacent to this round's
-# additions. Everything outside the window stays locally gated by
+# Round-6 window (VERDICT r05 next-step 5): every query whose plan or
+# oracle changed this round (the SA radix-2 construction + tail-run
+# LCP fix, the sqrt-IVF dynamic nprobe, the PQ refactor and its new
+# 8-bit tier, the PPR seed TakeOrdered) + two flagship anchors + ALL
+# 23 queries whose latest driver row is r02 + 19 of the next-stalest
+# (r03) rows, so no query's latest green row is older than r03 after
+# this round. Everything outside the window stays locally gated by
 # tests/test_registry_oracle.py (same comparator).
 _WINDOW = [
-    # --- new round-5 queries (VERDICT r04 items 2, 7, 8, 9) ---
-    "ann_ivf_sqrt_topk",
-    "wordpiece_learn_merges",
-    "personalized_pagerank",
+    # --- plan/oracle changed in round 6: re-verify ---
     "suffix_array_dup_report",
     "suffix_selfrep_report",
+    "personalized_pagerank",
+    "ann_ivf_sqrt_topk",
     "ann_ivf_pq_topk",
-    "embedding_pca_power",
-    # --- plan changed this round: re-verify (item 5: fused counts) ---
-    "data_quality_report",
+    "ann_ivf_pq8_topk",  # new this round
     # --- flagship parity anchors ---
     "http_totals",
     "llm_corpus_report",
-    # --- stalest re-verification: every query whose ONLY driver row
-    # --- is from r01 (VERDICT r04 item 1 — all 25 of them)
-    "blocking_supplier",
-    "customer_order_distribution",
-    "customers_with_high_value_orders",
-    "disjunctive_filter_revenue",
-    "distinct_users_exact",
-    "dormant_rich_customers",
-    "gapfill_locf",
-    "grouping_sets_totals",
-    "hypertable_rollup",
-    "important_parts",
-    "json_props_stats",
-    "late_shipment_priority",
-    "nation_trade_flow",
-    "orders_without_lineitems",
-    "pivot_avg_value",
-    "revenue_leaders",
-    "rollup_region_nation",
-    "shipping_priority",
-    "small_quantity_revenue",
-    "supplier_part_diversity",
-    "top_orders_per_customer",
-    "top_terms_per_lang",
-    "user_cohort_setops",
-    "value_stats",
-    "zorder_layout",
-    # --- next-stalest (r02-only) fill, preferring families adjacent
-    # --- to this round's additions (dup/ANN/tokenizer + T4/T6 core)
-    "dup_span_report",
-    "dedup_exact",
-    "dedup_clusters",
-    "dedup_winnow_join",
-    "dedup_prefix_filter_join",
-    "doc_winnowing",
-    "doc_fingerprints",
-    "http_anonymize_rows",
-    "http_dedup_final",
-    "http_top_ips",
-    "http_monthly",
-    "http_totals_cube",
-    "json_encode_rows",
-    "token_stats",
-    "multimodal_decode_meta",
+    # --- stalest re-verification: all 23 queries whose latest driver
+    # --- row is r02
+    "asof_last_purchase",
+    "ccnet_perplexity_buckets",
+    "decontaminate_docs",
+    "dedup_incremental_batch",
+    "doc_perplexity",
+    "domain_mix_report",
+    "embed_hashing_trick",
+    "gopher_quality_flags",
+    "http_cache_efficiency",
+    "http_error_bursts",
+    "lang_id_confusion",
+    "latency_percentiles",
+    "multimodal_frame_sample",
+    "multimodal_payload_stats",
+    "order_fill_outer",
+    "pivot_event_counts",
+    "quality_classifier",
+    "quality_histogram",
+    "reservoir_sample",
+    "scrub_pii",
+    "tfidf_top_terms",
+    "time_features",
+    "train_val_test_split",
+    # --- next-stalest (r03) fill, family-diverse ---
+    "bm25_retrieval",
+    "bpe_learn_merges",
+    "bpe_encode_stats",
+    "bpe_pretokenize_stats",
+    "dedup_clusters_star",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "distinct_users_approx",
+    "doc_chunking",
+    "dsir_importance_weights",
+    "event_funnel",
+    "event_transition_matrix",
+    "frequent_resources_sketch",
+    "kmv_cohort_overlap",
+    "latency_quantile_sketch",
+    "pack_sequences",
+    "stratified_sample",
+    "weighted_reservoir_sample",
+    "winsorized_stats",
 ]
 
 

@@ -174,15 +174,16 @@ def test_long_stream_compaction_bounds_state_files(spark, tmp_path):
 
     got = {r.doc_id for r in spark.read.parquet(str(base / "docs")).collect()}
     assert got == set(range(next_id)) - expect_drop
-    # partitions stay bounded under 2 tiers: < compact_every b-dirs
-    # plus < compact_every c-dirs (+1 for the in-flight overlap)
+    # partitions stay bounded: < compact_every per tier (+1 in-flight);
+    # 50 batches at compact_every=4 reach tier 2 (t1 folds of b-runs,
+    # t2 folds of t1-runs)
     for root in ("docs", "index", "shingles"):
         dirs = _subdirs(str(base / root))
-        assert len(dirs) <= 2 * 4 + 1, (root, dirs)
-        # the second tier actually ran: c-partitions were themselves
-        # refolded, so fewer than compact_every c-dirs remain even
-        # though 50 batches produced ~12 b->c folds
-        assert sum(d.startswith("_batch=c") for d in dirs) < 4 + 1, dirs
+        assert len(dirs) <= 3 * 4 + 1, (root, dirs)
+        # the second tier actually ran: t1-partitions were themselves
+        # refolded into a t2 partition
+        assert any(d.startswith("_batch=t2.") for d in dirs), dirs
+        assert sum(d.startswith("_batch=t1.") for d in dirs) < 4, dirs
 
 
 def test_compaction_recovery_unwinds_torn_target(spark, tmp_path):
@@ -259,3 +260,60 @@ def test_streaming_neardup_agrees_with_batch_policy(spark, tmp_path):
 
     assert streaming_kept == batch_kept
     assert len(batch_dropped) >= 3  # the planted near-dups really drop
+
+
+def test_geometric_compaction_fold_cost_is_tier_bounded(spark, tmp_path):
+    """r05 verdict item 8 (measured): under geometric tiering every
+    fold's size is bounded by its TIER — compact_every^(tier+1)
+    batches of rows — independent of how much total state has
+    accumulated. The previous two-tier scheme's top fold read the FULL
+    state every compact_every^2 batches (state-proportional: at batch
+    32 below it re-read all ~32 batches). Cumulative rewrite is
+    therefore O(N log N) instead of O(N^2 / ce^2)."""
+    import posixpath
+
+    from http_log_anonymizer_spark.streaming.neardup import (
+        PartitionedStateSink,
+        _subdirs,
+    )
+
+    class _Sink(PartitionedStateSink):
+        def __init__(self, base: str, every: int) -> None:
+            self.base_dir = base
+            self.root = posixpath.join(base, "data")
+            self.compact_every = every
+            self._roots = (self.root,)
+
+        def write(self, df, batch_id: int) -> None:
+            self._recover()
+            self._maybe_compact(df.sparkSession, batch_id)
+            df.write.mode("overwrite").parquet(
+                posixpath.join(self.root, f"_batch=b{batch_id}")
+            )
+
+    ce, rows_per_batch, n_batches = 3, 100, 32
+    sink = _Sink(str(tmp_path / "state"), ce)
+    for b in range(n_batches):
+        df = spark.range(b * rows_per_batch, (b + 1) * rows_per_batch)
+        sink.write(df, b)
+
+    log = sink.fold_log
+    assert log, "no folds ran"
+    # every fold reads exactly compact_every sources of its own tier
+    assert {f["n_sources"] for f in log} == {ce}
+    # fold size is tier-bounded: ce^(tier+1) batches of rows — never
+    # proportional to the total state (which reaches 3200 rows; the
+    # old scheme's tier-1 folds read 900, 1800, 2700... rows here)
+    for f in log:
+        assert f["rows"] == (ce ** (f["tier"] + 1)) * rows_per_batch, f
+    # both higher tiers actually exercised, and no rows were lost
+    assert {f["tier"] for f in log} >= {0, 1, 2}
+    total = spark.read.parquet(
+        *[
+            posixpath.join(sink.root, d)
+            for d in _subdirs(sink.root)
+        ]
+    ).count()
+    assert total == n_batches * rows_per_batch
+    # cumulative rewrite stays in the N log N band: < (#tiers+1) * N rows
+    assert sum(f["rows"] for f in log) <= 4 * n_batches * rows_per_batch
