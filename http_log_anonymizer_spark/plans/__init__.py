@@ -37,6 +37,8 @@ _WINDOW = [
     "ann_ivf_sqrt_topk",
     "ann_ivf_pq_topk",
     "ann_ivf_pq8_topk",  # new this round
+    "training_shard_report",  # new this round
+    "ann_ivf_sqrt_recall_report",  # new this round
     # --- flagship parity anchors ---
     "http_totals",
     "llm_corpus_report",
@@ -83,8 +85,6 @@ _WINDOW = [
     "latency_quantile_sketch",
     "pack_sequences",
     "stratified_sample",
-    "weighted_reservoir_sample",
-    "winsorized_stats",
 ]
 
 

@@ -241,3 +241,92 @@ def domain_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "lang")
     )
+
+
+_N_SHARDS = 16
+
+
+@register(
+    "training_shard_report",
+    oracle=f"""
+WITH keyed AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tok,
+         {hash64_sql("CAST(doc_id AS VARCHAR)", "shuf")} AS skey
+  FROM documents
+),
+sharded AS (
+  SELECT *, skey % {_N_SHARDS} AS shard FROM keyed
+),
+agg AS (
+  SELECT shard,
+         count(*) AS n_docs,
+         CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         arg_min(doc_id, skey) AS first_doc,
+         arg_max(doc_id, skey) AS last_doc
+  FROM sharded GROUP BY shard
+),
+tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS corpus_tokens FROM agg)
+SELECT a.shard, a.n_docs, a.n_tokens,
+       round(a.n_tokens * 1.0 / t.corpus_tokens, 6) AS token_share,
+       round(a.n_tokens * {_N_SHARDS}.0 / t.corpus_tokens - 1.0, 6) AS skew,
+       a.first_doc, a.last_doc
+FROM agg a CROSS JOIN tot t
+ORDER BY a.shard
+""",
+)
+def training_shard_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic GLOBAL SHUFFLE + SHARD assignment — the step
+    between curation and the trainer: every epoch-0 pipeline must
+    shuffle the corpus away from its crawl/source order and split it
+    into N reader shards, and doing it with a seeded hash (md5 of
+    'shuf|doc_id' — the same hash64 as the samplers) instead of a
+    random sort makes the assignment reproducible, engine-independent
+    and append-stable (new docs land in shards without moving old
+    ones; a backfill and a stream agree). shard = key % {_N_SHARDS};
+    WITHIN a shard the read order is the hash order, so shard files
+    written sorted by key are a deterministic interleave of the whole
+    corpus. The report is the shard manifest: docs, tokens,
+    token_share, skew = n_tokens / (corpus/{_N_SHARDS}) - 1 (the
+    trainer's straggler bound — hash sharding keeps it near 0 without
+    a balancing pass), and the first/last doc in shuffle order
+    (arg_min/arg_max by key — the determinism witness the parity gate
+    hashes).
+
+    Scale shape: one scan + one {_N_SHARDS}-group aggregate (map-side
+    combined); the grand total is a 1-row broadcast join back. The
+    shuffle itself never materializes here — a writer would
+    repartitionByRange(shard, skey) and stream each shard out sorted;
+    the manifest costs one pass regardless of corpus size. At 100 TB
+    the skew column is the check that no reader gets a straggler
+    shard: hash skew shrinks as 1/sqrt(docs_per_shard)."""
+    d = load_table(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_tok"),
+        hash64(F.col("doc_id").cast("string"), "shuf").alias("skey"),
+    ).withColumn("shard", F.col("skey") % _N_SHARDS)
+    agg = keyed.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.min_by("doc_id", "skey").alias("first_doc"),
+        F.max_by("doc_id", "skey").alias("last_doc"),
+    )
+    tot = agg.agg(F.sum("n_tokens").alias("corpus_tokens"))
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            "shard",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_tokens") * 1.0 / F.col("corpus_tokens"), 6).alias(
+                "token_share"
+            ),
+            F.round(
+                F.col("n_tokens") * float(_N_SHARDS) / F.col("corpus_tokens") - 1.0, 6
+            ).alias("skew"),
+            "first_doc",
+            "last_doc",
+        )
+        .orderBy("shard")
+    )

@@ -1124,13 +1124,11 @@ def _sqrt_km_ctes() -> str:
     )
 
 
-@register(
-    "ann_ivf_sqrt_topk",
-    bench=True,  # the data-scaled learned-IVF tier is a headline plan
-    oracle=f"""
-WITH {UNIT_CTE_SQL},
-{_sqrt_km_ctes()},
-q AS (
+def _sqrt_search_ctes() -> str:
+    """q .. kranked: the sqrt-IVF search replay (probe the trained
+    cells, exact-cosine rerank, rank) — shared by the topk oracle and
+    the registered recall report."""
+    return f"""q AS (
   SELECT vec_id AS query_id, embedding AS qemb, ue AS qe
   FROM unit WHERE vec_id % 100 = 0
 ),
@@ -1162,7 +1160,16 @@ kranked AS (
   SELECT *, row_number() OVER (
     PARTITION BY query_id ORDER BY cos DESC, neighbor_id
   ) AS rank FROM kscored
-)
+)"""
+
+
+@register(
+    "ann_ivf_sqrt_topk",
+    bench=True,  # the data-scaled learned-IVF tier is a headline plan
+    oracle=f"""
+WITH {UNIT_CTE_SQL},
+{_sqrt_km_ctes()},
+{_sqrt_search_ctes()}
 SELECT query_id, neighbor_id, rank, cos FROM kranked WHERE rank <= {_TOPK}
 ORDER BY query_id, rank
 """,
@@ -1870,3 +1877,81 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i + 1, round(y[i] / SCALE, 6), eig_q) for i in range(len(y))],
         "pos int, loading double, eig_q long",
     ).orderBy("pos")
+
+
+@register(
+    "ann_ivf_sqrt_recall_report",
+    oracle=f"""
+WITH {UNIT_CTE_SQL},
+{_sqrt_km_ctes()},
+{_sqrt_search_ctes()},
+stop AS (
+  SELECT query_id, neighbor_id FROM kranked WHERE rank <= {_TOPK}
+),
+bscored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         round({dot_sql('q.qe', 'c.ue', _DIM)}, 4) AS cos
+  FROM q JOIN unit c ON c.vec_id <> q.query_id
+),
+btop AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+    ) AS rank FROM bscored
+  ) WHERE rank <= {_TOPK}
+),
+hits AS (
+  SELECT b.query_id, count(s.neighbor_id) AS n_hits
+  FROM btop b LEFT JOIN stop s
+    ON s.query_id = b.query_id AND s.neighbor_id = b.neighbor_id
+  GROUP BY b.query_id
+)
+SELECT query_id,
+       {_TOPK} AS k,
+       CAST(n_hits AS BIGINT) AS n_hits,
+       round(n_hits * 1.0 / {_TOPK}, 4) AS recall
+FROM hits
+ORDER BY query_id
+""",
+)
+def ann_ivf_sqrt_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@{_TOPK} of the sqrt-scaled IVF tier against
+    exact brute force, as a REGISTERED artifact (the
+    ann_lsh_recall_report pattern applied to the flagship ANN tier):
+    training, probe, search AND the accuracy claim are all replayed by
+    the oracle, so the recall numbers SCALE.md reports for this tier
+    are the kind of number the driver hash-checks, not a local-test
+    aside. Both rankings are deterministic (rounded-cos + id
+    tie-breaks), so the overlap is too.
+
+    Scale shape: the brute side runs on operators/topk.py (partial
+    top-k, corpus streams once, shared query-cache with the other
+    recall report); the IVF side is ann_ivf_sqrt_topk's own kernels;
+    the comparison joins two queries x k row sets — negligible."""
+    from http_log_anonymizer_spark.operators.topk import brute_topk
+
+    u = _unit_table(spark, sf_dir, cache=False)
+    q = u.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("ue").alias("qe")
+    )
+    btop = brute_topk(u, q, k=_TOPK, cache_key=f"annq|{sf_dir}").select(
+        "query_id", "neighbor_id"
+    )
+    stop = ann_ivf_sqrt_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = (
+        btop.alias("b")
+        .join(
+            stop.alias("s"),
+            (F.col("s.query_id") == F.col("b.query_id"))
+            & (F.col("s.neighbor_id") == F.col("b.neighbor_id")),
+            "left",
+        )
+        .groupBy(F.col("b.query_id").alias("query_id"))
+        .agg(F.count(F.col("s.neighbor_id")).alias("n_hits"))
+    )
+    return hits.select(
+        "query_id",
+        F.lit(_TOPK).alias("k"),
+        F.col("n_hits").cast("long").alias("n_hits"),
+        F.round(F.col("n_hits") * 1.0 / _TOPK, 4).alias("recall"),
+    ).orderBy("query_id")

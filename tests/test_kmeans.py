@@ -84,3 +84,17 @@ def test_sqrt_ivf_recall_vs_brute_force(spark):
     )
     assert recall >= 0.5, recall
     assert recall > recall_wide, (recall, recall_wide)
+
+
+def test_sqrt_nprobe_rule():
+    """r05 verdict item 4: probe width follows the FAISS sqrt rule
+    with the small-corpus floor — the gate SFs stay at 8 (so their
+    hashes were unaffected by the change) while the ladder points
+    widen: k=141 -> 12, k=447 -> 21."""
+    from http_log_anonymizer_spark.plans.similarity import _sqrt_nprobe
+
+    assert _sqrt_nprobe(45) == 8     # sf0.1 gate: floor
+    assert _sqrt_nprobe(64) == 8     # boundary: sqrt(64)=8
+    assert _sqrt_nprobe(141) == 12   # n=20k ladder point
+    assert _sqrt_nprobe(447) == 21   # n=200k ladder point
+    assert _sqrt_nprobe(31623) == 178  # n=1e9: still tiny vs k

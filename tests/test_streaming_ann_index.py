@@ -111,7 +111,7 @@ def test_stream_index_equals_batch_build_and_probe_parity(spark, tmp_path):
     import os
 
     parts = os.listdir(base / "index")
-    assert any(p.startswith("_batch=c") for p in parts)
+    assert any(p.startswith("_batch=t1.") for p in parts)  # geometric tier-1 fold ran
     assert len(parts) < 2 * 3 + 1
 
 
