@@ -39,6 +39,7 @@ _WINDOW = [
     "ann_ivf_pq8_topk",  # new this round
     "training_shard_report",  # new this round
     "ann_ivf_sqrt_recall_report",  # new this round
+    "ann_ivf_sqrt_pq_topk",  # new this round
     # --- flagship parity anchors ---
     "http_totals",
     "llm_corpus_report",
@@ -84,7 +85,6 @@ _WINDOW = [
     "kmv_cohort_overlap",
     "latency_quantile_sketch",
     "pack_sequences",
-    "stratified_sample",
 ]
 
 

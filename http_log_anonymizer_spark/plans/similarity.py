@@ -1955,3 +1955,190 @@ def ann_ivf_sqrt_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_hits").cast("long").alias("n_hits"),
         F.round(F.col("n_hits") * 1.0 / _TOPK, 4).alias("recall"),
     ).orderBy("query_id")
+
+
+def _sqrt_pq_oracle() -> str:
+    from http_log_anonymizer_spark.operators.kmeans import kmeans_lloyd_sql
+
+    sub_trains = []
+    for m in range(_PQ_M):
+        a = m * _PQ_DSUB + 1
+        b = (m + 1) * _PQ_DSUB
+        sub_trains.append(
+            f"pqsrc{m} AS MATERIALIZED (SELECT vec_id, r[{a}:{b}] AS sub FROM resid)"
+        )
+        sub_trains.append(
+            kmeans_lloyd_sql(
+                k=_PQ_K8,
+                rounds=_PQ_ROUNDS,
+                dim=_PQ_DSUB,
+                prefix=f"pq{m}_",
+                src=f"pqsrc{m}",
+                vec="sub",
+                # FAISS posture, same as the coarse quantizer: codebooks
+                # train on the deterministic sample (smod = 1 at the
+                # gates, so gate hashes are unaffected), the final
+                # assignment covers every row. The unprefixed kqv the
+                # subquery counts is the coarse quantizer's — same
+                # corpus, same smod as the Spark side.
+                train_where=f"vec_id % {_SQRT_SMOD_SQL} = 0",
+            )
+        )
+    code_joins = "\n  ".join(
+        f"JOIN pq{m}_kassign{_PQ_ROUNDS} p{m} ON p{m}.vec_id = a.vec_id"
+        for m in range(_PQ_M)
+    )
+    code_cols = ", ".join(f"p{m}.cluster AS c{m}" for m in range(_PQ_M))
+    lut_joins = "\n  ".join(
+        f"JOIN pq{m}_kcent{_PQ_ROUNDS} t{m} ON t{m}.cluster = s.c{m}"
+        for m in range(_PQ_M)
+    )
+    cat = " || ".join(f"t{m}.c" for m in range(_PQ_M))
+    return f"""
+WITH {UNIT_CTE_SQL},
+{_sqrt_km_ctes()},
+resid AS MATERIALIZED (
+  SELECT e.vec_id, a.cluster,
+         list_transform(generate_series(1, {_DIM}),
+           i -> CAST(e.embedding[i] AS DOUBLE) - c.c[i]) AS r
+  FROM embeddings e
+  JOIN kassign{_SQRT_ROUNDS} a ON a.vec_id = e.vec_id
+  JOIN kcent{_SQRT_ROUNDS} c ON c.cluster = a.cluster
+),
+{",".join(sub_trains)},
+codes AS MATERIALIZED (
+  SELECT a.vec_id, a.cluster, {code_cols}
+  FROM kassign{_SQRT_ROUNDS} a
+  {code_joins}
+),
+recon AS MATERIALIZED (
+  SELECT s.vec_id, s.cluster,
+         list_transform(generate_series(1, {_DIM}),
+           i -> kc.c[i] + ({cat})[i]) AS rec
+  FROM codes s
+  JOIN kcent{_SQRT_ROUNDS} kc ON kc.cluster = s.cluster
+  {lut_joins}
+),
+{_sqrt_search_ctes()},
+pscored AS (
+  SELECT q.query_id, r.vec_id AS neighbor_id,
+         round({dot_sql('q.qemb', 'r.rec', _DIM)}, 4) AS adc
+  FROM kprobed p
+  JOIN q ON q.query_id = p.query_id
+  JOIN recon r ON r.cluster = p.label AND r.vec_id <> q.query_id
+),
+pranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY adc DESC, neighbor_id
+  ) AS rank FROM pscored
+)
+SELECT query_id, neighbor_id, adc, rank FROM pranked WHERE rank <= {_TOPK}
+ORDER BY query_id, rank
+"""
+
+
+@register("ann_ivf_sqrt_pq_topk", oracle=_sqrt_pq_oracle())
+def ann_ivf_sqrt_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FAISS IndexIVFPQ at its PRODUCTION sizing: sqrt-scaled coarse
+    cells (k = round(sqrt(n)), sampled training — exactly
+    ann_ivf_sqrt_topk's quantizer) + {_PQ_M} x {_PQ_K8}-entry residual
+    codebooks ({_PQ_M} bytes/vector) + sqrt-scaled probe width. This
+    closes the scale boundary the fixed-8-cell PQ tiers hit (their
+    candidate set is nprobe*n/8 per query — killed as structurally
+    quadratic at sf100, SCALE.md): here candidates are
+    nprobe * n/k = sqrt(k) * sqrt(n) = n^(3/4) per query, and the scan
+    payload is codes, not floats.
+
+    ADC via RECONSTRUCTION: adc(q, x) = dot(q, c_cell) + sum_m
+    dot(q_m, codebook_m[code_m]) = dot(q, c_cell + concat(codebooks)),
+    so each indexed vector decodes ONCE (n rows through {_PQ_M}
+    broadcast codebook joins — not per candidate) and the search runs
+    the SAME cogrouped per-cell kernel as the flat sqrt tier
+    (operators/ivf.py: fold-order-exact, local top-(k+margin), the
+    global window sees q*nprobe*(k+margin) rows). Identical math to
+    FAISS's LUT formulation, arranged for a columnar engine: the
+    decode join is one map-side pass, and a production index stores
+    the reconstruction bucketed by cell so the scan shuffle is free.
+
+    The oracle replays coarse training (dynamic-k, sampled), residual
+    computation, all {_PQ_M} codebook trainings, encoding, decoding,
+    the sqrt-probe and the ADC rank — end to end."""
+    import math
+
+    from http_log_anonymizer_spark.operators.ivf import ivf_probe_cells, ivf_scan_topk
+    from http_log_anonymizer_spark.operators.kmeans import kmeans_quantized_table
+
+    e = load_table(
+        spark, sf_dir, "embeddings", spread=True, bytes_per_task=256 * 1024
+    ).select("vec_id", "embedding")
+    n = e.count()
+    k = int(round(math.sqrt(n)))
+    smod = max(1, n // (50 * k))
+    assignments, centroids = kmeans_quantized_table(
+        e,
+        k=k,
+        rounds=_SQRT_ROUNDS,
+        qscale=1000,
+        train_filter=(F.col("vec_id") % smod == 0),
+    )
+    cv = spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "label int, cvec array<double>",
+    )
+    resid = (
+        e.join(assignments.select("vec_id", F.col("cluster").alias("label")), "vec_id")
+        .join(F.broadcast(cv), "label")
+        .select(
+            "vec_id",
+            "label",
+            F.zip_with(
+                F.col("embedding").cast("array<double>"), "cvec", lambda x, c: x - c
+            ).alias("r"),
+        )
+        .localCheckpoint()
+    )
+
+    codes = resid.select("vec_id", "label")
+    luts = []
+    for m in range(_PQ_M):
+        sub = resid.select(
+            "vec_id", F.slice("r", m * _PQ_DSUB + 1, _PQ_DSUB).alias("embedding")
+        )
+        a_m, cents_m = kmeans_quantized_table(
+            sub,
+            k=_PQ_K8,
+            rounds=_PQ_ROUNDS,
+            train_filter=(F.col("vec_id") % smod == 0),
+        )
+        codes = codes.join(
+            a_m.select("vec_id", F.col("cluster").alias(f"c{m}")), "vec_id"
+        )
+        luts.append(
+            spark.createDataFrame(
+                [(int(j), [float(x) for x in c]) for j, c in enumerate(cents_m)],
+                f"c{m} int, t{m} array<double>",
+            )
+        )
+
+    # decode ONCE: n rows through the broadcast codebook joins
+    rec = codes.join(F.broadcast(cv), "label")
+    for m in range(_PQ_M):
+        rec = rec.join(F.broadcast(luts[m]), f"c{m}")
+    u = rec.select(
+        "vec_id",
+        "label",
+        F.zip_with(
+            "cvec",
+            F.concat(*[F.col(f"t{m}") for m in range(_PQ_M)]),
+            lambda c, t: c + t,
+        ).alias("ue"),
+    )
+
+    q = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qemb"),
+        F.col("embedding").cast("array<double>").alias("qe"),
+    )
+    probed = ivf_probe_cells(q, centroids, _sqrt_nprobe(k))
+    out = ivf_scan_topk(u, probed, _TOPK)
+    return out.withColumnRenamed("cos", "adc")

@@ -639,3 +639,32 @@ def test_simhash_multiword_banding_lossless(spark):
     )
     assert got == want
     assert len(got) >= 50  # every planted 4-flip pair is found
+
+
+def test_training_shard_assignment_is_append_stable(spark, tmp_path):
+    """training_shard_report's contract: shard assignment is a pure
+    function of doc_id (seeded hash), so growing the corpus never
+    moves an existing doc between shards — a backfill and a stream
+    agree, and shard files can be appended without a reshuffle."""
+    from http_log_anonymizer_spark.plans import REGISTRY
+
+    q = REGISTRY["training_shard_report"].spark_fn
+
+    def manifest(docs):
+        spark.createDataFrame(docs, "doc_id long, text string").write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / "documents.parquet"))
+        return {r.shard: r for r in q(spark, str(tmp_path)).collect()}
+
+    small = [(i, f"tok{i} tok{i+1} tok{i+2}") for i in range(1, 61)]
+    m1 = manifest(small)
+    m2 = manifest(small + [(i, f"new{i}") for i in range(1000, 1200)])
+
+    # every shard's doc count only grows, never shrinks or moves
+    n1 = sum(r.n_docs for r in m1.values())
+    n2 = sum(r.n_docs for r in m2.values())
+    assert n1 == 60 and n2 == 260
+    for s, r in m1.items():
+        assert m2[s].n_docs >= r.n_docs, (s, r.n_docs, m2[s].n_docs)
+    # skew stays tight even on a tiny corpus (hash balance)
+    assert all(abs(r.skew) < 1.0 for r in m2.values())
