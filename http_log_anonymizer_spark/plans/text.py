@@ -1286,3 +1286,114 @@ def rerank_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "cand", "new_rank", "rerank_score", "rrf_rank")
         .orderBy("query_id", "new_rank")
     )
+
+
+@register(
+    "kn_doc_perplexity",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+),
+bg AS (
+  SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+  FROM toks, unnest(generate_series(1, len(ts) - 1)) AS u(i)
+),
+c2 AS (SELECT w1, w2, count(*) AS n2 FROM bg GROUP BY w1, w2),
+ctx AS (
+  SELECT w1, count(*) AS f1, CAST(sum(n2) AS BIGINT) AS c1
+  FROM c2 GROUP BY w1
+),
+pred AS (SELECT w2, count(*) AS p2 FROM c2 GROUP BY w2),
+cc AS (
+  SELECT CAST(sum(CASE WHEN n2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1cc,
+         CAST(sum(CASE WHEN n2 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2cc,
+         count(*) AS tt
+  FROM c2
+),
+scored AS (
+  SELECT b.doc_id,
+         -ln((greatest(c2.n2 - cc.n1cc * 1.0 / (cc.n1cc + 2.0 * cc.n2cc), 0.0)
+              + (cc.n1cc * 1.0 / (cc.n1cc + 2.0 * cc.n2cc))
+                * ctx.f1 * pred.p2 / cc.tt) / ctx.c1) AS nll
+  FROM bg b
+  JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+  JOIN ctx ON b.w1 = ctx.w1
+  JOIN pred ON b.w2 = pred.w2
+  CROSS JOIN cc
+)
+SELECT doc_id, count(*) AS n_bigrams, round(avg(nll), 4) AS avg_nll
+FROM scored
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def kn_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document perplexity under an interpolated KNESER-NEY bigram
+    LM (Kneser & Ney, ICASSP 1995; Chen & Goodman, CSL 1999 eq. 18) —
+    the smoothing the CCNet/KenLM quality-filter stack actually uses,
+    upgrading doc_perplexity's unsmoothed MLE:
+
+        p_KN(w2|w1) = max(c(w1,w2) - D, 0) / c(w1.)
+                      + D * N1+(w1,.) / c(w1.) * N1+(.,w2) / N1+(.,.)
+
+    with the absolute discount D = n1 / (n1 + 2*n2) estimated from the
+    bigram counts-of-counts (Ney, Essen & Kneser 1994) and the
+    continuation distribution N1+(.,w2)/N1+(.,.) replacing the raw
+    unigram fallback — the "how many contexts has this word completed"
+    correction that makes KN the strongest count-based smoother.
+    Because the model interpolates, every bigram gets mass even when
+    the discounted head term clips to zero, so the operator is total
+    without any OOV epsilon leaking into the contract.
+
+    Cross-engine determinism: every model quantity (n2, c1, f1 =
+    N1+(w1,.), p2 = N1+(.,w2), tt = N1+(.,.), n1cc, n2cc) is an exact
+    integer aggregate; the per-bigram probability is ONE fixed
+    arithmetic expression over those integers evaluated identically
+    (left-associative IEEE ops) in both engines, and the only
+    order-sensitive float reduction is the final per-doc avg —
+    rounded to 4 after the avg, the registry-wide discipline
+    doc_perplexity established.
+
+    Scale shape: identical to doc_perplexity — two token-keyed count
+    aggregations (bigram types, contexts) + one distinct-predecessor
+    aggregation, all with map-side partial counts; the counts-of-counts
+    reduce to ONE 3-long row (crossJoin-broadcast, never a driver
+    collect); the scoring joins key on token ids and the count tables
+    are vocabulary-sized (broadcast candidates at 100 TB). Nothing is
+    per-pair; no Python anywhere in the plan."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokens_ws("text").alias("ts"))
+    bg = toks.select(
+        "doc_id",
+        F.posexplode(F.slice("ts", 1, F.greatest(F.size("ts") - 1, F.lit(0)))).alias(
+            "i", "w1"
+        ),
+        "ts",
+    ).select("doc_id", "w1", F.expr("ts[i + 1]").alias("w2"))
+    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("n2"))
+    ctx = c2.groupBy("w1").agg(
+        F.count("*").alias("f1"), F.sum("n2").alias("c1")
+    )
+    pred = c2.groupBy("w2").agg(F.count("*").alias("p2"))
+    cc = c2.agg(
+        F.sum(F.when(F.col("n2") == 1, 1).otherwise(0)).alias("n1cc"),
+        F.sum(F.when(F.col("n2") == 2, 1).otherwise(0)).alias("n2cc"),
+        F.count("*").alias("tt"),
+    )
+    disc = F.col("n1cc") * 1.0 / (F.col("n1cc") + 2.0 * F.col("n2cc"))
+    prob = (
+        F.greatest(F.col("n2") - disc, F.lit(0.0))
+        + disc * F.col("f1") * F.col("p2") / F.col("tt")
+    ) / F.col("c1")
+    scored = (
+        bg.join(c2, ["w1", "w2"])
+        .join(ctx, ["w1"])
+        .join(pred, ["w2"])
+        .crossJoin(F.broadcast(cc))
+        .select("doc_id", (-F.log(prob)).alias("nll"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.count("*").alias("n_bigrams"), F.round(F.avg("nll"), 4).alias("avg_nll"))
+        .orderBy("doc_id")
+    )

@@ -668,3 +668,67 @@ def test_training_shard_assignment_is_append_stable(spark, tmp_path):
         assert m2[s].n_docs >= r.n_docs, (s, r.n_docs, m2[s].n_docs)
     # skew stays tight even on a tiny corpus (hash balance)
     assert all(abs(r.skew) < 1.0 for r in m2.values())
+
+
+def test_kn_perplexity_matches_reference_model(spark, tmp_path):
+    """kn_doc_perplexity against an independent pure-Python interpolated
+    Kneser-Ney bigram model (Chen & Goodman 1999 eq. 18): (1) the
+    per-context distribution must sum to EXACTLY 1 over the vocabulary
+    (the interpolation identity sum_w2 p_KN(w2|w1) = 1 — unsmoothed MLE
+    also sums to 1, but only KN keeps that while reserving D-mass for
+    the continuation term); (2) the Spark avg_nll must equal the
+    reference model's to the registry's round(4) contract."""
+    import math
+    from collections import Counter
+
+    from http_log_anonymizer_spark.plans import REGISTRY
+
+    docs = [
+        (1, "a b a b a c"),
+        (2, "a b c d e"),
+        (3, "e d c b a"),
+        (4, "a a a a b"),
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+
+    # reference model
+    bigrams = []
+    per_doc = {}
+    for did, text in docs:
+        ts = text.split(" ")
+        bs = list(zip(ts, ts[1:]))
+        per_doc[did] = bs
+        bigrams += bs
+    c2 = Counter(bigrams)
+    c1 = Counter(w1 for w1, _ in bigrams)
+    f1 = Counter(w1 for w1, _ in c2)  # N1+(w1, .)
+    p2 = Counter(w2 for _, w2 in c2)  # N1+(., w2)
+    tt = len(c2)
+    n1cc = sum(1 for v in c2.values() if v == 1)
+    n2cc = sum(1 for v in c2.values() if v == 2)
+    D = n1cc / (n1cc + 2.0 * n2cc)
+
+    def p_kn(w1, w2):
+        return (max(c2[(w1, w2)] - D, 0.0) + D * f1[w1] * p2[w2] / tt) / c1[w1]
+
+    # (1) normalization: distributions sum to 1 over the observed vocab
+    vocab = set(p2)
+    for w1 in c1:
+        s = sum(p_kn(w1, w2) for w2 in vocab)
+        assert abs(s - 1.0) < 1e-9, (w1, s)
+    # and the discounted head really gives mass away (smoothing active)
+    assert any(
+        c2[(w1, w2)] == 0 and p_kn(w1, w2) > 0 for w1 in c1 for w2 in vocab
+    )
+
+    want = {
+        did: round(sum(-math.log(p_kn(w1, w2)) for w1, w2 in bs) / len(bs), 4)
+        for did, bs in per_doc.items()
+    }
+    got = {
+        r.doc_id: r.avg_nll
+        for r in REGISTRY["kn_doc_perplexity"].spark_fn(spark, str(tmp_path)).collect()
+    }
+    assert got == want
