@@ -25,9 +25,9 @@ from http_log_anonymizer_spark.plans import curation  # noqa: E402,F401
 # oracle changed this round (the SA radix-2 construction + tail-run
 # LCP fix, the sqrt-IVF dynamic nprobe, the PQ refactor and its new
 # 8-bit tier, the PPR seed TakeOrdered) + two flagship anchors + ALL
-# 23 queries whose latest driver row is r02 + 19 of the next-stalest
-# (r03) rows, so no query's latest green row is older than r03 after
-# this round. Everything outside the window stays locally gated by
+# 23 queries whose latest driver row is r02 + the next-stalest (r03)
+# rows that fit, so no query's latest green row is older than r03
+# after this round. Everything outside the window stays locally gated by
 # tests/test_registry_oracle.py (same comparator).
 _WINDOW = [
     # --- plan/oracle changed in round 6: re-verify ---
@@ -40,6 +40,8 @@ _WINDOW = [
     "training_shard_report",  # new this round
     "ann_ivf_sqrt_recall_report",  # new this round
     "ann_ivf_sqrt_pq_topk",  # new this round
+    "kn_doc_perplexity",  # new this round
+    "ann_ivf_opq_topk",  # new this round
     # --- flagship parity anchors ---
     "http_totals",
     "llm_corpus_report",
@@ -72,7 +74,6 @@ _WINDOW = [
     "bm25_retrieval",
     "bpe_learn_merges",
     "bpe_encode_stats",
-    "bpe_pretokenize_stats",
     "dedup_clusters_star",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
@@ -83,7 +84,6 @@ _WINDOW = [
     "event_transition_matrix",
     "frequent_resources_sketch",
     "kmv_cohort_overlap",
-    "latency_quantile_sketch",
     "pack_sequences",
 ]
 

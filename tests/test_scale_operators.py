@@ -212,3 +212,38 @@ def test_ivf_pq_recall_and_compression_trade(spark):
     r_adc = recall(top("ann_ivf_adc_topk"))
     r_pq = recall(top("ann_ivf_pq_topk"))
     assert r_exact >= r_adc >= r_pq > 0.1, (r_exact, r_adc, r_pq)
+
+
+def test_opq_rotation_is_an_exact_isometry(spark):
+    """The OPQ pre-rotation (sign flips + Walsh-Hadamard / 8) must be an
+    exact isometry of the quantized vectors: squared norms and pairwise
+    dots are PRESERVED (H H^T = 64 I and the 1/8 scale is exact binary
+    division), so true neighbor rankings cannot change — the rotated PQ
+    tier's recall differences are attributable to codebook geometry
+    alone. Everything here is integer-exact, so equality is strict."""
+    import numpy as np
+
+    from http_log_anonymizer_spark.plans.similarity import (
+        _OPQ_QS,
+        _OPQ_SIGNS,
+        _opq_rotate,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").select(
+        "vec_id", "embedding"
+    ).limit(40)
+    orig = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in e.collect()}
+    rot = {r.vec_id: np.array(r.embedding) for r in _opq_rotate(e).collect()}
+
+    qs = {v: np.floor(x * _OPQ_QS) / _OPQ_QS for v, x in orig.items()}
+    ids = sorted(orig)
+    for a in ids[:10]:
+        for b in ids[:10]:
+            want = float(qs[a] @ qs[b])
+            got = float(rot[a] @ rot[b])
+            # both are sums of exact products of 2^-20-grid doubles; allow
+            # only summation-order ulp, nothing structural
+            assert abs(want - got) < 1e-9, (a, b, want, got)
+    # and the signs really are the seeded +-1 pattern (orthogonality of H
+    # is a theorem; the seeded part is what this pins)
+    assert sorted(set(_OPQ_SIGNS)) == [-1, 1] and len(_OPQ_SIGNS) == 64
