@@ -42,6 +42,7 @@ _WINDOW = [
     "ann_ivf_sqrt_pq_topk",  # new this round
     "kn_doc_perplexity",  # new this round
     "ann_ivf_opq_topk",  # new this round
+    "mkn_trigram_perplexity",  # new this round
     # --- flagship parity anchors ---
     "http_totals",
     "llm_corpus_report",
@@ -73,7 +74,6 @@ _WINDOW = [
     # --- next-stalest (r03) fill, family-diverse ---
     "bm25_retrieval",
     "bpe_learn_merges",
-    "bpe_encode_stats",
     "dedup_clusters_star",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",

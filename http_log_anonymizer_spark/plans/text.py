@@ -1397,3 +1397,250 @@ def kn_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_bigrams"), F.round(F.avg("nll"), 4).alias("avg_nll"))
         .orderBy("doc_id")
     )
+
+
+@register(
+    "mkn_trigram_perplexity",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+),
+bg3 AS (
+  SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2, ts[i + 2] AS w3
+  FROM toks, unnest(generate_series(1, len(ts) - 2)) AS u(i)
+  WHERE len(ts) >= 3
+),
+c3 AS (SELECT w1, w2, w3, count(*) AS n3c FROM bg3 GROUP BY w1, w2, w3),
+ctx12 AS (
+  SELECT w1, w2,
+         CAST(sum(n3c) AS BIGINT) AS c12,
+         CAST(sum(CASE WHEN n3c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS t1,
+         CAST(sum(CASE WHEN n3c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS t2,
+         CAST(sum(CASE WHEN n3c >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS t3p
+  FROM c3 GROUP BY w1, w2
+),
+cc3 AS (
+  SELECT CAST(sum(CASE WHEN n3c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a1,
+         CAST(sum(CASE WHEN n3c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS a2,
+         CAST(sum(CASE WHEN n3c = 3 THEN 1 ELSE 0 END) AS BIGINT) AS a3,
+         CAST(sum(CASE WHEN n3c = 4 THEN 1 ELSE 0 END) AS BIGINT) AS a4
+  FROM c3
+),
+d3 AS (
+  SELECT
+    greatest(1 - 2 * (CASE WHEN a1 + 2 * a2 > 0
+                           THEN a1 * 1.0 / (a1 + 2 * a2) ELSE 0.5 END)
+               * a2 / greatest(a1, 1), 0.0) AS d31,
+    greatest(2 - 3 * (CASE WHEN a1 + 2 * a2 > 0
+                           THEN a1 * 1.0 / (a1 + 2 * a2) ELSE 0.5 END)
+               * a3 / greatest(a2, 1), 0.0) AS d32,
+    greatest(3 - 4 * (CASE WHEN a1 + 2 * a2 > 0
+                           THEN a1 * 1.0 / (a1 + 2 * a2) ELSE 0.5 END)
+               * a4 / greatest(a3, 1), 0.0) AS d33
+  FROM cc3
+),
+cb AS (SELECT w2, w3, count(*) AS cb2 FROM c3 GROUP BY w2, w3),
+ctx2 AS (
+  SELECT w2,
+         CAST(sum(cb2) AS BIGINT) AS cdot2,
+         CAST(sum(CASE WHEN cb2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS u1,
+         CAST(sum(CASE WHEN cb2 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS u2,
+         CAST(sum(CASE WHEN cb2 >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS u3p
+  FROM cb GROUP BY w2
+),
+cc2 AS (
+  SELECT CAST(sum(CASE WHEN cb2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b1,
+         CAST(sum(CASE WHEN cb2 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS b2,
+         CAST(sum(CASE WHEN cb2 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS b3,
+         CAST(sum(CASE WHEN cb2 = 4 THEN 1 ELSE 0 END) AS BIGINT) AS b4,
+         count(*) AS tt
+  FROM cb
+),
+d2 AS (
+  SELECT
+    greatest(1 - 2 * (CASE WHEN b1 + 2 * b2 > 0
+                           THEN b1 * 1.0 / (b1 + 2 * b2) ELSE 0.5 END)
+               * b2 / greatest(b1, 1), 0.0) AS d21,
+    greatest(2 - 3 * (CASE WHEN b1 + 2 * b2 > 0
+                           THEN b1 * 1.0 / (b1 + 2 * b2) ELSE 0.5 END)
+               * b3 / greatest(b2, 1), 0.0) AS d22,
+    greatest(3 - 4 * (CASE WHEN b1 + 2 * b2 > 0
+                           THEN b1 * 1.0 / (b1 + 2 * b2) ELSE 0.5 END)
+               * b4 / greatest(b3, 1), 0.0) AS d23,
+    tt
+  FROM cc2
+),
+cu AS (SELECT w3, count(*) AS p3 FROM cb GROUP BY w3),
+scored AS (
+  SELECT b.doc_id,
+         -ln(
+           (c3.n3c - CASE WHEN c3.n3c = 1 THEN d3.d31
+                          WHEN c3.n3c = 2 THEN d3.d32
+                          ELSE d3.d33 END) / x12.c12
+           + ((d3.d31 * x12.t1 + d3.d32 * x12.t2 + d3.d33 * x12.t3p) / x12.c12)
+             * (
+               (cb.cb2 - CASE WHEN cb.cb2 = 1 THEN d2.d21
+                              WHEN cb.cb2 = 2 THEN d2.d22
+                              ELSE d2.d23 END) / x2.cdot2
+               + ((d2.d21 * x2.u1 + d2.d22 * x2.u2 + d2.d23 * x2.u3p) / x2.cdot2)
+                 * (cu.p3 * 1.0 / d2.tt)
+             )
+         ) AS nll
+  FROM bg3 b
+  JOIN c3 ON b.w1 = c3.w1 AND b.w2 = c3.w2 AND b.w3 = c3.w3
+  JOIN ctx12 x12 ON b.w1 = x12.w1 AND b.w2 = x12.w2
+  JOIN cb ON b.w2 = cb.w2 AND b.w3 = cb.w3
+  JOIN ctx2 x2 ON b.w2 = x2.w2
+  JOIN cu ON b.w3 = cu.w3
+  CROSS JOIN d3 CROSS JOIN d2
+)
+SELECT doc_id, count(*) AS n_trigrams, round(avg(nll), 4) AS avg_nll
+FROM scored
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def mkn_trigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document perplexity under a MODIFIED Kneser-Ney TRIGRAM LM —
+    the exact algorithm KenLM implements at order 3 (Chen & Goodman,
+    CSL 1999 §3; Heafield 2011), i.e. the LM behind the CCNet/LLaMA
+    perplexity quality filters, upgrading kn_doc_perplexity's
+    single-discount bigram:
+
+    - THREE discounts per level, estimated from counts-of-counts
+      (D1 = 1 - 2*Y*n2/n1, D2 = 2 - 3*Y*n3/n2, D3+ = 3 - 4*Y*n4/n3
+      with Y = n1/(n1 + 2*n2)), applied by the count of the n-gram
+      being discounted — Chen & Goodman's empirically-derived fix to
+      the single-D absolute discount;
+    - the backoff weight gamma(w1,w2) paying out exactly the discounted
+      mass (D1*N1 + D2*N2 + D3+*N3+)/c(w1,w2), so each level's
+      distribution sums to exactly 1 over the vocabulary (asserted by
+      the reference-model test);
+    - CONTINUATION counts at every lower level: the bigram level counts
+      distinct left-extensions N1+(*, w2, w3) rather than raw bigram
+      frequency, with its OWN modified discounts from its own
+      counts-of-counts, interpolating into the continuation unigram
+      N1+(*, w3)/N1+(*, *) — the full Kneser-Ney recursion, not the
+      truncated one-level variant.
+
+    Division guards (greatest(n, 1) denominators, a CASE'd Y) keep the
+    estimator total on degenerate corpora and are written IDENTICALLY
+    in both engines, so parity is preserved whichever branch fires.
+
+    Cross-engine determinism: every model quantity is an exact integer
+    aggregate; the three discounts are fixed scalar expressions over
+    the 1-row counts-of-counts (crossJoin-broadcast); each trigram's
+    probability is ONE arithmetic expression evaluated identically in
+    both engines, and the only order-sensitive reduction is the final
+    per-doc avg, rounded to 4 — the registry discipline.
+
+    Scale shape: three count aggregations (trigram types, bigram-
+    continuation types, unigram-continuation types) + per-context
+    aggregations, all keyed on tokens with map-side partial counts;
+    counts-of-counts collapse to ONE row per level. The scoring join
+    fans the trigram stream against vocabulary-sized side tables
+    (broadcast candidates at 100 TB); nothing is per-pair and no
+    Python appears anywhere in the plan."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokens_ws("text").alias("ts")).filter(
+        F.size("ts") >= 3
+    )
+    bg3 = toks.select(
+        "doc_id",
+        F.posexplode(F.slice("ts", 1, F.size("ts") - 2)).alias("i", "w1"),
+        "ts",
+    ).select(
+        "doc_id",
+        "w1",
+        F.expr("ts[i + 1]").alias("w2"),
+        F.expr("ts[i + 2]").alias("w3"),
+    )
+    c3 = bg3.groupBy("w1", "w2", "w3").agg(F.count("*").alias("n3c"))
+    ctx12 = c3.groupBy("w1", "w2").agg(
+        F.sum("n3c").alias("c12"),
+        F.sum(F.when(F.col("n3c") == 1, 1).otherwise(0)).alias("t1"),
+        F.sum(F.when(F.col("n3c") == 2, 1).otherwise(0)).alias("t2"),
+        F.sum(F.when(F.col("n3c") >= 3, 1).otherwise(0)).alias("t3p"),
+    )
+
+    def discounts(cdf: DataFrame, col: str, names: tuple[str, str, str]):
+        cc = cdf.agg(
+            F.sum(F.when(F.col(col) == 1, 1).otherwise(0)).alias("n1"),
+            F.sum(F.when(F.col(col) == 2, 1).otherwise(0)).alias("n2"),
+            F.sum(F.when(F.col(col) == 3, 1).otherwise(0)).alias("n3"),
+            F.sum(F.when(F.col(col) == 4, 1).otherwise(0)).alias("n4"),
+            F.count("*").alias("tt"),
+        )
+        y = F.when(
+            F.col("n1") + 2 * F.col("n2") > 0,
+            F.col("n1") * 1.0 / (F.col("n1") + 2 * F.col("n2")),
+        ).otherwise(0.5)
+        return cc.select(
+            F.greatest(
+                1 - 2 * y * F.col("n2") / F.greatest(F.col("n1"), F.lit(1)),
+                F.lit(0.0),
+            ).alias(names[0]),
+            F.greatest(
+                2 - 3 * y * F.col("n3") / F.greatest(F.col("n2"), F.lit(1)),
+                F.lit(0.0),
+            ).alias(names[1]),
+            F.greatest(
+                3 - 4 * y * F.col("n4") / F.greatest(F.col("n3"), F.lit(1)),
+                F.lit(0.0),
+            ).alias(names[2]),
+            "tt",
+        )
+
+    d3 = discounts(c3, "n3c", ("d31", "d32", "d33")).drop("tt")
+    cb = c3.groupBy("w2", "w3").agg(F.count("*").alias("cb2"))
+    ctx2 = cb.groupBy("w2").agg(
+        F.sum("cb2").alias("cdot2"),
+        F.sum(F.when(F.col("cb2") == 1, 1).otherwise(0)).alias("u1"),
+        F.sum(F.when(F.col("cb2") == 2, 1).otherwise(0)).alias("u2"),
+        F.sum(F.when(F.col("cb2") >= 3, 1).otherwise(0)).alias("u3p"),
+    )
+    d2 = discounts(cb, "cb2", ("d21", "d22", "d23"))
+    cu = cb.groupBy("w3").agg(F.count("*").alias("p3"))
+
+    dd3 = (
+        F.when(F.col("n3c") == 1, F.col("d31"))
+        .when(F.col("n3c") == 2, F.col("d32"))
+        .otherwise(F.col("d33"))
+    )
+    dd2 = (
+        F.when(F.col("cb2") == 1, F.col("d21"))
+        .when(F.col("cb2") == 2, F.col("d22"))
+        .otherwise(F.col("d23"))
+    )
+    gamma12 = (
+        F.col("d31") * F.col("t1")
+        + F.col("d32") * F.col("t2")
+        + F.col("d33") * F.col("t3p")
+    ) / F.col("c12")
+    gamma2 = (
+        F.col("d21") * F.col("u1")
+        + F.col("d22") * F.col("u2")
+        + F.col("d23") * F.col("u3p")
+    ) / F.col("cdot2")
+    p2 = (F.col("cb2") - dd2) / F.col("cdot2") + gamma2 * (
+        F.col("p3") * 1.0 / F.col("tt")
+    )
+    prob = (F.col("n3c") - dd3) / F.col("c12") + gamma12 * p2
+    scored = (
+        bg3.join(c3, ["w1", "w2", "w3"])
+        .join(ctx12, ["w1", "w2"])
+        .join(cb, ["w2", "w3"])
+        .join(ctx2, ["w2"])
+        .join(cu, ["w3"])
+        .crossJoin(F.broadcast(d3))
+        .crossJoin(F.broadcast(d2))
+        .select("doc_id", (-F.log(prob)).alias("nll"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_trigrams"),
+            F.round(F.avg("nll"), 4).alias("avg_nll"),
+        )
+        .orderBy("doc_id")
+    )

@@ -732,3 +732,103 @@ def test_kn_perplexity_matches_reference_model(spark, tmp_path):
         for r in REGISTRY["kn_doc_perplexity"].spark_fn(spark, str(tmp_path)).collect()
     }
     assert got == want
+
+
+def test_mkn_trigram_matches_reference_model(spark, tmp_path):
+    """mkn_trigram_perplexity against an independent pure-Python
+    modified-Kneser-Ney trigram model (Chen & Goodman 1999 §3, the
+    KenLM order-3 algorithm): (1) each level's distribution must sum
+    to EXACTLY 1 over the vocabulary (the gamma pays out precisely the
+    discounted mass); (2) the three discounts must be distinct (the
+    'modified' in modified KN — count-1/2/3+ n-grams discount
+    differently); (3) Spark avg_nll equals the reference to round(4)."""
+    import math
+    from collections import Counter
+
+    from http_log_anonymizer_spark.plans import REGISTRY
+
+    docs = [
+        (1, "a b c a b d a b c e"),
+        (2, "b c a b c a b e d c"),
+        (3, "c a b a b c d e a b"),
+        (4, "d d d a b c e c b a"),
+        (5, "e a b c d a b c d e"),
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+
+    tris, per_doc = [], {}
+    for did, text in docs:
+        ts = text.split(" ")
+        t = list(zip(ts, ts[1:], ts[2:]))
+        per_doc[did] = t
+        tris += t
+    c3 = Counter(tris)
+    ctx12 = Counter()
+    t123 = {}
+    for (w1, w2, w3), c in c3.items():
+        ctx12[(w1, w2)] += c
+        t = t123.setdefault((w1, w2), [0, 0, 0])
+        t[0 if c == 1 else 1 if c == 2 else 2] += 1
+
+    def mod_discounts(counts):
+        cc = Counter(counts)
+        n1, n2, n3, n4 = cc[1], cc[2], cc[3], cc[4]
+        y = n1 / (n1 + 2 * n2) if n1 + 2 * n2 > 0 else 0.5
+        return (
+            max(1 - 2 * y * n2 / max(n1, 1), 0.0),
+            max(2 - 3 * y * n3 / max(n2, 1), 0.0),
+            max(3 - 4 * y * n4 / max(n3, 1), 0.0),
+        )
+
+    D3 = mod_discounts(c3.values())
+    cb = Counter((w2, w3) for (w1, w2, w3) in c3)  # continuation counts
+    ctx2 = Counter()
+    u123 = {}
+    for (w2, w3), c in cb.items():
+        ctx2[w2] += c
+        u = u123.setdefault(w2, [0, 0, 0])
+        u[0 if c == 1 else 1 if c == 2 else 2] += 1
+    D2 = mod_discounts(cb.values())
+    cu = Counter(w3 for (w2, w3) in cb)
+    tt = len(cb)
+
+    def dsel(D, c):
+        return D[0] if c == 1 else D[1] if c == 2 else D[2]
+
+    def p2(w2, w3):
+        g = (D2[0] * u123[w2][0] + D2[1] * u123[w2][1] + D2[2] * u123[w2][2]) / ctx2[w2]
+        head = (cb[(w2, w3)] - dsel(D2, cb[(w2, w3)])) / ctx2[w2] if cb[(w2, w3)] else 0.0
+        return head + g * (cu[w3] / tt)
+
+    def p3(w1, w2, w3):
+        c = c3[(w1, w2, w3)]
+        t = t123[(w1, w2)]
+        g = (D3[0] * t[0] + D3[1] * t[1] + D3[2] * t[2]) / ctx12[(w1, w2)]
+        head = (c - dsel(D3, c)) / ctx12[(w1, w2)] if c else 0.0
+        return head + g * p2(w2, w3)
+
+    # (1) normalization at both levels over the model vocabulary
+    vocab = set(cu)
+    for w2 in ctx2:
+        assert abs(sum(p2(w2, w3) for w3 in vocab) - 1.0) < 1e-9
+    for (w1, w2) in ctx12:
+        assert abs(sum(p3(w1, w2, w3) for w3 in vocab) - 1.0) < 1e-9
+    # (2) modified = three DISTINCT discounts at the trigram level
+    assert len({round(d, 9) for d in D3}) == 3, D3
+
+    want = {
+        did: (
+            len(t),
+            round(sum(-math.log(p3(*tri)) for tri in t) / len(t), 4),
+        )
+        for did, t in per_doc.items()
+    }
+    got = {
+        r.doc_id: (r.n_trigrams, r.avg_nll)
+        for r in REGISTRY["mkn_trigram_perplexity"]
+        .spark_fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert got == want
