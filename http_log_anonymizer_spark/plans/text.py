@@ -1312,8 +1312,12 @@ cc AS (
 ),
 scored AS (
   SELECT b.doc_id,
-         -ln((greatest(c2.n2 - cc.n1cc * 1.0 / (cc.n1cc + 2.0 * cc.n2cc), 0.0)
-              + (cc.n1cc * 1.0 / (cc.n1cc + 2.0 * cc.n2cc))
+         -ln((greatest(c2.n2 - (CASE WHEN cc.n1cc + 2 * cc.n2cc > 0
+                  THEN cc.n1cc * 1.0 / greatest(cc.n1cc + 2 * cc.n2cc, 1)
+                  ELSE 0.5 END), 0.0)
+              + (CASE WHEN cc.n1cc + 2 * cc.n2cc > 0
+                  THEN cc.n1cc * 1.0 / greatest(cc.n1cc + 2 * cc.n2cc, 1)
+                  ELSE 0.5 END)
                 * ctx.f1 * pred.p2 / cc.tt) / ctx.c1) AS nll
   FROM bg b
   JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
@@ -1380,7 +1384,18 @@ def kn_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("n2") == 2, 1).otherwise(0)).alias("n2cc"),
         F.count("*").alias("tt"),
     )
-    disc = F.col("n1cc") * 1.0 / (F.col("n1cc") + 2.0 * F.col("n2cc"))
+    # D = n1/(n1 + 2*n2); greatest-1 denominator keeps ANSI Spark from
+    # throwing when common-subexpression elimination evaluates the
+    # division under the (false) guard, and the guard supplies the
+    # D = 0.5 absolute-discount default on count-of-count-free corpora
+    # (the saturated-vocabulary sf0.1 documents table has NO singleton
+    # or doubleton bigram types — measured, not hypothetical).
+    disc = F.when(
+        F.col("n1cc") + 2 * F.col("n2cc") > 0,
+        F.col("n1cc")
+        * 1.0
+        / F.greatest(F.col("n1cc") + 2 * F.col("n2cc"), F.lit(1)),
+    ).otherwise(0.5)
     prob = (
         F.greatest(F.col("n2") - disc, F.lit(0.0))
         + disc * F.col("f1") * F.col("p2") / F.col("tt")
@@ -1429,13 +1444,13 @@ cc3 AS (
 d3 AS (
   SELECT
     greatest(1 - 2 * (CASE WHEN a1 + 2 * a2 > 0
-                           THEN a1 * 1.0 / (a1 + 2 * a2) ELSE 0.5 END)
+                           THEN a1 * 1.0 / greatest(a1 + 2 * a2, 1) ELSE 0.5 END)
                * a2 / greatest(a1, 1), 0.0) AS d31,
     greatest(2 - 3 * (CASE WHEN a1 + 2 * a2 > 0
-                           THEN a1 * 1.0 / (a1 + 2 * a2) ELSE 0.5 END)
+                           THEN a1 * 1.0 / greatest(a1 + 2 * a2, 1) ELSE 0.5 END)
                * a3 / greatest(a2, 1), 0.0) AS d32,
     greatest(3 - 4 * (CASE WHEN a1 + 2 * a2 > 0
-                           THEN a1 * 1.0 / (a1 + 2 * a2) ELSE 0.5 END)
+                           THEN a1 * 1.0 / greatest(a1 + 2 * a2, 1) ELSE 0.5 END)
                * a4 / greatest(a3, 1), 0.0) AS d33
   FROM cc3
 ),
@@ -1459,13 +1474,13 @@ cc2 AS (
 d2 AS (
   SELECT
     greatest(1 - 2 * (CASE WHEN b1 + 2 * b2 > 0
-                           THEN b1 * 1.0 / (b1 + 2 * b2) ELSE 0.5 END)
+                           THEN b1 * 1.0 / greatest(b1 + 2 * b2, 1) ELSE 0.5 END)
                * b2 / greatest(b1, 1), 0.0) AS d21,
     greatest(2 - 3 * (CASE WHEN b1 + 2 * b2 > 0
-                           THEN b1 * 1.0 / (b1 + 2 * b2) ELSE 0.5 END)
+                           THEN b1 * 1.0 / greatest(b1 + 2 * b2, 1) ELSE 0.5 END)
                * b3 / greatest(b2, 1), 0.0) AS d22,
     greatest(3 - 4 * (CASE WHEN b1 + 2 * b2 > 0
-                           THEN b1 * 1.0 / (b1 + 2 * b2) ELSE 0.5 END)
+                           THEN b1 * 1.0 / greatest(b1 + 2 * b2, 1) ELSE 0.5 END)
                * b4 / greatest(b3, 1), 0.0) AS d23,
     tt
   FROM cc2
@@ -1571,9 +1586,14 @@ def mkn_trigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col(col) == 4, 1).otherwise(0)).alias("n4"),
             F.count("*").alias("tt"),
         )
+        # greatest-1 denominator: ANSI Spark evaluates the division
+        # even under the false guard once CSE hoists it (measured on
+        # the saturated sf0.1 corpus) — the CASE still picks the value
         y = F.when(
             F.col("n1") + 2 * F.col("n2") > 0,
-            F.col("n1") * 1.0 / (F.col("n1") + 2 * F.col("n2")),
+            F.col("n1")
+            * 1.0
+            / F.greatest(F.col("n1") + 2 * F.col("n2"), F.lit(1)),
         ).otherwise(0.5)
         return cc.select(
             F.greatest(

@@ -832,3 +832,43 @@ def test_mkn_trigram_matches_reference_model(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_kn_perplexity_on_saturated_corpus(spark, tmp_path):
+    """Regression for the sf0.1 ANSI DIVIDE_BY_ZERO: a corpus where
+    EVERY bigram type occurs >= 3 times has zero singleton and zero
+    doubleton types, so the Ney-Essen-Kneser discount n1/(n1+2*n2) is
+    0/0 — the guarded estimator must fall back to D = 0.5 (and Spark
+    must not throw even though common-subexpression elimination
+    evaluates the division under the false guard). Checked against the
+    same closed form in Python."""
+    import math
+    from collections import Counter
+
+    from http_log_anonymizer_spark.plans import REGISTRY
+
+    docs = [(i, "x y x y x y x y") for i in range(1, 4)]  # c(x,y)=12, c(y,x)=9
+    spark.createDataFrame(docs, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+
+    bigrams = []
+    for _, text in docs:
+        ts = text.split(" ")
+        bigrams += list(zip(ts, ts[1:]))
+    c2 = Counter(bigrams)
+    assert all(v >= 3 for v in c2.values())  # saturated: n1 = n2 = 0
+    c1 = Counter(w1 for w1, _ in bigrams)
+    f1 = Counter(w1 for w1, _ in c2)
+    p2 = Counter(w2 for _, w2 in c2)
+    tt = len(c2)
+    D = 0.5  # the guarded fallback
+
+    def p_kn(w1, w2):
+        return (max(c2[(w1, w2)] - D, 0.0) + D * f1[w1] * p2[w2] / tt) / c1[w1]
+
+    ts = docs[0][1].split(" ")
+    bs = list(zip(ts, ts[1:]))
+    want = round(sum(-math.log(p_kn(*b)) for b in bs) / len(bs), 4)
+    rows = REGISTRY["kn_doc_perplexity"].spark_fn(spark, str(tmp_path)).collect()
+    assert all(r.avg_nll == want for r in rows), (want, rows)
