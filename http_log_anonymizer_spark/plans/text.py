@@ -1416,6 +1416,7 @@ def kn_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mkn_trigram_perplexity",
+    bench=True,  # tracked: the text path's heaviest count-agg + wide-join plan
     oracle="""
 WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS ts FROM documents
