@@ -43,6 +43,7 @@ _WINDOW = [
     "kn_doc_perplexity",  # new this round
     "ann_ivf_opq_topk",  # new this round
     "mkn_trigram_perplexity",  # new this round
+    "ccnet_kn_buckets",  # new this round
     # --- flagship parity anchors ---
     "http_totals",
     "llm_corpus_report",
@@ -81,7 +82,6 @@ _WINDOW = [
     "doc_chunking",
     "dsir_importance_weights",
     "event_funnel",
-    "event_transition_matrix",
     "frequent_resources_sketch",
     "kmv_cohort_overlap",
     "pack_sequences",

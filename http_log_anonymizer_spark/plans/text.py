@@ -1665,3 +1665,145 @@ def mkn_trigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "ccnet_kn_buckets",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS ts FROM documents
+),
+bg AS (
+  SELECT doc_id, lang, ts[i] AS w1, ts[i + 1] AS w2
+  FROM toks, unnest(generate_series(1, len(ts) - 1)) AS u(i)
+),
+c2 AS (SELECT lang, w1, w2, count(*) AS n2 FROM bg GROUP BY lang, w1, w2),
+ctx AS (
+  SELECT lang, w1, count(*) AS f1, CAST(sum(n2) AS BIGINT) AS c1
+  FROM c2 GROUP BY lang, w1
+),
+pred AS (SELECT lang, w2, count(*) AS p2 FROM c2 GROUP BY lang, w2),
+cc AS (
+  SELECT lang,
+         CAST(sum(CASE WHEN n2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1cc,
+         CAST(sum(CASE WHEN n2 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2cc,
+         count(*) AS tt
+  FROM c2 GROUP BY lang
+),
+scored AS (
+  SELECT b.doc_id, b.lang,
+         -ln((greatest(c2.n2 - (CASE WHEN cc.n1cc + 2 * cc.n2cc > 0
+                  THEN cc.n1cc * 1.0 / greatest(cc.n1cc + 2 * cc.n2cc, 1)
+                  ELSE 0.5 END), 0.0)
+              + (CASE WHEN cc.n1cc + 2 * cc.n2cc > 0
+                  THEN cc.n1cc * 1.0 / greatest(cc.n1cc + 2 * cc.n2cc, 1)
+                  ELSE 0.5 END)
+                * ctx.f1 * pred.p2 / cc.tt) / ctx.c1) AS nll
+  FROM bg b
+  JOIN c2 ON b.lang = c2.lang AND b.w1 = c2.w1 AND b.w2 = c2.w2
+  JOIN ctx ON b.lang = ctx.lang AND b.w1 = ctx.w1
+  JOIN pred ON b.lang = pred.lang AND b.w2 = pred.w2
+  JOIN cc ON b.lang = cc.lang
+),
+per_doc AS (
+  SELECT doc_id, lang, round(avg(nll), 4) AS nll
+  FROM scored GROUP BY doc_id, lang
+),
+bucketed AS (
+  SELECT lang, nll,
+         ntile(3) OVER (PARTITION BY lang ORDER BY nll, doc_id) AS t
+  FROM per_doc
+)
+SELECT lang,
+       CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+       count(*) AS n_docs,
+       round(avg(nll), 4) AS avg_nll,
+       round(min(nll), 4) AS min_nll,
+       round(max(nll), 4) AS max_nll
+FROM bucketed
+GROUP BY lang, t
+ORDER BY lang, t
+""",
+)
+def ccnet_kn_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail split driven by a per-language
+    KNESER-NEY bigram LM — what Wenzek et al. (LREC 2020) actually do:
+    their quality signal is a KenLM (Kneser-Ney) model's perplexity,
+    not the unsmoothed MLE that ccnet_perplexity_buckets uses as its
+    didactic baseline. Each language fits its OWN interpolated-KN
+    model (per-language counts-of-counts discount, per-language
+    continuation distribution — see kn_doc_perplexity for the
+    estimator and its division guards), documents score by average
+    NLL, and each language cuts into perplexity terciles.
+
+    Scale shape: identical to ccnet_perplexity_buckets plus one extra
+    vocabulary-keyed aggregation (distinct predecessors) and a
+    per-language 3-long counts-of-counts row (tiny equi-join on lang,
+    broadcast at any scale); the tercile window stays one partition
+    per language over (rounded nll, doc_id). Determinism: rank on the
+    ROUNDED score with the id tie-break; the KN probability is one
+    fixed arithmetic expression over exact integer aggregates,
+    identical in both engines."""
+    d = load_table(spark, sf_dir, "documents", spread=True)
+    toks = d.select("doc_id", "lang", tokens_ws("text").alias("ts"))
+    bg = toks.select(
+        "doc_id",
+        "lang",
+        F.posexplode(F.slice("ts", 1, F.greatest(F.size("ts") - 1, F.lit(0)))).alias(
+            "i", "w1"
+        ),
+        "ts",
+    ).select("doc_id", "lang", "w1", F.expr("ts[i + 1]").alias("w2"))
+    c2 = bg.groupBy("lang", "w1", "w2").agg(F.count("*").alias("n2"))
+    ctx = c2.groupBy("lang", "w1").agg(
+        F.count("*").alias("f1"), F.sum("n2").alias("c1")
+    )
+    pred = c2.groupBy("lang", "w2").agg(F.count("*").alias("p2"))
+    cc = c2.groupBy("lang").agg(
+        F.sum(F.when(F.col("n2") == 1, 1).otherwise(0)).alias("n1cc"),
+        F.sum(F.when(F.col("n2") == 2, 1).otherwise(0)).alias("n2cc"),
+        F.count("*").alias("tt"),
+    )
+    disc = F.when(
+        F.col("n1cc") + 2 * F.col("n2cc") > 0,
+        F.col("n1cc")
+        * 1.0
+        / F.greatest(F.col("n1cc") + 2 * F.col("n2cc"), F.lit(1)),
+    ).otherwise(0.5)
+    prob = (
+        F.greatest(F.col("n2") - disc, F.lit(0.0))
+        + disc * F.col("f1") * F.col("p2") / F.col("tt")
+    ) / F.col("c1")
+    scored = (
+        bg.join(c2, ["lang", "w1", "w2"])
+        .join(ctx, ["lang", "w1"])
+        .join(pred, ["lang", "w2"])
+        .join(F.broadcast(cc), ["lang"])
+        .select("doc_id", "lang", (-F.log(prob)).alias("nll"))
+    )
+    per_doc = scored.groupBy("doc_id", "lang").agg(
+        F.round(F.avg("nll"), 4).alias("nll")
+    )
+    w = Window.partitionBy("lang").orderBy("nll", "doc_id")
+    bucketed = per_doc.select("lang", "nll", F.ntile(3).over(w).alias("t"))
+    return (
+        bucketed.groupBy("lang", "t")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("nll"), 4).alias("avg_nll"),
+            F.round(F.min("nll"), 4).alias("min_nll"),
+            F.round(F.max("nll"), 4).alias("max_nll"),
+        )
+        .select(
+            "lang",
+            F.when(F.col("t") == 1, "head")
+            .when(F.col("t") == 2, "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+            "n_docs",
+            "avg_nll",
+            "min_nll",
+            "max_nll",
+        )
+        .orderBy("lang", "t")
+    )
