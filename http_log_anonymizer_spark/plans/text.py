@@ -547,9 +547,12 @@ def doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: two count aggregations (bigram, unigram) + two
     equi-joins back onto the bigram stream — all shuffles are on token
-    keys with map-side partial counts; nothing is ever per-pair. At
-    100 TB the count tables are vocabulary-sized, candidates for
-    broadcast. ln() is evaluated per distinct bigram join row and both
+    keys with map-side partial counts; nothing is ever per-pair. The
+    bigram TYPE table grows with the corpus (not the vocabulary), so
+    its join carries a merge hint: the static planner must not choose
+    broadcast off a post-agg size estimate (measured OOM at sf10 for
+    the trigram family), while AQE demotes back to broadcast from the
+    ACTUAL shuffle size when the table really is small. ln() is evaluated per distinct bigram join row and both
     engines average the same values (round(4) after avg, the float
     discipline used across the registry)."""
     d = load_table(spark, sf_dir, "documents")
@@ -563,11 +566,13 @@ def doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "w1", F.expr("ts[i + 1]").alias("w2"))
     c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("n2"))
     c1 = bg.groupBy("w1").agg(F.count("*").alias("n1"))
-    scored = (
-        bg.join(c2, ["w1", "w2"])
-        .join(c1, ["w1"])
-        .select("doc_id", (-F.log(F.col("n2") * 1.0 / F.col("n1"))).alias("nll"))
+    # score types, not tokens (see kn_doc_perplexity): the model join
+    # runs over the bigram-type table; the token stream crosses once
+    model = (
+        c2.join(c1.hint("merge"), ["w1"])
+        .select("w1", "w2", (-F.log(F.col("n2") * 1.0 / F.col("n1"))).alias("nll"))
     )
+    scored = bg.join(model.hint("merge"), ["w1", "w2"]).select("doc_id", "nll")
     return (
         scored.groupBy("doc_id")
         .agg(F.count("*").alias("n_bigrams"), F.round(F.avg("nll"), 4).alias("avg_nll"))
@@ -757,10 +762,18 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "w1", F.expr("ts[i + 1]").alias("w2"))
     c2 = bg.groupBy("lang", "w1", "w2").agg(F.count("*").alias("n2"))
     c1 = bg.groupBy("lang", "w1").agg(F.count("*").alias("n1"))
-    scored = (
-        bg.join(c2, ["lang", "w1", "w2"])
-        .join(c1, ["lang", "w1"])
-        .select("doc_id", "lang", (-F.log(F.col("n2") * 1.0 / F.col("n1"))).alias("nll"))
+    # score types, not tokens (see kn_doc_perplexity)
+    model = (
+        c2.join(c1.hint("merge"), ["lang", "w1"])
+        .select(
+            "lang",
+            "w1",
+            "w2",
+            (-F.log(F.col("n2") * 1.0 / F.col("n1"))).alias("nll"),
+        )
+    )
+    scored = bg.join(model.hint("merge"), ["lang", "w1", "w2"]).select(
+        "doc_id", "lang", "nll"
     )
     per_doc = scored.groupBy("doc_id", "lang").agg(
         F.round(F.avg("nll"), 4).alias("nll")
@@ -1362,9 +1375,11 @@ def kn_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregations (bigram types, contexts) + one distinct-predecessor
     aggregation, all with map-side partial counts; the counts-of-counts
     reduce to ONE 3-long row (crossJoin-broadcast, never a driver
-    collect); the scoring joins key on token ids and the count tables
-    are vocabulary-sized (broadcast candidates at 100 TB). Nothing is
-    per-pair; no Python anywhere in the plan."""
+    collect); the scoring joins key on token ids. The
+    bigram TYPE table grows with the corpus, so its join is
+    merge-hinted (see doc_perplexity) — AQE picks broadcast back up
+    from actual sizes when warranted. Nothing is per-pair; no Python
+    anywhere in the plan."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", tokens_ws("text").alias("ts"))
     bg = toks.select(
@@ -1400,13 +1415,17 @@ def kn_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest(F.col("n2") - disc, F.lit(0.0))
         + disc * F.col("f1") * F.col("p2") / F.col("tt")
     ) / F.col("c1")
-    scored = (
-        bg.join(c2, ["w1", "w2"])
-        .join(ctx, ["w1"])
-        .join(pred, ["w2"])
+    # Score TYPES, not tokens: the model joins run over the bigram-type
+    # table (corpus-sublinear), and the token stream crosses ONE join
+    # that carries the finished nll — at sf100 the stream is 260M+ rows
+    # and routing it through every model join OOM'd an 8g heap.
+    model = (
+        c2.join(ctx.hint("merge"), ["w1"])
+        .join(pred.hint("merge"), ["w2"])
         .crossJoin(F.broadcast(cc))
-        .select("doc_id", (-F.log(prob)).alias("nll"))
+        .select("w1", "w2", (-F.log(prob)).alias("nll"))
     )
+    scored = bg.join(model.hint("merge"), ["w1", "w2"]).select("doc_id", "nll")
     return (
         scored.groupBy("doc_id")
         .agg(F.count("*").alias("n_bigrams"), F.round(F.avg("nll"), 4).alias("avg_nll"))
@@ -1553,11 +1572,19 @@ def mkn_trigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: three count aggregations (trigram types, bigram-
     continuation types, unigram-continuation types) + per-context
     aggregations, all keyed on tokens with map-side partial counts;
-    counts-of-counts collapse to ONE row per level. The scoring join
-    fans the trigram stream against vocabulary-sized side tables
-    (broadcast candidates at 100 TB); nothing is per-pair and no
-    Python appears anywhere in the plan."""
-    d = load_table(spark, sf_dir, "documents")
+    counts-of-counts collapse to ONE row per level. The trigram-type
+    and continuation-type tables grow with the corpus (2.7M trigram
+    types at sf10, measured — a static-planner broadcast OOM'd there),
+    so those two joins are merge-hinted and AQE re-promotes them to
+    broadcast only from actual runtime sizes; the per-context and
+    unigram tables stay vocabulary-bounded. Nothing is per-pair and
+    no Python appears anywhere in the plan."""
+    # byte-bounded fan-out: each task's map-side partial aggregate over
+    # (w1, w2, w3) holds only the trigram types of ~256 KB of documents
+    # (~100k types, tens of MB) — without it a 22 GB corpus put multi-
+    # million-entry partial maps in 32 concurrent tasks and OOM'd the
+    # default 8g heap at the scan+aggregate stage (measured, sf100)
+    d = load_table(spark, sf_dir, "documents", spread=True, bytes_per_task=256 * 1024)
     toks = d.select("doc_id", tokens_ws("text").alias("ts")).filter(
         F.size("ts") >= 3
     )
@@ -1647,15 +1674,23 @@ def mkn_trigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p3") * 1.0 / F.col("tt")
     )
     prob = (F.col("n3c") - dd3) / F.col("c12") + gamma12 * p2
-    scored = (
-        bg3.join(c3, ["w1", "w2", "w3"])
-        .join(ctx12, ["w1", "w2"])
-        .join(cb, ["w2", "w3"])
-        .join(ctx2, ["w2"])
-        .join(cu, ["w3"])
+    # Score TYPES, not tokens: all five model joins run over the
+    # trigram-TYPE table (corpus-sublinear — 2.7M types vs 26M stream
+    # rows at sf10), and the token stream crosses ONE merge join that
+    # carries the finished nll. Routing the 260M-row sf100 stream
+    # through the five-join chain OOM'd an 8g heap; this shape ran it
+    # in one shuffle per side.
+    model = (
+        c3.join(ctx12.hint("merge"), ["w1", "w2"])
+        .join(cb.hint("merge"), ["w2", "w3"])
+        .join(ctx2.hint("merge"), ["w2"])
+        .join(cu.hint("merge"), ["w3"])
         .crossJoin(F.broadcast(d3))
         .crossJoin(F.broadcast(d2))
-        .select("doc_id", (-F.log(prob)).alias("nll"))
+        .select("w1", "w2", "w3", (-F.log(prob)).alias("nll"))
+    )
+    scored = bg3.join(model.hint("merge"), ["w1", "w2", "w3"]).select(
+        "doc_id", "nll"
     )
     return (
         scored.groupBy("doc_id")
@@ -1774,12 +1809,16 @@ def ccnet_kn_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest(F.col("n2") - disc, F.lit(0.0))
         + disc * F.col("f1") * F.col("p2") / F.col("tt")
     ) / F.col("c1")
-    scored = (
-        bg.join(c2, ["lang", "w1", "w2"])
-        .join(ctx, ["lang", "w1"])
-        .join(pred, ["lang", "w2"])
+    # score types, not tokens (see kn_doc_perplexity): model joins run
+    # over the per-language type table; the token stream crosses once
+    model = (
+        c2.join(ctx.hint("merge"), ["lang", "w1"])
+        .join(pred.hint("merge"), ["lang", "w2"])
         .join(F.broadcast(cc), ["lang"])
-        .select("doc_id", "lang", (-F.log(prob)).alias("nll"))
+        .select("lang", "w1", "w2", (-F.log(prob)).alias("nll"))
+    )
+    scored = bg.join(model.hint("merge"), ["lang", "w1", "w2"]).select(
+        "doc_id", "lang", "nll"
     )
     per_doc = scored.groupBy("doc_id", "lang").agg(
         F.round(F.avg("nll"), 4).alias("nll")
