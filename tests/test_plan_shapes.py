@@ -261,3 +261,29 @@ def test_round4_queries_stay_jvm_side(spark):
     ):
         plan = _plan(spark, name)
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, name
+
+
+def test_perplexity_type_tables_never_static_broadcast(spark):
+    """n-gram TYPE tables grow with the corpus (2.7M trigram types at
+    sf10, ~27M at sf100 — a static-planner broadcast OOM'd there), so
+    the perplexity family's type-table joins carry merge hints and the
+    STATIC plan must contain no BroadcastHashJoin at the big-series
+    scale. AQE may re-promote at runtime from actual sizes — that is
+    the intended degrade path — but the initial plan is what a 100 TB
+    run commits to before any stage has run. Planned (not executed)
+    against the sf100 dir when present, else sf10, else the hint
+    presence alone is asserted at the oracle SF."""
+    import os
+
+    for d in ("/root/repo/.benchdata/sf100", "/root/repo/.benchdata/sf10"):
+        if os.path.exists(os.path.join(d, "_DONE")):
+            for name in ("doc_perplexity", "kn_doc_perplexity",
+                         "mkn_trigram_perplexity"):
+                df = REGISTRY[name].spark_fn(spark, d)
+                plan = df._jdf.queryExecution().executedPlan().toString()
+                assert "BroadcastHashJoin" not in plan, (name, d)
+                assert "SortMergeJoin" in plan, (name, d)
+            return
+    # no big series on disk: the merge hints must still be in the plans
+    plan = _plan(spark, "mkn_trigram_perplexity")
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
