@@ -44,6 +44,7 @@ _WINDOW = [
     "ann_ivf_opq_topk",  # new this round
     "mkn_trigram_perplexity",  # new this round
     "ccnet_kn_buckets",  # new this round
+    "ann_ivf_sqrt_pq_recall_report",  # new this round
     # --- flagship parity anchors ---
     "http_totals",
     "llm_corpus_report",
@@ -77,7 +78,6 @@ _WINDOW = [
     "bpe_learn_merges",
     "dedup_clusters_star",
     "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
     "distinct_users_approx",
     "doc_chunking",
     "dsir_importance_weights",

@@ -2064,7 +2064,11 @@ def ann_ivf_sqrt_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id")
 
 
-def _sqrt_pq_oracle() -> str:
+def _sqrt_pq_ctes() -> str:
+    """unit .. pranked: the full IndexIVFPQ replay (coarse training,
+    residuals, 8 codebook trainings, encode, decode, sqrt probe, ADC
+    rank) — shared by the topk oracle and the registered recall
+    report."""
     from http_log_anonymizer_spark.operators.kmeans import kmeans_lloyd_sql
 
     sub_trains = []
@@ -2101,8 +2105,7 @@ def _sqrt_pq_oracle() -> str:
         for m in range(_PQ_M)
     )
     cat = " || ".join(f"t{m}.c" for m in range(_PQ_M))
-    return f"""
-WITH {UNIT_CTE_SQL},
+    return f"""{UNIT_CTE_SQL},
 {_sqrt_km_ctes()},
 resid AS MATERIALIZED (
   SELECT e.vec_id, a.cluster,
@@ -2138,7 +2141,12 @@ pranked AS (
   SELECT *, row_number() OVER (
     PARTITION BY query_id ORDER BY adc DESC, neighbor_id
   ) AS rank FROM pscored
-)
+)"""
+
+
+def _sqrt_pq_oracle() -> str:
+    return f"""
+WITH {_sqrt_pq_ctes()}
 SELECT query_id, neighbor_id, adc, rank FROM pranked WHERE rank <= {_TOPK}
 ORDER BY query_id, rank
 """
@@ -2249,3 +2257,79 @@ def ann_ivf_sqrt_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     probed = ivf_probe_cells(q, centroids, _sqrt_nprobe(k))
     out = ivf_scan_topk(u, probed, _TOPK)
     return out.withColumnRenamed("cos", "adc")
+
+
+@register(
+    "ann_ivf_sqrt_pq_recall_report",
+    oracle=f"""
+WITH {_sqrt_pq_ctes()},
+stop AS (
+  SELECT query_id, neighbor_id FROM pranked WHERE rank <= {_TOPK}
+),
+bscored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         round({dot_sql('q.qe', 'c.ue', _DIM)}, 4) AS cos
+  FROM q JOIN unit c ON c.vec_id <> q.query_id
+),
+btop AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+    ) AS rank FROM bscored
+  ) WHERE rank <= {_TOPK}
+),
+hits AS (
+  SELECT b.query_id, count(s.neighbor_id) AS n_hits
+  FROM btop b LEFT JOIN stop s
+    ON s.query_id = b.query_id AND s.neighbor_id = b.neighbor_id
+  GROUP BY b.query_id
+)
+SELECT query_id,
+       {_TOPK} AS k,
+       CAST(n_hits AS BIGINT) AS n_hits,
+       round(n_hits * 1.0 / {_TOPK}, 4) AS recall
+FROM hits
+ORDER BY query_id
+""",
+)
+def ann_ivf_sqrt_pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@{_TOPK} of the IndexIVFPQ composition
+    (ann_ivf_sqrt_pq_topk) against exact unit-cosine brute force, as a
+    REGISTERED artifact — the same pattern as
+    ann_ivf_sqrt_recall_report, so the compressed tier's accuracy
+    ladder (SCALE.md: 0.170 / 0.155 / 0.238 at n=20k / 200k / 2M) is
+    the kind of number the driver hash-checks. The oracle replays the
+    ENTIRE index build (coarse training, residuals, 8 codebook
+    trainings, encode, decode, probe, ADC rank) AND the brute ground
+    truth AND the overlap count in one statement.
+
+    Scale shape: brute side on operators/topk.py partial top-k
+    (corpus streams once, shared query cache); PQ side is the tier's
+    own kernels; the comparison joins two queries x k row sets."""
+    from http_log_anonymizer_spark.operators.topk import brute_topk
+
+    u = _unit_table(spark, sf_dir, cache=False)
+    q = u.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("ue").alias("qe")
+    )
+    btop = brute_topk(u, q, k=_TOPK, cache_key=f"annq|{sf_dir}").select(
+        "query_id", "neighbor_id"
+    )
+    stop = ann_ivf_sqrt_pq_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = (
+        btop.alias("b")
+        .join(
+            stop.alias("s"),
+            (F.col("s.query_id") == F.col("b.query_id"))
+            & (F.col("s.neighbor_id") == F.col("b.neighbor_id")),
+            "left",
+        )
+        .groupBy(F.col("b.query_id").alias("query_id"))
+        .agg(F.count(F.col("s.neighbor_id")).alias("n_hits"))
+    )
+    return hits.select(
+        "query_id",
+        F.lit(_TOPK).alias("k"),
+        F.col("n_hits").cast("long").alias("n_hits"),
+        F.round(F.col("n_hits") * 1.0 / _TOPK, 4).alias("recall"),
+    ).orderBy("query_id")
