@@ -194,6 +194,11 @@ def main() -> None:
                 spark.catalog.clearCache()
                 names = [
                     "http_totals",
+                    "kn_doc_perplexity",
+                    # mkn_trigram_perplexity runs at sf100 but needs
+                    # SPARK_DRIVER_MEMORY=16g in this single shared JVM
+                    # (G1 humongous parquet pages; SCALE.md) — excluded
+                    # from the default-heap opt-in series.
                     "unigram_lm_vocab",
                     "dedup_simhash_wide",
                     "dedup_simhash_xwide",
