@@ -45,6 +45,7 @@ _WINDOW = [
     "mkn_trigram_perplexity",  # new this round
     "ccnet_kn_buckets",  # new this round
     "ann_ivf_sqrt_pq_recall_report",  # new this round
+    "ann_matryoshka_recall_report",  # new this round
     # --- flagship parity anchors ---
     "http_totals",
     "llm_corpus_report",
@@ -82,7 +83,6 @@ _WINDOW = [
     "doc_chunking",
     "dsir_importance_weights",
     "event_funnel",
-    "frequent_resources_sketch",
     "kmv_cohort_overlap",
     "pack_sequences",
 ]

@@ -2333,3 +2333,146 @@ def ann_ivf_sqrt_pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("n_hits").cast("long").alias("n_hits"),
         F.round(F.col("n_hits") * 1.0 / _TOPK, 4).alias("recall"),
     ).orderBy("query_id")
+
+
+# Matryoshka / dimension-truncation recall ladder (Kusupati et al.,
+# NeurIPS 2022): how much exact-search recall survives when only the
+# FIRST d' dims of the embedding are used. The cheap-prefilter question
+# every 100 TB ANN deployment asks: scan 4x less vector payload, rerank
+# the survivors at full width.
+_MRL_DIMS = (16, 32)
+
+
+def _mrl_trunc_ctes(dp: int) -> str:
+    return f"""t{dp} AS (
+  SELECT vec_id, embedding[1:{dp}] AS te FROM embeddings
+),
+_tn{dp} AS (
+  SELECT vec_id, te,
+         sqrt(list_sum(list_transform(te,
+           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM t{dp}
+),
+tu{dp} AS (
+  SELECT vec_id,
+         list_transform(te, x -> CAST(x AS DOUBLE) / nrm) AS ue
+  FROM _tn{dp}
+),
+tq{dp} AS (
+  SELECT vec_id AS query_id, ue AS qe FROM tu{dp} WHERE vec_id % 100 = 0
+),
+tscored{dp} AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         round({dot_sql('q.qe', 'c.ue', dp)}, 4) AS cos
+  FROM tq{dp} q JOIN tu{dp} c ON c.vec_id <> q.query_id
+),
+ttop{dp} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+    ) AS rank FROM tscored{dp}
+  ) WHERE rank <= {_TOPK}
+),
+hits{dp} AS (
+  SELECT b.query_id, count(s.neighbor_id) AS n_hits
+  FROM btop b LEFT JOIN ttop{dp} s
+    ON s.query_id = b.query_id AND s.neighbor_id = b.neighbor_id
+  GROUP BY b.query_id
+)"""
+
+
+@register(
+    "ann_matryoshka_recall_report",
+    oracle=f"""
+WITH {UNIT_CTE_SQL},
+q AS (
+  SELECT vec_id AS query_id, ue AS qe FROM unit WHERE vec_id % 100 = 0
+),
+bscored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         round({dot_sql('q.qe', 'c.ue', _DIM)}, 4) AS cos
+  FROM q JOIN unit c ON c.vec_id <> q.query_id
+),
+btop AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+    ) AS rank FROM bscored
+  ) WHERE rank <= {_TOPK}
+),
+{",".join(_mrl_trunc_ctes(dp) for dp in _MRL_DIMS)}
+{" UNION ALL ".join(
+    f'''SELECT {dp} AS trunc_dim, query_id, {_TOPK} AS k,
+       CAST(n_hits AS BIGINT) AS n_hits,
+       round(n_hits * 1.0 / {_TOPK}, 4) AS recall
+FROM hits{dp}''' for dp in _MRL_DIMS)}
+ORDER BY trunc_dim, query_id
+""",
+)
+def ann_matryoshka_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style DIMENSION-TRUNCATION recall ladder (Kusupati et
+    al., NeurIPS 2022 — MRL; also the two-stage "PCA-prefix prefilter"
+    folklore): per-query recall@{_TOPK} of EXACT cosine search over
+    only the first d' in {_MRL_DIMS} dims against the full-{_DIM}-dim
+    exact ground truth. This is the measurement behind the cheapest
+    100 TB ANN accelerator there is — scan a d'/{_DIM} prefix of the
+    vector payload (4x/2x less IO and FLOPs), then rerank survivors at
+    full width; the report quantifies exactly what that prefilter
+    costs in recall on THIS corpus, and the driver hash-checks it.
+
+    Both rankings are deterministic (rounded-cos + id tie-breaks);
+    truncated vectors are re-normalized over their own d' dims in both
+    engines (slice -> norm -> unit, the two-projection pattern).
+
+    Scale shape: three brute passes (full, 32-d, 16-d) on
+    operators/topk.py — partial top-k per partition, corpus streams
+    once per pass and the truncated passes stream d'/{_DIM} of the
+    bytes; the overlap joins are queries x k rows. Exact baselines
+    are quadratic BY DESIGN (this is a ground-truth artifact, like
+    ann_brute_topk)."""
+    from http_log_anonymizer_spark.operators.topk import brute_topk
+
+    u = _unit_table(spark, sf_dir, cache=False)
+    q = u.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("ue").alias("qe")
+    )
+    btop = brute_topk(u, q, k=_TOPK, cache_key=f"annq|{sf_dir}").select(
+        "query_id", "neighbor_id"
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    reports = []
+    for dp in _MRL_DIMS:
+        t = e.select("vec_id", F.slice("embedding", 1, dp).alias("te"))
+        tn = t.select("vec_id", "te", norm_column("te").alias("nrm"))
+        tu = tn.select("vec_id", unit_from("te", "nrm").alias("ue"))
+        tq = tu.filter(F.col("vec_id") % 100 == 0).select(
+            F.col("vec_id").alias("query_id"), F.col("ue").alias("qe")
+        )
+        ttop = brute_topk(
+            tu, tq, k=_TOPK, cache_key=f"annq{dp}|{sf_dir}"
+        ).select("query_id", "neighbor_id")
+        hits = (
+            btop.alias("b")
+            .join(
+                ttop.alias("s"),
+                (F.col("s.query_id") == F.col("b.query_id"))
+                & (F.col("s.neighbor_id") == F.col("b.neighbor_id")),
+                "left",
+            )
+            .groupBy(F.col("b.query_id").alias("query_id"))
+            .agg(F.count(F.col("s.neighbor_id")).alias("n_hits"))
+        )
+        reports.append(
+            hits.select(
+                F.lit(dp).alias("trunc_dim"),
+                "query_id",
+                F.lit(_TOPK).alias("k"),
+                F.col("n_hits").cast("long").alias("n_hits"),
+                F.round(F.col("n_hits") * 1.0 / _TOPK, 4).alias("recall"),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("trunc_dim", "query_id")

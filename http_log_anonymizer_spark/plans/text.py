@@ -1389,7 +1389,10 @@ def kn_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "ts",
     ).select("doc_id", "w1", F.expr("ts[i + 1]").alias("w2"))
-    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("n2"))
+    # materialize the type table ONCE: four model aggregates consume it
+    # and Spark's ReuseExchange cannot fire across their differing
+    # re-shuffle keys (measured: 8 scans + 8 explodes without this)
+    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("n2")).localCheckpoint()
     ctx = c2.groupBy("w1").agg(
         F.count("*").alias("f1"), F.sum("n2").alias("c1")
     )
@@ -1598,7 +1601,10 @@ def mkn_trigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("ts[i + 1]").alias("w2"),
         F.expr("ts[i + 2]").alias("w3"),
     )
-    c3 = bg3.groupBy("w1", "w2", "w3").agg(F.count("*").alias("n3c"))
+    # materialized once — five model aggregates + the codes path read it
+    c3 = (
+        bg3.groupBy("w1", "w2", "w3").agg(F.count("*").alias("n3c")).localCheckpoint()
+    )
     ctx12 = c3.groupBy("w1", "w2").agg(
         F.sum("n3c").alias("c12"),
         F.sum(F.when(F.col("n3c") == 1, 1).otherwise(0)).alias("t1"),
@@ -1789,7 +1795,9 @@ def ccnet_kn_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "ts",
     ).select("doc_id", "lang", "w1", F.expr("ts[i + 1]").alias("w2"))
-    c2 = bg.groupBy("lang", "w1", "w2").agg(F.count("*").alias("n2"))
+    c2 = (
+        bg.groupBy("lang", "w1", "w2").agg(F.count("*").alias("n2")).localCheckpoint()
+    )
     ctx = c2.groupBy("lang", "w1").agg(
         F.count("*").alias("f1"), F.sum("n2").alias("c1")
     )
