@@ -1389,10 +1389,12 @@ def kn_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "ts",
     ).select("doc_id", "w1", F.expr("ts[i + 1]").alias("w2"))
-    # materialize the type table ONCE: four model aggregates consume it
-    # and Spark's ReuseExchange cannot fire across their differing
-    # re-shuffle keys (measured: 8 scans + 8 explodes without this)
-    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("n2")).localCheckpoint()
+    # NOT checkpointed: measured at sf100, materializing the ~9M-row
+    # bigram-type table costs more than the 4 consumers' scan+partial-agg
+    # recomputes save (86.8 s -> 102.8 s); the TRIGRAM table in
+    # mkn_trigram_perplexity measured the opposite (373 -> 214 s) and
+    # keeps its localCheckpoint
+    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("n2"))
     ctx = c2.groupBy("w1").agg(
         F.count("*").alias("f1"), F.sum("n2").alias("c1")
     )
@@ -1601,7 +1603,11 @@ def mkn_trigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("ts[i + 1]").alias("w2"),
         F.expr("ts[i + 2]").alias("w3"),
     )
-    # materialized once — five model aggregates + the codes path read it
+    # materialized ONCE (localCheckpoint): five model aggregates read the
+    # trigram-type table and ReuseExchange does not fire across their
+    # differing re-shuffle keys — measured 8 scans + 8 explodes without
+    # this, and sf100 wall 373 -> 214 s with it (the bigram-level queries
+    # measured the OPPOSITE trade and stay un-checkpointed)
     c3 = (
         bg3.groupBy("w1", "w2", "w3").agg(F.count("*").alias("n3c")).localCheckpoint()
     )
@@ -1795,9 +1801,7 @@ def ccnet_kn_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "ts",
     ).select("doc_id", "lang", "w1", F.expr("ts[i + 1]").alias("w2"))
-    c2 = (
-        bg.groupBy("lang", "w1", "w2").agg(F.count("*").alias("n2")).localCheckpoint()
-    )
+    c2 = bg.groupBy("lang", "w1", "w2").agg(F.count("*").alias("n2"))
     ctx = c2.groupBy("lang", "w1").agg(
         F.count("*").alias("f1"), F.sum("n2").alias("c1")
     )
