@@ -872,3 +872,35 @@ def test_kn_perplexity_on_saturated_corpus(spark, tmp_path):
     want = round(sum(-math.log(p_kn(*b)) for b in bs) / len(bs), 4)
     rows = REGISTRY["kn_doc_perplexity"].spark_fn(spark, str(tmp_path)).collect()
     assert all(r.avg_nll == want for r in rows), (want, rows)
+
+
+def test_matryoshka_truncation_lossless_when_tail_dims_are_zero(spark, tmp_path):
+    """Sharp invariant for ann_matryoshka_recall_report: if every
+    embedding's dims 33..64 are zero, the 32-dim truncated search is
+    LOSSLESS (unit-normalizing the prefix preserves all cosines), so
+    recall@5 must be exactly 1.0 for every query at trunc_dim=32 —
+    while the 16-dim tier, which does lose mass, stays <= 1. Catches
+    slicing off-by-ones and renormalization mistakes outright."""
+    import numpy as np
+
+    from http_log_anonymizer_spark.plans import REGISTRY
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for vid in range(0, 400):
+        v = np.zeros(64, dtype=np.float32)
+        v[:32] = rng.normal(size=32).astype(np.float32)
+        rows.append((vid, [float(x) for x in v], int(vid % 7)))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    out = REGISTRY["ann_matryoshka_recall_report"].spark_fn(
+        spark, str(tmp_path)
+    ).collect()
+    by_dim = {}
+    for r in out:
+        by_dim.setdefault(r.trunc_dim, []).append(r.recall)
+    assert all(r == 1.0 for r in by_dim[32]), by_dim[32]
+    assert len(by_dim[32]) == 4  # vec_id % 100 == 0 -> 4 queries
+    assert all(0.0 <= r <= 1.0 for r in by_dim[16])
