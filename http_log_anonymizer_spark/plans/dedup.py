@@ -2096,3 +2096,115 @@ def suffix_selfrep_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Line-level (chunk) dedup — the C4 rule
+# ---------------------------------------------------------------------------
+
+_LINE_L = 10  # tokens per "line" (the synthetic corpus has no newlines)
+
+
+@register(
+    "line_dedup_report",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents
+),
+c AS (
+  SELECT doc_id, source, i AS chunk_idx,
+         least({_LINE_L}, len(toks) - CAST(i AS BIGINT) * {_LINE_L}) AS n_tok,
+         array_to_string(
+           toks[(CAST(i AS BIGINT) * {_LINE_L} + 1):(CAST(i AS BIGINT) * {_LINE_L} + {_LINE_L})],
+           ' '
+         ) AS chunk
+  FROM t, UNNEST(range(CAST(ceil(len(toks) / {_LINE_L}.0) AS BIGINT))) AS u(i)
+),
+occ AS (
+  SELECT source, doc_id, n_tok,
+         {hash64_sql("chunk")} AS h,
+         doc_id * 1000000000 + chunk_idx AS occ_key
+  FROM c
+),
+g AS (
+  SELECT h, count(*) AS cnt, min(occ_key) AS keep_key FROM occ GROUP BY h
+)
+SELECT
+  o.source,
+  count(DISTINCT o.doc_id) AS n_docs,
+  count(*) AS n_chunks,
+  CAST(sum(o.n_tok) AS BIGINT) AS n_tokens,
+  CAST(sum(CASE WHEN g.cnt >= 2 AND o.occ_key <> g.keep_key THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_removed_chunks,
+  CAST(sum(CASE WHEN g.cnt >= 2 AND o.occ_key <> g.keep_key THEN o.n_tok ELSE 0 END)
+       AS BIGINT) AS n_removed_tokens,
+  round(sum(CASE WHEN g.cnt >= 2 AND o.occ_key <> g.keep_key THEN o.n_tok ELSE 0 END)
+        / sum(o.n_tok), 6) AS removed_token_frac
+FROM occ o JOIN g USING (h)
+GROUP BY o.source
+ORDER BY o.source
+""",
+)
+def line_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level dedup, the C4 rule (Raffel et al., JMLR 2020 §2.2:
+    "we discarded all but one of any three-sentence span occurring more
+    than once"): any *line* occurring >= 2 times corpus-wide is removed
+    everywhere except its first occurrence (minimal ``(doc_id,
+    chunk_idx)``). The synthetic corpus has no newlines or sentence
+    marks, so a "line" is a non-overlapping 10-token chunk — same rule,
+    deterministic chunk grain (and deliberately distinct from
+    ``dup_span_report``'s *overlapping* windows, which measure span
+    coverage rather than apply a removal policy).
+
+    Scale shape (100 TB): one explode (chunk stream = tokens/10 rows),
+    one hash groupBy with map-side partial counts (the type table), and
+    one equi-join of occurrences back to their type row. The type table
+    grows with the corpus so it is never broadcast (the mkn lesson); the
+    join is sort-merge with AQE skew-split handling boilerplate lines —
+    the classic hot keys of real web corpora. Nothing is all-pairs and
+    no driver action touches corpus-proportional data.
+
+    Reference parity: the reference pipeline (anonymizer/src/lib.rs)
+    dedups whole records via ReplacingMergeTree; this is the intra-
+    document generalization a curation pipeline needs."""
+    L = _LINE_L
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", "source", tokens_ws("text").alias("toks"))
+    chunks = t.select(
+        "doc_id",
+        "source",
+        F.size("toks").alias("n"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.ceil(F.size("toks") / F.lit(L)).cast("long") - 1),
+                lambda i: F.array_join(F.slice(F.col("toks"), i * L + 1, L), " "),
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    occ = chunks.select(
+        "source",
+        "doc_id",
+        F.least(F.lit(L), F.col("n") - F.col("chunk_idx") * L).alias("n_tok"),
+        hash64("chunk").alias("h"),
+        (F.col("doc_id") * F.lit(1_000_000_000) + F.col("chunk_idx")).alias("occ_key"),
+    )
+    g = occ.groupBy("h").agg(
+        F.count("*").alias("cnt"), F.min("occ_key").alias("keep_key")
+    )
+    removed = (F.col("cnt") >= 2) & (F.col("occ_key") != F.col("keep_key"))
+    return (
+        occ.join(g, "h")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_chunks"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.sum(F.when(removed, 1).otherwise(0)).alias("n_removed_chunks"),
+            F.sum(F.when(removed, F.col("n_tok")).otherwise(0)).alias("n_removed_tokens"),
+        )
+        .withColumn(
+            "removed_token_frac",
+            F.round(F.col("n_removed_tokens") / F.col("n_tokens"), 6),
+        )
+        .orderBy("source")
+    )
