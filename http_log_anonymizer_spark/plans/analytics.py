@@ -3634,3 +3634,127 @@ def hdr_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("quantile")
     )
+
+
+# ---------------------------------------------------------------------------
+# Label propagation communities (Raghavan et al., Phys. Rev. E 2007) —
+# the community-detection companion to pagerank/triangles over the same
+# co-purchase graph. Synchronous rounds with a deterministic
+# (votes DESC, label ASC) argmax make every round exactly replayable,
+# so the oracle unrolls the rounds as CTEs like pagerank_copurchase.
+# ---------------------------------------------------------------------------
+
+_LPA_ROUNDS = 4
+_LPA_MINSUP = 2  # drop weight-1 noise edges (the triangle_counts lesson)
+_LPA_TOP = 25
+
+
+def _lpa_oracle() -> str:
+    parts = [
+        f"""edges AS (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS w
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING count(*) >= {_LPA_MINSUP}
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+inertia AS (SELECT dst AS node, max(w) AS iw FROM edges GROUP BY dst),
+l0 AS (SELECT node, node AS lbl FROM nodes)"""
+    ]
+    for t in range(_LPA_ROUNDS):
+        parts.append(
+            f"""v{t} AS (
+  SELECT node, lbl, CAST(sum(v) AS BIGINT) AS votes FROM (
+    SELECT e.dst AS node, l.lbl AS lbl, e.w AS v
+    FROM edges e JOIN l{t} l ON e.src = l.node
+    UNION ALL
+    SELECT i.node, l.lbl, i.iw AS v
+    FROM inertia i JOIN l{t} l ON i.node = l.node
+  ) GROUP BY node, lbl
+),
+l{t + 1} AS (
+  SELECT node, lbl FROM v{t}
+  QUALIFY row_number() OVER (PARTITION BY node ORDER BY votes DESC, lbl ASC) = 1
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT lbl AS community, count(*) AS n_nodes
+FROM l{_LPA_ROUNDS}
+GROUP BY lbl
+ORDER BY n_nodes DESC, community
+LIMIT {_LPA_TOP}"""
+    )
+
+
+@register("label_propagation_communities", oracle=_lpa_oracle())
+def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_LPA_TOP} communities (by size) from {_LPA_ROUNDS} rounds of
+    synchronous label propagation over the support-thresholded
+    co-purchase graph: every node starts as its own label, and each
+    round adopts the label with the highest incident edge weight among
+    its neighbors PLUS a self-vote for its current label weighted by
+    its strongest incident edge ("inertia"), ties broken by the
+    SMALLEST label — the deterministic variant of Raghavan et al.'s
+    LPA. Plain synchronous LPA two-cycles on symmetric mutual-adoption
+    pairs (the documented GraphFrames failure mode, reproduced in
+    tests/test_graph.py); the inertia self-vote damps exactly that
+    oscillation while still letting a strictly stronger neighborhood
+    flip the node. Asynchronous/random tie-breaks don't replay; this
+    variant hash-verifies end to end.
+
+    Scale shape: the edge table comes from one self-equi-join on
+    l_orderkey, support-thresholded (>= {_LPA_MINSUP}) exactly like
+    triangle_counts — weight-1 noise edges dominate raw co-occurrence
+    graphs and contribute nothing to community structure. Each round is
+    one equi-join of labels onto edge sources (the edge exchange is
+    reused across rounds, the pagerank_copurchase memory lesson — no
+    pinning), one groupBy(dst, lbl) with map-side combine, and a
+    per-node argmax window whose partition size is bounded by the
+    node's distinct-neighbor-label count (<= degree) — never
+    corpus-global. Label state is |V| rows, stays distributed.
+
+    The graph is symmetric (both orientations survive thresholding
+    together), so every node has >= 1 in-edge and the argmax always
+    exists — no dangling-node coalesce needed."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    other = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("dst")
+    )
+    edges = (
+        li.join(other, (li.l_orderkey == other.o2) & (li.l_partkey != other.dst))
+        .groupBy(F.col("l_partkey").alias("src"), "dst")
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= _LPA_MINSUP)
+    )
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    inertia = edges.groupBy(F.col("dst").alias("node")).agg(F.max("w").alias("iw"))
+    labels = nodes.select("node", F.col("node").alias("lbl"))
+    win = Window.partitionBy("node").orderBy(F.desc("votes"), F.asc("lbl"))
+    for _ in range(_LPA_ROUNDS):
+        neighbor_votes = (
+            edges.join(labels.select(F.col("node").alias("src"), "lbl"), "src")
+            .select(F.col("dst").alias("node"), "lbl", F.col("w").alias("v"))
+        )
+        self_votes = inertia.join(labels, "node").select(
+            "node", "lbl", F.col("iw").alias("v")
+        )
+        votes = (
+            neighbor_votes.unionByName(self_votes)
+            .groupBy("node", "lbl")
+            .agg(F.sum("v").alias("votes"))
+        )
+        labels = (
+            votes.withColumn("rn", F.row_number().over(win))
+            .filter(F.col("rn") == 1)
+            .select("node", "lbl")
+        )
+    return (
+        labels.groupBy(F.col("lbl").alias("community"))
+        .agg(F.count("*").alias("n_nodes"))
+        .orderBy(F.desc("n_nodes"), "community")
+        .limit(_LPA_TOP)
+    )

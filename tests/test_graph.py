@@ -148,3 +148,52 @@ def test_personalized_pagerank_properties(spark):
         assert any(r.node == seed for r in rs), f"seed {seed} lost its restart mass"
         assert all(r.rank_scaled > 0 for r in rs)
         assert sum(r.rank_scaled for r in rs) < _PR_SCALE / 0.15
+
+
+def _reference_lpa(baskets, rounds=4, minsup=2):
+    edges: dict[tuple[int, int], int] = {}
+    for parts in baskets:
+        for a in parts:
+            for b in parts:
+                if a != b:
+                    edges[(a, b)] = edges.get((a, b), 0) + 1
+    edges = {k: w for k, w in edges.items() if w >= minsup}
+    nodes = sorted({a for a, _ in edges})
+    inertia = {n: max(w for (a, _b), w in edges.items() if a == n) for n in nodes}
+    lbl = {n: n for n in nodes}
+    for _ in range(rounds):
+        votes: dict[int, dict[int, int]] = {n: {} for n in nodes}
+        for (a, b), w in edges.items():
+            votes[b][lbl[a]] = votes[b].get(lbl[a], 0) + w
+        for n in nodes:  # inertia self-vote for the current label
+            votes[n][lbl[n]] = votes[n].get(lbl[n], 0) + inertia[n]
+        lbl = {
+            n: min(v, key=lambda c: (-v[c], c))
+            for n, v in votes.items()
+        }
+    sizes: dict[int, int] = {}
+    for c in lbl.values():
+        sizes[c] = sizes.get(c, 0) + 1
+    return sizes
+
+
+def test_lpa_matches_python_reference_and_splits_cliques(spark, tmp_path):
+    """Two 3-cliques (repeated baskets so edges clear the support
+    threshold) joined by one support-2 bridge: deterministic LPA must
+    keep them as separate communities, and the operator must match the
+    plain-Python rule exactly."""
+    from http_log_anonymizer_spark.plans import REGISTRY
+
+    baskets = (
+        [[1, 2, 3]] * 3 + [[10, 11, 12]] * 3 + [[3, 10]] * 2 + [[1, 2], [11, 12]]
+    )
+    sf = _write_sf(spark, tmp_path, baskets)
+    got = {
+        r.community: r.n_nodes
+        for r in REGISTRY["label_propagation_communities"].spark_fn(spark, sf).collect()
+    }
+    ref = _reference_lpa(baskets)
+    assert got == ref
+    # the bridge must not merge the cliques
+    assert len(got) >= 2
+    assert sorted(got.values(), reverse=True)[:2] == [3, 3]
