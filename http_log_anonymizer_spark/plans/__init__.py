@@ -46,6 +46,8 @@ _WINDOW = [
     "ccnet_kn_buckets",  # new this round
     "ann_ivf_sqrt_pq_recall_report",  # new this round
     "ann_matryoshka_recall_report",  # new this round
+    "line_dedup_report",  # new this round
+    "label_propagation_communities",  # new this round
     # --- flagship parity anchors ---
     "http_totals",
     "llm_corpus_report",
@@ -83,8 +85,6 @@ _WINDOW = [
     "doc_chunking",
     "dsir_importance_weights",
     "event_funnel",
-    "kmv_cohort_overlap",
-    "pack_sequences",
 ]
 
 

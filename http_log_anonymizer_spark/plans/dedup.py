@@ -2107,6 +2107,7 @@ _LINE_L = 10  # tokens per "line" (the synthetic corpus has no newlines)
 
 @register(
     "line_dedup_report",
+    bench=True,
     oracle=f"""
 WITH t AS (
   SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents
