@@ -1224,3 +1224,116 @@ def wordpiece_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-domain score calibration
+# ---------------------------------------------------------------------------
+
+_QN_GRID = 10_000  # score quantization grid (1e-4 buckets)
+_QN_TOP = 0.8  # select the per-source top 20%
+
+
+@register(
+    "quality_quantile_normalize",
+    oracle=f"""
+WITH t AS (SELECT source, string_split(text, ' ') AS toks FROM documents),
+f AS (SELECT source, {_FEATURES_SQL} FROM t),
+s AS (SELECT source, {_SCORE_SQL} AS score FROM f),
+b AS (
+  SELECT source, CAST(round(score * {_QN_GRID}) AS BIGINT) AS q, count(*) AS cnt
+  FROM s GROUP BY source, q
+),
+c AS (
+  SELECT source, q, cnt,
+         COALESCE(sum(cnt) OVER (
+           PARTITION BY source ORDER BY q
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_lt,
+         sum(cnt) OVER (PARTITION BY source) AS n_src
+  FROM b
+),
+p AS (
+  SELECT source, q, cnt, (cum_lt + 0.5 * cnt) / n_src AS pct FROM c
+)
+SELECT source,
+       CAST(sum(cnt) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN pct >= {_QN_TOP} THEN cnt ELSE 0 END) AS BIGINT)
+         AS n_selected,
+       round(sum(CASE WHEN pct >= {_QN_TOP} THEN cnt ELSE 0 END) * 1.0
+             / sum(cnt), 4) AS sel_rate,
+       round(min(CASE WHEN pct >= {_QN_TOP} THEN q END) / {_QN_GRID}.0, 4)
+         AS raw_threshold,
+       round(sum(CASE WHEN pct >= {_QN_TOP} THEN q * cnt ELSE 0 END)
+             / {_QN_GRID}.0
+             / sum(CASE WHEN pct >= {_QN_TOP} THEN cnt ELSE 0 END), 4)
+         AS mean_selected_score
+FROM p GROUP BY source ORDER BY source
+""",
+)
+def quality_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source QUANTILE NORMALIZATION of the logistic quality score —
+    the cross-domain calibration step between scoring and thresholding:
+    a raw classifier cutoff applied globally lets score-inflated
+    domains crowd out honest ones, so production curation pipelines
+    select the top p% *within each source* instead. Reported per
+    source: the selection count at the top-{_QN_TOP:.0%} percentile,
+    the source-specific RAW threshold that percentile lands on (the
+    number that differs across domains — the point of the operator),
+    and the mean selected score.
+
+    Scale shape: scores quantize to a {_QN_GRID}-bucket integer grid,
+    so the per-source CDF is a window over the per-(source, bucket)
+    COUNT table — partition size is bounded by the grid (<= {_QN_GRID}
+    rows per source), never by corpus size; a percent_rank over raw
+    docs would be a per-source global sort, exactly the single-task
+    window this repo's scale discipline forbids. One scan, one
+    groupBy(source, bucket) with map-side combine, one bounded window,
+    one 20-row final aggregate. The selection report never joins back
+    to the doc stream; a pipeline applying the filter would join docs
+    to the 20-row (source, raw_threshold) table — a broadcast."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("source", tokens_ws("text").alias("toks"))
+    feats = _quality_features(F.col("toks"))
+    scored = t.select("source", _quality_score(feats).alias("score"))
+    b = (
+        scored.select(
+            "source", F.round(F.col("score") * _QN_GRID).cast("long").alias("q")
+        )
+        .groupBy("source", "q")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w_lt = (
+        Window.partitionBy("source")
+        .orderBy("q")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.partitionBy("source")
+    p = b.select(
+        "source",
+        "q",
+        "cnt",
+        (
+            (F.coalesce(F.sum("cnt").over(w_lt), F.lit(0)) + 0.5 * F.col("cnt"))
+            / F.sum("cnt").over(w_all)
+        ).alias("pct"),
+    )
+    sel = F.col("pct") >= _QN_TOP
+    sel_cnt = F.sum(F.when(sel, F.col("cnt")).otherwise(0))
+    return (
+        p.groupBy("source")
+        .agg(
+            F.sum("cnt").alias("n_docs"),
+            sel_cnt.alias("n_selected"),
+            F.round(sel_cnt * 1.0 / F.sum("cnt"), 4).alias("sel_rate"),
+            F.round(
+                F.min(F.when(sel, F.col("q"))) / float(_QN_GRID), 4
+            ).alias("raw_threshold"),
+            F.round(
+                F.sum(F.when(sel, F.col("q") * F.col("cnt")).otherwise(0))
+                / float(_QN_GRID)
+                / sel_cnt,
+                4,
+            ).alias("mean_selected_score"),
+        )
+        .orderBy("source")
+    )
