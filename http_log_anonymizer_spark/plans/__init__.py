@@ -49,6 +49,7 @@ _WINDOW = [
     "line_dedup_report",  # new this round
     "label_propagation_communities",  # new this round
     "quality_quantile_normalize",  # new this round
+    "cdc_dedup_report",  # new this round
     # --- flagship parity anchors ---
     "http_totals",
     "llm_corpus_report",
@@ -84,7 +85,6 @@ _WINDOW = [
     "dedup_minhash_lsh",
     "distinct_users_approx",
     "doc_chunking",
-    "dsir_importance_weights",
 ]
 
 

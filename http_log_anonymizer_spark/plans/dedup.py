@@ -2209,3 +2209,173 @@ def line_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking dedup — the rsync/LBFS trick
+# ---------------------------------------------------------------------------
+
+_CDC_K = 3  # rolling-window width (token shingles)
+_CDC_D = 8  # boundary divisor: expected chunk length ~ D tokens
+
+
+@register(
+    "cdc_dedup_report",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents
+),
+s1 AS (
+  SELECT doc_id, source, toks, len(toks) AS n,
+         {shingles_sql('toks', _CDC_K)} AS sh
+  FROM t
+),
+s2 AS (
+  SELECT doc_id, source, toks, n,
+         list_transform(sh, s -> {hash64_sql('s', 'cdc')}) AS hs
+  FROM s1
+),
+s3 AS (
+  SELECT doc_id, source, toks, n,
+         [CAST(1 AS BIGINT)]
+         || CASE WHEN len(hs) >= 2
+              THEN list_filter(generate_series(CAST(2 AS BIGINT), len(hs)),
+                               p -> hs[p] % {_CDC_D} = 0)
+              ELSE [] END
+         || [CAST(n + 1 AS BIGINT)] AS bounds
+  FROM s2
+),
+c AS (
+  SELECT doc_id, source, i AS chunk_idx,
+         bounds[i + 1] - bounds[i] AS n_tok,
+         array_to_string(toks[bounds[i]:(bounds[i + 1] - 1)], ' ') AS chunk
+  FROM s3, UNNEST(generate_series(CAST(1 AS BIGINT), len(bounds) - 1)) AS u(i)
+),
+occ AS (
+  SELECT source, doc_id, n_tok,
+         {hash64_sql('chunk')} AS h,
+         doc_id * 1000000000 + chunk_idx AS occ_key
+  FROM c
+),
+g AS (
+  SELECT h, count(*) AS cnt, min(occ_key) AS keep_key FROM occ GROUP BY h
+)
+SELECT
+  o.source,
+  count(DISTINCT o.doc_id) AS n_docs,
+  count(*) AS n_chunks,
+  CAST(sum(o.n_tok) AS BIGINT) AS n_tokens,
+  round(sum(o.n_tok) * 1.0 / count(*), 4) AS avg_chunk_len,
+  CAST(sum(CASE WHEN g.cnt >= 2 AND o.occ_key <> g.keep_key THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_removed_chunks,
+  CAST(sum(CASE WHEN g.cnt >= 2 AND o.occ_key <> g.keep_key THEN o.n_tok ELSE 0 END)
+       AS BIGINT) AS n_removed_tokens,
+  round(sum(CASE WHEN g.cnt >= 2 AND o.occ_key <> g.keep_key THEN o.n_tok ELSE 0 END)
+        / sum(o.n_tok), 6) AS removed_token_frac
+FROM occ o JOIN g USING (h)
+GROUP BY o.source
+ORDER BY o.source
+""",
+)
+def cdc_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup (the rsync / LBFS rolling-hash
+    trick, Muthitacharoen et al. SOSP 2001): chunk boundaries fall
+    where the rolling hash of the local {_CDC_K}-token window is
+    0 mod {_CDC_D}, so boundaries are determined by CONTENT, not
+    position — a few inserted tokens shift every fixed-grid line of
+    ``line_dedup_report`` but leave CDC chunks aligned after the next
+    boundary (pinned by the shift-robustness test). Expected chunk
+    length ~{_CDC_D} tokens; no min/max clamp (the deterministic
+    textbook variant — production CDC adds bounds against pathological
+    runs, noted, not needed for the policy semantics). Removal policy
+    is identical to line_dedup_report: any chunk occurring >= 2 times
+    corpus-wide keeps only its first occurrence.
+
+    Scale shape: boundary detection is ARRAY-NATIVE per document (one
+    projection, no shuffle — shingle hashes, filter, slice), then the
+    same explode + hash-groupBy + occurrence-join as
+    line_dedup_report: one shuffle for the chunk-type table, one
+    equi-join back, AQE skew-split for boilerplate chunks. The chunk
+    stream is ~tokens/{_CDC_D} rows."""
+    K, D = _CDC_K, _CDC_D
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", "source", tokens_ws("text").alias("toks"))
+    s1 = t.select(
+        "doc_id", "source", "toks", F.size("toks").alias("n"),
+        shingles("toks", K).alias("sh"),
+    )
+    s2 = s1.select(
+        "doc_id", "source", "toks", "n",
+        F.transform(F.col("sh"), lambda s: hash64(s, "cdc")).alias("hs"),
+    )
+    mid = F.when(
+        F.size("hs") >= 2,
+        F.filter(
+            F.sequence(F.lit(2).cast("long"), F.size("hs").cast("long")),
+            lambda p: F.element_at(F.col("hs"), p.cast("int")) % D == 0,
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    s3 = s2.select(
+        "doc_id", "source", "toks", "n",
+        F.concat(
+            F.array(F.lit(1).cast("long")),
+            mid,
+            F.array((F.col("n") + 1).cast("long")),
+        ).alias("bounds"),
+    )
+    chunks = s3.select(
+        "doc_id",
+        "source",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("bounds") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("bounds"), i).alias("start"),
+                    (
+                        F.element_at(F.col("bounds"), i + 1)
+                        - F.element_at(F.col("bounds"), i)
+                    ).alias("ln"),
+                ),
+            )
+        ).alias("idx0", "ch"),
+        F.col("toks"),
+    ).select(
+        "doc_id",
+        "source",
+        (F.col("idx0") + 1).alias("chunk_idx"),
+        F.col("ch.ln").alias("n_tok"),
+        F.array_join(
+            F.slice(F.col("toks"), F.col("ch.start").cast("int"), F.col("ch.ln").cast("int")),
+            " ",
+        ).alias("chunk"),
+    )
+    occ = chunks.select(
+        "source",
+        "doc_id",
+        "n_tok",
+        hash64("chunk").alias("h"),
+        (F.col("doc_id") * F.lit(1_000_000_000) + F.col("chunk_idx")).alias("occ_key"),
+    )
+    g = occ.groupBy("h").agg(
+        F.count("*").alias("cnt"), F.min("occ_key").alias("keep_key")
+    )
+    removed = (F.col("cnt") >= 2) & (F.col("occ_key") != F.col("keep_key"))
+    return (
+        occ.join(g, "h")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_chunks"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.round(F.sum("n_tok") * 1.0 / F.count("*"), 4).alias("avg_chunk_len"),
+            F.sum(F.when(removed, 1).otherwise(0)).alias("n_removed_chunks"),
+            F.sum(F.when(removed, F.col("n_tok")).otherwise(0)).alias(
+                "n_removed_tokens"
+            ),
+        )
+        .withColumn(
+            "removed_token_frac",
+            F.round(F.col("n_removed_tokens") / F.col("n_tokens"), 6),
+        )
+        .orderBy("source")
+    )
