@@ -50,6 +50,7 @@ _WINDOW = [
     "label_propagation_communities",  # new this round
     "quality_quantile_normalize",  # new this round
     "cdc_dedup_report",  # new this round
+    "bitext_margin_mining",  # new this round
     # --- flagship parity anchors ---
     "http_totals",
     "llm_corpus_report",
@@ -84,7 +85,6 @@ _WINDOW = [
     "dedup_clusters_star",
     "dedup_minhash_lsh",
     "distinct_users_approx",
-    "doc_chunking",
 ]
 
 

@@ -2476,3 +2476,161 @@ def ann_matryoshka_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in reports[1:]:
         out = out.unionByName(r)
     return out.orderBy("trunc_dim", "query_id")
+
+
+# ---------------------------------------------------------------------------
+# Bitext margin mining (Artetxe & Schwenk, ACL 2019) — cross-lingual
+# parallel-pair mining, the data-sourcing step of every multilingual
+# translation/embedding corpus (CCMatrix, NLLB). A raw cosine threshold
+# over-selects from dense "hub" regions; the margin criterion divides
+# each candidate cosine by the average of BOTH endpoints' k-NN cosines,
+# so only pairs that stand out from their local neighborhoods survive.
+# ---------------------------------------------------------------------------
+
+_BM_K = 4  # neighborhood size for the margin normalizer
+_BM_TOP = 50  # mined pairs reported
+_BM_PIVOT = "en"  # target side; every other lang is a source
+
+
+def _bitext_oracle() -> str:
+    ci = f"CAST(round({dot_sql('x.xe', 'y.ye', _DIM)} * 10000) AS BIGINT)"
+    return f"""
+WITH {UNIT_CTE_SQL},
+l AS (SELECT doc_id, lang FROM documents),
+x AS (
+  SELECT u.vec_id AS xid, u.ue AS xe, l.lang AS x_lang
+  FROM unit u JOIN l ON u.vec_id = l.doc_id WHERE l.lang <> '{_BM_PIVOT}'
+),
+y AS (
+  SELECT u.vec_id AS yid, u.ue AS ye
+  FROM unit u JOIN l ON u.vec_id = l.doc_id WHERE l.lang = '{_BM_PIVOT}'
+),
+sx AS (
+  SELECT x.xid, y.yid, {ci} AS ci,
+         row_number() OVER (
+           PARTITION BY x.xid ORDER BY {ci} DESC, y.yid
+         ) AS rnk
+  FROM x JOIN y ON true
+),
+knn_x AS (SELECT xid, yid, ci FROM sx WHERE rnk <= {_BM_K}),
+sy AS (
+  SELECT y.yid, x.xid, {ci} AS ci,
+         row_number() OVER (
+           PARTITION BY y.yid ORDER BY {ci} DESC, x.xid
+         ) AS rnk
+  FROM y JOIN x ON true
+),
+knn_y AS (SELECT yid, xid, ci FROM sy WHERE rnk <= {_BM_K}),
+ax AS (SELECT xid, CAST(sum(ci) AS BIGINT) AS sum_x, count(*) AS kx FROM knn_x GROUP BY xid),
+ay AS (SELECT yid, CAST(sum(ci) AS BIGINT) AS sum_y, count(*) AS ky FROM knn_y GROUP BY yid),
+pairs AS (
+  SELECT p.xid, p.yid, p.ci,
+         round(CAST(p.ci * 2 * a.kx * b.ky
+                    - (a.sum_x * b.ky + b.sum_y * a.kx) AS DOUBLE)
+               / (2 * a.kx * b.ky) / 10000.0, 6) AS margin
+  FROM knn_x p JOIN ax a ON p.xid = a.xid JOIN ay b ON p.yid = b.yid
+),
+best AS (
+  SELECT xid, yid, ci, margin,
+         row_number() OVER (
+           PARTITION BY xid ORDER BY margin DESC, yid
+         ) AS rn
+  FROM pairs
+)
+SELECT b.xid AS x_id, x.x_lang AS x_lang, b.yid AS y_id,
+       b.ci / 10000.0 AS cos, b.margin AS margin
+FROM best b JOIN x ON b.xid = x.xid
+WHERE b.rn = 1
+ORDER BY b.margin DESC, b.xid
+LIMIT {_BM_TOP}
+"""
+
+
+@register("bitext_margin_mining", oracle=_bitext_oracle())
+def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_BM_TOP} mined cross-lingual pairs by the RATIO-margin
+    criterion (Artetxe & Schwenk, ACL 2019 eq. 3): for each non-'{_BM_PIVOT}'
+    document x, its best '{_BM_PIVOT}' candidate y scored by the
+    DISTANCE margin (their eq. "distance"):
+
+        margin(x, y) = cos(x, y) - 0.5 * (avg_k cos(x, NN_Y(x))
+                                          + avg_k cos(y, NN_X(y)))
+
+    with k = {_BM_K}. The paper's RATIO variant divides instead of
+    subtracting; on near-orthogonal neighborhoods the denominator
+    approaches zero and noise pairs blow up to absurd margins —
+    reproduced in tests/test_bitext.py on random vectors, which is why
+    production miners pair the ratio with absolute-cosine floors. The
+    distance form needs no guard. All margin arithmetic runs on
+    1e4-scaled INTEGER
+    cosines (sum-order-independent, so partial aggregation can't
+    perturb a bit) and the final ratio is one exact-integer division —
+    the same determinization as pagerank/kmeans — making the full mine
+    hash-replayable.
+
+    Scale shape: both k-NN passes run through operators/topk.py
+    (executor-side query shards, fold-order-exact numpy scoring,
+    partial top-k per partition — never a corpus-wide rank window).
+    This registered tier is the EXACT x*y mine — the ground-truth
+    shape, like ann_brute_topk; a 100 TB mine swaps the two k-NN
+    inputs for the sqrt-IVF tier's output (any (query, neighbor, cos)
+    table drops in — the margin join is k-bounded either way:
+    |X|*{_BM_K} candidate rows, two integer aggregates, one broadcast-
+    sized join back)."""
+    from http_log_anonymizer_spark.operators.topk import brute_topk
+
+    langs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    u = _unit_table(spark, sf_dir, cache=False)
+    ul = u.join(langs, u.vec_id == langs.doc_id).select("vec_id", "lang", "ue")
+    xu = ul.filter(F.col("lang") != _BM_PIVOT)
+    yu = ul.filter(F.col("lang") == _BM_PIVOT).select("vec_id", "ue")
+    xq = xu.select(F.col("vec_id").alias("query_id"), F.col("ue").alias("qe"))
+    yq = yu.select(F.col("vec_id").alias("query_id"), F.col("ue").alias("qe"))
+
+    knn_x = brute_topk(
+        yu, xq, k=_BM_K, cache_key=f"bitextx|{sf_dir}"
+    ).select(
+        F.col("query_id").alias("xid"),
+        F.col("neighbor_id").alias("yid"),
+        F.round(F.col("cos") * 10000).cast("long").alias("ci"),
+    )
+    knn_y = brute_topk(
+        xu.select("vec_id", "ue"), yq, k=_BM_K, cache_key=f"bitexty|{sf_dir}"
+    ).select(
+        F.col("query_id").alias("yid"),
+        F.round(F.col("cos") * 10000).cast("long").alias("ci"),
+    )
+    ax = knn_x.groupBy("xid").agg(
+        F.sum("ci").alias("sum_x"), F.count("*").alias("kx")
+    )
+    ay = knn_y.groupBy("yid").agg(
+        F.sum("ci").alias("sum_y"), F.count("*").alias("ky")
+    )
+    kxy2 = 2 * F.col("kx") * F.col("ky")
+    num = F.col("ci") * kxy2 - (
+        F.col("sum_x") * F.col("ky") + F.col("sum_y") * F.col("kx")
+    )
+    pairs = (
+        knn_x.join(ax, "xid")
+        .join(ay, "yid")
+        .select(
+            "xid",
+            "yid",
+            "ci",
+            F.round(num.cast("double") / kxy2 / 10000.0, 6).alias("margin"),
+        )
+    )
+    w = Window.partitionBy("xid").orderBy(F.desc("margin"), "yid")
+    best = pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        best.join(xu.select(F.col("vec_id").alias("xid"), "lang"), "xid")
+        .select(
+            F.col("xid").alias("x_id"),
+            F.col("lang").alias("x_lang"),
+            F.col("yid").alias("y_id"),
+            (F.col("ci") / 10000.0).alias("cos"),
+            "margin",
+        )
+        .orderBy(F.desc("margin"), "x_id")
+        .limit(_BM_TOP)
+    )
