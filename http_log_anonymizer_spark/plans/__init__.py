@@ -51,6 +51,7 @@ _WINDOW = [
     "quality_quantile_normalize",  # new this round
     "cdc_dedup_report",  # new this round
     "bitext_margin_mining",  # new this round
+    "dedup_lsh_recall_report",  # new this round
     # --- flagship parity anchors ---
     "http_totals",
     "llm_corpus_report",
@@ -84,7 +85,6 @@ _WINDOW = [
     "bpe_learn_merges",
     "dedup_clusters_star",
     "dedup_minhash_lsh",
-    "distinct_users_approx",
 ]
 
 

@@ -2379,3 +2379,115 @@ def cdc_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH candidate-recall audit — the dedup twin of the ANN recall reports
+# ---------------------------------------------------------------------------
+
+
+def _lsh_recall_oracle() -> str:
+    sig_cols = ", ".join(
+        f"min({_remix_sql('h', i)}) AS mh{i}" for i in range(_N_HASHES)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, mh{2 * b} AS k1, mh{2 * b + 1} AS k2 FROM sig"
+        for b in range(_N_HASHES // _BAND_R)
+    )
+    return f"""
+WITH {_HASHED_EDGES_SQL},
+sig AS (SELECT doc_id, {sig_cols} FROM e GROUP BY doc_id),
+bands AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.k1 = b.k1 AND a.k2 = b.k2
+   AND a.doc_id < b.doc_id
+),
+sz AS (SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id),
+inter AS (
+  SELECT ea.doc_id AS da, eb.doc_id AS db, count(*) AS i
+  FROM e ea JOIN e eb ON ea.h = eb.h AND ea.doc_id < eb.doc_id
+  GROUP BY ea.doc_id, eb.doc_id
+),
+truth AS (
+  SELECT i.da, i.db
+  FROM inter i JOIN sz sa ON sa.doc_id = i.da JOIN sz sb ON sb.doc_id = i.db
+  WHERE i.i * 1.0 / (sa.n + sb.n - i.i) >= {_JACCARD_THRESHOLD}
+),
+hit AS (SELECT t.da, t.db FROM truth t JOIN cand c ON t.da = c.da AND t.db = c.db)
+SELECT
+  (SELECT count(*) FROM truth) AS n_true_pairs,
+  (SELECT count(*) FROM cand) AS n_candidates,
+  (SELECT count(*) FROM hit) AS n_hit,
+  round((SELECT count(*) FROM hit) * 1.0
+        / greatest((SELECT count(*) FROM truth), 1), 6) AS recall,
+  round((SELECT count(*) FROM hit) * 1.0
+        / greatest((SELECT count(*) FROM cand), 1), 6) AS candidate_precision
+"""
+
+
+@register("dedup_lsh_recall_report", oracle=_lsh_recall_oracle())
+def dedup_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered accuracy artifact for the MinHash-LSH candidate
+    generator (the ann_*_recall_report pattern applied to dedup): exact
+    all-pairs Jaccard >= {_JACCARD_THRESHOLD} is the ground truth, the
+    banded signature join is the system under audit, and the report is
+    (n_true_pairs, n_candidates, n_hit, recall, candidate_precision) —
+    so the LSH tier's accuracy claim is driver-hash-verified every
+    round instead of living in a local test aside. Theory check the
+    numbers should track: with {_N_HASHES // _BAND_R} bands of
+    r={_BAND_R}, P(candidate | j) = 1 - (1 - j^{_BAND_R})^{_N_HASHES // _BAND_R}
+    (0.68 at j = 0.5, ~1.0 at j >= 0.8 — near-identical synthetic
+    twins sit in the high-j regime, so recall should be ~1).
+
+    Scale shape: the ground-truth all-pairs intersection join is the
+    AUDIT's cost, not the pipeline's — exactly like ann_brute_topk it
+    exists at gate/sample scale to measure the production tier
+    (signatures + band join), which stays candidate-bounded. At 100 TB
+    the audit runs on a sampled stratum; the audited construction is
+    unchanged."""
+    sh = _hashed_shingle_arrays(spark, sf_dir)
+    sig = minhash_signatures(sh)
+    bands = band_index(sig)
+    cand = band_candidates(bands, bands)
+
+    edges = sh.select("doc_id", F.explode("sh").alias("h"))
+    sz = edges.groupBy("doc_id").agg(F.count("*").alias("n"))
+    ea = edges.select(F.col("doc_id").alias("da"), "h")
+    eb = edges.select(F.col("doc_id").alias("db"), "h")
+    inter = (
+        ea.join(eb, ["h"])
+        .filter(F.col("da") < F.col("db"))
+        .groupBy("da", "db")
+        .agg(F.count("*").alias("i"))
+    )
+    truth = (
+        inter.join(sz.select(F.col("doc_id").alias("da"), F.col("n").alias("na")), "da")
+        .join(sz.select(F.col("doc_id").alias("db"), F.col("n").alias("nb")), "db")
+        .filter(
+            F.col("i") * 1.0 / (F.col("na") + F.col("nb") - F.col("i"))
+            >= _JACCARD_THRESHOLD
+        )
+        .select("da", "db")
+    )
+    hit = truth.join(cand, ["da", "db"])
+
+    n_true = truth.agg(F.count("*").alias("n_true_pairs"))
+    n_cand = cand.agg(F.count("*").alias("n_candidates"))
+    n_hit = hit.agg(F.count("*").alias("n_hit"))
+    return (
+        n_true.crossJoin(n_cand)
+        .crossJoin(n_hit)
+        .select(
+            "n_true_pairs",
+            "n_candidates",
+            "n_hit",
+            F.round(
+                F.col("n_hit") * 1.0 / F.greatest(F.col("n_true_pairs"), F.lit(1)), 6
+            ).alias("recall"),
+            F.round(
+                F.col("n_hit") * 1.0 / F.greatest(F.col("n_candidates"), F.lit(1)), 6
+            ).alias("candidate_precision"),
+        )
+    )
