@@ -52,6 +52,7 @@ _WINDOW = [
     "cdc_dedup_report",  # new this round
     "bitext_margin_mining",  # new this round
     "dedup_lsh_recall_report",  # new this round
+    "kcore_peeling_report",  # new this round
     # --- flagship parity anchors ---
     "http_totals",
     "llm_corpus_report",
@@ -83,7 +84,6 @@ _WINDOW = [
     # --- next-stalest (r03) fill, family-diverse ---
     "bm25_retrieval",
     "bpe_learn_merges",
-    "dedup_clusters_star",
     "dedup_minhash_lsh",
 ]
 

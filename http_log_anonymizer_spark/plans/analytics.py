@@ -3758,3 +3758,106 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
         .orderBy(F.desc("n_nodes"), "community")
         .limit(_LPA_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# k-core peeling (Seidman 1983; Batagelj-Zaversnik) — dense-subgraph
+# extraction over the co-purchase graph. Synchronous peeling rounds are
+# deterministic integer logic, so the oracle unrolls them as CTEs.
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 4
+_KCORE_MINSUP = 2  # same noise-edge threshold as LPA/triangles
+
+
+def _kcore_oracle() -> str:
+    parts = [
+        f"""edges AS (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING count(*) >= {_KCORE_MINSUP}
+),
+a0 AS (SELECT DISTINCT src AS node FROM edges)"""
+    ]
+    for t in range(_KCORE_ROUNDS):
+        parts.append(
+            f"""e{t} AS (
+  SELECT e.src, e.dst FROM edges e
+  JOIN a{t} x ON e.src = x.node JOIN a{t} y ON e.dst = y.node
+),
+d{t} AS (SELECT dst AS node, count(*) AS deg FROM e{t} GROUP BY dst),
+a{t + 1} AS (SELECT node FROM d{t} WHERE deg >= {_KCORE_K})"""
+        )
+    rows = " UNION ALL ".join(
+        f"""SELECT {t + 1} AS round,
+       (SELECT count(*) FROM a{t + 1}) AS n_nodes,
+       (SELECT count(*) FROM edges e
+        JOIN a{t + 1} x ON e.src = x.node
+        JOIN a{t + 1} y ON e.dst = y.node) // 2 AS n_edges"""
+        for t in range(_KCORE_ROUNDS)
+    )
+    return "WITH " + ",\n".join(parts) + f"\n{rows}\nORDER BY round"
+
+
+@register("kcore_peeling_report", oracle=_kcore_oracle())
+def kcore_peeling_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-round survivor counts of synchronous {_KCORE_K}-core peeling
+    over the support-thresholded co-purchase graph: each round drops
+    every node whose degree among CURRENT survivors is < {_KCORE_K}.
+    The survivor sets DECREASE monotonically toward the true
+    {_KCORE_K}-core (the Batagelj-Zaversnik fixpoint); like the
+    fixed-round PageRank, the registered contract is a FIXED
+    {_KCORE_ROUNDS} rounds — an exactly replayable upper bound on the
+    core, with the per-round deltas in the report showing how far
+    convergence has proceeded. Dense-subgraph
+    extraction is the spam/boilerplate-cluster screen of
+    web-graph curation pipelines.
+
+    Scale shape: each round is two semi-join-shaped equi-joins of the
+    edge table against the survivor set (the edge exchange is reused
+    across rounds — the pagerank lesson) and one groupBy(dst) degree
+    count with map-side combine. Survivor state is |V| rows,
+    distributed; per-round output is one aggregated row. Symmetric
+    edges mean the directed count halves to undirected n_edges
+    exactly."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    other = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("dst")
+    )
+    edges = (
+        li.join(other, (li.l_orderkey == other.o2) & (li.l_partkey != other.dst))
+        .groupBy(F.col("l_partkey").alias("src"), "dst")
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= _KCORE_MINSUP)
+        .select("src", "dst")
+    )
+    alive = edges.select(F.col("src").alias("node")).distinct()
+    rounds = []
+    for t in range(_KCORE_ROUNDS):
+        ex = edges.join(
+            alive.select(F.col("node").alias("src")), "src"
+        ).join(alive.select(F.col("node").alias("dst")), "dst")
+        deg = ex.groupBy("dst").agg(F.count("*").alias("deg"))
+        alive = (
+            deg.filter(F.col("deg") >= _KCORE_K)
+            .select(F.col("dst").alias("node"))
+        )
+        surviving_edges = edges.join(
+            alive.select(F.col("node").alias("src")), "src"
+        ).join(alive.select(F.col("node").alias("dst")), "dst")
+        rounds.append(
+            alive.agg(F.count("*").alias("n_nodes"))
+            .crossJoin(
+                surviving_edges.agg(
+                    F.expr("count(*) DIV 2").alias("n_edges")
+                )
+            )
+            .select(F.lit(t + 1).alias("round"), "n_nodes", "n_edges")
+        )
+    out = rounds[0]
+    for r in rounds[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("round")

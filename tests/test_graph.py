@@ -197,3 +197,43 @@ def test_lpa_matches_python_reference_and_splits_cliques(spark, tmp_path):
     # the bridge must not merge the cliques
     assert len(got) >= 2
     assert sorted(got.values(), reverse=True)[:2] == [3, 3]
+
+
+def _reference_kcore(baskets, k=3, rounds=4, minsup=2):
+    edges: dict[tuple[int, int], int] = {}
+    for parts in baskets:
+        for a in parts:
+            for b in parts:
+                if a != b:
+                    edges[(a, b)] = edges.get((a, b), 0) + 1
+    e = {p for p, w in edges.items() if w >= minsup}
+    alive = {a for a, _ in e}
+    out = []
+    for t in range(rounds):
+        deg: dict[int, int] = {}
+        for a, b in e:
+            if a in alive and b in alive:
+                deg[b] = deg.get(b, 0) + 1
+        alive = {n for n, d in deg.items() if d >= k}
+        n_edges = sum(1 for a, b in e if a in alive and b in alive) // 2
+        out.append((t + 1, len(alive), n_edges))
+    return out
+
+
+def test_kcore_keeps_clique_drops_path(spark, tmp_path):
+    """A 4-clique survives 3-core peeling; a path (max degree 2) is
+    fully peeled in round 1; and the operator matches the plain-Python
+    peel exactly, round by round."""
+    from http_log_anonymizer_spark.plans import REGISTRY
+
+    clique = [[1, 2, 3, 4]] * 2          # every pair at support 2
+    path = [[10, 11], [11, 12], [12, 13]] * 2
+    baskets = clique + path
+    sf = _write_sf(spark, tmp_path, baskets)
+    got = [
+        (r.round, r.n_nodes, r.n_edges)
+        for r in REGISTRY["kcore_peeling_report"].spark_fn(spark, sf).collect()
+    ]
+    assert got == _reference_kcore(baskets)
+    # the clique is the terminal core: 4 nodes, 6 undirected edges
+    assert got[-1] == (4, 4, 6)
