@@ -53,6 +53,7 @@ _WINDOW = [
     "bitext_margin_mining",  # new this round
     "dedup_lsh_recall_report",  # new this round
     "kcore_peeling_report",  # new this round
+    "ann_srht_recall_report",  # new this round
     # --- flagship parity anchors ---
     "http_totals",
     "llm_corpus_report",
@@ -83,7 +84,6 @@ _WINDOW = [
     "train_val_test_split",
     # --- next-stalest (r03) fill, family-diverse ---
     "bm25_retrieval",
-    "bpe_learn_merges",
     "dedup_minhash_lsh",
 ]
 

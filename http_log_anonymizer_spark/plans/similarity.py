@@ -2343,9 +2343,9 @@ def ann_ivf_sqrt_pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame
 _MRL_DIMS = (16, 32)
 
 
-def _mrl_trunc_ctes(dp: int) -> str:
+def _mrl_trunc_ctes(dp: int, src: str = "embeddings") -> str:
     return f"""t{dp} AS (
-  SELECT vec_id, embedding[1:{dp}] AS te FROM embeddings
+  SELECT vec_id, embedding[1:{dp}] AS te FROM {src}
 ),
 _tn{dp} AS (
   SELECT vec_id, te,
@@ -2634,3 +2634,116 @@ def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("margin"), "x_id")
         .limit(_BM_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# SRHT / FJLT recall ladder (Ailon & Chazelle, STOC 2006): rotate with
+# the integer-exact sign-flip + Walsh-Hadamard transform, THEN truncate.
+# The rotation spreads every vector's energy evenly across coordinates,
+# so a d'-dim prefix of the ROTATED vector is a proper
+# Johnson-Lindenstrauss sketch that needs no training — the untrained
+# counterpart of the Matryoshka prefix (which relies on the embedding
+# having been TRAINED with prefix importance) and of the PCA projection
+# (which must be fit). Same ladder dims and ground truth as
+# ann_matryoshka_recall_report so the two reports compare row for row.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ann_srht_recall_report",
+    oracle=f"""
+WITH {_opq_rot_cte()} {UNIT_CTE_SQL},
+q AS (
+  SELECT vec_id AS query_id, ue AS qe FROM unit WHERE vec_id % 100 = 0
+),
+bscored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         round({dot_sql('q.qe', 'c.ue', _DIM)}, 4) AS cos
+  FROM q JOIN unit c ON c.vec_id <> q.query_id
+),
+btop AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+    ) AS rank FROM bscored
+  ) WHERE rank <= {_TOPK}
+),
+{",".join(_mrl_trunc_ctes(dp, src="rotemb") for dp in _MRL_DIMS)}
+{" UNION ALL ".join(
+    f'''SELECT {dp} AS trunc_dim, query_id, {_TOPK} AS k,
+       CAST(n_hits AS BIGINT) AS n_hits,
+       round(n_hits * 1.0 / {_TOPK}, 4) AS recall
+FROM hits{dp}''' for dp in _MRL_DIMS)}
+ORDER BY trunc_dim, query_id
+""",
+)
+def ann_srht_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRHT recall ladder: per-query recall@{_TOPK} of exact cosine
+    search over the first d' in {_MRL_DIMS} dims of the ROTATED
+    embedding (seeded sign flips + 64-point Walsh-Hadamard — the
+    ann_ivf_opq_topk rotation, integer-exact in both engines) against
+    the full-{_DIM}-dim exact ground truth.
+
+    Why rotate before truncating: a raw prefix keeps whatever energy
+    the first coordinates happen to carry (the Matryoshka report's
+    bet — valid only for MRL-trained embeddings); the Hadamard
+    rotation equidistributes energy, making the prefix a
+    Johnson-Lindenstrauss sketch with distortion guarantees that hold
+    for ANY embedding, no training required (Ailon-Chazelle FJLT).
+    Comparing this report against ann_matryoshka_recall_report row for
+    row measures which regime the corpus is in.
+
+    Scale shape: identical to the Matryoshka report (three brute
+    passes via operators/topk.py, queries x k overlap joins) plus one
+    map-only rotation projection; the rotation is O(d^2) per vector
+    here (64x64 — trivial) and O(d log d) with the butterfly at
+    production dims. Ground truth runs on the UNROTATED corpus — the
+    rotation is an isometry, so full-dim rankings agree and the
+    cheaper scan wins."""
+    from http_log_anonymizer_spark.operators.topk import brute_topk
+
+    u = _unit_table(spark, sf_dir, cache=False)
+    q = u.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("ue").alias("qe")
+    )
+    btop = brute_topk(u, q, k=_TOPK, cache_key=f"annq|{sf_dir}").select(
+        "query_id", "neighbor_id"
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    rot = _opq_rotate(e)
+    reports = []
+    for dp in _MRL_DIMS:
+        t = rot.select("vec_id", F.slice("embedding", 1, dp).alias("te"))
+        tn = t.select("vec_id", "te", norm_column("te").alias("nrm"))
+        tu = tn.select("vec_id", unit_from("te", "nrm").alias("ue"))
+        tq = tu.filter(F.col("vec_id") % 100 == 0).select(
+            F.col("vec_id").alias("query_id"), F.col("ue").alias("qe")
+        )
+        ttop = brute_topk(
+            tu, tq, k=_TOPK, cache_key=f"srht{dp}|{sf_dir}"
+        ).select("query_id", "neighbor_id")
+        hits = (
+            btop.alias("b")
+            .join(
+                ttop.alias("s"),
+                (F.col("s.query_id") == F.col("b.query_id"))
+                & (F.col("s.neighbor_id") == F.col("b.neighbor_id")),
+                "left",
+            )
+            .groupBy(F.col("b.query_id").alias("query_id"))
+            .agg(F.count(F.col("s.neighbor_id")).alias("n_hits"))
+        )
+        reports.append(
+            hits.select(
+                F.lit(dp).alias("trunc_dim"),
+                "query_id",
+                F.lit(_TOPK).alias("k"),
+                F.col("n_hits").cast("long").alias("n_hits"),
+                F.round(F.col("n_hits") * 1.0 / _TOPK, 4).alias("recall"),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("trunc_dim", "query_id")
