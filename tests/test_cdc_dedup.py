@@ -72,3 +72,46 @@ def test_short_docs_form_one_chunk(spark, tmp_path):
     assert row.n_tokens == 5
     # doc 2 is an exact duplicate chunk of doc 1 -> removed
     assert row.n_removed_chunks == 1 and row.n_removed_tokens == 2
+
+
+def test_chunking_matches_python_reference_on_random_corpus(spark, tmp_path):
+    """Randomized (fixed seed) agreement with a plain-Python CDC
+    reference — an independent third implementation of the boundary
+    rule. n_tokens equality proves the chunks PARTITION every document
+    (nothing dropped, nothing double-counted); n_chunks equality proves
+    boundary-for-boundary agreement."""
+    import hashlib
+
+    rng = random.Random(123)
+    docs = []
+    for i in range(200):
+        n = rng.choice([0, 1, 2, 3, 5, 8, 15, 40, 80])
+        docs.append(
+            (i, " ".join(f"t{rng.randrange(50)}" for _ in range(n)), "s")
+        )
+
+    def _h64(s: str) -> int:
+        return int(hashlib.md5(f"cdc|{s}".encode()).hexdigest()[:15], 16)
+
+    exp_chunks = exp_tokens = 0
+    for _i, text, _s in docs:
+        toks = text.split(" ")  # '' -> [''] like both engines
+        n = len(toks)
+        k = 3
+        hs = (
+            [_h64(" ".join(toks[p - 1 : p - 1 + k])) for p in range(1, n - k + 2)]
+            if n >= k
+            else []
+        )
+        bounds = (
+            [1]
+            + [p for p in range(2, len(hs) + 1) if hs[p - 1] % 8 == 0]
+            + [n + 1]
+        )
+        exp_chunks += len(bounds) - 1
+        exp_tokens += n
+
+    sf = _corpus(spark, tmp_path, docs)
+    row = REGISTRY["cdc_dedup_report"].spark_fn(spark, sf).collect()[0]
+    assert row.n_chunks == exp_chunks
+    assert row.n_tokens == exp_tokens
