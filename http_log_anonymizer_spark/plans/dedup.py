@@ -2105,6 +2105,34 @@ def suffix_selfrep_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LINE_L = 10  # tokens per "line" (the synthetic corpus has no newlines)
 
 
+def line_chunk_table(d: DataFrame) -> DataFrame:
+    """(doc_id, source?, chunk_idx, n_tok, chunk): the fixed-grid line
+    chunking of a (doc_id, text, ...) document table — non-overlapping
+    {_LINE_L}-token chunks, array-native until the one explode. Shared
+    by ``line_dedup_report`` and the streaming chunk-dedup sink
+    (streaming/chunk_dedup.py) so batch and stream chunk identically."""
+    L = _LINE_L
+    extra = [c for c in ("source",) if c in d.columns]
+    t = d.select("doc_id", *extra, tokens_ws("text").alias("toks"))
+    return t.select(
+        "doc_id",
+        *extra,
+        F.size("toks").alias("n"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.ceil(F.size("toks") / F.lit(L)).cast("long") - 1),
+                lambda i: F.array_join(F.slice(F.col("toks"), i * L + 1, L), " "),
+            )
+        ).alias("chunk_idx", "chunk"),
+    ).select(
+        "doc_id",
+        *extra,
+        "chunk_idx",
+        F.least(F.lit(L), F.col("n") - F.col("chunk_idx") * L).alias("n_tok"),
+        "chunk",
+    )
+
+
 @register(
     "line_dedup_report",
     bench=True,
@@ -2168,24 +2196,11 @@ def line_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity: the reference pipeline (anonymizer/src/lib.rs)
     dedups whole records via ReplacingMergeTree; this is the intra-
     document generalization a curation pipeline needs."""
-    L = _LINE_L
-    d = load_table(spark, sf_dir, "documents")
-    t = d.select("doc_id", "source", tokens_ws("text").alias("toks"))
-    chunks = t.select(
-        "doc_id",
-        "source",
-        F.size("toks").alias("n"),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.ceil(F.size("toks") / F.lit(L)).cast("long") - 1),
-                lambda i: F.array_join(F.slice(F.col("toks"), i * L + 1, L), " "),
-            )
-        ).alias("chunk_idx", "chunk"),
-    )
+    chunks = line_chunk_table(load_table(spark, sf_dir, "documents"))
     occ = chunks.select(
         "source",
         "doc_id",
-        F.least(F.lit(L), F.col("n") - F.col("chunk_idx") * L).alias("n_tok"),
+        "n_tok",
         hash64("chunk").alias("h"),
         (F.col("doc_id") * F.lit(1_000_000_000) + F.col("chunk_idx")).alias("occ_key"),
     )
