@@ -287,3 +287,25 @@ def test_perplexity_type_tables_never_static_broadcast(spark):
     # no big series on disk: the merge hints must still be in the plans
     plan = _plan(spark, "mkn_trigram_perplexity")
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_chunk_type_tables_never_static_broadcast(spark):
+    """Chunk-TYPE tables (line/CDC dedup) grow with the corpus exactly
+    like the perplexity family's n-gram type tables, so the
+    occurrence<->type join must not be a static-planner broadcast at
+    big-series scale (AQE may re-promote at runtime from actual sizes —
+    the intended degrade path). Planned (not executed) against the
+    biggest series on disk; at the oracle SF only the join's existence
+    is asserted."""
+    import os
+
+    for d in ("/root/repo/.benchdata/sf100", "/root/repo/.benchdata/sf10"):
+        if os.path.exists(os.path.join(d, "_DONE")):
+            for name in ("line_dedup_report", "cdc_dedup_report"):
+                df = REGISTRY[name].spark_fn(spark, d)
+                plan = df._jdf.queryExecution().executedPlan().toString()
+                assert "BroadcastHashJoin" not in plan, (name, d)
+                assert "SortMergeJoin" in plan, (name, d)
+            return
+    plan = _plan(spark, "line_dedup_report")
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
