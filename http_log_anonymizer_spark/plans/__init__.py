@@ -54,6 +54,7 @@ _WINDOW = [
     "dedup_lsh_recall_report",  # new this round
     "kcore_peeling_report",  # new this round
     "ann_srht_recall_report",  # new this round
+    "tokenizer_fertility_report",  # new this round
     # --- flagship parity anchors ---
     "http_totals",
     "llm_corpus_report",
@@ -83,7 +84,6 @@ _WINDOW = [
     "time_features",
     "train_val_test_split",
     # --- next-stalest (r03) fill, family-diverse ---
-    "bm25_retrieval",
     "dedup_minhash_lsh",
 ]
 

@@ -1337,3 +1337,93 @@ def quality_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-family tokenizer comparison
+# ---------------------------------------------------------------------------
+
+
+def _fertility_oracle() -> str:
+    from http_log_anonymizer_spark.plans.registry import REGISTRY as _R
+
+    bpe = _R["bpe_encode_stats"].oracle
+    uni = _R["unigram_encode_stats"].oracle
+    wp = _R["wordpiece_encode_stats"].oracle
+    return f"""
+SELECT * FROM (
+  SELECT 'bpe' AS tokenizer, lang, n_tokens,
+         n_subwords AS n_pieces, subwords_per_token AS pieces_per_token
+  FROM ({bpe}) b
+  UNION ALL
+  SELECT 'unigram' AS tokenizer, lang, n_tokens, n_pieces, pieces_per_token
+  FROM ({uni}) u
+  UNION ALL
+  SELECT 'wordpiece' AS tokenizer, lang, n_tokens, n_pieces, pieces_per_token
+  FROM ({wp}) w
+) ORDER BY tokenizer, lang
+"""
+
+
+@register("tokenizer_fertility_report", oracle=_fertility_oracle())
+def tokenizer_fertility_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Side-by-side FERTILITY (pieces per whitespace token) of all
+    three trained subword families — BPE (frequency-argmax merges),
+    Unigram-LM (Viterbi under the EM-trained vocabulary), WordPiece
+    (greedy longest-match) — on the same corpus, per language. This is
+    the table a curation team actually consults when picking a
+    tokenizer: fertility drives context-window economics and
+    per-token training cost (a 10% fertility gap is a 10% compute
+    gap at fixed token budget).
+
+    Pure composition: each family's full train+apply pipeline is the
+    ALREADY-REGISTERED query (bpe_encode_stats / unigram_encode_stats /
+    wordpiece_encode_stats), re-projected to the common (tokenizer,
+    lang, n_tokens, n_pieces, pieces_per_token) schema and unioned; the
+    oracle likewise wraps the three existing oracle statements as
+    subqueries — train-and-apply replayed three times in one
+    statement. Costs the sum of its parts, shares their scale shapes
+    (vocabulary-bound trainings, map-side encodes).
+
+    Measured note: unigram and wordpiece rows COINCIDE on this corpus —
+    both encode with the unigram-trained vocabulary, and on its
+    unambiguous segmentations greedy longest-match picks exactly the
+    Viterbi path; the families separate on corpora with ambiguous
+    merges (and BPE's fixed merge budget explains its higher
+    fertility)."""
+    from http_log_anonymizer_spark.plans.registry import REGISTRY as _R
+
+    b = (
+        _R["bpe_encode_stats"]
+        .spark_fn(spark, sf_dir)
+        .select(
+            F.lit("bpe").alias("tokenizer"),
+            "lang",
+            "n_tokens",
+            F.col("n_subwords").alias("n_pieces"),
+            F.col("subwords_per_token").alias("pieces_per_token"),
+        )
+    )
+    u = (
+        _R["unigram_encode_stats"]
+        .spark_fn(spark, sf_dir)
+        .select(
+            F.lit("unigram").alias("tokenizer"),
+            "lang",
+            "n_tokens",
+            "n_pieces",
+            "pieces_per_token",
+        )
+    )
+    w = (
+        _R["wordpiece_encode_stats"]
+        .spark_fn(spark, sf_dir)
+        .select(
+            F.lit("wordpiece").alias("tokenizer"),
+            "lang",
+            "n_tokens",
+            "n_pieces",
+            "pieces_per_token",
+        )
+    )
+    return b.unionByName(u).unionByName(w).orderBy("tokenizer", "lang")
