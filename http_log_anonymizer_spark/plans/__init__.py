@@ -55,6 +55,7 @@ _WINDOW = [
     "kcore_peeling_report",  # new this round
     "ann_srht_recall_report",  # new this round
     "tokenizer_fertility_report",  # new this round
+    "vocab_growth_report",  # new this round
     # --- flagship parity anchors ---
     "http_totals",
     "llm_corpus_report",
@@ -83,8 +84,6 @@ _WINDOW = [
     "tfidf_top_terms",
     "time_features",
     "train_val_test_split",
-    # --- next-stalest (r03) fill, family-diverse ---
-    "dedup_minhash_lsh",
 ]
 
 

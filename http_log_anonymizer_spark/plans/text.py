@@ -1858,3 +1858,102 @@ def ccnet_kn_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "t")
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary growth (Heaps' law) — exact, integer-only
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "vocab_growth_report",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+first_seen AS (
+  SELECT tok, min(doc_id) AS fd FROM t GROUP BY tok
+),
+tok_counts AS (
+  SELECT doc_id, count(*) AS n_tok FROM t GROUP BY doc_id
+),
+buckets AS (
+  SELECT CAST(ceil(log2(fd + 2)) AS BIGINT) AS b, count(*) AS new_types
+  FROM first_seen GROUP BY 1
+),
+tok_buckets AS (
+  SELECT CAST(ceil(log2(doc_id + 2)) AS BIGINT) AS b,
+         CAST(sum(n_tok) AS BIGINT) AS n_tokens
+  FROM tok_counts GROUP BY 1
+),
+grid AS (
+  SELECT DISTINCT b FROM (SELECT b FROM buckets UNION ALL SELECT b FROM tok_buckets)
+),
+cum_tok AS (
+  SELECT g.b, CAST(sum(tb.n_tokens) AS BIGINT) AS n_tokens
+  FROM grid g LEFT JOIN tok_buckets tb ON tb.b <= g.b GROUP BY g.b
+),
+cum_typ AS (
+  SELECT g.b, CAST(sum(bu.new_types) AS BIGINT) AS n_types
+  FROM grid g LEFT JOIN buckets bu ON bu.b <= g.b GROUP BY g.b
+)
+SELECT t.b AS prefix_pow, t.n_tokens, y.n_types
+FROM cum_tok t JOIN cum_typ y ON t.b = y.b
+ORDER BY prefix_pow
+""",
+)
+def vocab_growth_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth measured EXACTLY: for each
+    power-of-two prefix of the corpus (docs with ``doc_id < ~2^b``),
+    the cumulative token count and the cumulative number of DISTINCT
+    token types first seen inside it. The V(n) ~ K * n^beta curve this
+    table traces is what sizes tokenizer vocabularies, embedding
+    hash-trick widths, and the perplexity family's type tables (the
+    mkn sf100 lesson: type-table growth, not doc growth, set the
+    memory wall) — and the synthetic corpus's early saturation is
+    visible as the flat n_types tail.
+
+    All integer aggregates (no logs on data values — the log2 only
+    buckets doc_ids), so the whole curve hash-verifies. Scale shape:
+    one explode, one groupBy(token).min(doc_id) with map-side combine
+    (the type table — grows with the corpus, shuffles once), one
+    <= 64-bucket histogram, and a <= 64 x 64 triangular join for the
+    running sums — never a corpus-proportional window."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.explode(tokens_ws("text")).alias("tok"))
+    first_seen = t.groupBy("tok").agg(F.min("doc_id").alias("fd"))
+    tok_counts = t.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
+    bucket = lambda c: F.ceil(F.log2(F.col(c) + 2)).cast("long")  # noqa: E731
+    buckets = (
+        first_seen.select(bucket("fd").alias("b"))
+        .groupBy("b")
+        .agg(F.count("*").alias("new_types"))
+    )
+    tok_buckets = (
+        tok_counts.select(bucket("doc_id").alias("b"), "n_tok")
+        .groupBy("b")
+        .agg(F.sum("n_tok").alias("n_tokens"))
+    )
+    grid = (
+        buckets.select("b")
+        .unionByName(tok_buckets.select("b"))
+        .distinct()
+        .select(F.col("b").alias("gb"))
+    )
+    return (
+        grid.join(tok_buckets, F.col("b") <= F.col("gb"), "left")
+        .groupBy("gb")
+        .agg(F.sum("n_tokens").alias("n_tokens"))
+        .join(
+            grid.join(buckets, F.col("b") <= F.col("gb"), "left")
+            .groupBy(F.col("gb").alias("gb2"))
+            .agg(F.sum("new_types").alias("n_types")),
+            F.col("gb") == F.col("gb2"),
+        )
+        .select(
+            F.col("gb").alias("prefix_pow"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n_types").cast("long").alias("n_types"),
+        )
+        .orderBy("prefix_pow")
+    )
