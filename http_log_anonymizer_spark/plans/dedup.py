@@ -2234,6 +2234,67 @@ _CDC_K = 3  # rolling-window width (token shingles)
 _CDC_D = 8  # boundary divisor: expected chunk length ~ D tokens
 
 
+def cdc_chunk_table(d: DataFrame) -> DataFrame:
+    """(doc_id, source?, chunk_idx, n_tok, chunk): content-defined
+    chunking of a (doc_id, text, ...) document table — boundaries where
+    the {_CDC_K}-token rolling hash is 0 mod {_CDC_D}, array-native
+    until the one explode. Shared by ``cdc_dedup_report`` and the
+    streaming chunk-dedup sink's ``chunker="cdc"`` mode so batch and
+    stream chunk identically."""
+    K, D = _CDC_K, _CDC_D
+    extra = [c for c in ("source",) if c in d.columns]
+    t = d.select("doc_id", *extra, tokens_ws("text").alias("toks"))
+    s1 = t.select(
+        "doc_id", *extra, "toks", F.size("toks").alias("n"),
+        shingles("toks", K).alias("sh"),
+    )
+    s2 = s1.select(
+        "doc_id", *extra, "toks", "n",
+        F.transform(F.col("sh"), lambda s: hash64(s, "cdc")).alias("hs"),
+    )
+    mid = F.when(
+        F.size("hs") >= 2,
+        F.filter(
+            F.sequence(F.lit(2).cast("long"), F.size("hs").cast("long")),
+            lambda p: F.element_at(F.col("hs"), p.cast("int")) % D == 0,
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    s3 = s2.select(
+        "doc_id", *extra, "toks", "n",
+        F.concat(
+            F.array(F.lit(1).cast("long")),
+            mid,
+            F.array((F.col("n") + 1).cast("long")),
+        ).alias("bounds"),
+    )
+    return s3.select(
+        "doc_id",
+        *extra,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("bounds") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("bounds"), i).alias("start"),
+                    (
+                        F.element_at(F.col("bounds"), i + 1)
+                        - F.element_at(F.col("bounds"), i)
+                    ).alias("ln"),
+                ),
+            )
+        ).alias("idx0", "ch"),
+        F.col("toks"),
+    ).select(
+        "doc_id",
+        *extra,
+        (F.col("idx0") + 1).alias("chunk_idx"),
+        F.col("ch.ln").alias("n_tok"),
+        F.array_join(
+            F.slice(F.col("toks"), F.col("ch.start").cast("int"), F.col("ch.ln").cast("int")),
+            " ",
+        ).alias("chunk"),
+    )
+
+
 @register(
     "cdc_dedup_report",
     oracle=f"""
@@ -2312,58 +2373,7 @@ def cdc_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     line_dedup_report: one shuffle for the chunk-type table, one
     equi-join back, AQE skew-split for boilerplate chunks. The chunk
     stream is ~tokens/{_CDC_D} rows."""
-    K, D = _CDC_K, _CDC_D
-    d = load_table(spark, sf_dir, "documents")
-    t = d.select("doc_id", "source", tokens_ws("text").alias("toks"))
-    s1 = t.select(
-        "doc_id", "source", "toks", F.size("toks").alias("n"),
-        shingles("toks", K).alias("sh"),
-    )
-    s2 = s1.select(
-        "doc_id", "source", "toks", "n",
-        F.transform(F.col("sh"), lambda s: hash64(s, "cdc")).alias("hs"),
-    )
-    mid = F.when(
-        F.size("hs") >= 2,
-        F.filter(
-            F.sequence(F.lit(2).cast("long"), F.size("hs").cast("long")),
-            lambda p: F.element_at(F.col("hs"), p.cast("int")) % D == 0,
-        ),
-    ).otherwise(F.array().cast("array<long>"))
-    s3 = s2.select(
-        "doc_id", "source", "toks", "n",
-        F.concat(
-            F.array(F.lit(1).cast("long")),
-            mid,
-            F.array((F.col("n") + 1).cast("long")),
-        ).alias("bounds"),
-    )
-    chunks = s3.select(
-        "doc_id",
-        "source",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("bounds") - 1),
-                lambda i: F.struct(
-                    F.element_at(F.col("bounds"), i).alias("start"),
-                    (
-                        F.element_at(F.col("bounds"), i + 1)
-                        - F.element_at(F.col("bounds"), i)
-                    ).alias("ln"),
-                ),
-            )
-        ).alias("idx0", "ch"),
-        F.col("toks"),
-    ).select(
-        "doc_id",
-        "source",
-        (F.col("idx0") + 1).alias("chunk_idx"),
-        F.col("ch.ln").alias("n_tok"),
-        F.array_join(
-            F.slice(F.col("toks"), F.col("ch.start").cast("int"), F.col("ch.ln").cast("int")),
-            " ",
-        ).alias("chunk"),
-    )
+    chunks = cdc_chunk_table(load_table(spark, sf_dir, "documents"))
     occ = chunks.select(
         "source",
         "doc_id",

@@ -46,20 +46,32 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from http_log_anonymizer_spark.functions.text import hash64
-from http_log_anonymizer_spark.plans.dedup import line_chunk_table
+from http_log_anonymizer_spark.plans.dedup import cdc_chunk_table, line_chunk_table
 from http_log_anonymizer_spark.streaming.neardup import PartitionedStateSink
+
+_CHUNKERS = {"line": line_chunk_table, "cdc": cdc_chunk_table}
 
 
 class StreamingChunkDedupSink(PartitionedStateSink):
     """foreachBatch writer line-deduping a (doc_id, text, ...) stream
-    against all previously seen chunks. ``base_dir`` must be
-    executor-readable; state and the stream's checkpoint are a unit."""
+    against all previously seen chunks. ``chunker`` picks the grain:
+    ``"line"`` (fixed 10-token grid — the C4 rule) or ``"cdc"``
+    (content-defined rolling-hash boundaries — shift-robust; see
+    plans/dedup.py:cdc_dedup_report); both share the batch queries'
+    chunk constructions so stream and backfill agree chunk for chunk.
+    ``base_dir`` must be executor-readable; state and the stream's
+    checkpoint are a unit."""
 
-    def __init__(self, base_dir: str, compact_every: int = 16) -> None:
+    def __init__(
+        self, base_dir: str, compact_every: int = 16, chunker: str = "line"
+    ) -> None:
+        if chunker not in _CHUNKERS:
+            raise ValueError(f"unknown chunker {chunker!r}; use one of {sorted(_CHUNKERS)}")
         self.base_dir = base_dir
         self.docs_dir = posixpath.join(base_dir, "docs")
         self.chunks_dir = posixpath.join(base_dir, "chunks")
         self.compact_every = max(2, compact_every)
+        self.chunker = chunker
         self._roots = (self.docs_dir, self.chunks_dir)
 
     def write(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -70,7 +82,7 @@ class StreamingChunkDedupSink(PartitionedStateSink):
             return
         tag = f"b{batch_id}"
 
-        occ = line_chunk_table(batch_df).select(
+        occ = _CHUNKERS[self.chunker](batch_df).select(
             "doc_id",
             "chunk_idx",
             "chunk",

@@ -133,3 +133,66 @@ def test_compaction_preserves_policy(spark, tmp_path):
         for r in sink.deduped_docs(spark).collect()
     }
     assert got == _reference_keep_first(allb)
+
+
+def _reference_cdc_keep_first(all_docs):
+    """Plain-Python keep-first over CDC chunks (the test_cdc_dedup
+    boundary reference) in doc_id order."""
+    K, D = 3, 8
+
+    def _h64(s: str) -> int:
+        return int(hashlib.md5(f"cdc|{s}".encode()).hexdigest()[:15], 16)
+
+    def _cdc_chunks(text: str):
+        toks = text.split(" ")
+        n = len(toks)
+        hs = (
+            [_h64(" ".join(toks[p - 1 : p - 1 + K])) for p in range(1, n - K + 2)]
+            if n >= K
+            else []
+        )
+        bounds = (
+            [1]
+            + [p for p in range(2, len(hs) + 1) if hs[p - 1] % D == 0]
+            + [n + 1]
+        )
+        return [
+            " ".join(toks[bounds[i] - 1 : bounds[i + 1] - 1])
+            for i in range(len(bounds) - 1)
+        ]
+
+    seen: set[str] = set()
+    out = {}
+    for doc_id, text in sorted(all_docs):
+        kept, n = [], 0
+        for ch in _cdc_chunks(text):
+            n += 1
+            hh = hashlib.md5(f"0|{ch}".encode()).hexdigest()
+            if hh not in seen:
+                seen.add(hh)
+                kept.append(ch)
+        out[doc_id] = (n, len(kept), " ".join(kept))
+    return out
+
+
+def test_cdc_chunker_mode_matches_cdc_policy(spark, tmp_path):
+    """chunker="cdc": the stream applies the content-defined grain —
+    including the shift-robustness the fixed grid lacks (a later doc
+    with a junk prefix still dedups its shared suffix)."""
+    rng = random.Random(47)
+    shared = " ".join(f"w{rng.randrange(10_000)}" for _ in range(80))
+    b0 = [(1, shared), (2, " ".join(f"x{i}" for i in range(25)))]
+    b1 = [(10, "junk1 junk2 junk3 " + shared)]
+    sink = StreamingChunkDedupSink(
+        str(tmp_path / "state"), compact_every=4, chunker="cdc"
+    )
+    sink.write(_bdf(spark, b0), 0)
+    sink.write(_bdf(spark, b1), 1)
+    got = {
+        r.doc_id: (r.n_chunks, r.n_kept, r.kept_text)
+        for r in sink.deduped_docs(spark).collect()
+    }
+    assert got == _reference_cdc_keep_first(b0 + b1)
+    # shift-robustness: doc 10 lost most of its chunks to doc 1
+    n10, k10, _ = got[10]
+    assert k10 < n10 / 2
