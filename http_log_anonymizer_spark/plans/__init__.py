@@ -56,6 +56,7 @@ _WINDOW = [
     "ann_srht_recall_report",  # new this round
     "tokenizer_fertility_report",  # new this round
     "vocab_growth_report",  # new this round
+    "cusum_spend_monitor",  # new this round
     # --- flagship parity anchors ---
     "http_totals",
     "llm_corpus_report",
@@ -82,7 +83,6 @@ _WINDOW = [
     "reservoir_sample",
     "scrub_pii",
     "tfidf_top_terms",
-    "time_features",
     "train_val_test_split",
 ]
 

@@ -3861,3 +3861,88 @@ def kcore_peeling_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rounds[1:]:
         out = out.unionByName(r)
     return out.orderBy("round")
+
+
+# ---------------------------------------------------------------------------
+# CUSUM spend monitor (Page, Biometrika 1954) — the clamped recurrence
+#   S_t = max(0, S_{t-1} + (x_t - baseline))
+# is NOT window-expressible (the clamp makes it non-associative), so
+# this operator deliberately exercises Spark 4.1's new recursive-CTE
+# surface (WITH RECURSIVE ... UNION ALL), with DuckDB running the same
+# recursion as the oracle. Everything is integer cents, so the
+# recurrence replays bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_CUSUM_T = 80  # months 1995-01..2001-08 — the generator's fixed range
+_CUSUM_TOP = 25
+
+
+def _cusum_sql(intdiv: str, table: str = "orders") -> str:
+    """The shared recursion text; ``intdiv`` is 'DIV' (Spark) or '//'
+    (DuckDB) and ``table`` the orders relation name — the only dialect
+    deltas."""
+    return f"""
+WITH RECURSIVE
+mo AS (
+  SELECT o_custkey AS ck,
+         (year(o_orderdate) - 1995) * 12 + month(o_orderdate) AS t,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS spend
+  FROM {table}
+  GROUP BY o_custkey, (year(o_orderdate) - 1995) * 12 + month(o_orderdate)
+),
+base AS (
+  SELECT ck,
+         CAST(sum(spend) {intdiv} {_CUSUM_T} AS BIGINT) AS mean_c,
+         count(*) AS n_months
+  FROM mo GROUP BY ck
+),
+r (ck, t, s) AS (
+  SELECT ck, 0, CAST(0 AS BIGINT) FROM base
+  UNION ALL
+  SELECT r.ck, r.t + 1,
+         greatest(CAST(0 AS BIGINT),
+                  r.s + COALESCE(mo.spend, CAST(0 AS BIGINT)) - b.mean_c)
+  FROM r
+  JOIN base b ON b.ck = r.ck
+  LEFT JOIN mo ON mo.ck = r.ck AND mo.t = r.t + 1
+  WHERE r.t < {_CUSUM_T}
+)
+SELECT r.ck AS custkey,
+       CAST(max(r.s) AS BIGINT) AS max_cusum_cents,
+       CAST(max(CASE WHEN r.t = {_CUSUM_T} THEN r.s END) AS BIGINT)
+         AS final_cusum_cents,
+       CAST(min(b.n_months) AS BIGINT) AS n_active_months
+FROM r JOIN base b ON b.ck = r.ck
+GROUP BY r.ck
+ORDER BY max_cusum_cents DESC, custkey
+LIMIT {_CUSUM_TOP}
+"""
+
+
+@register("cusum_spend_monitor", oracle=_cusum_sql("//"))
+def cusum_spend_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_CUSUM_TOP} customers by Page's CUSUM statistic over their
+    monthly spend: S_t = max(0, S_(t-1) + (spend_t - baseline)) across
+    the generator's fixed {_CUSUM_T}-month calendar, baseline = the
+    customer's integer-mean monthly spend. The clamp at zero makes the
+    recurrence NON-ASSOCIATIVE — no window frame or prefix-sum
+    expresses it — so this operator runs on Spark 4.1's recursive CTE
+    (WITH RECURSIVE + UNION ALL, the UnionLoop operator), the first
+    registry query to exercise that surface; DuckDB replays the
+    IDENTICAL recursion (the only dialect delta is integer division
+    spelling). CUSUM is the standard sequential change detector —
+    "whose spending regime shifted upward" — and the same recurrence
+    shape covers inventory clamping and leaky-bucket quotas.
+
+    Scale shape: iteration count is bounded by the CALENDAR
+    ({_CUSUM_T} months), never by data size; each step is one hash
+    join of the |customers|-row state against the monthly aggregate.
+    All arithmetic is integer cents (round-half-up is identical in
+    both engines on positive prices), so the whole recursion
+    hash-verifies. At extreme customer counts the same recurrence
+    would run as applyInPandas over per-customer month vectors
+    (bounded rows per group) — the recursive CTE is the declarative
+    form and the new-surface demonstration."""
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_cusum")
+    return spark.sql(_cusum_sql("DIV", table="orders_cusum"))
