@@ -3924,25 +3924,77 @@ def cusum_spend_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-{_CUSUM_TOP} customers by Page's CUSUM statistic over their
     monthly spend: S_t = max(0, S_(t-1) + (spend_t - baseline)) across
     the generator's fixed {_CUSUM_T}-month calendar, baseline = the
-    customer's integer-mean monthly spend. The clamp at zero makes the
-    recurrence NON-ASSOCIATIVE — no window frame or prefix-sum
-    expresses it — so this operator runs on Spark 4.1's recursive CTE
-    (WITH RECURSIVE + UNION ALL, the UnionLoop operator), the first
-    registry query to exercise that surface; DuckDB replays the
-    IDENTICAL recursion (the only dialect delta is integer division
-    spelling). CUSUM is the standard sequential change detector —
-    "whose spending regime shifted upward" — and the same recurrence
-    shape covers inventory clamping and leaky-bucket quotas.
+    customer's integer-mean monthly spend. CUSUM is the standard
+    sequential change detector — "whose spending regime shifted
+    upward" — and the same clamped recurrence covers inventory floors
+    and leaky-bucket quotas.
 
-    Scale shape: iteration count is bounded by the CALENDAR
-    ({_CUSUM_T} months), never by data size; each step is one hash
-    join of the |customers|-row state against the monthly aggregate.
-    All arithmetic is integer cents (round-half-up is identical in
-    both engines on positive prices), so the whole recursion
-    hash-verifies. At extreme customer counts the same recurrence
-    would run as applyInPandas over per-customer month vectors
-    (bounded rows per group) — the recursive CTE is the declarative
-    form and the new-surface demonstration."""
+    The clamp LOOKS non-associative, but it linearizes: with
+    M_t = prefix_sum(y) and m_t = min(0, running_min(M)),
+
+        S_t = M_t - m_t        (proof by induction on the max())
+
+    — the classic parallel-scan trick — so the registered plan is two
+    WINDOW functions over a dense per-customer month spine
+    ({_CUSUM_T} rows per partition, calendar-bounded, never
+    data-proportional). Three INDEPENDENT formulations agree: this
+    window form, the DuckDB oracle's naive WITH RECURSIVE replay (a
+    different algorithm — stronger verification than a mirrored
+    plan), and Spark 4.1's own recursive CTE (the new UnionLoop
+    surface, exercised and equality-tested in
+    tests/test_streaming_cusum.py; measured 282 s at sf1 vs seconds
+    for the scan form — per-iteration job overhead x {_CUSUM_T}
+    months — which is why the recursion is the oracle and the test,
+    not the plan). All arithmetic is integer cents, so every
+    formulation matches bit for bit."""
+    T = _CUSUM_T
     o = _t(spark, sf_dir, "orders")
-    o.createOrReplaceTempView("orders_cusum")
-    return spark.sql(_cusum_sql("DIV", table="orders_cusum"))
+    mo = (
+        o.select(
+            F.col("o_custkey").alias("ck"),
+            ((F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate")).alias("t"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("ck", "t")
+        .agg(F.sum("cents").alias("spend"))
+    )
+    base = mo.groupBy("ck").agg(
+        F.expr(f"sum(spend) DIV {T}").alias("mean_c"),
+        F.count("*").alias("n_months"),
+    )
+    spine = base.select(
+        "ck", "mean_c", "n_months", F.explode(F.sequence(F.lit(1), F.lit(T))).alias("t")
+    )
+    y = spine.join(mo, ["ck", "t"], "left").select(
+        "ck",
+        "t",
+        "n_months",
+        (F.coalesce("spend", F.lit(0)) - F.col("mean_c")).alias("y"),
+    )
+    w = Window.partitionBy("ck").orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    scanned = y.select(
+        "ck", "t", "n_months", F.sum("y").over(w).alias("bigm")
+    ).select(
+        "ck",
+        "t",
+        "n_months",
+        (F.col("bigm") - F.least(F.lit(0), F.min("bigm").over(w))).alias("s"),
+    )
+    return (
+        scanned.groupBy("ck")
+        .agg(
+            F.max("s").cast("long").alias("max_cusum_cents"),
+            F.max(F.when(F.col("t") == T, F.col("s"))).cast("long").alias(
+                "final_cusum_cents"
+            ),
+            F.min("n_months").cast("long").alias("n_active_months"),
+        )
+        .select(
+            F.col("ck").alias("custkey"),
+            "max_cusum_cents",
+            "final_cusum_cents",
+            "n_active_months",
+        )
+        .orderBy(F.desc("max_cusum_cents"), "custkey")
+        .limit(_CUSUM_TOP)
+    )

@@ -68,3 +68,19 @@ def test_empty_slice_still_decays_and_replay_reconstructs(spark, tmp_path):
     assert st[1] == (0, 90)
 
     assert [r.key for r in sink.alarms(spark, 1).collect()] == []
+
+
+def test_spark_recursive_cte_is_a_third_agreeing_formulation(spark):
+    """The registered plan is the prefix-scan form and the DuckDB
+    oracle the naive recursion; Spark 4.1's OWN recursive CTE
+    (WITH RECURSIVE / UnionLoop) is the third formulation and must
+    produce the identical result — this is where the new SQL surface
+    is exercised."""
+    from http_log_anonymizer_spark.plans.analytics import _cusum_sql
+    from http_log_anonymizer_spark.sources.batch import load_table
+
+    load_table(spark, SF, "orders").createOrReplaceTempView("orders_cusum_rc")
+    spark.conf.set("spark.sql.cteRecursionRowLimit", str(2**31 - 1))
+    rec = spark.sql(_cusum_sql("DIV", table="orders_cusum_rc")).collect()
+    win = REGISTRY["cusum_spend_monitor"].spark_fn(spark, SF).collect()
+    assert [tuple(r) for r in rec] == [tuple(r) for r in win]
