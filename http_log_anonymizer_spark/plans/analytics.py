@@ -3942,8 +3942,8 @@ def cusum_spend_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     different algorithm — stronger verification than a mirrored
     plan), and Spark 4.1's own recursive CTE (the new UnionLoop
     surface, exercised and equality-tested in
-    tests/test_streaming_cusum.py; measured 282 s at sf1 vs seconds
-    for the scan form — per-iteration job overhead x {_CUSUM_T}
+    tests/test_streaming_cusum.py; measured 282 s at sf1 vs 16.8 s
+    cold for the scan form — per-iteration job overhead x {_CUSUM_T}
     months — which is why the recursion is the oracle and the test,
     not the plan). All arithmetic is integer cents, so every
     formulation matches bit for bit."""
