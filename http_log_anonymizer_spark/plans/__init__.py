@@ -57,6 +57,7 @@ _WINDOW = [
     "tokenizer_fertility_report",  # new this round
     "vocab_growth_report",  # new this round
     "cusum_spend_monitor",  # new this round
+    "l_diversity_report",  # new this round
     # --- flagship parity anchors ---
     "http_totals",
     "llm_corpus_report",
@@ -77,7 +78,6 @@ _WINDOW = [
     "multimodal_frame_sample",
     "multimodal_payload_stats",
     "order_fill_outer",
-    "pivot_event_counts",
     "quality_classifier",
     "quality_histogram",
     "reservoir_sample",

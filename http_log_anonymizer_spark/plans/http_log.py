@@ -454,3 +454,98 @@ def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stage", "class_size_bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# l-diversity (Machanavajjhala et al., ICDE 2006) — the companion audit
+# k-anonymity alone cannot provide: a class of k identical QI rows that
+# all share ONE sensitive value still leaks it (the homogeneity
+# attack). l = distinct sensitive values per QI class.
+# ---------------------------------------------------------------------------
+
+_LDIV_CAP = 10
+
+
+@register(
+    "l_diversity_report",
+    oracle=f"""
+WITH {HTTP_LOG_SQL.strip()},
+staged AS (
+  SELECT 'raw' AS stage, remote_addr, cache_status, response_status FROM http_log
+  UNION ALL
+  SELECT 'anon' AS stage,
+         regexp_replace(remote_addr, '[0-9]+$', 'x') AS remote_addr,
+         cache_status, response_status
+  FROM http_log
+),
+classes AS (
+  SELECT stage, remote_addr, cache_status,
+         count(*) AS sz,
+         count(DISTINCT response_status) AS l
+  FROM staged GROUP BY stage, remote_addr, cache_status
+),
+tot AS (SELECT stage, CAST(sum(sz) AS BIGINT) AS n FROM classes GROUP BY stage),
+hist AS (
+  SELECT stage, least(l, {_LDIV_CAP}) AS l_bucket,
+         count(*) AS n_classes, CAST(sum(sz) AS BIGINT) AS n_rows
+  FROM classes GROUP BY stage, least(l, {_LDIV_CAP})
+)
+SELECT h.stage, h.l_bucket, h.n_classes, h.n_rows,
+       round(h.n_rows * 1.0 / t.n, 4) AS pct_rows
+FROM hist h JOIN tot t ON h.stage = t.stage
+ORDER BY h.stage, h.l_bucket
+""",
+)
+def l_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-sensitive-value (l-diversity) histogram over the QI
+    classes (remote_addr, cache_status), sensitive attribute =
+    response_status, BEFORE and AFTER IP anonymization — the
+    homogeneity-attack audit that complements k_anonymity_report: k
+    rows per class mean nothing if all k share one sensitive value
+    (l = 1 leaks it even though k is large). A class in bucket b has
+    b (capped at {_LDIV_CAP}) distinct statuses; the smallest
+    populated bucket IS the release's l. The anonymization lift shows
+    as mass moving out of the l = 1 bucket as coarser IPs merge
+    differently-behaved users. (url cannot serve as the sensitive
+    attribute on THIS mapping — it is a deterministic function of the
+    IP's kept octets, so its l is structurally 1; the audit catching
+    that is exactly what the l = 1 row of a real release review
+    means.)
+
+    Scale shape: one groupBy over (stage, QI) with a distinct
+    aggregate (Spark plans count(DISTINCT) as a two-phase expand +
+    partial aggregate — map-side combine on (QI, url) first, so the
+    hot QI classes never funnel raw rows to one task), then the
+    {_LDIV_CAP}-row histogram. Same audit-over-release pattern as the
+    k report, sharing its staged projection."""
+    log = http_log_view(spark, sf_dir).select(
+        "remote_addr", "cache_status", "response_status"
+    )
+    staged = log.select(
+        F.lit("raw").alias("stage"), "remote_addr", "cache_status", "response_status"
+    ).unionByName(
+        log.select(
+            F.lit("anon").alias("stage"),
+            anonymize_ip_fast("remote_addr").alias("remote_addr"),
+            "cache_status",
+            "response_status",
+        )
+    )
+    classes = staged.groupBy("stage", "remote_addr", "cache_status").agg(
+        F.count("*").alias("sz"), F.countDistinct("response_status").alias("l")
+    )
+    tot = classes.groupBy("stage").agg(F.sum("sz").alias("n"))
+    hist = classes.groupBy(
+        "stage", F.least("l", F.lit(_LDIV_CAP)).alias("l_bucket")
+    ).agg(F.count("*").alias("n_classes"), F.sum("sz").alias("n_rows"))
+    return (
+        hist.join(tot, "stage")
+        .select(
+            "stage",
+            "l_bucket",
+            "n_classes",
+            "n_rows",
+            F.round(F.col("n_rows") * 1.0 / F.col("n"), 4).alias("pct_rows"),
+        )
+        .orderBy("stage", "l_bucket")
+    )
