@@ -58,6 +58,7 @@ _WINDOW = [
     "vocab_growth_report",  # new this round
     "cusum_spend_monitor",  # new this round
     "l_diversity_report",  # new this round
+    "seasonal_decompose_report",  # new this round
     # --- flagship parity anchors ---
     "http_totals",
     "llm_corpus_report",
@@ -71,7 +72,6 @@ _WINDOW = [
     "domain_mix_report",
     "embed_hashing_trick",
     "gopher_quality_flags",
-    "http_cache_efficiency",
     "http_error_bursts",
     "lang_id_confusion",
     "latency_percentiles",

@@ -3998,3 +3998,107 @@ def cusum_spend_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("max_cusum_cents"), "custkey")
         .limit(_CUSUM_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# Classical seasonal decomposition (the moving-average method behind
+# X-11 / statsmodels' seasonal_decompose, additive form) — the
+# time-series companion to gapfill_locf / hypertable_rollup /
+# rolling_correlation.
+# ---------------------------------------------------------------------------
+
+
+def _seasonal_oracle() -> str:
+    return f"""
+WITH mo AS (
+  SELECT (year(o_orderdate) - 1995) * 12 + month(o_orderdate) AS t,
+         month(o_orderdate) AS cal_month,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM orders
+  GROUP BY (year(o_orderdate) - 1995) * 12 + month(o_orderdate),
+           month(o_orderdate)
+),
+tr AS (
+  SELECT t, cal_month, y,
+         CASE WHEN count(*) OVER w = 12
+              THEN round(CAST(sum(y) OVER w AS DOUBLE) / 12, 4) END AS trend
+  FROM mo
+  WINDOW w AS (ORDER BY t ROWS BETWEEN 5 PRECEDING AND 6 FOLLOWING)
+),
+se AS (
+  SELECT cal_month,
+         round(avg(y - trend), 4) AS seasonal
+  FROM tr WHERE trend IS NOT NULL GROUP BY cal_month
+)
+SELECT tr.t, tr.cal_month, tr.y AS y_cents, tr.trend AS trend_cents,
+       se.seasonal AS seasonal_cents,
+       round(tr.y - tr.trend - se.seasonal, 4) AS remainder_cents
+FROM tr JOIN se ON tr.cal_month = se.cal_month
+ORDER BY tr.t
+"""
+
+
+@register("seasonal_decompose_report", oracle=_seasonal_oracle())
+def seasonal_decompose_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition of monthly order revenue —
+    trend (centered 12-month moving average), per-calendar-month
+    seasonal index (mean of the detrended series by month-of-year),
+    and remainder: y_t = trend_t + seasonal_m(t) + remainder_t. The
+    classical moving-average method (X-11's first pass; statsmodels
+    ``seasonal_decompose``) — the screen that separates "December is
+    always like this" from "something actually changed", sitting
+    naturally beside the CUSUM monitor (decompose explains, CUSUM
+    alarms).
+
+    Determinism: monthly sums are exact integer cents; every division
+    after that is a double division of exact integers (identical
+    IEEE result in both engines) rounded to 4 decimals. Integer DIV
+    is deliberately NOT used past the sums — Spark's DIV truncates
+    toward zero while DuckDB's // floors, and detrended values go
+    NEGATIVE (the bug class the mkn discount guards documented,
+    avoided here by staying in doubles).
+
+    Scale shape: the series is CALENDAR-bounded (80 rows after one
+    map-side-combined month aggregate), so the ordered window is a
+    constant-size partition — the same bounded-window argument as
+    quality_quantile_normalize's grid CDF; everything upstream of the
+    80-row table is one scan + one groupBy at any corpus size."""
+    o = _t(spark, sf_dir, "orders")
+    mo = (
+        o.select(
+            ((F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate")).alias("t"),
+            F.month("o_orderdate").alias("cal_month"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("t", "cal_month")
+        .agg(F.sum("cents").alias("y"))
+    )
+    w = Window.orderBy("t").rowsBetween(-5, 6)
+    tr = mo.select(
+        "t",
+        "cal_month",
+        "y",
+        F.when(
+            F.count("*").over(w) == 12,
+            F.round(F.sum("y").over(w).cast("double") / 12, 4),
+        ).alias("trend"),
+    )
+    se = (
+        tr.filter(F.col("trend").isNotNull())
+        .groupBy("cal_month")
+        .agg(F.round(F.avg(F.col("y") - F.col("trend")), 4).alias("seasonal"))
+    )
+    return (
+        tr.join(se, "cal_month")
+        .select(
+            "t",
+            "cal_month",
+            F.col("y").alias("y_cents"),
+            F.col("trend").alias("trend_cents"),
+            F.col("seasonal").alias("seasonal_cents"),
+            F.round(
+                F.col("y") - F.col("trend") - F.col("seasonal"), 4
+            ).alias("remainder_cents"),
+        )
+        .orderBy("t")
+    )
