@@ -59,6 +59,7 @@ _WINDOW = [
     "cusum_spend_monitor",  # new this round
     "l_diversity_report",  # new this round
     "seasonal_decompose_report",  # new this round
+    "neyman_allocation_report",  # new this round
     # --- flagship parity anchors ---
     "http_totals",
     "llm_corpus_report",
@@ -74,7 +75,6 @@ _WINDOW = [
     "gopher_quality_flags",
     "http_error_bursts",
     "lang_id_confusion",
-    "latency_percentiles",
     "multimodal_frame_sample",
     "multimodal_payload_stats",
     "order_fill_outer",

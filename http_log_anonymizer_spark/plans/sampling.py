@@ -330,3 +330,111 @@ def training_shard_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# ---------------------------------------------------------------------------
+# Neyman allocation (Neyman 1934; Cochran, Sampling Techniques §5.5) —
+# variance-optimal sample-size allocation across strata, the sampling
+# DESIGN step that precedes stratified_sample's execution.
+# ---------------------------------------------------------------------------
+
+_NEYMAN_BUDGET = 1000
+
+
+@register(
+    "neyman_allocation_report",
+    oracle=f"""
+WITH x AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v FROM events
+),
+st AS (
+  SELECT event_type,
+         count(*) AS nh,
+         CAST(sum(v) AS BIGINT) AS s1,
+         CAST(sum(v * v) AS BIGINT) AS s2
+  FROM x GROUP BY event_type
+),
+sig AS (
+  SELECT event_type, nh,
+         sqrt(greatest(CAST(s2 AS DOUBLE) / nh
+                       - (CAST(s1 AS DOUBLE) / nh) * (CAST(s1 AS DOUBLE) / nh),
+                       0)) AS sigma
+  FROM st
+),
+tot AS (
+  SELECT CAST(sum(nh) AS BIGINT) AS n_total, sum(nh * sigma) AS w_total
+  FROM sig
+)
+SELECT s.event_type,
+       s.nh,
+       round(s.sigma / 100, 4) AS sigma,
+       CAST(round({_NEYMAN_BUDGET} * s.nh * 1.0 / t.n_total) AS BIGINT)
+         AS n_proportional,
+       CAST(round({_NEYMAN_BUDGET} * s.nh * s.sigma / t.w_total) AS BIGINT)
+         AS n_neyman,
+       round(s.nh * s.sigma / t.w_total, 4) AS neyman_share
+FROM sig s CROSS JOIN tot t
+ORDER BY s.event_type
+""",
+)
+def neyman_allocation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-optimal (Neyman) allocation of a {_NEYMAN_BUDGET}-row
+    sample budget across event-type strata: n_h proportional to
+    N_h * sigma_h, next to the naive proportional allocation — the
+    sampling-design table a curation team consults before drawing a
+    stratified eval set (volatile strata earn more than their
+    head-count share; near-constant strata need almost none).
+    ``stratified_sample`` is the execution half; this is the design
+    half.
+
+    Determinism: per-stratum moments are exact integer sums of cent-
+    quantized values, so sigma = sqrt(E[v^2] - E[v]^2) is a double
+    computed from exact integers — bit-identical in both engines (the
+    same argument as the PCA Gram aggregate); rounding to 4dp/integers
+    happens only at the edge. Scale shape: one scan with map-side
+    combine into (count, sum, sum-of-squares) per stratum — the
+    textbook one-pass moment aggregate — then arithmetic over the
+    handful of stratum rows. Nothing driver-side, nothing
+    corpus-proportional past the first aggregate."""
+    x = load_table(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("v")
+    )
+    st = x.groupBy("event_type").agg(
+        F.count("*").alias("nh"),
+        F.sum("v").alias("s1"),
+        F.sum(F.col("v") * F.col("v")).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("nh")
+    sig = st.select(
+        "event_type",
+        "nh",
+        F.sqrt(
+            F.greatest(
+                F.col("s2").cast("double") / F.col("nh") - mean * mean, F.lit(0.0)
+            )
+        ).alias("sigma"),
+    )
+    tot = sig.agg(
+        F.sum("nh").alias("n_total"),
+        F.sum(F.col("nh") * F.col("sigma")).alias("w_total"),
+    )
+    return (
+        sig.crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "nh",
+            F.round(F.col("sigma") / 100, 4).alias("sigma"),
+            F.round(_NEYMAN_BUDGET * F.col("nh") * 1.0 / F.col("n_total"))
+            .cast("long")
+            .alias("n_proportional"),
+            F.round(
+                _NEYMAN_BUDGET * F.col("nh") * F.col("sigma") / F.col("w_total")
+            )
+            .cast("long")
+            .alias("n_neyman"),
+            F.round(F.col("nh") * F.col("sigma") / F.col("w_total"), 4).alias(
+                "neyman_share"
+            ),
+        )
+        .orderBy("event_type")
+    )
