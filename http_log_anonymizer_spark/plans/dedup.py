@@ -2196,7 +2196,14 @@ def line_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity: the reference pipeline (anonymizer/src/lib.rs)
     dedups whole records via ReplacingMergeTree; this is the intra-
     document generalization a curation pipeline needs."""
-    chunks = line_chunk_table(load_table(spark, sf_dir, "documents"))
+    # spread: the chunk+hash map stage is compute-heavy, and a replica-
+    # scaled series can land all its documents in ONE parquet file
+    # (~2 row groups = 2-way map parallelism: measured 34-40 s at sf10
+    # vs 11-15 s with byte-sized fan-out). bytes_per_task keeps sf0.1
+    # from shattering (the r04 lesson baked into spread).
+    chunks = line_chunk_table(
+        load_table(spark, sf_dir, "documents", spread=True, bytes_per_task=256 * 1024)
+    )
     occ = chunks.select(
         "source",
         "doc_id",
@@ -2373,7 +2380,11 @@ def cdc_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     line_dedup_report: one shuffle for the chunk-type table, one
     equi-join back, AQE skew-split for boilerplate chunks. The chunk
     stream is ~tokens/{_CDC_D} rows."""
-    chunks = cdc_chunk_table(load_table(spark, sf_dir, "documents"))
+    # spread: same single-file map-parallelism floor as line_dedup_report
+    # (the boundary detection is even heavier — rolling shingle hashes).
+    chunks = cdc_chunk_table(
+        load_table(spark, sf_dir, "documents", spread=True, bytes_per_task=256 * 1024)
+    )
     occ = chunks.select(
         "source",
         "doc_id",
