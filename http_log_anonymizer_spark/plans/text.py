@@ -1919,7 +1919,10 @@ def vocab_growth_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the type table — grows with the corpus, shuffles once), one
     <= 64-bucket histogram, and a <= 64 x 64 triangular join for the
     running sums — never a corpus-proportional window."""
-    d = load_table(spark, sf_dir, "documents")
+    # spread: single-file replica series floor the tokenize+explode map
+    # stage (the line_dedup_report finding); ~30% here, byte-sized so
+    # small SFs don't shatter.
+    d = load_table(spark, sf_dir, "documents", spread=True, bytes_per_task=256 * 1024)
     t = d.select("doc_id", F.explode(tokens_ws("text")).alias("tok"))
     first_seen = t.groupBy("tok").agg(F.min("doc_id").alias("fd"))
     tok_counts = t.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
