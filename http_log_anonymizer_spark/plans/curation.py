@@ -1291,7 +1291,9 @@ def quality_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     one 20-row final aggregate. The selection report never joins back
     to the doc stream; a pipeline applying the filter would join docs
     to the 20-row (source, raw_threshold) table — a broadcast."""
-    d = load_table(spark, sf_dir, "documents")
+    # spread: the tokenize+feature map stage hits the single-file
+    # parallelism floor on replica series (the line_dedup finding)
+    d = load_table(spark, sf_dir, "documents", spread=True, bytes_per_task=256 * 1024)
     t = d.select("source", tokens_ws("text").alias("toks"))
     feats = _quality_features(F.col("toks"))
     scored = t.select("source", _quality_score(feats).alias("score"))
