@@ -4102,3 +4102,128 @@ def seasonal_decompose_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("t")
     )
+
+
+# ---------------------------------------------------------------------------
+# Table profiler (the Deequ / dbt-docs discovery pass) — one row per
+# (table, column): nulls, distincts, typed min/max, string length.
+# Discovery complements data_quality_report's assertions: expectations
+# are written FROM a profile.
+# ---------------------------------------------------------------------------
+
+# (table, column, kind) — static schema shared by both engines.
+_PROFILE_COLS = [
+    ("orders", "o_orderkey", "num"),
+    ("orders", "o_custkey", "num"),
+    ("orders", "o_orderstatus", "str"),
+    ("orders", "o_totalprice", "num"),
+    ("orders", "o_orderdate", "ts"),
+    ("orders", "o_orderpriority", "str"),
+    ("events", "event_id", "num"),
+    ("events", "ts", "ts"),
+    ("events", "user_id", "num"),
+    ("events", "event_type", "str"),
+    ("events", "value", "num"),
+    ("events", "props", "str"),
+    ("documents", "doc_id", "num"),
+    ("documents", "text", "str"),
+    ("documents", "lang", "str"),
+    ("documents", "source", "str"),
+    ("documents", "n_chars", "num"),
+]
+
+
+def _profile_oracle() -> str:
+    rows = []
+    for tbl, col, kind in _PROFILE_COLS:
+        base = f"""SELECT '{tbl}' AS tbl, '{col}' AS col,
+       count(*) AS n_rows,
+       CAST(sum(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       count(DISTINCT {col}) AS n_distinct"""
+        if kind == "num":
+            rows.append(base + f""",
+       round(CAST(min({col}) AS DOUBLE), 4) AS min_num,
+       round(CAST(max({col}) AS DOUBLE), 4) AS max_num,
+       CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str,
+       CAST(NULL AS DOUBLE) AS avg_len
+FROM {tbl}""")
+        elif kind == "ts":
+            rows.append(base + f""",
+       CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+       CAST(CAST(min({col}) AS DATE) AS VARCHAR) AS min_str,
+       CAST(CAST(max({col}) AS DATE) AS VARCHAR) AS max_str,
+       CAST(NULL AS DOUBLE) AS avg_len
+FROM {tbl}""")
+        else:
+            rows.append(base + f""",
+       CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+       min({col}) AS min_str, max({col}) AS max_str,
+       round(avg(length({col})), 2) AS avg_len
+FROM {tbl}""")
+    return "\nUNION ALL\n".join(rows) + "\nORDER BY tbl, col"
+
+
+@register("table_profile_report", oracle=_profile_oracle())
+def table_profile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level profile of the three operational tables (orders,
+    events, documents): row/null/distinct counts plus typed min/max
+    (numerics rounded, timestamps as dates — double- and timestamp-
+    to-string renderings differ between engines, so the profile keeps
+    each kind in its own typed column) and mean string length. This is
+    the DISCOVERY pass of a data-quality workflow (Deequ's profiler,
+    dbt docs): ``data_quality_report``'s expectations get WRITTEN from
+    a profile like this one.
+
+    Scale shape: one scan per table computing every column's
+    aggregates... is what this deliberately does NOT do — each column
+    row is its own aggregate so the projection pushed to parquet is
+    exactly one column per pass (ReadSchema shows a single field), and
+    the per-column passes parallelize as independent jobs under the
+    noop write. For a 100 TB profile you'd fuse columns per scan
+    (trading IO for one wide aggregate); at any scale the output is
+    schema-bounded (one row per column). Exact distincts are by
+    design — the HLL tier (distinct_users_approx) is the sampled
+    alternative when exactness is not worth the shuffle."""
+    from http_log_anonymizer_spark.sources.batch import load_table
+
+    parts = []
+    for tbl, col, kind in _PROFILE_COLS:
+        d = load_table(spark, sf_dir, tbl).select(col)
+        base = [
+            F.lit(tbl).alias("tbl"),
+            F.lit(col).alias("col"),
+            F.count("*").alias("n_rows"),
+            F.sum(F.when(F.col(col).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_nulls"),
+            F.countDistinct(col).alias("n_distinct"),
+        ]
+        if kind == "num":
+            extra = [
+                F.round(F.min(col).cast("double"), 4).alias("min_num"),
+                F.round(F.max(col).cast("double"), 4).alias("max_num"),
+                F.lit(None).cast("string").alias("min_str"),
+                F.lit(None).cast("string").alias("max_str"),
+                F.lit(None).cast("double").alias("avg_len"),
+            ]
+        elif kind == "ts":
+            extra = [
+                F.lit(None).cast("double").alias("min_num"),
+                F.lit(None).cast("double").alias("max_num"),
+                F.min(col).cast("date").cast("string").alias("min_str"),
+                F.max(col).cast("date").cast("string").alias("max_str"),
+                F.lit(None).cast("double").alias("avg_len"),
+            ]
+        else:
+            extra = [
+                F.lit(None).cast("double").alias("min_num"),
+                F.lit(None).cast("double").alias("max_num"),
+                F.min(col).alias("min_str"),
+                F.max(col).alias("max_str"),
+                F.round(F.avg(F.length(col)), 2).alias("avg_len"),
+            ]
+        parts.append(d.agg(*(base + extra)))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("tbl", "col")
