@@ -61,6 +61,7 @@ _WINDOW = [
     "seasonal_decompose_report",  # new this round
     "neyman_allocation_report",  # new this round
     "table_profile_report",  # new this round
+    "mad_outlier_report",  # new this round
     # --- flagship parity anchors ---
     "http_totals",
     "llm_corpus_report",
@@ -76,7 +77,6 @@ _WINDOW = [
     "gopher_quality_flags",
     "http_error_bursts",
     "lang_id_confusion",
-    "multimodal_frame_sample",
     "order_fill_outer",
     "quality_classifier",
     "quality_histogram",

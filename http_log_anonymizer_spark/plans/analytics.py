@@ -4227,3 +4227,108 @@ def table_profile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("tbl", "col")
+
+
+# ---------------------------------------------------------------------------
+# Robust outliers via MAD (Iglewicz & Hoaglin, 1993) — the
+# median-based twin of user_zscore_outliers: mean/std are themselves
+# dragged by the outliers they are meant to find; median/MAD are not.
+# ---------------------------------------------------------------------------
+
+_MAD_THRESH = 3.5  # the Iglewicz-Hoaglin modified-z cutoff
+_MAD_TOP = 25
+
+
+def _mad_oracle() -> str:
+    return f"""
+WITH x AS (
+  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS v FROM events
+),
+med AS (
+  SELECT user_id, quantile_cont(v, 0.5) AS med, count(*) AS n
+  FROM x GROUP BY user_id
+),
+dev AS (
+  SELECT x.user_id, x.v, m.med, m.n, abs(x.v - m.med) AS ad
+  FROM x JOIN med m ON x.user_id = m.user_id
+),
+mad AS (
+  SELECT user_id, quantile_cont(ad, 0.5) AS mad FROM dev GROUP BY user_id
+),
+rz AS (
+  SELECT d.user_id, d.n, d.med, m.mad,
+         0.6745 * (d.v - d.med) / m.mad AS z
+  FROM dev d JOIN mad m ON d.user_id = m.user_id
+  WHERE m.mad > 0
+)
+SELECT user_id,
+       CAST(min(n) AS BIGINT) AS n_events,
+       round(min(med) / 100, 4) AS median_value,
+       round(min(mad) / 100, 4) AS mad_value,
+       CAST(sum(CASE WHEN abs(z) > {_MAD_THRESH} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers,
+       round(max(abs(z)), 4) AS max_abs_rz
+FROM rz
+GROUP BY user_id
+HAVING sum(CASE WHEN abs(z) > {_MAD_THRESH} THEN 1 ELSE 0 END) > 0
+ORDER BY max_abs_rz DESC, user_id
+LIMIT {_MAD_TOP}
+"""
+
+
+@register("mad_outlier_report", oracle=_mad_oracle())
+def mad_outlier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_MAD_TOP} users by modified z-score outliers (Iglewicz-
+    Hoaglin: 0.6745 * (x - median) / MAD, cutoff {_MAD_THRESH}) over
+    their event values — the ROBUST twin of ``user_zscore_outliers``:
+    mean/std break down exactly when outliers exist (masking), while
+    the median/MAD pair has a 50% breakdown point. Users whose MAD is
+    zero (constant values) are excluded — the standard degenerate
+    case, identical in both engines.
+
+    Determinism: values quantize to integer cents; both engines define
+    the interpolated median identically (index p*(n-1), linear
+    interpolation — Spark ``percentile`` = DuckDB ``quantile_cont``),
+    and interpolating between exact integers is exact-double
+    arithmetic, so the full median -> MAD -> z chain hash-verifies.
+
+    Scale shape: two per-user aggregations (median, then MAD of
+    deviations) + one join back — per-user groups are bounded by a
+    user's event count, never corpus-wide; the exact median per group
+    is a sort within the aggregation buffer (Spark's percentile
+    aggregate), not a global sort."""
+    x = load_table(spark, sf_dir, "events").select(
+        "user_id", F.round(F.col("value") * 100).cast("long").alias("v")
+    )
+    med = x.groupBy("user_id").agg(
+        F.expr("percentile(v, 0.5)").alias("med"), F.count("*").alias("n")
+    )
+    dev = x.join(med, "user_id").select(
+        "user_id", "v", "med", "n", F.abs(F.col("v") - F.col("med")).alias("ad")
+    )
+    mad = dev.groupBy("user_id").agg(F.expr("percentile(ad, 0.5)").alias("mad"))
+    rz = (
+        dev.join(mad, "user_id")
+        .filter(F.col("mad") > 0)
+        .select(
+            "user_id",
+            "n",
+            "med",
+            "mad",
+            (0.6745 * (F.col("v") - F.col("med")) / F.col("mad")).alias("z"),
+        )
+    )
+    out = F.sum(F.when(F.abs(F.col("z")) > _MAD_THRESH, 1).otherwise(0))
+    return (
+        rz.groupBy("user_id")
+        .agg(
+            F.min("n").cast("long").alias("n_events"),
+            F.round(F.min("med") / 100, 4).alias("median_value"),
+            F.round(F.min("mad") / 100, 4).alias("mad_value"),
+            out.cast("long").alias("n_outliers"),
+            F.round(F.max(F.abs(F.col("z"))), 4).alias("max_abs_rz"),
+        )
+        .filter(F.col("n_outliers") > 0)
+        .orderBy(F.desc("max_abs_rz"), "user_id")
+        .limit(_MAD_TOP)
+    )
