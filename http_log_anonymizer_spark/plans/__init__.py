@@ -62,6 +62,7 @@ _WINDOW = [
     "neyman_allocation_report",  # new this round
     "table_profile_report",  # new this round
     "mad_outlier_report",  # new this round
+    "correlation_matrix_report",  # new this round
     # --- flagship parity anchors ---
     "http_totals",
     "llm_corpus_report",
@@ -77,7 +78,6 @@ _WINDOW = [
     "gopher_quality_flags",
     "http_error_bursts",
     "lang_id_confusion",
-    "order_fill_outer",
     "quality_classifier",
     "quality_histogram",
     "reservoir_sample",

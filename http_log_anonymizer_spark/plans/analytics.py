@@ -4332,3 +4332,116 @@ def mad_outlier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("max_abs_rz"), "user_id")
         .limit(_MAD_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# Pearson correlation matrix over the lineitem measures — the feature-
+# screening pass before any modeling step (and the generalization of
+# rolling_correlation's single pair to all pairs in ONE scan).
+# ---------------------------------------------------------------------------
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _corr_matrix_oracle() -> str:
+    # Moments stay in INT128 (DuckDB's native BIGINT-sum promotion) /
+    # DECIMAL(38) on the Spark side — sum(x^2) over 600M rows at the
+    # 1e2 price scale exceeds int64. The EXACT integer combinations
+    # n*p - s_i*s_j are formed first and only then converted to double
+    # (both engines round the same exact integer to the same nearest
+    # double), so the output still hash-verifies.
+    cols = _CORR_COLS
+    q = ", ".join(
+        f"CAST(round({c} * 100) AS BIGINT) AS x{i}" for i, c in enumerate(cols)
+    )
+    sums = ", ".join(
+        [f"count(*) AS n"]
+        + [f"sum(x{i}) AS s{i}" for i in range(len(cols))]
+        + [
+            f"sum(CAST(x{i} AS HUGEINT) * x{j}) AS p{i}_{j}"
+            for i in range(len(cols))
+            for j in range(i, len(cols))
+        ]
+    )
+    pairs = " UNION ALL ".join(
+        f"""SELECT '{cols[i]}' AS col_a, '{cols[j]}' AS col_b,
+       round(CAST(n * p{i}_{j} - s{i} * s{j} AS DOUBLE)
+             / (sqrt(CAST(n * p{i}_{i} - s{i} * s{i} AS DOUBLE))
+                * sqrt(CAST(n * p{j}_{j} - s{j} * s{j} AS DOUBLE))),
+             6) AS pearson_r
+FROM m"""
+        for i in range(len(cols))
+        for j in range(i + 1, len(cols))
+    )
+    return f"""
+WITH x AS (SELECT {q} FROM lineitem),
+m AS (SELECT {sums} FROM x)
+{pairs}
+ORDER BY col_a, col_b
+"""
+
+
+@register("correlation_matrix_report", oracle=_corr_matrix_oracle())
+def correlation_matrix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation for every pair of lineitem measures
+    ({", ".join(_CORR_COLS)}) from ONE scan: the classic one-pass
+    moment trick — n, per-column sums, and the upper-triangle product
+    sums all land in a single map-side-combined aggregate, and every
+    pairwise r is pure arithmetic over that one row. The feature-
+    screening table every modeling step starts from (and the all-pairs
+    generalization of ``rolling_correlation``).
+
+    Determinism: values quantize to 1e-2 integers, moments accumulate
+    in DECIMAL(38) / HUGEINT (sum(x^2) over 600M rows exceeds int64 —
+    the first draft overflowed DuckDB's INT64 cast at the gate, the
+    bound the wordpiece trainer already documented), and the exact
+    integer combinations n*p - s_i*s_j convert to double only at the
+    edge — both engines round the same exact integer to the same
+    nearest double, so r hash-verifies.
+
+    Scale shape: one scan, one 1-row aggregate, six arithmetic rows.
+    Nothing else."""
+    cols = _CORR_COLS
+    dec = "decimal(38,0)"
+    li = _t(spark, sf_dir, "lineitem").select(
+        *[
+            F.round(F.col(c) * 100).cast("long").alias(f"x{i}")
+            for i, c in enumerate(cols)
+        ]
+    )
+    aggs = (
+        [F.count("*").alias("n")]
+        + [F.sum(F.col(f"x{i}").cast(dec)).alias(f"s{i}") for i in range(len(cols))]
+        + [
+            F.sum(F.col(f"x{i}").cast(dec) * F.col(f"x{j}")).alias(f"p{i}_{j}")
+            for i in range(len(cols))
+            for j in range(i, len(cols))
+        ]
+    )
+    m = li.agg(*aggs)
+
+    def _d(expr):
+        return expr.cast("double")
+
+    rows = []
+    for i in range(len(cols)):
+        for j in range(i + 1, len(cols)):
+            nn = F.col("n").cast(dec)
+            num = _d(nn * F.col(f"p{i}_{j}") - F.col(f"s{i}") * F.col(f"s{j}"))
+            den_i = F.sqrt(
+                _d(nn * F.col(f"p{i}_{i}") - F.col(f"s{i}") * F.col(f"s{i}"))
+            )
+            den_j = F.sqrt(
+                _d(nn * F.col(f"p{j}_{j}") - F.col(f"s{j}") * F.col(f"s{j}"))
+            )
+            rows.append(
+                m.select(
+                    F.lit(cols[i]).alias("col_a"),
+                    F.lit(cols[j]).alias("col_b"),
+                    F.round(num / (den_i * den_j), 6).alias("pearson_r"),
+                )
+            )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("col_a", "col_b")
