@@ -63,6 +63,7 @@ _WINDOW = [
     "table_profile_report",  # new this round
     "mad_outlier_report",  # new this round
     "correlation_matrix_report",  # new this round
+    "join_skew_report",  # new this round
     # --- flagship parity anchors ---
     "http_totals",
     "llm_corpus_report",
@@ -76,7 +77,6 @@ _WINDOW = [
     "domain_mix_report",
     "embed_hashing_trick",
     "gopher_quality_flags",
-    "http_error_bursts",
     "lang_id_confusion",
     "quality_classifier",
     "quality_histogram",

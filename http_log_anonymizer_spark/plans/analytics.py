@@ -4445,3 +4445,79 @@ def correlation_matrix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out.orderBy("col_a", "col_b")
+
+
+# ---------------------------------------------------------------------------
+# Join-key skew profiler — the diagnosis table behind every salting /
+# AQE-skew-join decision this repo makes (operators/salted.py, the
+# bm25_query_table stopword keys, the line-dedup boilerplate note).
+# ---------------------------------------------------------------------------
+
+_SKEW_KEYS = [
+    ("lineitem", "l_orderkey"),
+    ("lineitem", "l_partkey"),
+    ("orders", "o_custkey"),
+    ("events", "user_id"),
+]
+
+
+def _skew_oracle() -> str:
+    parts = []
+    for tbl, col in _SKEW_KEYS:
+        parts.append(f"""SELECT '{tbl}' AS tbl, '{col}' AS keycol, b AS freq_pow,
+       count(*) AS n_keys, CAST(sum(f) AS BIGINT) AS n_rows,
+       round(sum(f) * 1.0 / (SELECT count(*) FROM {tbl}), 4) AS row_share
+FROM (
+  SELECT CAST(ceil(log2(f)) AS BIGINT) AS b, f
+  FROM (SELECT count(*) AS f FROM {tbl} GROUP BY {col})
+) GROUP BY b""")
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY tbl, keycol, freq_pow"
+
+
+@register("join_skew_report", oracle=_skew_oracle())
+def join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-frequency histogram (log2 buckets) for the engine's own
+    join keys: a key in bucket b occurs ~2^b times, so the top
+    populated bucket bounds the largest shuffle partition any
+    equi-join on that key can produce — the number a salting /
+    AQE-skew decision actually needs (a p99 percentile over the key
+    table would funnel |keys| rows into one aggregation buffer; the
+    histogram is a bounded groupBy instead). ``row_share`` says how
+    much of the table lives at each frequency scale — uniform FKs
+    (TPC-H orderkey) concentrate in one bucket; web-corpus keys smear
+    across many, and the high buckets are the salt candidates.
+
+    Scale shape, per key: one groupBy(key) with map-side combine (the
+    frequency table), one <= 64-bucket histogram aggregate. Exact and
+    integer throughout; the only double is the rounded share."""
+    from http_log_anonymizer_spark.sources.batch import load_table
+
+    parts = []
+    for tbl, col in _SKEW_KEYS:
+        d = load_table(spark, sf_dir, tbl).select(col)
+        freqs = d.groupBy(col).agg(F.count("*").alias("f"))
+        parts.append(
+            freqs.select(F.ceil(F.log2("f")).cast("long").alias("b"), "f")
+            .groupBy("b")
+            .agg(F.count("*").alias("n_keys"), F.sum("f").alias("n_rows"))
+            .select(
+                F.lit(tbl).alias("tbl"),
+                F.lit(col).alias("keycol"),
+                F.col("b").alias("freq_pow"),
+                "n_keys",
+                "n_rows",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    # table totals fall out of the histogram itself (sum over the
+    # <= 64 bucket rows per key) — no separate count() actions (the
+    # data_quality_report fused-aggregate lesson)
+    w = Window.partitionBy("tbl", "keycol")
+    return (
+        out.withColumn(
+            "row_share", F.round(F.col("n_rows") * 1.0 / F.sum("n_rows").over(w), 4)
+        )
+        .orderBy("tbl", "keycol", "freq_pow")
+    )
