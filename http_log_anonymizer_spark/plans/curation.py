@@ -1429,3 +1429,171 @@ def tokenizer_fertility_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return b.unionByName(u).unionByName(w).orderBy("tokenizer", "lang")
+
+
+# ---------------------------------------------------------------------------
+# Model evaluation: exact ROC-AUC of the quality classifier
+# ---------------------------------------------------------------------------
+
+_AUC_GRID = 10_000  # score quantization grid shared with the calibration op
+
+
+def _auc_oracle() -> str:
+    return f"""
+WITH t AS (SELECT source, string_split(text, ' ') AS toks FROM documents),
+lab AS (
+  SELECT source, toks,
+         CASE WHEN len(list_filter(toks, t -> t IN ({_BLOCK_SQL}))) = 0
+              THEN 1 ELSE 0 END AS label
+  FROM t
+),
+f AS (SELECT source, label, {_FEATURES_SQL} FROM lab),
+s AS (SELECT source, label, {_SCORE_SQL} AS score FROM f),
+b AS (
+  SELECT source, CAST(round(score * {_AUC_GRID}) AS BIGINT) AS q,
+         CAST(sum(label) AS BIGINT) AS pos,
+         CAST(sum(1 - label) AS BIGINT) AS neg
+  FROM s GROUP BY source, q
+),
+g AS (
+  SELECT * FROM b
+  UNION ALL
+  SELECT 'ALL' AS source, q, CAST(sum(pos) AS BIGINT), CAST(sum(neg) AS BIGINT)
+  FROM b GROUP BY q
+),
+c AS (
+  SELECT source, q, pos, neg,
+         COALESCE(sum(neg) OVER (
+           PARTITION BY source ORDER BY q
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS neg_lt,
+         sum(pos) OVER (PARTITION BY source) AS p_tot,
+         sum(neg) OVER (PARTITION BY source) AS n_tot
+  FROM g
+)
+SELECT source AS cohort,
+       CAST(min(p_tot) AS BIGINT) AS n_pos,
+       CAST(min(n_tot) AS BIGINT) AS n_neg,
+       round(CAST(sum(CAST(pos AS HUGEINT) * (2 * neg_lt + neg)) AS DOUBLE)
+             / CAST(2 * min(p_tot) * CAST(min(n_tot) AS HUGEINT) AS DOUBLE),
+             4) AS auc,
+       CAST(sum(CASE WHEN q >= {_AUC_GRID // 2} THEN pos ELSE 0 END) AS BIGINT)
+         AS tp_05,
+       CAST(sum(CASE WHEN q >= {_AUC_GRID // 2} THEN neg ELSE 0 END) AS BIGINT)
+         AS fp_05,
+       round(sum(CASE WHEN q >= {_AUC_GRID // 2} THEN pos ELSE 0 END) * 1.0
+             / greatest(sum(CASE WHEN q >= {_AUC_GRID // 2} THEN pos + neg
+                            ELSE 0 END), 1), 4) AS precision_05,
+       round(sum(CASE WHEN q >= {_AUC_GRID // 2} THEN pos ELSE 0 END) * 1.0
+             / min(p_tot), 4) AS recall_05,
+       round(2.0 * sum(CASE WHEN q >= {_AUC_GRID // 2} THEN pos ELSE 0 END)
+             / greatest(2 * sum(CASE WHEN q >= {_AUC_GRID // 2} THEN pos ELSE 0 END)
+                        + sum(CASE WHEN q >= {_AUC_GRID // 2} THEN neg ELSE 0 END)
+                        + sum(CASE WHEN q < {_AUC_GRID // 2} THEN pos ELSE 0 END),
+                        1), 4) AS f1_05
+FROM c
+GROUP BY source
+HAVING min(p_tot) > 0 AND min(n_tot) > 0
+ORDER BY cohort
+"""
+
+
+@register("classifier_auc_report", oracle=_auc_oracle())
+def classifier_auc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of the registered logistic quality model against a
+    HELD-OUT rule label (document carries no blocklisted term — a
+    signal the model's features never see), per source cohort plus the
+    pooled ALL row: the evaluation step between training a quality
+    classifier and trusting its threshold, and the per-domain
+    breakdown that catches a model that only works on some sources.
+    AUC is the Mann-Whitney statistic with the standard tie correction
+    (ties at a score value count 1/2), computed from the quantized
+    score histogram: AUC = sum_q pos_q*(2*neg_below + neg_q) /
+    (2*P*N) — the numerator is EXACT integer arithmetic (accumulated
+    in DECIMAL(38)/HUGEINT; P*N overflows int64 at ~3e9 docs), so
+    both engines divide the identical integers and the rounded output
+    hash-verifies. Also reported: precision/recall/F1 at the
+    production 0.5 cutoff (F1 in its integer form 2tp/(2tp+fp+fn)).
+
+    Scale shape (the quality_quantile_normalize discipline): one scan,
+    one groupBy(source, score-bucket) with map-side combine, one
+    window whose partitions are bounded by the {_AUC_GRID}-bucket grid
+    — never by corpus size (a rank over raw docs would be the
+    per-cohort global sort this repo forbids), one ~21-row final
+    aggregate. The ALL cohort re-aggregates the same bounded bucket
+    table, not the doc stream."""
+    d = load_table(spark, sf_dir, "documents", spread=True, bytes_per_task=256 * 1024)
+    t = d.select("source", tokens_ws("text").alias("toks"))
+    label = F.when(
+        F.size(F.filter(F.col("toks"), lambda tk: tk.isin(*_BLOCKLIST))) == 0, 1
+    ).otherwise(0)
+    feats = _quality_features(F.col("toks"))
+    s = t.select(
+        "source", label.alias("label"), _quality_score(feats).alias("score")
+    )
+    b = (
+        s.select(
+            "source",
+            "label",
+            F.round(F.col("score") * _AUC_GRID).cast("long").alias("q"),
+        )
+        .groupBy("source", "q")
+        .agg(
+            F.sum("label").cast("long").alias("pos"),
+            F.sum(1 - F.col("label")).cast("long").alias("neg"),
+        )
+    )
+    all_rows = (
+        b.groupBy("q")
+        .agg(
+            F.sum("pos").cast("long").alias("pos"),
+            F.sum("neg").cast("long").alias("neg"),
+        )
+        .select(F.lit("ALL").alias("source"), "q", "pos", "neg")
+    )
+    g = b.unionByName(all_rows)
+    w_lt = (
+        Window.partitionBy("source")
+        .orderBy("q")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.partitionBy("source")
+    c = g.select(
+        "source",
+        "q",
+        "pos",
+        "neg",
+        F.coalesce(F.sum("neg").over(w_lt), F.lit(0)).alias("neg_lt"),
+        F.sum("pos").over(w_all).alias("p_tot"),
+        F.sum("neg").over(w_all).alias("n_tot"),
+    )
+    dec = "decimal(38,0)"
+    half = _AUC_GRID // 2
+    kept = F.col("q") >= half
+    tp = F.sum(F.when(kept, F.col("pos")).otherwise(0))
+    fp = F.sum(F.when(kept, F.col("neg")).otherwise(0))
+    fn = F.sum(F.when(~kept, F.col("pos")).otherwise(0))
+    return (
+        c.groupBy(F.col("source").alias("cohort"))
+        .agg(
+            F.min("p_tot").cast("long").alias("n_pos"),
+            F.min("n_tot").cast("long").alias("n_neg"),
+            F.round(
+                F.sum(
+                    F.col("pos").cast(dec) * (2 * F.col("neg_lt") + F.col("neg"))
+                ).cast("double")
+                / (2 * F.min("p_tot") * F.min("n_tot").cast(dec)).cast("double"),
+                4,
+            ).alias("auc"),
+            tp.cast("long").alias("tp_05"),
+            fp.cast("long").alias("fp_05"),
+            F.round(tp * 1.0 / F.greatest(tp + fp, F.lit(1)), 4).alias(
+                "precision_05"
+            ),
+            F.round(tp * 1.0 / F.min("p_tot"), 4).alias("recall_05"),
+            F.round(
+                2.0 * tp / F.greatest(2 * tp + fp + fn, F.lit(1)), 4
+            ).alias("f1_05"),
+        )
+        .filter((F.col("n_pos") > 0) & (F.col("n_neg") > 0))
+        .orderBy("cohort")
+    )
