@@ -4521,3 +4521,126 @@ def join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tbl", "keycol", "freq_pow")
     )
+
+
+# ---------------------------------------------------------------------------
+# Chi-squared independence tests — the categorical-association screen
+# (the categorical twin of correlation_matrix_report's Pearson screen).
+# ---------------------------------------------------------------------------
+
+# Scaled-integer chi^2: per cell, the contribution (O - E)^2 / E with
+# E = rt*ct/N rewrites as (O*N - rt*ct)^2 / (N*rt*ct) — numerator and
+# denominator EXACT integers. Each term is floored onto a 1e-4 grid by
+# integer division (DuckDB // floors, Spark `div` truncates: identical
+# for the non-negative operands here), so the summed statistic is exact
+# integer arithmetic end to end — no double-summation order anywhere.
+_CHI2_SCALE = 10_000
+_CHI2_ATTRS = ["hour_of_day", "day_of_week", "day_of_month"]
+
+
+def _chi2_oracle() -> str:
+    parts = []
+    for attr in _CHI2_ATTRS:
+        parts.append(f"""SELECT 'event_type' AS attr_a, '{attr}' AS attr_b,
+       CAST(min(n) AS BIGINT) AS n,
+       CAST((count(DISTINCT a) - 1) * (count(DISTINCT b) - 1) AS BIGINT) AS dof,
+       round(sum((CAST(o AS HUGEINT) * n - rt * ct)
+                 * (CAST(o AS HUGEINT) * n - rt * ct) * {_CHI2_SCALE}
+                 // (CAST(n AS HUGEINT) * rt * ct)) / {_CHI2_SCALE}.0, 4)
+         AS chi2,
+       CASE WHEN least(count(DISTINCT a), count(DISTINCT b)) > 1 THEN
+         round(sqrt((sum((CAST(o AS HUGEINT) * n - rt * ct)
+                         * (CAST(o AS HUGEINT) * n - rt * ct) * {_CHI2_SCALE}
+                         // (CAST(n AS HUGEINT) * rt * ct)) / {_CHI2_SCALE}.0)
+                    / (min(n) * greatest(least(count(DISTINCT a),
+                                               count(DISTINCT b)) - 1, 1))), 4)
+       END AS cramers_v
+FROM (
+  SELECT a, b, o,
+         sum(o) OVER (PARTITION BY a) AS rt,
+         sum(o) OVER (PARTITION BY b) AS ct,
+         sum(o) OVER () AS n
+  FROM (SELECT event_type AS a, {attr} AS b, count(*) AS o
+        FROM (SELECT event_type,
+                     extract(hour FROM ts) AS hour_of_day,
+                     dayofweek(ts) + 1 AS day_of_week,
+                     extract(day FROM ts) AS day_of_month
+              FROM events)
+        GROUP BY a, b)
+)""")
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY attr_a, attr_b"
+
+
+@register("chi_square_report", oracle=_chi2_oracle())
+def chi_square_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-squared test of independence between event_type and
+    each calendar attribute ({", ".join(_CHI2_ATTRS)}), with degrees of
+    freedom and Cramér's V effect size — the categorical-association
+    screen beside correlation_matrix_report's numeric one (is traffic
+    mix time-of-day dependent, or can downstream sampling ignore the
+    clock?). No p-value column on purpose: the chi-squared CDF needs
+    the incomplete gamma function, whose libm implementations differ
+    across engines; the (statistic, dof) pair is the portable result.
+
+    Determinism: the per-cell contribution (O-E)^2/E rewrites as
+    (O*N - rt*ct)^2 / (N*rt*ct) — exact integers (HUGEINT/DECIMAL(38);
+    (O*N)^2 overflows int64 from ~56k rows) — and each term floors
+    onto a 1e-4 grid by integer division before summing, so the
+    statistic involves NO double summation at all; Cramér's V is one
+    sqrt of the same exact quantity.
+
+    Scale shape: ONE scan builds the (type, hour, dow, month) cube
+    (bounded: |types| * 24 * 7 * 12 cells); each test re-aggregates
+    that bounded table, and the marginal windows partition over <= 288
+    cells. Map-side combine does the heavy lifting; nothing after the
+    first aggregate touches corpus-sized data."""
+    e = _t(spark, sf_dir, "events").select(
+        F.col("event_type"),
+        F.hour("ts").cast("long").alias("hour_of_day"),
+        F.dayofweek("ts").cast("long").alias("day_of_week"),
+        F.dayofmonth("ts").cast("long").alias("day_of_month"),
+    )
+    cube = e.groupBy("event_type", *_CHI2_ATTRS).agg(F.count("*").alias("o"))
+    dec = "decimal(38,0)"
+    parts = []
+    for attr in _CHI2_ATTRS:
+        ct = (
+            cube.groupBy(F.col("event_type").alias("a"), F.col(attr).alias("b"))
+            .agg(F.sum("o").alias("o"))
+        )
+        m = ct.select(
+            "a",
+            "b",
+            "o",
+            F.sum("o").over(Window.partitionBy("a")).alias("rt"),
+            F.sum("o").over(Window.partitionBy("b")).alias("ct"),
+            F.sum("o").over(Window.partitionBy()).alias("n"),
+        )
+        term = F.expr(
+            f"(CAST(o AS {dec}) * n - CAST(rt AS {dec}) * ct) "
+            f"* (CAST(o AS {dec}) * n - CAST(rt AS {dec}) * ct) "
+            f"* {_CHI2_SCALE} div (CAST(n AS {dec}) * rt * ct)"
+        )
+        chi2_scaled = F.sum(term)
+        dof = (F.countDistinct("a") - 1) * (F.countDistinct("b") - 1)
+        nmin = F.least(F.countDistinct("a"), F.countDistinct("b"))
+        denom = F.min("n") * F.greatest(nmin - 1, F.lit(1))
+        parts.append(
+            m.agg(
+                F.lit("event_type").alias("attr_a"),
+                F.lit(attr).alias("attr_b"),
+                F.min("n").cast("long").alias("n"),
+                dof.cast("long").alias("dof"),
+                F.round(chi2_scaled / float(_CHI2_SCALE), 4).alias("chi2"),
+                F.when(
+                    nmin > 1,
+                    F.round(
+                        F.sqrt((chi2_scaled / float(_CHI2_SCALE)) / denom), 4
+                    ),
+                ).alias("cramers_v"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("attr_a", "attr_b")
