@@ -1960,3 +1960,103 @@ def vocab_growth_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prefix_pow")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact phrase search over a positional inverted index — the retrieval
+# capability BM25's bag-of-words scoring cannot express (term ORDER and
+# ADJACENCY), and the index shape (term -> (doc, position) postings)
+# every phrase/proximity engine builds.
+# ---------------------------------------------------------------------------
+
+_PHRASES = [
+    "window join",  # common 2-gram
+    "order order",  # repeated token: overlapping matches must count
+    "agg part filter",  # 3-term phrase (two adjacency joins)
+    "slow merge scan",  # absent at some SFs: the zero-hit row path
+]
+
+
+def _phrase_oracle() -> str:
+    # Independent formulation on purpose (stronger than a shared
+    # construction): a direct position scan with list_filter over
+    # 1-indexed subscripts, not the postings join the Spark plan uses.
+    parts = []
+    for ph in _PHRASES:
+        terms = ph.split()
+        n = len(terms)
+        cond = " AND ".join(
+            f"toks[i+{j}] = '{t}'" for j, t in enumerate(terms)
+        )
+        parts.append(f"""SELECT '{ph}' AS phrase, {n} AS n_terms,
+       CAST(COALESCE(sum(CASE WHEN m > 0 THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS n_docs,
+       CAST(COALESCE(sum(m), 0) AS BIGINT) AS n_occurrences,
+       CAST(COALESCE(max(m), 0) AS BIGINT) AS max_per_doc
+FROM (
+  SELECT len(list_filter(generate_series(1, len(toks) - {n - 1}),
+                         i -> {cond})) AS m
+  FROM (SELECT string_split(text, ' ') AS toks FROM documents)
+)""")
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY phrase"
+
+
+@register("phrase_search_report", oracle=_phrase_oracle())
+def phrase_search_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase matching via a positional inverted index: tokens
+    posexplode to (term, doc, position) postings, the postings are
+    pruned to the phrase vocabulary BEFORE any shuffle (predicate
+    pushdown does the index's job: only occurrences of the phrase's own
+    terms move), and a phrase of k terms resolves as k-1 adjacency
+    equi-joins on (doc_id, pos + offset) — the standard positional-
+    index intersection every phrase-query engine runs. Overlapping
+    matches count (see the repeated-token phrase in the fixture list);
+    a zero-hit phrase still emits its row with zero counts.
+
+    The oracle is an INDEPENDENT formulation — a direct per-document
+    position scan — so parity checks the algorithm, not a shared
+    construction.
+
+    Scale shape: the postings table is filtered to the phrase terms at
+    the scan (a fraction of corpus tokens), the adjacency joins key on
+    (doc_id, pos) — high-cardinality, skew-free keys — and per-doc
+    match counts aggregate with map-side combine. Nothing
+    corpus-proportional survives the first filter; a real engine would
+    persist the postings bucketed by term and skip the scan entirely
+    (the bucketing layout operators/bucketing.py already provides)."""
+    d = load_table(spark, sf_dir, "documents", spread=True, bytes_per_task=256 * 1024)
+    all_terms = sorted({t for ph in _PHRASES for t in ph.split()})
+    postings = (
+        d.select(
+            "doc_id", F.posexplode(tokens_ws("text")).alias("pos", "term")
+        )
+        .filter(F.col("term").isin(all_terms))
+    )
+    parts = []
+    for ph in _PHRASES:
+        terms = ph.split()
+        n = len(terms)
+        m = postings.filter(F.col("term") == terms[0]).select("doc_id", "pos")
+        for j, t in enumerate(terms[1:], start=1):
+            pj = postings.filter(F.col("term") == t).select(
+                "doc_id", (F.col("pos") - j).alias("pos")
+            )
+            m = m.join(pj, ["doc_id", "pos"])
+        per_doc = m.groupBy("doc_id").agg(F.count("*").alias("m"))
+        parts.append(
+            per_doc.agg(
+                F.lit(ph).alias("phrase"),
+                F.lit(n).cast("int").alias("n_terms"),
+                F.coalesce(F.count("*"), F.lit(0)).cast("long").alias("n_docs"),
+                F.coalesce(F.sum("m"), F.lit(0)).cast("long").alias(
+                    "n_occurrences"
+                ),
+                F.coalesce(F.max("m"), F.lit(0)).cast("long").alias(
+                    "max_per_doc"
+                ),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("phrase")
