@@ -2060,3 +2060,107 @@ def phrase_search_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("phrase")
+
+
+# ---------------------------------------------------------------------------
+# Data-mixture divergence: how far each source's unigram distribution
+# sits from the corpus mixture — the quantity data-mixing work (domain
+# reweighting, mixture tuning) tracks per domain.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "source_divergence_report",
+    oracle="""
+WITH u AS (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+sc AS (SELECT source, tok, count(*) AS c FROM u GROUP BY source, tok),
+st AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns FROM sc GROUP BY source),
+ct AS (SELECT tok, CAST(sum(c) AS BIGINT) AS ctot FROM sc GROUP BY tok),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM sc),
+terms AS (
+  SELECT sc.source, sc.c, st.ns, ct.ctot, tot.n,
+         sc.c * 1.0 / st.ns AS ps,
+         ct.ctot * 1.0 / tot.n AS pc
+  FROM sc
+  JOIN st ON st.source = sc.source
+  JOIN ct ON ct.tok = sc.tok
+  CROSS JOIN tot
+)
+SELECT source,
+       CAST(min(ns) AS BIGINT) AS n_tokens,
+       count(*) AS n_types,
+       round(sum(ctot) * 1.0 / min(n), 4) AS covered_mass,
+       round(sum(ps * ln(ps / pc)), 4) AS kl_div,
+       round(sum(0.5 * (ps * ln(2 * ps / (ps + pc))
+                        + pc * ln(2 * pc / (ps + pc))))
+             + 0.5 * ln(2) * (1 - sum(ctot) * 1.0 / min(n)), 4) AS js_div
+FROM terms
+GROUP BY source
+ORDER BY source
+""",
+)
+def source_divergence_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KL and Jensen-Shannon divergence of the unigram token
+    distribution against the corpus mixture — the domain-distance table
+    data-mixing decisions read (a source far from the mixture is
+    under-represented or genuinely different; reweighting work tracks
+    exactly this quantity per domain). KL is over the source's support
+    (where p_src > 0, so no zero terms); JS handles the corpus tokens
+    ABSENT from a source in closed form: their contribution is
+    0.5*ln(2)*(1 - covered_mass), with covered_mass the corpus
+    probability mass of the source's vocabulary — an exact integer
+    ratio, so no source x vocabulary cross join is ever built.
+
+    Scale shape: the per-(source, token) count table is the one
+    corpus-proportional aggregate (map-side combined); everything after
+    joins TYPE tables keyed by token — the perplexity family's
+    score-types-not-tokens discipline — and the token-keyed join is
+    skew-free merge material at any vocabulary size. Double sums span
+    a source's type list and round to 4 decimals (the avg_nll
+    precedent)."""
+    d = load_table(spark, sf_dir, "documents", spread=True, bytes_per_task=256 * 1024)
+    sc = (
+        d.select("source", F.explode(tokens_ws("text")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    st = sc.groupBy("source").agg(F.sum("c").cast("long").alias("ns"))
+    ct = sc.groupBy("tok").agg(F.sum("c").cast("long").alias("ctot"))
+    tot = sc.agg(F.sum("c").cast("long").alias("n"))
+    terms = (
+        sc.join(st, "source")
+        .join(ct, "tok")
+        .crossJoin(tot)
+        .select(
+            "source",
+            "c",
+            "ns",
+            "ctot",
+            "n",
+            (F.col("c") * 1.0 / F.col("ns")).alias("ps"),
+            (F.col("ctot") * 1.0 / F.col("n")).alias("pc"),
+        )
+    )
+    ps, pc = F.col("ps"), F.col("pc")
+    ln2 = F.log(F.lit(2.0))
+    return (
+        terms.groupBy("source")
+        .agg(
+            F.min("ns").cast("long").alias("n_tokens"),
+            F.count("*").alias("n_types"),
+            F.round(F.sum("ctot") * 1.0 / F.min("n"), 4).alias("covered_mass"),
+            F.round(F.sum(ps * F.log(ps / pc)), 4).alias("kl_div"),
+            F.round(
+                F.sum(
+                    0.5
+                    * (
+                        ps * F.log(2 * ps / (ps + pc))
+                        + pc * F.log(2 * pc / (ps + pc))
+                    )
+                )
+                + 0.5 * ln2 * (1 - F.sum("ctot") * 1.0 / F.min("n")),
+                4,
+            ).alias("js_div"),
+        )
+        .orderBy("source")
+    )
