@@ -4644,3 +4644,189 @@ def chi_square_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("attr_a", "attr_b")
+
+
+# ---------------------------------------------------------------------------
+# Revenue concentration (Lorenz / Gini / top-p shares) — the inequality
+# audit of the customer base, and the grid-bounded pattern for ANY
+# "how concentrated is X" question at corpus scale.
+# ---------------------------------------------------------------------------
+
+_CONC_GRID = 10_000  # spend-bucket grid
+
+
+def _conc_oracle() -> str:
+    g = _CONC_GRID
+    return f"""
+WITH spend AS (
+  SELECT o_custkey, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS s
+  FROM orders GROUP BY o_custkey
+),
+seg AS (
+  SELECT c.c_mktsegment AS cohort, sp.s
+  FROM spend sp JOIN customer c ON c.c_custkey = sp.o_custkey
+),
+mx AS (SELECT max(s) AS smax FROM seg),
+b0 AS (
+  SELECT cohort, CAST(s * {g} // (smax + 1) AS BIGINT) AS bucket,
+         count(*) AS n_b, CAST(sum(s) AS BIGINT) AS s_b
+  FROM seg CROSS JOIN mx GROUP BY cohort, bucket
+),
+hist AS (
+  SELECT * FROM b0
+  UNION ALL
+  SELECT 'ALL' AS cohort, bucket, CAST(sum(n_b) AS BIGINT),
+         CAST(sum(s_b) AS BIGINT)
+  FROM b0 GROUP BY bucket
+),
+c AS (
+  SELECT cohort, bucket, n_b, s_b,
+         COALESCE(sum(s_b) OVER (
+           PARTITION BY cohort ORDER BY bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev,
+         sum(n_b) OVER (
+           PARTITION BY cohort ORDER BY bucket DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc,
+         sum(n_b) OVER (PARTITION BY cohort) AS nn,
+         sum(s_b) OVER (PARTITION BY cohort) AS ss
+  FROM hist
+),
+f AS (
+  SELECT cohort, bucket, n_b, s_b, cum_prev, cc, nn, ss,
+         (cc - n_b) < (nn + 99) // 100 AS need1,
+         (cc - n_b) < (nn + 9) // 10 AS need10
+  FROM c
+)
+SELECT cohort,
+       CAST(min(nn) AS BIGINT) AS n_customers,
+       round(min(ss) / 100.0, 2) AS total_revenue,
+       round(1 - CAST(sum(CAST(n_b AS HUGEINT) * (2 * cum_prev + s_b)) AS DOUBLE)
+               / CAST(min(nn) * CAST(min(ss) AS HUGEINT) AS DOUBLE), 4) AS gini,
+       CAST(max(CASE WHEN need1 THEN cc END) AS BIGINT) AS n_top1,
+       round(CAST(sum(CASE WHEN need1 THEN s_b ELSE 0 END) AS DOUBLE)
+             / CAST(min(ss) AS DOUBLE), 4) AS top1_share,
+       CAST(max(CASE WHEN need10 THEN cc END) AS BIGINT) AS n_top10,
+       round(CAST(sum(CASE WHEN need10 THEN s_b ELSE 0 END) AS DOUBLE)
+             / CAST(min(ss) AS DOUBLE), 4) AS top10_share
+FROM f
+GROUP BY cohort
+ORDER BY cohort
+"""
+
+
+@register("revenue_concentration_report", oracle=_conc_oracle())
+def revenue_concentration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz-curve concentration of customer lifetime spend per market
+    segment (plus pooled ALL): Gini coefficient, and the revenue share
+    held by the top 1% / 10% of customers — the whale-accounting table
+    behind every retention/priority decision. Definitions are
+    bucket-granular and EXACT for the bucketed distribution: spend
+    quantizes onto a {_CONC_GRID}-bucket grid (global max scaling),
+    Gini is the trapezoid integral of the bucket-mean Lorenz curve
+    rewritten as sum_b n_b*(2*cum_prev + s_b) — exact integers in
+    DECIMAL(38)/HUGEINT (the product reaches ~1e20 past int64) with ONE
+    double division at the edge — and top-p sets are the smallest
+    bucket suffixes covering ceil(p*N) customers (reported n_top says
+    how many that actually is).
+
+    Scale shape: one groupBy(custkey) on orders (the corpus shuffle),
+    one join to the customer dim, one global max, one
+    groupBy(cohort, bucket) with map-side combine; every window
+    partitions over <= {_CONC_GRID} bucket rows per cohort — never
+    over customers (a percent_rank over raw customers is the
+    single-task-per-cohort sort this repo forbids)."""
+    g = _CONC_GRID
+    dec = "decimal(38,0)"
+    spend = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("s")
+        )
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("cohort"),
+    )
+    seg = spend.join(cust, "o_custkey").select("cohort", "s")
+    mx = seg.agg(F.max("s").alias("smax"))
+    b0 = (
+        seg.crossJoin(mx)
+        .select("cohort", F.expr(f"(s * {g}) div (smax + 1)").alias("bucket"), "s")
+        .groupBy("cohort", "bucket")
+        .agg(F.count("*").alias("n_b"), F.sum("s").cast("long").alias("s_b"))
+    )
+    all_rows = (
+        b0.groupBy("bucket")
+        .agg(
+            F.sum("n_b").cast("long").alias("n_b"),
+            F.sum("s_b").cast("long").alias("s_b"),
+        )
+        .select(F.lit("ALL").alias("cohort"), "bucket", "n_b", "s_b")
+    )
+    hist = b0.select("cohort", "bucket", "n_b", "s_b").unionByName(all_rows)
+    w_prev = (
+        Window.partitionBy("cohort")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_desc = (
+        Window.partitionBy("cohort")
+        .orderBy(F.desc("bucket"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("cohort")
+    c = hist.select(
+        "cohort",
+        "bucket",
+        "n_b",
+        "s_b",
+        F.coalesce(F.sum("s_b").over(w_prev), F.lit(0)).alias("cum_prev"),
+        F.sum("n_b").over(w_desc).alias("cc"),
+        F.sum("n_b").over(w_all).alias("nn"),
+        F.sum("s_b").over(w_all).alias("ss"),
+    )
+    f = c.select(
+        "*",
+        (
+            (F.col("cc") - F.col("n_b")) < F.expr("(nn + 99) div 100")
+        ).alias("need1"),
+        ((F.col("cc") - F.col("n_b")) < F.expr("(nn + 9) div 10")).alias(
+            "need10"
+        ),
+    )
+    term = F.col("n_b").cast(dec) * (2 * F.col("cum_prev") + F.col("s_b"))
+    return (
+        f.groupBy("cohort")
+        .agg(
+            F.min("nn").cast("long").alias("n_customers"),
+            F.round(F.min("ss") / 100.0, 2).alias("total_revenue"),
+            F.round(
+                1
+                - F.sum(term).cast("double")
+                / (F.min("nn") * F.min("ss").cast(dec)).cast("double"),
+                4,
+            ).alias("gini"),
+            F.max(F.when(F.col("need1"), F.col("cc"))).cast("long").alias("n_top1"),
+            F.round(
+                F.sum(F.when(F.col("need1"), F.col("s_b")).otherwise(0)).cast(
+                    "double"
+                )
+                / F.min("ss").cast("double"),
+                4,
+            ).alias("top1_share"),
+            F.max(F.when(F.col("need10"), F.col("cc")))
+            .cast("long")
+            .alias("n_top10"),
+            F.round(
+                F.sum(F.when(F.col("need10"), F.col("s_b")).otherwise(0)).cast(
+                    "double"
+                )
+                / F.min("ss").cast("double"),
+                4,
+            ).alias("top10_share"),
+        )
+        .orderBy("cohort")
+    )
