@@ -4556,17 +4556,30 @@ def _chi2_oracle() -> str:
                                                count(DISTINCT b)) - 1, 1))), 4)
        END AS cramers_v
 FROM (
+  WITH obs AS (
+    SELECT a, b, CAST(count(*) AS BIGINT) AS o
+    FROM (SELECT event_type AS a, {attr} AS b
+          FROM (SELECT event_type,
+                       extract(hour FROM ts) AS hour_of_day,
+                       dayofweek(ts) + 1 AS day_of_week,
+                       extract(day FROM ts) AS day_of_month
+                FROM events))
+    GROUP BY a, b
+  ),
+  -- complete the contingency table: ZERO cells contribute E to chi^2
+  -- and must not be dropped (present-cells-only understates the
+  -- statistic; caught by the planted perfect-dependence test)
+  full_t AS (
+    SELECT da.a, db.b, COALESCE(obs.o, 0) AS o
+    FROM (SELECT DISTINCT a FROM obs) da
+    CROSS JOIN (SELECT DISTINCT b FROM obs) db
+    LEFT JOIN obs ON obs.a = da.a AND obs.b = db.b
+  )
   SELECT a, b, o,
          sum(o) OVER (PARTITION BY a) AS rt,
          sum(o) OVER (PARTITION BY b) AS ct,
          sum(o) OVER () AS n
-  FROM (SELECT event_type AS a, {attr} AS b, count(*) AS o
-        FROM (SELECT event_type,
-                     extract(hour FROM ts) AS hour_of_day,
-                     dayofweek(ts) + 1 AS day_of_week,
-                     extract(day FROM ts) AS day_of_month
-              FROM events)
-        GROUP BY a, b)
+  FROM full_t
 )""")
     return "\nUNION ALL\n".join(parts) + "\nORDER BY attr_a, attr_b"
 
@@ -4604,18 +4617,28 @@ def chi_square_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     dec = "decimal(38,0)"
     parts = []
     for attr in _CHI2_ATTRS:
-        ct = (
+        obs = (
             cube.groupBy(F.col("event_type").alias("a"), F.col(attr).alias("b"))
-            .agg(F.sum("o").alias("o"))
+            .agg(F.sum("o").cast("long").alias("o"))
         )
-        m = ct.select(
+        # complete the contingency table: ZERO cells contribute E to
+        # chi^2 and must not be dropped (present-cells-only understates
+        # the statistic; caught by the planted perfect-dependence test).
+        # The cross join is margins x margins — bounded, never corpus.
+        full_t = (
+            obs.select("a")
+            .distinct()
+            .crossJoin(obs.select("b").distinct())
+            .join(obs, ["a", "b"], "left")
+            .select("a", "b", F.coalesce(F.col("o"), F.lit(0)).alias("o"))
+        )
+        m = full_t.select(
             "a",
             "b",
             "o",
             F.sum("o").over(Window.partitionBy("a")).alias("rt"),
             F.sum("o").over(Window.partitionBy("b")).alias("ct"),
-            F.sum("o").over(Window.partitionBy()).alias("n"),
-        )
+        ).crossJoin(obs.agg(F.sum("o").cast("long").alias("n")))
         term = F.expr(
             f"(CAST(o AS {dec}) * n - CAST(rt AS {dec}) * ct) "
             f"* (CAST(o AS {dec}) * n - CAST(rt AS {dec}) * ct) "
