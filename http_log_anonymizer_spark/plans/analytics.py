@@ -4853,3 +4853,109 @@ def revenue_concentration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequential pattern mining (lite): most frequent session event paths —
+# the order-3 generalization of event_transition_matrix's bigrams, over
+# the same gap-based sessions sessionize_events defines.
+# ---------------------------------------------------------------------------
+
+_PATH_TOP = 20
+
+
+@register(
+    "event_path_trigrams",
+    oracle=f"""
+WITH deltas AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                OR lag(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts, event_id, event_type,
+         sum(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS session_id
+  FROM deltas
+),
+tri AS (
+  SELECT user_id,
+         event_type || '>' || lead(event_type, 1) OVER w
+                    || '>' || lead(event_type, 2) OVER w AS path
+  FROM sess
+  WINDOW w AS (PARTITION BY user_id, session_id ORDER BY ts, event_id)
+)
+SELECT path, count(*) AS n_occurrences,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM tri WHERE path IS NOT NULL
+GROUP BY path
+ORDER BY n_occurrences DESC, path
+LIMIT {_PATH_TOP}
+""",
+)
+def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_PATH_TOP} most frequent 3-step event paths within
+    sessions (30-minute gap rule, the sessionize_events definition) —
+    sequential pattern mining at the order behavioral analyses actually
+    read (entry->action->outcome). Trigrams come from lead() windows
+    partitioned by (user, session) — sliding and overlapping, the
+    standard n-gram count — so no per-session array is ever
+    materialized; a path never crosses a session boundary because the
+    window partition ends there.
+
+    Scale shape: two window passes over the same (user, ts) sort (the
+    sessionize shuffle, reused by Catalyst), partitions bounded by one
+    user's events; one groupBy(path) with map-side combine over the
+    |types|^3-bounded path vocabulary; TakeOrdered for the top-k (no
+    global sort). Ties break on path for determinism."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    deltas = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            (
+                F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")
+                > 1800
+            )
+            | F.lag(F.col("ts")).over(w).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sess = deltas.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum("new_session")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("session_id"),
+    )
+    ws = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    tri = sess.select(
+        "user_id",
+        F.concat_ws(
+            ">",
+            F.col("event_type"),
+            F.lead("event_type", 1).over(ws),
+            F.lead("event_type", 2).over(ws),
+        ).alias("path"),
+        F.lead("event_type", 2).over(ws).alias("guard"),
+    ).filter(F.col("guard").isNotNull())
+    return (
+        tri.groupBy("path")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        .orderBy(F.desc("n_occurrences"), "path")
+        .limit(_PATH_TOP)
+    )

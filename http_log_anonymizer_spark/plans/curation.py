@@ -1597,3 +1597,108 @@ def classifier_auc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("n_pos") > 0) & (F.col("n_neg") > 0))
         .orderBy("cohort")
     )
+
+
+# ---------------------------------------------------------------------------
+# Model evaluation: calibration (reliability diagram + Brier score)
+# ---------------------------------------------------------------------------
+
+_CAL_BINS = 10  # reliability-diagram bins
+
+
+def _calibration_oracle() -> str:
+    g = _AUC_GRID
+    return f"""
+WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+lab AS (
+  SELECT toks,
+         CASE WHEN len(list_filter(toks, t -> t IN ({_BLOCK_SQL}))) = 0
+              THEN 1 ELSE 0 END AS label
+  FROM t
+),
+f AS (SELECT label, {_FEATURES_SQL} FROM lab),
+s AS (SELECT label, {_SCORE_SQL} AS score FROM f),
+b AS (
+  SELECT CAST(round(score * {g}) AS BIGINT) AS q,
+         CAST(sum(label) AS BIGINT) AS pos,
+         CAST(sum(1 - label) AS BIGINT) AS neg
+  FROM s GROUP BY q
+),
+tot AS (SELECT CAST(sum(pos + neg) AS BIGINT) AS n FROM b)
+SELECT least(q * {_CAL_BINS} // {g}, {_CAL_BINS - 1}) AS bin,
+       CAST(sum(pos + neg) AS BIGINT) AS n_docs,
+       round(sum(q * (pos + neg)) / {g}.0 / sum(pos + neg), 4)
+         AS mean_predicted,
+       round(sum(pos) * 1.0 / sum(pos + neg), 4) AS observed_rate,
+       round(CAST(sum(CAST(pos AS HUGEINT) * ({g} - q) * ({g} - q)
+                      + CAST(neg AS HUGEINT) * q * q) AS DOUBLE)
+             / CAST(min(tot.n) * CAST({g} AS HUGEINT) * {g} AS DOUBLE), 6)
+         AS brier_contrib
+FROM b CROSS JOIN tot
+GROUP BY bin
+ORDER BY bin
+"""
+
+
+@register("classifier_calibration_report", oracle=_calibration_oracle())
+def classifier_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram of the quality classifier against the
+    held-out blocklist label: {_CAL_BINS} predicted-probability bins
+    with mean predicted score vs observed positive rate (a calibrated
+    model tracks the diagonal), plus each bin's contribution to the
+    Brier score — summing the column gives the full Brier
+    decomposition-free. The companion to classifier_auc_report: AUC
+    ranks, calibration says whether the scores MEAN anything as
+    probabilities (the difference between a filter threshold and a
+    sampling weight).
+
+    Determinism: scores quantize to the shared {_AUC_GRID} grid; the
+    Brier numerator pos_q*(G-q)^2 + neg_q*q^2 is EXACT integer
+    arithmetic (HUGEINT/DECIMAL(38)), divided once by N*G^2 at the
+    edge. Scale shape: one scan, one groupBy(score-bucket) bounded by
+    the grid, one {_CAL_BINS}-row aggregate."""
+    g = _AUC_GRID
+    d = load_table(spark, sf_dir, "documents", spread=True, bytes_per_task=256 * 1024)
+    t = d.select(tokens_ws("text").alias("toks"))
+    label = F.when(
+        F.size(F.filter(F.col("toks"), lambda tk: tk.isin(*_BLOCKLIST))) == 0, 1
+    ).otherwise(0)
+    feats = _quality_features(F.col("toks"))
+    s = t.select(label.alias("label"), _quality_score(feats).alias("score"))
+    b = (
+        s.select("label", F.round(F.col("score") * g).cast("long").alias("q"))
+        .groupBy("q")
+        .agg(
+            F.sum("label").cast("long").alias("pos"),
+            F.sum(1 - F.col("label")).cast("long").alias("neg"),
+        )
+    )
+    tot = b.agg(F.sum(F.col("pos") + F.col("neg")).cast("long").alias("n"))
+    dec = "decimal(38,0)"
+    nb = F.sum(F.col("pos") + F.col("neg"))
+    brier_num = F.sum(
+        F.col("pos").cast(dec) * (g - F.col("q")) * (g - F.col("q"))
+        + F.col("neg").cast(dec) * F.col("q") * F.col("q")
+    )
+    return (
+        b.crossJoin(tot)
+        .groupBy(
+            F.least(
+                F.expr(f"(q * {_CAL_BINS}) div {g}"), F.lit(_CAL_BINS - 1)
+            ).alias("bin")
+        )
+        .agg(
+            nb.cast("long").alias("n_docs"),
+            F.round(
+                F.sum(F.col("q") * (F.col("pos") + F.col("neg"))) / float(g) / nb,
+                4,
+            ).alias("mean_predicted"),
+            F.round(F.sum("pos") * 1.0 / nb, 4).alias("observed_rate"),
+            F.round(
+                brier_num.cast("double")
+                / (F.min("n") * F.lit(g).cast(dec) * g).cast("double"),
+                6,
+            ).alias("brier_contrib"),
+        )
+        .orderBy("bin")
+    )
