@@ -2164,3 +2164,111 @@ def source_divergence_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Collocation mining: pointwise mutual information of adjacent token
+# pairs — the association statistic between raw counts (vocab_growth)
+# and full LMs (kn/mkn): which bigrams occur far above chance?
+# ---------------------------------------------------------------------------
+
+_PMI_MIN_COUNT = 5
+_PMI_TOP = 25
+
+
+@register(
+    "token_pmi_report",
+    oracle=f"""
+WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+bg AS (
+  SELECT p.w1, p.w2
+  FROM t, unnest(list_transform(generate_series(1, len(toks) - 1),
+                 i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS u(p)
+),
+cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cab FROM bg GROUP BY w1, w2),
+uni AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY tok
+),
+tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n,
+         (SELECT CAST(sum(cab) AS BIGINT) FROM cb) AS b
+  FROM uni
+)
+SELECT cb.w1, cb.w2, cb.cab AS n_pair,
+       round(ln(CAST(cb.cab * CAST(tot.n AS HUGEINT) * tot.n AS DOUBLE)
+                / CAST(tot.b * CAST(u1.c AS HUGEINT) * u2.c AS DOUBLE)), 4)
+         AS pmi
+FROM cb
+JOIN uni u1 ON u1.tok = cb.w1
+JOIN uni u2 ON u2.tok = cb.w2
+CROSS JOIN tot
+WHERE cb.cab >= {_PMI_MIN_COUNT}
+ORDER BY pmi DESC, cb.w1, cb.w2
+LIMIT {_PMI_TOP}
+""",
+)
+def token_pmi_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_PMI_TOP} adjacent-token collocations by pointwise mutual
+    information (min pair count {_PMI_MIN_COUNT}): PMI =
+    ln(c_ab*N^2 / (B*c_a*c_b)) compares each bigram's rate against the
+    unigram-independence baseline — the classic collocation statistic
+    (Church & Hanks 1990) and the cheap screen before any phrase-aware
+    tokenizer or merge rule. The log argument is a ratio of EXACT
+    integers (HUGEINT/DECIMAL(38): c_ab*N^2 overflows int64 from ~100M
+    tokens), converted to double once, so both engines take ln of the
+    identical value; ranking is on the rounded PMI with a (w1, w2)
+    tie-break.
+
+    Scale shape: bigrams come from a map-only array transform (no
+    window, no explode-then-self-join); the pair and unigram count
+    tables are the corpus aggregates (map-side combined); the PMI join
+    touches TYPE tables keyed by token (merge material at any
+    vocabulary); TakeOrdered for the top-k."""
+    d = load_table(spark, sf_dir, "documents", spread=True, bytes_per_task=256 * 1024)
+    t = d.select(tokens_ws("text").alias("toks"))
+    bg = t.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1), "
+                "i -> struct(element_at(toks, i) AS w1, "
+                "element_at(toks, i + 1) AS w2))"
+            )
+        ).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    cb = bg.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("cab"))
+    uni = (
+        t.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    tot = uni.agg(F.sum("c").cast("long").alias("n")).crossJoin(
+        cb.agg(F.sum("cab").cast("long").alias("b"))
+    )
+    dec = "decimal(38,0)"
+    u1 = uni.select(F.col("tok").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("tok").alias("w2"), F.col("c").alias("c2"))
+    return (
+        cb.filter(F.col("cab") >= _PMI_MIN_COUNT)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(tot)
+        .select(
+            "w1",
+            "w2",
+            F.col("cab").alias("n_pair"),
+            F.round(
+                F.log(
+                    (F.col("cab").cast(dec) * F.col("n") * F.col("n")).cast(
+                        "double"
+                    )
+                    / (F.col("b").cast(dec) * F.col("c1") * F.col("c2")).cast(
+                        "double"
+                    )
+                ),
+                4,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(_PMI_TOP)
+    )
