@@ -64,26 +64,27 @@ _WINDOW = [
     "mad_outlier_report",  # new this round
     "correlation_matrix_report",  # new this round
     "join_skew_report",  # new this round
+    "classifier_auc_report",  # new this round (final session)
+    "chi_square_report",  # new this round (final session)
+    "phrase_search_report",  # new this round (final session)
+    "source_divergence_report",  # new this round (final session)
+    "fuzzy_editdist_join",  # new this round (final session)
+    "revenue_concentration_report",  # new this round (final session)
+    "classifier_calibration_report",  # new this round (final session)
+    "event_path_trigrams",  # new this round (final session)
+    "token_pmi_report",  # new this round (final session)
     # --- flagship parity anchors ---
     "http_totals",
     "llm_corpus_report",
-    # --- stalest re-verification: all 23 queries whose latest driver
-    # --- row is r02
-    "asof_last_purchase",
-    "ccnet_perplexity_buckets",
-    "decontaminate_docs",
-    "dedup_incremental_batch",
+    # --- stalest re-verification fill (r02-latest rows; the rest of
+    # --- that cohort was displaced by this round's new queries and is
+    # --- listed for the round-7 rotation in ROADMAP.md)
     "doc_perplexity",
     "domain_mix_report",
-    "embed_hashing_trick",
-    "gopher_quality_flags",
     "lang_id_confusion",
     "quality_classifier",
-    "quality_histogram",
     "reservoir_sample",
     "scrub_pii",
-    "tfidf_top_terms",
-    "train_val_test_split",
 ]
 
 

@@ -2598,8 +2598,13 @@ def fuzzy_editdist_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("p_name", F.col("gp.g").alias("g"), F.col("gp.pos").alias("pos"))
     freq = grams.groupBy("g").agg(F.count("*").alias("freq"))
     w = Window.partitionBy("p_name").orderBy("freq", "g", "pos")
+    # freq is bounded by the q-gram alphabet (|charset|^q), not the
+    # corpus — broadcast it explicitly; left to its own estimates the
+    # static planner builds the NAME-GRAM side instead, which grows
+    # with distinct names (caught by the sf100 plan audit; guard in
+    # tests/test_r06_reports.py)
     prefix = (
-        grams.join(freq, "g")
+        grams.join(F.broadcast(freq), "g")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _ED_PREFIX)
         .select("p_name", "g")

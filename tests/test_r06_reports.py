@@ -309,3 +309,97 @@ def test_concentration_one_whale(spark, tmp_path):
     _oracle_agrees(
         spark, tmp_path, "revenue_concentration_report", tables=("orders", "customer")
     )
+
+
+# ---------------------------------------------------------------------------
+# event_path_trigrams
+# ---------------------------------------------------------------------------
+
+
+def test_event_paths_respect_session_boundaries(spark, tmp_path):
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # session 1: a -> b -> c -> d (paths a>b>c, b>c>d)
+        (base, "a"),
+        (base + dt.timedelta(minutes=1), "b"),
+        (base + dt.timedelta(minutes=2), "c"),
+        (base + dt.timedelta(minutes=3), "d"),
+        # 31-minute gap -> new session: e -> f -> g (path e>f>g); no
+        # path may bridge d into e
+        (base + dt.timedelta(minutes=34), "e"),
+        (base + dt.timedelta(minutes=35), "f"),
+        (base + dt.timedelta(minutes=36), "g"),
+    ]
+    _write_events(spark, tmp_path, rows)
+    out = {
+        r.path: (r.n_occurrences, r.n_users)
+        for r in REGISTRY["event_path_trigrams"].spark_fn(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out == {"a>b>c": (1, 1), "b>c>d": (1, 1), "e>f>g": (1, 1)}
+    _oracle_agrees(spark, tmp_path, "event_path_trigrams", tables=("events",))
+
+
+# ---------------------------------------------------------------------------
+# token_pmi_report
+# ---------------------------------------------------------------------------
+
+
+def test_pmi_perfect_collocation_ranks_first(spark, tmp_path):
+    # 'x y' always adjacent; filler order is permuted per doc, so every
+    # filler bigram stays under the min-count filter and only the true
+    # collocation survives. Expected PMI from a direct evaluation.
+    perms = ["a b c d", "b a d c", "c d a b", "d c b a", "a c b d", "b d a c"]
+    _write_docs(spark, tmp_path, [(f"x y {p}", "s") for p in perms])
+    rows = REGISTRY["token_pmi_report"].spark_fn(spark, str(tmp_path)).collect()
+    assert len(rows) == 1  # only (x, y) reaches the min count
+    top = rows[0]
+    assert (top.w1, top.w2) == ("x", "y")
+    assert top.n_pair == 6
+    n, b = 36, 30  # 6 docs * 6 tokens; 6 docs * 5 bigrams
+    expected = round(math.log(6 * n * n / (b * 6 * 6)), 4)
+    assert top.pmi == expected
+    _oracle_agrees(spark, tmp_path, "token_pmi_report")
+
+
+# ---------------------------------------------------------------------------
+# Plan guard: broadcast discipline for the new operators at big-series
+# scale (the test_chunk_type_tables_never_static_broadcast pattern)
+# ---------------------------------------------------------------------------
+
+
+def test_editdist_broadcasts_gram_vocab_not_name_grams(spark):
+    """fuzzy_editdist_join's only legal broadcast is the gram-FREQUENCY
+    table (bounded by |charset|^q); the name-gram table grows with
+    distinct names and must never be the build side. Planned (not
+    executed) against the biggest series on disk."""
+    import os
+
+    for d in ("/root/repo/.benchdata/sf100", "/root/repo/.benchdata/sf10"):
+        if os.path.exists(os.path.join(d, "_DONE")):
+            break
+    else:
+        d = "/root/testdata/sf0.01"
+    plan = (
+        REGISTRY["fuzzy_editdist_join"]
+        .spark_fn(spark, d)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # every BroadcastExchange subtree must be the freq aggregate (keyed
+    # on g with a count), never the gram GENERATION (explode/transform
+    # over names)
+    lines = plan.splitlines()
+    for i, l in enumerate(lines):
+        if "BroadcastExchange" not in l:
+            continue
+        indent = len(l) - len(l.lstrip())
+        subtree = []
+        for nxt in lines[i + 1 :]:
+            if nxt.strip() and (len(nxt) - len(nxt.lstrip())) <= indent:
+                break
+            subtree.append(nxt)
+        sub = "\n".join(subtree)
+        assert "Generate explode" not in sub, f"name-gram side broadcast:\n{sub}"
