@@ -4959,3 +4959,157 @@ def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), "path")
         .limit(_PATH_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# Population stability index — the model-monitoring drift statistic
+# (does the live feature distribution still look like the one the
+# model/threshold was calibrated on?).
+# ---------------------------------------------------------------------------
+
+_PSI_BUCKETS = 10
+_PSI_SPLIT_DAY = 16  # ref = days 1-15 of the corpus month, cur = the rest
+_PSI_ALERT = 0.2  # the conventional "significant shift" threshold
+
+
+def _psi_oracle() -> str:
+    b = _PSI_BUCKETS
+    return f"""
+WITH v AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c,
+         CASE WHEN extract(day FROM ts) < {_PSI_SPLIT_DAY} THEN 1 ELSE 0 END AS is_ref
+  FROM events
+),
+mm AS (SELECT min(c) AS lo, max(c) AS hi FROM v),
+b0 AS (
+  SELECT event_type AS cohort,
+         CAST((c - lo) * {b} // (hi - lo + 1) AS BIGINT) AS bucket,
+         CAST(sum(is_ref) AS BIGINT) AS n_ref,
+         CAST(sum(1 - is_ref) AS BIGINT) AS n_cur
+  FROM v CROSS JOIN mm GROUP BY cohort, bucket
+),
+h AS (
+  SELECT * FROM b0
+  UNION ALL
+  SELECT 'ALL', bucket, CAST(sum(n_ref) AS BIGINT), CAST(sum(n_cur) AS BIGINT)
+  FROM b0 GROUP BY bucket
+),
+-- complete to all {b} buckets: an empty bucket on one side is exactly
+-- where drift shows up (the chi2 zero-cell lesson); +1 Laplace
+-- smoothing keeps the log finite and deterministic
+f AS (
+  SELECT g.cohort, g.bucket,
+         COALESCE(h.n_ref, 0) AS n_ref, COALESCE(h.n_cur, 0) AS n_cur
+  FROM (SELECT cohort, u.bucket
+        FROM (SELECT DISTINCT cohort FROM h)
+        CROSS JOIN (SELECT unnest(generate_series(0, {b - 1})) AS bucket) u) g
+  LEFT JOIN h ON h.cohort = g.cohort AND h.bucket = g.bucket
+),
+t AS (
+  SELECT cohort, bucket, n_ref, n_cur,
+         sum(n_ref) OVER (PARTITION BY cohort) AS tr,
+         sum(n_cur) OVER (PARTITION BY cohort) AS tc
+  FROM f
+),
+terms AS (
+  SELECT cohort, tr, tc,
+         ((n_ref + 1.0) / (tr + {b}) - (n_cur + 1.0) / (tc + {b}))
+         * ln(((n_ref + 1.0) / (tr + {b})) / ((n_cur + 1.0) / (tc + {b})))
+           AS term
+  FROM t
+)
+SELECT cohort,
+       CAST(min(tr) AS BIGINT) AS n_ref,
+       CAST(min(tc) AS BIGINT) AS n_cur,
+       round(sum(term), 4) AS psi,
+       round(max(term), 4) AS max_bucket_contrib,
+       sum(term) >= {_PSI_ALERT} AS drift_flag
+FROM terms
+GROUP BY cohort
+ORDER BY cohort
+"""
+
+
+@register("psi_drift_report", oracle=_psi_oracle())
+def psi_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index of the event-value distribution,
+    reference window (days 1-{_PSI_SPLIT_DAY - 1} of the corpus month)
+    vs current (the rest), per event type plus pooled ALL — THE
+    model-monitoring drift statistic: a score/feature histogram that
+    no longer matches its calibration window invalidates thresholds
+    before accuracy metrics can notice (labels lag). PSI =
+    sum_b (p_b - q_b) ln(p_b / q_b) over {_PSI_BUCKETS} equal-width
+    buckets with +1 Laplace smoothing (an empty bucket on one side IS
+    the drift signal, so buckets are zero-completed — the chi-squared
+    zero-cell lesson — and smoothing keeps the log finite);
+    drift_flag applies the conventional {_PSI_ALERT} threshold.
+
+    Scale shape: one scan builds the (cohort, bucket) ref/cur counts
+    (map-side combined, output bounded by cohorts x {_PSI_BUCKETS});
+    bucket completion is a bounded cross join; windows partition over
+    <= {_PSI_BUCKETS} rows. The smoothed p, q are ratios of exact
+    integers, so both engines take ln of identical doubles; the
+    {_PSI_BUCKETS}-term double sum rounds at 4 (the entropy
+    precedent)."""
+    b = _PSI_BUCKETS
+    v = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+        F.when(F.dayofmonth("ts") < _PSI_SPLIT_DAY, 1).otherwise(0).alias("is_ref"),
+    )
+    mm = v.agg(F.min("c").alias("lo"), F.max("c").alias("hi"))
+    b0 = (
+        v.crossJoin(mm)
+        .select(
+            F.col("event_type").alias("cohort"),
+            F.expr(f"((c - lo) * {b}) div (hi - lo + 1)").alias("bucket"),
+            "is_ref",
+        )
+        .groupBy("cohort", "bucket")
+        .agg(
+            F.sum("is_ref").cast("long").alias("n_ref"),
+            F.sum(1 - F.col("is_ref")).cast("long").alias("n_cur"),
+        )
+    )
+    h = b0.unionByName(
+        b0.groupBy("bucket")
+        .agg(
+            F.sum("n_ref").cast("long").alias("n_ref"),
+            F.sum("n_cur").cast("long").alias("n_cur"),
+        )
+        .select(F.lit("ALL").alias("cohort"), "bucket", "n_ref", "n_cur")
+    )
+    grid = (
+        h.select("cohort")
+        .distinct()
+        .crossJoin(spark.range(b).select(F.col("id").alias("bucket")))
+    )
+    f = grid.join(h, ["cohort", "bucket"], "left").select(
+        "cohort",
+        "bucket",
+        F.coalesce(F.col("n_ref"), F.lit(0)).alias("n_ref"),
+        F.coalesce(F.col("n_cur"), F.lit(0)).alias("n_cur"),
+    )
+    w = Window.partitionBy("cohort")
+    t = f.select(
+        "cohort",
+        "n_ref",
+        "n_cur",
+        F.sum("n_ref").over(w).alias("tr"),
+        F.sum("n_cur").over(w).alias("tc"),
+    )
+    p = (F.col("n_ref") + 1.0) / (F.col("tr") + b)
+    q = (F.col("n_cur") + 1.0) / (F.col("tc") + b)
+    term = (p - q) * F.log(p / q)
+    return (
+        t.select("cohort", "tr", "tc", term.alias("term"))
+        .groupBy("cohort")
+        .agg(
+            F.min("tr").cast("long").alias("n_ref"),
+            F.min("tc").cast("long").alias("n_cur"),
+            F.round(F.sum("term"), 4).alias("psi"),
+            F.round(F.max("term"), 4).alias("max_bucket_contrib"),
+            (F.sum("term") >= _PSI_ALERT).alias("drift_flag"),
+        )
+        .orderBy("cohort")
+    )
