@@ -2152,7 +2152,7 @@ c AS (
 occ AS (
   SELECT source, doc_id, n_tok,
          {hash64_sql("chunk")} AS h,
-         doc_id * 1000000000 + chunk_idx AS occ_key
+         struct_pack(d := doc_id, i := chunk_idx) AS occ_key
   FROM c
 ),
 g AS (
@@ -2209,7 +2209,13 @@ def line_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_tok",
         hash64("chunk").alias("h"),
-        (F.col("doc_id") * F.lit(1_000_000_000) + F.col("chunk_idx")).alias("occ_key"),
+        # struct min, not an int64 packing (ADVICE r06): lexicographic
+        # (doc_id, chunk_idx) works for ANY doc_id type/magnitude, where
+        # doc_id*1e9+chunk_idx overflowed past ~9.2e9 numeric ids and
+        # NULLed out string ids.
+        F.struct(
+            F.col("doc_id").alias("d"), F.col("chunk_idx").alias("i")
+        ).alias("occ_key"),
     )
     g = occ.groupBy("h").agg(
         F.count("*").alias("cnt"), F.min("occ_key").alias("keep_key")
@@ -2337,7 +2343,7 @@ c AS (
 occ AS (
   SELECT source, doc_id, n_tok,
          {hash64_sql('chunk')} AS h,
-         doc_id * 1000000000 + chunk_idx AS occ_key
+         struct_pack(d := doc_id, i := chunk_idx) AS occ_key
   FROM c
 ),
 g AS (
@@ -2390,7 +2396,13 @@ def cdc_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_tok",
         hash64("chunk").alias("h"),
-        (F.col("doc_id") * F.lit(1_000_000_000) + F.col("chunk_idx")).alias("occ_key"),
+        # struct min, not an int64 packing (ADVICE r06): lexicographic
+        # (doc_id, chunk_idx) works for ANY doc_id type/magnitude, where
+        # doc_id*1e9+chunk_idx overflowed past ~9.2e9 numeric ids and
+        # NULLed out string ids.
+        F.struct(
+            F.col("doc_id").alias("d"), F.col("chunk_idx").alias("i")
+        ).alias("occ_key"),
     )
     g = occ.groupBy("h").agg(
         F.count("*").alias("cnt"), F.min("occ_key").alias("keep_key")

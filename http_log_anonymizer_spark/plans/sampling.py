@@ -362,7 +362,9 @@ sig AS (
   FROM st
 ),
 tot AS (
-  SELECT CAST(sum(nh) AS BIGINT) AS n_total, sum(nh * sigma) AS w_total
+  SELECT CAST(sum(nh) AS BIGINT) AS n_total,
+         CAST(sum(CAST(round(nh * sigma * 1000000) AS BIGINT)) AS DOUBLE)
+           / 1000000 AS w_total
   FROM sig
 )
 SELECT s.event_type,
@@ -390,8 +392,10 @@ def neyman_allocation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: per-stratum moments are exact integer sums of cent-
     quantized values, so sigma = sqrt(E[v^2] - E[v]^2) is a double
     computed from exact integers — bit-identical in both engines (the
-    same argument as the PCA Gram aggregate); rounding to 4dp/integers
-    happens only at the edge. Scale shape: one scan with map-side
+    same argument as the PCA Gram aggregate); the cross-stratum
+    denominator sum(nh * sigma) accumulates on a 1e-6 integer grid so
+    it is partition-order independent too (ADVICE r06 — a raw double
+    sum is not); rounding to 4dp/integers happens only at the edge. Scale shape: one scan with map-side
     combine into (count, sum, sum-of-squares) per stratum — the
     textbook one-pass moment aggregate — then arithmetic over the
     handful of stratum rows. Nothing driver-side, nothing
@@ -414,9 +418,20 @@ def neyman_allocation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("sigma"),
     )
+    # w_total accumulates on a micro-unit integer grid (ADVICE r06): a
+    # raw double sum(nh * sigma) is partition-order dependent, so the
+    # docstring's bit-determinism claim would not survive a different
+    # stratum arrival order. Each nh*sigma term is itself a
+    # deterministic double (exact-integer moments), so its rounding to
+    # 1e-6 units is deterministic, and the integer sum is
+    # order-independent.
     tot = sig.agg(
         F.sum("nh").alias("n_total"),
-        F.sum(F.col("nh") * F.col("sigma")).alias("w_total"),
+        (
+            F.sum(F.round(F.col("nh") * F.col("sigma") * 1_000_000).cast("long"))
+            .cast("double")
+            / 1_000_000
+        ).alias("w_total"),
     )
     return (
         sig.crossJoin(F.broadcast(tot))

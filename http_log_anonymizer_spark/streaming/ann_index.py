@@ -112,6 +112,7 @@ class StreamingIVFIndexSink(PartitionedStateSink):
     def __init__(
         self, base_dir: str, centroids: list[list[float]], compact_every: int = 16
     ) -> None:
+        super().__init__()
         self.base_dir = base_dir
         self.index_dir = posixpath.join(base_dir, "index")
         self.centroids = [list(map(float, c)) for c in centroids]

@@ -29,11 +29,11 @@ replay-excluded reads repair any torn batch, and geometric (LSM)
 tiering bounds every compaction fold by its tier.
 
 At-least-once note: a redelivered DOCUMENT under a new batch id
-dedups against itself (its chunks are already in the seen set) and
-emits an all-removed row — the curation-correct outcome for duplicate
-delivery; the docs output may then contain two rows for that doc_id
-(one full, one empty), which a downstream reader collapses by taking
-the first. Reference parity: the reference pipeline dedups whole
+dedups against itself (its chunks are already in the seen set) and is
+then SUPPRESSED from the docs output (anti-join on the already-emitted
+doc-id set), so ``deduped_docs`` carries exactly one row per doc_id —
+the first delivery's — and aggregate readers are correct by default
+(ADVICE r06). Reference parity: the reference pipeline dedups whole
 records in ClickHouse (ReplacingMergeTree, http_log.rs:105-107); this
 sink is the intra-document streaming generalization.
 """
@@ -67,6 +67,7 @@ class StreamingChunkDedupSink(PartitionedStateSink):
     ) -> None:
         if chunker not in _CHUNKERS:
             raise ValueError(f"unknown chunker {chunker!r}; use one of {sorted(_CHUNKERS)}")
+        super().__init__()
         self.base_dir = base_dir
         self.docs_dir = posixpath.join(base_dir, "docs")
         self.chunks_dir = posixpath.join(base_dir, "chunks")
@@ -87,9 +88,11 @@ class StreamingChunkDedupSink(PartitionedStateSink):
             "chunk_idx",
             "chunk",
             hash64("chunk").alias("h"),
-            (F.col("doc_id") * F.lit(1_000_000_000) + F.col("chunk_idx")).alias(
-                "occ_key"
-            ),
+            # struct min, not an int64 packing (ADVICE r06): works for
+            # ANY doc_id type/magnitude the stream delivers.
+            F.struct(
+                F.col("doc_id").alias("d"), F.col("chunk_idx").alias("i")
+            ).alias("occ_key"),
         ).persist()
 
         # within-batch keep-first
@@ -135,6 +138,20 @@ class StreamingChunkDedupSink(PartitionedStateSink):
             "n_kept",
             F.coalesce("kept_text", F.lit("")).alias("kept_text"),
         )
+
+        # At-least-once redelivery (ADVICE r06): a document redelivered
+        # under a NEW batch id dedups against itself and would emit a
+        # second, all-removed docs row — aggregate readers would then
+        # double-count it. Emit only doc_ids not already in the docs
+        # root, so ``deduped_docs`` holds exactly one row per doc_id
+        # (the first delivery's) and aggregates are correct by default.
+        # Replays of the SAME batch id are unaffected: _read_state
+        # excludes the in-flight tag, so the replay re-emits its rows.
+        prior_docs = self._read_state(spark, self.docs_dir, tag)
+        if prior_docs is not None:
+            docs_out = docs_out.join(
+                prior_docs.select("doc_id").distinct(), "doc_id", "left_anti"
+            )
 
         docs_out.write.mode("overwrite").parquet(
             posixpath.join(self.docs_dir, f"_batch={tag}")

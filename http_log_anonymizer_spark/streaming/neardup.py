@@ -149,6 +149,16 @@ class PartitionedStateSink:
     compact_every: int
     _roots: tuple[str, ...]
 
+    #: fold_log keeps at most this many recent fold records. The log is
+    #: a test/measurement hook only — state correctness never reads it —
+    #: so a long-running sink must not grow it without bound (ADVICE r06).
+    FOLD_LOG_CAP = 4096
+
+    def __init__(self) -> None:
+        # Subclasses call super().__init__() so the log exists for the
+        # sink's whole lifetime (no fragile lazy hasattr init).
+        self.fold_log: list[dict] = []
+
     # -- compaction marker protocol ------------------------------------
 
     def _marker_path(self) -> str:
@@ -204,8 +214,6 @@ class PartitionedStateSink:
             for s in spec["sources"]:
                 _delete_dir(posixpath.join(root, s))
         f.delete_file(p)
-        if not hasattr(self, "fold_log"):
-            self.fold_log: list[dict] = []
         self.fold_log.append(
             {
                 "tier": tier,
@@ -214,6 +222,7 @@ class PartitionedStateSink:
                 "rows": rows,
             }
         )
+        del self.fold_log[: -self.FOLD_LOG_CAP]
 
     @staticmethod
     def _tier(d: str) -> int:
@@ -312,6 +321,7 @@ class NearDupDedupSink(PartitionedStateSink):
     checkpoint restarts batch ids and is unsupported."""
 
     def __init__(self, base_dir: str, compact_every: int = 16) -> None:
+        super().__init__()
         self.base_dir = base_dir
         self.docs_dir = posixpath.join(base_dir, "docs")
         self.index_dir = posixpath.join(base_dir, "index")

@@ -108,15 +108,21 @@ def test_torn_batch_repair_and_replay(spark, tmp_path):
 
 
 def test_redelivered_doc_dedups_against_itself(spark, tmp_path):
+    # ADVICE r06: a doc redelivered under a NEW batch id must NOT add a
+    # second (all-removed) docs row — aggregate readers would double-
+    # count it. Exactly one row per doc_id, the first delivery's.
     text = " ".join(f"u{i}" for i in range(2 * L))
     sink = StreamingChunkDedupSink(str(tmp_path / "state"), compact_every=4)
     sink.write(_bdf(spark, [(1, text)]), 0)
     sink.write(_bdf(spark, [(1, text)]), 1)  # upstream duplicate delivery
-    rows = sorted(
-        sink.deduped_docs(spark).collect(), key=lambda r: -r.n_kept
-    )
+    rows = sink.deduped_docs(spark).collect()
+    assert len(rows) == 1
     assert rows[0].n_kept == 2 and rows[0].kept_text == text
-    assert rows[1].n_kept == 0 and rows[1].kept_text == ""
+    # and its chunks stayed deduped: the seen set holds 2 hashes, once
+    seen = sink.seen_chunks(spark).collect()
+    assert len(seen) == 2
+    # aggregate consumer is now correct by default
+    assert sum(r.n_chunks - r.n_kept for r in rows) == 0
 
 
 def test_compaction_preserves_policy(spark, tmp_path):
@@ -196,3 +202,29 @@ def test_cdc_chunker_mode_matches_cdc_policy(spark, tmp_path):
     # shift-robustness: doc 10 lost most of its chunks to doc 1
     n10, k10, _ = got[10]
     assert k10 < n10 / 2
+
+
+def test_keep_first_survives_string_and_huge_doc_ids(spark, tmp_path):
+    """ADVICE r06 regression: occ_key was doc_id*1e9+chunk_idx, which
+    overflowed int64 past doc_id ~9.2e9 and NULLed out (dropping every
+    chunk) for string doc_ids. The struct-min keep-first must handle
+    both."""
+    text = " ".join(f"s{i}" for i in range(2 * L))
+    other = " ".join(f"t{i}" for i in range(L))
+    # string ids: lexicographic keep-first ("a" < "b")
+    sink = StreamingChunkDedupSink(str(tmp_path / "s1"), compact_every=4)
+    df = spark.createDataFrame(
+        [("b", text), ("a", text), ("c", other)], "doc_id string, text string"
+    )
+    sink.write(df, 0)
+    got = {r.doc_id: (r.n_chunks, r.n_kept) for r in sink.deduped_docs(spark).collect()}
+    assert got == {"a": (2, 2), "b": (2, 0), "c": (1, 1)}
+
+    # numeric ids beyond the old packing bound (~9.2e9)
+    sink2 = StreamingChunkDedupSink(str(tmp_path / "s2"), compact_every=4)
+    big0, big1 = 10_000_000_000, 10_000_000_001
+    sink2.write(_bdf(spark, [(big1, text), (big0, text)]), 0)
+    got2 = {
+        r.doc_id: (r.n_chunks, r.n_kept) for r in sink2.deduped_docs(spark).collect()
+    }
+    assert got2 == {big0: (2, 2), big1: (2, 0)}

@@ -279,6 +279,7 @@ def test_geometric_compaction_fold_cost_is_tier_bounded(spark, tmp_path):
 
     class _Sink(PartitionedStateSink):
         def __init__(self, base: str, every: int) -> None:
+            super().__init__()
             self.base_dir = base
             self.root = posixpath.join(base, "data")
             self.compact_every = every
