@@ -29,6 +29,33 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from http_log_anonymizer_spark.plans import REGISTRY
 from http_log_anonymizer_spark.session import get_spark
 
+# Invariant core-set (VERDICT r06 item 3): round-over-round totals kept
+# moving because series MEMBERSHIP changed (new heavy entries each
+# round), not because carried-over plans regressed. These 12 queries
+# are FROZEN — never add to or remove from this tuple; report their sum
+# as ``core_total`` next to the full-set total. All 12 have BENCH_r06
+# rows, so the r06 core is recomputable: sf0.1 noop core_total(r06) =
+# 14.177 s. Family spread: 2 http, 2 dedup, 4 ANN/embedding, 1 text,
+# 2 streaming-window, 1 TPC-H join/agg.
+CORE_SET = (
+    "http_totals",
+    "http_top_ips",
+    "dedup_minhash_lsh",
+    "dedup_simhash_wide",
+    "ann_brute_topk",
+    "ann_ivf_sqrt_topk",
+    "embed_neardup_gemm",
+    "ann_lsh_wide_topk",
+    "token_stats",
+    "sliding_window_traffic",
+    "session_window_agg",
+    "nation_volume",
+)
+
+
+def _core_total(timings: dict[str, float]) -> float:
+    return round(sum(timings[n] for n in CORE_SET if n in timings), 3)
+
 
 def _noop_best_of_2(spark, bench_queries, sf_dir) -> dict[str, float]:
     # Best-of-two per query: this host shows transient multi-second
@@ -81,6 +108,7 @@ def main() -> None:
         "queries": timings,
         "queries_count": timings_count,
         "count_method_total": round(sum(timings_count.values()), 3),
+        "core_total": _core_total(timings),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
 
@@ -114,6 +142,7 @@ def main() -> None:
             sf1_timings = _noop_best_of_2(spark, bench_queries, sf1_dir)
             result["queries_sf1"] = sf1_timings
             result["sf1_total"] = round(sum(sf1_timings.values()), 3)
+            result["core_total_sf1"] = _core_total(sf1_timings)
             result["sf1"] = 1.0
         except Exception as exc:  # noqa: BLE001 — record, keep main series
             result["sf1_error"] = f"{type(exc).__name__}: {exc}"[:500]
@@ -240,6 +269,8 @@ def main() -> None:
         "sf",
         "queries",
         "count_method_total",
+        "core_total",
+        "core_total_sf1",
         "sf1_total",
         "sf10_total",
         "sf100_total",

@@ -21,70 +21,72 @@ from http_log_anonymizer_spark.plans import scalars  # noqa: E402,F401
 from http_log_anonymizer_spark.plans import analytics  # noqa: E402,F401
 from http_log_anonymizer_spark.plans import curation  # noqa: E402,F401
 
-# Round-6 window (VERDICT r05 next-step 5): every query whose plan or
-# oracle changed this round (the SA radix-2 construction + tail-run
-# LCP fix, the sqrt-IVF dynamic nprobe, the PQ refactor and its new
-# 8-bit tier, the PPR seed TakeOrdered) + two flagship anchors + ALL
-# 23 queries whose latest driver row is r02 + the next-stalest (r03)
-# rows that fit, so no query's latest green row is older than r03
-# after this round. Everything outside the window stays locally gated by
-# tests/test_registry_oracle.py (same comparator).
+# Round-7 window (VERDICT r06 item 1 — staleness debt FIRST): the 17
+# queries whose latest driver row is r02, plus psi_drift_report (never
+# driver-checked — added after the r06 window froze), plus every query
+# whose plan or oracle changed this round (the occ_key struct-min fix,
+# the Neyman integer-grid denominator, the PQ scan refactor and its
+# new two-stage rerank tier), plus as much of the r03-stale cohort as
+# fits. After this round no registry query's latest green row is older
+# than r03, and the 9 r03 queries that didn't fit (listed in
+# ROADMAP.md) rotate in round 8. Everything outside the window stays
+# locally gated by tests/test_registry_oracle.py (same comparator).
 _WINDOW = [
-    # --- plan/oracle changed in round 6: re-verify ---
-    "suffix_array_dup_report",
-    "suffix_selfrep_report",
-    "personalized_pagerank",
-    "ann_ivf_sqrt_topk",
-    "ann_ivf_pq_topk",
-    "ann_ivf_pq8_topk",  # new this round
-    "training_shard_report",  # new this round
-    "ann_ivf_sqrt_recall_report",  # new this round
-    "ann_ivf_sqrt_pq_topk",  # new this round
-    "kn_doc_perplexity",  # new this round
-    "ann_ivf_opq_topk",  # new this round
-    "mkn_trigram_perplexity",  # new this round
-    "ccnet_kn_buckets",  # new this round
-    "ann_ivf_sqrt_pq_recall_report",  # new this round
-    "ann_matryoshka_recall_report",  # new this round
-    "line_dedup_report",  # new this round
-    "label_propagation_communities",  # new this round
-    "quality_quantile_normalize",  # new this round
-    "cdc_dedup_report",  # new this round
-    "bitext_margin_mining",  # new this round
-    "dedup_lsh_recall_report",  # new this round
-    "kcore_peeling_report",  # new this round
-    "ann_srht_recall_report",  # new this round
-    "tokenizer_fertility_report",  # new this round
-    "vocab_growth_report",  # new this round
-    "cusum_spend_monitor",  # new this round
-    "l_diversity_report",  # new this round
-    "seasonal_decompose_report",  # new this round
-    "neyman_allocation_report",  # new this round
-    "table_profile_report",  # new this round
-    "mad_outlier_report",  # new this round
-    "correlation_matrix_report",  # new this round
-    "join_skew_report",  # new this round
-    "classifier_auc_report",  # new this round (final session)
-    "chi_square_report",  # new this round (final session)
-    "phrase_search_report",  # new this round (final session)
-    "source_divergence_report",  # new this round (final session)
-    "fuzzy_editdist_join",  # new this round (final session)
-    "revenue_concentration_report",  # new this round (final session)
-    "classifier_calibration_report",  # new this round (final session)
-    "event_path_trigrams",  # new this round (final session)
-    "token_pmi_report",  # new this round (final session)
-    # --- flagship parity anchors ---
-    "http_totals",
-    "llm_corpus_report",
-    # --- stalest re-verification fill (r02-latest rows; the rest of
-    # --- that cohort was displaced by this round's new queries and is
-    # --- listed for the round-7 rotation in ROADMAP.md)
-    "doc_perplexity",
-    "domain_mix_report",
-    "lang_id_confusion",
-    "quality_classifier",
-    "reservoir_sample",
-    "scrub_pii",
+    # --- r02-latest driver rows: stalest first ---
+    "gopher_quality_flags",
+    "decontaminate_docs",
+    "tfidf_top_terms",
+    "http_cache_efficiency",
+    "latency_percentiles",
+    "asof_last_purchase",
+    "ccnet_perplexity_buckets",
+    "dedup_incremental_batch",
+    "embed_hashing_trick",
+    "multimodal_frame_sample",
+    "multimodal_payload_stats",
+    "order_fill_outer",
+    "pivot_event_counts",
+    "quality_histogram",
+    "time_features",
+    "train_val_test_split",
+    "http_error_bursts",
+    # --- never driver-checked ---
+    "psi_drift_report",
+    # --- plan/oracle changed in round 7: re-verify ---
+    "line_dedup_report",
+    "cdc_dedup_report",
+    "neyman_allocation_report",
+    "ann_ivf_sqrt_pq_topk",
+    "ann_ivf_sqrt_pq_rerank_topk",  # new this round
+    "ann_ivf_sqrt_pq_rerank_recall_report",  # new this round
+    # --- r03-latest fill (26 of 35; the 9 deferred to round 8 are the
+    # --- TPC-H/simple-scalar shapes with double coverage elsewhere) ---
+    "apply_mix_sampling",
+    "blocklist_hit_report",
+    "bm25_retrieval",
+    "bpe_encode_stats",
+    "bpe_learn_merges",
+    "bpe_pretokenize_stats",
+    "dedup_clusters_star",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "distinct_users_approx",
+    "doc_chunking",
+    "dsir_importance_weights",
+    "event_funnel",
+    "event_transition_matrix",
+    "frequent_resources_sketch",
+    "kmv_cohort_overlap",
+    "latency_quantile_sketch",
+    "multimodal_resize_features",
+    "pack_sequences",
+    "pii_source_summary",
+    "retention_cohorts",
+    "sliding_window_traffic",
+    "snapshot_diff_cdc",
+    "stratified_sample",
+    "user_entropy_scores",
+    "weighted_reservoir_sample",
 ]
 
 

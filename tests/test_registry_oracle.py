@@ -43,3 +43,36 @@ def test_compare_detects_differences(spark, duck):
     wrong_vals = duck.sql(q.oracle.replace("sum(bytes_sent)", "sum(bytes_sent) + 1")).df()
     ok, msg = compare(q.spark_fn(spark, SF_ORACLE), wrong_vals)
     assert not ok and "values differ" in msg
+
+
+def test_readme_registry_count_matches_registry():
+    """VERDICT r06 item 8: the README's registry count trailed reality
+    two rounds running. Pin it to len(REGISTRY) so it can't drift
+    silently — update README.md's "(N queries, N DuckDB" line when
+    registering a new query."""
+    import re
+    from pathlib import Path
+
+    readme = (Path(__file__).resolve().parent.parent / "README.md").read_text()
+    m = re.search(r"\((\d+) queries, (\d+) DuckDB", readme)
+    assert m, "README registry-count line not found"
+    assert int(m.group(1)) == len(REGISTRY), (
+        f"README says {m.group(1)} queries, registry has {len(REGISTRY)}"
+    )
+    assert int(m.group(2)) == len(REGISTRY)
+
+
+def test_bench_core_set_is_registered_and_benched():
+    """The frozen bench core-set (bench.py CORE_SET) must stay valid:
+    every member registered and bench-flagged, so core_total is always
+    computed over all 12."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from bench import CORE_SET
+
+    assert len(CORE_SET) == 12
+    for n in CORE_SET:
+        assert n in REGISTRY, n
+        assert REGISTRY[n].bench, f"{n} lost its bench flag"
