@@ -5113,3 +5113,158 @@ def psi_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort")
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov + Wasserstein-1 drift — the ECDF twins
+# of psi_drift_report (PSI needs a bucket count; KS/W1 are binning-free)
+# ---------------------------------------------------------------------------
+
+_KS_ALPHA_C = 1.358  # c(alpha) for alpha = 0.05 (Smirnov's asymptotic)
+
+
+def _ks_oracle() -> str:
+    return f"""
+WITH v AS (
+  SELECT event_type,
+         CAST(round(value * 100) AS BIGINT) AS c,
+         CASE WHEN date_part('day', ts) < {_PSI_SPLIT_DAY} THEN 1 ELSE 0 END AS is_ref
+  FROM events
+),
+t0 AS (
+  SELECT event_type AS cohort, c,
+         CAST(sum(is_ref) AS BIGINT) AS r,
+         CAST(sum(1 - is_ref) AS BIGINT) AS q
+  FROM v GROUP BY event_type, c
+),
+t AS (
+  SELECT * FROM t0
+  UNION ALL
+  SELECT 'ALL' AS cohort, c, CAST(sum(r) AS BIGINT), CAST(sum(q) AS BIGINT)
+  FROM t0 GROUP BY c
+),
+e AS (
+  SELECT cohort, c,
+         sum(r) OVER w AS cum_r,
+         sum(q) OVER w AS cum_q,
+         lead(c) OVER w AS c_next,
+         sum(r) OVER (PARTITION BY cohort) AS tr,
+         sum(q) OVER (PARTITION BY cohort) AS tc
+  FROM t
+  WINDOW w AS (PARTITION BY cohort ORDER BY c
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+d AS (
+  SELECT cohort, c, c_next, tr, tc,
+         abs(CAST(cum_r AS HUGEINT) * tc - CAST(cum_q AS HUGEINT) * tr) AS absd
+  FROM e
+),
+agg AS (
+  SELECT cohort,
+         CAST(min(tr) AS BIGINT) AS n_ref,
+         CAST(min(tc) AS BIGINT) AS n_cur,
+         max(struct_pack(a := absd, b := -c)) AS mx,
+         sum(absd * (CASE WHEN c_next IS NULL THEN 0 ELSE c_next - c END)) AS w1n
+  FROM d GROUP BY cohort
+)
+SELECT cohort, n_ref, n_cur,
+       round(CAST(mx.a AS DOUBLE) / (CAST(n_ref AS DOUBLE) * n_cur), 6) AS ks,
+       CAST(-mx.b AS BIGINT) AS ks_at,
+       round(CAST(w1n AS DOUBLE) / (CAST(n_ref AS DOUBLE) * n_cur), 4) AS w1_cents,
+       CAST(mx.a AS DOUBLE) / (CAST(n_ref AS DOUBLE) * n_cur)
+         >= {_KS_ALPHA_C} * sqrt((n_ref + CAST(n_cur AS DOUBLE)) / (CAST(n_ref AS DOUBLE) * n_cur))
+         AS reject_h0
+FROM agg
+ORDER BY cohort
+"""
+
+
+@register("ks_drift_report", oracle=_ks_oracle())
+def ks_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic AND Wasserstein-1
+    (earth-mover) distance of the event-value distribution, reference
+    window (days 1-{_PSI_SPLIT_DAY - 1}) vs current, per event type
+    plus pooled ALL — the binning-free companions of
+    ``psi_drift_report`` (PSI depends on a bucket count; KS is the
+    sup-norm of the ECDF gap and W1 its integral, both evaluated
+    exactly on the cent grid). ``ks_at`` is the value where the
+    maximum gap occurs (smallest such value on ties — the threshold a
+    monitor would alert on); ``reject_h0`` applies Smirnov's
+    asymptotic 5% critical value {_KS_ALPHA_C}*sqrt((n+m)/(n*m)).
+
+    Determinism: ECDF gaps cross-multiply to integers
+    (|cum_ref*n_cur - cum_cur*n_ref|, exact in decimal/HUGEINT), so
+    max, argmax and the W1 sum are integer-exact; division to a double
+    happens once at the edge (the chi-square/PSI discipline). The
+    tie-broken argmax is a lexicographic struct max, not max_by.
+
+    Scale shape: one scan to the (cohort, value) TYPE table (map-side
+    combined, bounded by cohorts x distinct cent values), cumulative
+    windows partition per cohort over the type table, and the final
+    aggregate is cohort-bounded. Nothing is row-proportional past the
+    first aggregate. The cross-multiplied gaps stay exact through
+    decimal(38,0)/HUGEINT up to n_ref*n_cur ~ 1e38 — beyond any corpus."""
+    v = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+        F.when(F.dayofmonth("ts") < _PSI_SPLIT_DAY, 1).otherwise(0).alias("is_ref"),
+    )
+    t0 = v.groupBy(F.col("event_type").alias("cohort"), "c").agg(
+        F.sum("is_ref").cast("long").alias("r"),
+        F.sum(1 - F.col("is_ref")).cast("long").alias("q"),
+    )
+    t = t0.unionByName(
+        t0.groupBy("c")
+        .agg(
+            F.sum("r").cast("long").alias("r"),
+            F.sum("q").cast("long").alias("q"),
+        )
+        .select(F.lit("ALL").alias("cohort"), "c", "r", "q")
+    )
+    w = Window.partitionBy("cohort").orderBy("c")
+    wc = Window.partitionBy("cohort")
+    e = t.select(
+        "cohort",
+        "c",
+        F.sum("r").over(w).alias("cum_r"),
+        F.sum("q").over(w).alias("cum_q"),
+        F.lead("c").over(w).alias("c_next"),
+        F.sum("r").over(wc).alias("tr"),
+        F.sum("q").over(wc).alias("tc"),
+    )
+    dec = "decimal(38,0)"
+    absd = F.abs(
+        F.col("cum_r").cast(dec) * F.col("tc") - F.col("cum_q").cast(dec) * F.col("tr")
+    )
+    d = e.select(
+        "cohort",
+        "c",
+        "tr",
+        "tc",
+        absd.alias("absd"),
+        F.when(F.col("c_next").isNull(), F.lit(0).cast(dec))
+        .otherwise(absd * (F.col("c_next") - F.col("c")))
+        .alias("w1term"),
+    )
+    agg = d.groupBy("cohort").agg(
+        F.min("tr").cast("long").alias("n_ref"),
+        F.min("tc").cast("long").alias("n_cur"),
+        F.max(F.struct(F.col("absd").alias("a"), (-F.col("c")).alias("b"))).alias(
+            "mx"
+        ),
+        F.sum("w1term").alias("w1n"),
+    )
+    nm = F.col("n_ref").cast("double") * F.col("n_cur")
+    ks = F.col("mx.a").cast("double") / nm
+    crit = F.lit(_KS_ALPHA_C) * F.sqrt(
+        (F.col("n_ref") + F.col("n_cur").cast("double")) / nm
+    )
+    return agg.select(
+        "cohort",
+        "n_ref",
+        "n_cur",
+        F.round(ks, 6).alias("ks"),
+        (-F.col("mx.b")).cast("long").alias("ks_at"),
+        F.round(F.col("w1n").cast("double") / nm, 4).alias("w1_cents"),
+        (ks >= crit).alias("reject_h0"),
+    ).orderBy("cohort")

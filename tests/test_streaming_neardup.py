@@ -292,11 +292,17 @@ def test_geometric_compaction_fold_cost_is_tier_bounded(spark, tmp_path):
                 posixpath.join(self.root, f"_batch=b{batch_id}")
             )
 
+    import math
+
     ce, rows_per_batch, n_batches = 3, 100, 32
     sink = _Sink(str(tmp_path / "state"), ce)
+    max_tiers = int(math.log(n_batches, ce)) + 2
     for b in range(n_batches):
         df = spark.range(b * rows_per_batch, (b + 1) * rows_per_batch)
         sink.write(df, b)
+        # the LSM partition-count invariant, at EVERY step: < ce live
+        # partitions per tier, tiers bounded by log_ce(N)
+        assert len(_subdirs(sink.root)) <= max_tiers * ce, b
 
     log = sink.fold_log
     assert log, "no folds ran"
