@@ -5070,6 +5070,13 @@ def psi_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("is_ref").cast("long").alias("n_ref"),
             F.sum(1 - F.col("is_ref")).cast("long").alias("n_cur"),
         )
+        # the bucket table is bounded (cohorts x buckets); materialize
+        # it — b0 feeds the pooled-ALL union, the cohort grid AND the
+        # completion join, and without a hard boundary each branch
+        # re-derived it from the corpus (plan-audited r07: 8 FileScans
+        # -> 2; the remaining pair is the inherent min/max pass for the
+        # data-derived edges plus the bucketize pass)
+        .localCheckpoint()
     )
     h = b0.unionByName(
         b0.groupBy("bucket")
@@ -5209,10 +5216,14 @@ def ks_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value") * 100).cast("long").alias("c"),
         F.when(F.dayofmonth("ts") < _PSI_SPLIT_DAY, 1).otherwise(0).alias("is_ref"),
     )
+    # the type table is grid-bounded (cohorts x distinct cent values);
+    # materialize it so the union's two branches (per-cohort + pooled
+    # ALL) don't each re-scan the corpus — plan-audited: 2 FileScans
+    # without this, 1 with (at 100 TB that is the whole cost)
     t0 = v.groupBy(F.col("event_type").alias("cohort"), "c").agg(
         F.sum("is_ref").cast("long").alias("r"),
         F.sum(1 - F.col("is_ref")).cast("long").alias("q"),
-    )
+    ).localCheckpoint()
     t = t0.unionByName(
         t0.groupBy("c")
         .agg(
