@@ -549,3 +549,187 @@ def l_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stage", "l_bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# t-closeness (Li, Li, Venkatasubramanian, ICDE 2007) — the third audit
+# of the privacy trio: l distinct values per class still leak if the
+# class's sensitive DISTRIBUTION diverges from the table's (skewness
+# attack: a class that is 90% error-status in a 10%-error corpus tells
+# an attacker plenty). t = max over QI classes of the distance between
+# the class's sensitive distribution and the global one; for a
+# categorical attribute the canonical distance is total variation
+# (equal-ground-distance EMD).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t_closeness_report",
+    oracle=f"""
+WITH {HTTP_LOG_SQL.strip()},
+staged AS (
+  SELECT 'raw' AS stage, remote_addr, cache_status, response_status FROM http_log
+  UNION ALL
+  SELECT 'anon' AS stage,
+         regexp_replace(remote_addr, '[0-9]+$', 'x') AS remote_addr,
+         cache_status, response_status
+  FROM http_log
+),
+cs AS (
+  SELECT stage, remote_addr, cache_status, response_status,
+         CAST(count(*) AS BIGINT) AS c
+  FROM staged GROUP BY ALL
+),
+cls AS (
+  SELECT stage, remote_addr, cache_status, CAST(sum(c) AS BIGINT) AS sz
+  FROM cs GROUP BY ALL
+),
+g AS (
+  SELECT stage, response_status, CAST(count(*) AS BIGINT) AS gc
+  FROM staged GROUP BY ALL
+),
+tot AS (SELECT stage, CAST(count(*) AS BIGINT) AS n FROM staged GROUP BY stage),
+num AS (
+  SELECT cs.stage, cs.remote_addr, cs.cache_status,
+         min(cls.sz) AS sz, min(t.n) AS n,
+         sum(abs(CAST(cs.c AS HUGEINT) * t.n - CAST(g.gc AS HUGEINT) * cls.sz))
+           AS num_present,
+         CAST(sum(g.gc) AS BIGINT) AS g_cov
+  FROM cs
+  JOIN cls ON cls.stage = cs.stage AND cls.remote_addr = cs.remote_addr
+          AND cls.cache_status = cs.cache_status
+  JOIN g ON g.stage = cs.stage AND g.response_status = cs.response_status
+  JOIN tot t ON t.stage = cs.stage
+  GROUP BY cs.stage, cs.remote_addr, cs.cache_status
+),
+tvd AS (
+  SELECT stage, sz, n,
+         num_present + CAST(sz AS HUGEINT) * (n - g_cov) AS num
+  FROM num
+),
+hist AS (
+  SELECT stage,
+         least(CAST((num * 10) // (2 * CAST(sz AS HUGEINT) * n) AS BIGINT), 9)
+           AS tvd_bucket,
+         CAST(count(*) AS BIGINT) AS n_classes,
+         CAST(sum(sz) AS BIGINT) AS n_rows,
+         round(max(CAST(num AS DOUBLE) / (2.0 * sz * n)), 4) AS max_tvd_in_bucket
+  FROM tvd GROUP BY ALL
+)
+SELECT h.stage, h.tvd_bucket, h.n_classes, h.n_rows,
+       round(h.n_rows * 1.0 / t.n, 4) AS pct_rows,
+       h.max_tvd_in_bucket
+FROM hist h JOIN tot t ON h.stage = t.stage
+ORDER BY h.stage, h.tvd_bucket
+""",
+)
+def t_closeness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness histogram over the QI classes (remote_addr,
+    cache_status), sensitive attribute = response_status, BEFORE and
+    AFTER IP anonymization — the skewness-attack audit that completes
+    the k-anonymity / l-diversity trio: a class can have large k and
+    l >= 2 and still reveal that its members error at 9x the base
+    rate. Per class, total variation distance (the categorical EMD of
+    the t-closeness paper) between the class's status distribution and
+    the stage's global one; classes land in 0.1-wide TVD buckets, and
+    the highest populated bucket's ``max_tvd_in_bucket`` IS the
+    release's t. Anonymization lift shows as mass moving toward bucket
+    0 (coarser IPs blend toward the global mixture).
+
+    Determinism: TVD cross-multiplies to integers — per class
+    sum_s |c_s*n - g_s*sz| over PRESENT statuses, plus the absent-
+    status mass in closed form sz*(n - sum of present g_s) (the
+    source_divergence_report covered-mass trick, so there is never a
+    class x status grid), all exact in decimal(38)/HUGEINT with one
+    division at the edge; the bucket index is a floor division of
+    positive integers — identical in Spark DIV and DuckDB //.
+
+    Scale shape: one scan to the (stage, QI, status) type table
+    (map-side combined, bounded by classes x statuses), a broadcast
+    join against the statuses-per-stage table (|statuses| rows), one
+    groupBy back to classes, and a bounded histogram. Nothing
+    row-proportional past the first aggregate."""
+    log = http_log_view(spark, sf_dir).select(
+        "remote_addr", "cache_status", "response_status"
+    )
+    staged = log.select(
+        F.lit("raw").alias("stage"), "remote_addr", "cache_status", "response_status"
+    ).unionByName(
+        log.select(
+            F.lit("anon").alias("stage"),
+            anonymize_ip_fast("remote_addr").alias("remote_addr"),
+            "cache_status",
+            "response_status",
+        )
+    )
+    cs = staged.groupBy(
+        "stage", "remote_addr", "cache_status", "response_status"
+    ).agg(F.count("*").alias("c"))
+    # the (stage, QI, status) type table feeds three derivations below;
+    # it is class-bounded, so pin it to one corpus scan (the
+    # psi/ks_drift_report plan-audit lesson)
+    cs = cs.localCheckpoint()
+    cls = cs.groupBy("stage", "remote_addr", "cache_status").agg(
+        F.sum("c").alias("sz")
+    )
+    g = cs.groupBy("stage", "response_status").agg(F.sum("c").alias("gc"))
+    tot = cs.groupBy("stage").agg(F.sum("c").alias("n"))
+    dec = "decimal(38,0)"
+    num = (
+        cs.join(cls, ["stage", "remote_addr", "cache_status"])
+        .join(F.broadcast(g), ["stage", "response_status"])
+        .join(F.broadcast(tot), "stage")
+        .groupBy("stage", "remote_addr", "cache_status")
+        .agg(
+            F.min("sz").alias("sz"),
+            F.min("n").alias("n"),
+            F.sum(
+                F.abs(
+                    F.col("c").cast(dec) * F.col("n")
+                    - F.col("gc").cast(dec) * F.col("sz")
+                )
+            ).alias("num_present"),
+            F.sum("gc").alias("g_cov"),
+        )
+    )
+    tvd = num.select(
+        "stage",
+        "sz",
+        "n",
+        (
+            F.col("num_present")
+            + F.col("sz").cast(dec) * (F.col("n") - F.col("g_cov"))
+        ).alias("num"),
+        (F.lit(2).cast(dec) * F.col("sz").cast(dec) * F.col("n")).alias("den"),
+    )
+    # integer floor-division for the bucket index (decimal `/` would
+    # ROUND the quotient before a long cast — a boundary class could
+    # land one bucket off vs DuckDB's exact `//`)
+    hist = tvd.groupBy(
+        "stage",
+        F.least(
+            F.expr("CAST((num * 10) DIV den AS BIGINT)"), F.lit(9)
+        ).alias("tvd_bucket"),
+    ).agg(
+        F.count("*").alias("n_classes"),
+        F.sum("sz").alias("n_rows"),
+        F.round(
+            F.max(
+                F.col("num").cast("double")
+                / (F.lit(2.0) * F.col("sz") * F.col("n"))
+            ),
+            4,
+        ).alias("max_tvd_in_bucket"),
+    )
+    return (
+        hist.join(tot, "stage")
+        .select(
+            "stage",
+            "tvd_bucket",
+            "n_classes",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.round(F.col("n_rows") * 1.0 / F.col("n"), 4).alias("pct_rows"),
+            "max_tvd_in_bucket",
+        )
+        .orderBy("stage", "tvd_bucket")
+    )
