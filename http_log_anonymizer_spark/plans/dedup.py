@@ -2651,3 +2651,134 @@ def fuzzy_editdist_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("name_a", "name_b", "ed", "n_parts_a", "n_parts_b")
         .orderBy("ed", "name_a", "name_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# N-gram novelty curve — the redundancy-growth diagnostic (how fast a
+# corpus stops contributing new n-grams as it grows)
+# ---------------------------------------------------------------------------
+
+_NOVELTY_DECILES = 10
+
+
+@register(
+    "ngram_novelty_report",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, {hash64_sql('g')} AS g FROM (
+    SELECT doc_id, unnest({shingles_sql('toks')}) AS g FROM t
+  )
+),
+ranked_docs AS (
+  -- decile by explicit rank formula, NOT ntile: Spark's side uses the
+  -- two-level TeraSort rank (no single-task global window), so both
+  -- engines must share the same remainder rule
+  SELECT doc_id,
+         CAST((CAST(rn - 1 AS BIGINT) * {_NOVELTY_DECILES})
+              // (SELECT count(*) FROM (SELECT DISTINCT doc_id FROM t))
+              AS BIGINT) + 1 AS decile
+  FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn
+    FROM (SELECT DISTINCT doc_id FROM t)
+  )
+),
+first AS (
+  SELECT g, min(doc_id) AS first_doc FROM sh GROUP BY g
+),
+occ AS (
+  SELECT r.decile, s.doc_id,
+         CASE WHEN s.doc_id = f.first_doc THEN 1 ELSE 0 END AS novel
+  FROM sh s JOIN first f USING (g) JOIN ranked_docs r USING (doc_id)
+)
+SELECT decile,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       count(*) AS n_gram_types,
+       CAST(sum(novel) AS BIGINT) AS n_novel,
+       round(sum(novel) * 1.0 / count(*), 6) AS novelty_rate
+FROM occ
+GROUP BY decile
+ORDER BY decile
+""",
+)
+def ngram_novelty_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram novelty curve: the corpus is split into {_NOVELTY_DECILES}
+    equal-count deciles by doc_id (ingest order), and each decile
+    reports what fraction of its documents' distinct 3-gram types are
+    NOVEL — first seen in that document (minimal doc_id over the
+    type's occurrences). This is the redundancy-growth diagnostic a
+    curation pipeline reads before sizing dedup: a corpus whose
+    novelty_rate decays steeply is mostly repeating itself (scrape
+    overlap, boilerplate), and the curve's tail predicts the marginal
+    value of the next crawl batch; per-doc distinct grain means
+    within-document repetition (already measured by the Gopher flags)
+    does not distort the cross-document signal.
+
+    Determinism: novelty is an integer comparison against a min-
+    aggregate; ntile over the unique doc_id order is deterministic in
+    both engines; the only division is the final 6dp rate.
+
+    Scale shape: one scan to the distinct (doc_id, gram-hash) pairs
+    (array-native shingles, no per-token explode), one hash groupBy
+    for the type table's min-doc (map-side combined), one equi-join of
+    occurrences back to their type row (sort-merge, AQE-skew-split for
+    boilerplate grams — exactly line_dedup_report's shape), and a
+    {_NOVELTY_DECILES}-row aggregate. The decile assignment joins
+    occurrences against a doc_id->decile table that is |docs| rows —
+    broadcast at any realistic shard size, SMJ beyond."""
+    t = load_table(
+        spark, sf_dir, "documents", spread=True, bytes_per_task=256 * 1024
+    ).select("doc_id", tokens_ws("text").alias("toks"))
+    sh = (
+        t.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(shingles("toks"), lambda s: hash64(s))
+                )
+            ).alias("g"),
+        )
+    )
+    # decile via the two-level TeraSort rank (operators/suffix_array.
+    # ranked) — a global ntile window would funnel every doc_id
+    # through ONE task, the single-task-window antipattern this repo
+    # bans; the explicit ((r-1)*D) div n + 1 formula replicates in the
+    # oracle, so no engine's ntile remainder rule is relied on
+    from http_log_anonymizer_spark.operators.suffix_array import ranked
+
+    docs = t.select("doc_id").distinct()
+    tot = docs.agg(F.count("*").alias("n_total"))
+    ranked_docs = (
+        docs.join(ranked(docs, ["doc_id"]), "doc_id")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.expr(
+                f"CAST(((r - 1) * {_NOVELTY_DECILES}) DIV n_total AS BIGINT) + 1"
+            ).alias("decile"),
+        )
+    )
+    first = sh.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    occ = (
+        sh.join(first, "g")
+        .join(ranked_docs, "doc_id")
+        .select(
+            "decile",
+            "doc_id",
+            F.when(F.col("doc_id") == F.col("first_doc"), 1).otherwise(0).alias(
+                "novel"
+            ),
+        )
+    )
+    return (
+        occ.groupBy("decile")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_gram_types"),
+            F.sum("novel").alias("n_novel"),
+            F.round(F.sum("novel") * 1.0 / F.count("*"), 6).alias("novelty_rate"),
+        )
+        .orderBy("decile")
+    )
