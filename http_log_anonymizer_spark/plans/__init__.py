@@ -62,6 +62,7 @@ _WINDOW = [
     "ks_drift_report",  # new this round
     "t_closeness_report",  # new this round
     "ngram_novelty_report",  # new this round
+    "containment_join",  # new this round
     # --- r03-latest fill (26 of 35; the 9 deferred to round 8 are the
     # --- TPC-H/simple-scalar shapes with double coverage elsewhere) ---
     "apply_mix_sampling",
@@ -86,7 +87,6 @@ _WINDOW = [
     "pii_source_summary",
     "retention_cohorts",
     "sliding_window_traffic",
-    "snapshot_diff_cdc",
 ]
 
 

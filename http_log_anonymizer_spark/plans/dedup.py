@@ -2782,3 +2782,113 @@ def ngram_novelty_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# Set-containment join — asymmetric doc-in-doc duplication (quotes,
+# boilerplate inclusion) that symmetric Jaccard under-scores
+# ---------------------------------------------------------------------------
+
+# containment threshold t = _CONT_NUM/_CONT_DEN, kept rational so the
+# cut i >= ceil(t*n) is exact integer arithmetic in both engines
+_CONT_NUM, _CONT_DEN = 4, 5
+
+
+@register(
+    "containment_join",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, {hash64_sql('g')} AS g FROM (
+    SELECT doc_id, unnest({shingles_sql('toks')}) AS g FROM t
+  )
+),
+sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS i
+  FROM sh a JOIN sh b USING (g) WHERE a.doc_id <> b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, sz.n AS n_a, i AS inter,
+       round(i * 1.0 / sz.n, 4) AS containment
+FROM inter JOIN sz ON sz.doc_id = doc_a
+WHERE {_CONT_DEN} * i >= {_CONT_NUM} * sz.n
+ORDER BY doc_a, doc_b
+""",
+)
+def containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric set-containment join: pairs (A, B) where at least
+    {_CONT_NUM}/{_CONT_DEN} of A's distinct 3-gram shingles also occur
+    in B — the doc-in-doc relation (quotes, boilerplate inclusion,
+    article-plus-comments wrappers) that symmetric Jaccard structurally
+    under-scores (a 100-token doc fully contained in a 10k-token doc
+    has Jaccard ~0.01 but containment 1.0). Both directions are
+    reported; the oracle is the INDEPENDENT quadratic ground truth, so
+    parity proves the pruning lossless (the fuzzy_editdist_join
+    pattern).
+
+    Prefix filter (the Chaudhuri/Xiao prefix theorem, containment
+    form): if |A ∩ B| >= ceil(t*|A|) then A's first
+    |A| - ceil(t*|A|) + 1 shingles in a GLOBAL rarest-first order
+    (df asc, hash asc) must intersect B — so only that short prefix
+    probes the full posting index, and candidate cost is the df-sum of
+    each doc's RAREST shingles, not all of them. The threshold cut
+    {_CONT_DEN}*i >= {_CONT_NUM}*n and the prefix length use exact
+    integer arithmetic (a float ceil(0.8*n) straddles ULP boundaries).
+
+    Scale shape: distinct (doc, gram-hash) pairs once (array-native
+    shingles); df via one hash groupBy; the within-doc rarity rank
+    windows over one document's shingles (bounded by doc length); the
+    prefix->index probe is an equi-join on the hash whose skew AQE
+    splits; verification joins candidate pairs back through (doc, g)
+    — intersection rows only, never |A| x |B|."""
+    t = load_table(
+        spark, sf_dir, "documents", spread=True, bytes_per_task=256 * 1024
+    ).select("doc_id", tokens_ws("text").alias("toks"))
+    sh = t.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.transform(shingles("toks"), lambda s: hash64(s)))
+        ).alias("g"),
+    ).localCheckpoint()  # feeds sizes, df, prefix AND both verify legs
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    dfq = sh.groupBy("g").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "g")
+    pref = (
+        sh.join(dfq, "g")
+        .select("doc_id", "g", F.row_number().over(w).alias("rk"))
+        .join(sz, "doc_id")
+        .filter(
+            F.col("rk")
+            <= F.col("n")
+            - F.expr(f"({_CONT_NUM} * n + {_CONT_DEN - 1}) DIV {_CONT_DEN}")
+            + 1
+        )
+        .select(F.col("doc_id").alias("doc_a"), "g")
+    )
+    cand = (
+        pref.join(sh.select(F.col("doc_id").alias("doc_b"), "g"), "g")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    inter = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), "g"), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "g"), ["doc_b", "g"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("i"))
+    )
+    return (
+        inter.join(sz.select(F.col("doc_id").alias("doc_a"), "n"), "doc_a")
+        .filter(_CONT_DEN * F.col("i") >= _CONT_NUM * F.col("n"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n").alias("n_a"),
+            F.col("i").alias("inter"),
+            F.round(F.col("i") * 1.0 / F.col("n"), 4).alias("containment"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
