@@ -90,3 +90,49 @@ def test_unseen_cohort_and_empty_state_behave(spark, tmp_path):
     rows = {r.cohort: r for r in sink.psi(spark).collect()}
     assert set(rows) == {"a", "b", "ALL"}
     assert rows["b"].n_ref == 0 and rows["b"].n_cur == 1
+
+
+def test_real_stream_availablenow_matches_batch(spark, tmp_path):
+    """Drive the PSI monitor through an actual readStream ->
+    foreachBatch -> availableNow query (not direct write() calls): the
+    readout must still equal the batch psi_drift_report."""
+    import json
+
+    ev = _events(spark).persist()
+    lo, hi = _edges(ev)
+    ref = ev.filter(F.col("day") < _PSI_SPLIT_DAY)
+    cur = ev.filter(F.col("day") >= _PSI_SPLIT_DAY)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = cur.select("event_type", "value").collect()
+    third = (len(rows) + 2) // 3
+    for i in range(3):  # 3 source files -> 3 micro-batches
+        chunk = rows[i * third : (i + 1) * third]
+        (src / f"f{i}.json").write_text(
+            "\n".join(
+                json.dumps({"event_type": r.event_type, "value": r.value})
+                for r in chunk
+            )
+        )
+
+    sink = StreamingPSISink(str(tmp_path / "state"), ref, lo, hi)
+    stream = (
+        spark.readStream.schema("event_type string, value double")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink.write)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    ev.unpersist()
+
+    got = [tuple(r) for r in sink.psi(spark).collect()]
+    want = [
+        tuple(r) for r in REGISTRY["psi_drift_report"].spark_fn(spark, SF).collect()
+    ]
+    assert got == want
