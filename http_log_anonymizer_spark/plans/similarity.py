@@ -2349,11 +2349,13 @@ def ann_ivf_sqrt_pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame
 # first pass, but 8 bytes/vector floors recall (~0.19@5 at n=200k);
 # the standard production fix (FAISS IndexRefineFlat) reranks the PQ
 # shortlist with exact floats. Shortlist width (FAISS k_factor) chosen
-# by a measured sweep at n=200k: recall@5 0.327/0.379/0.424/0.437 at
-# R=4k/8k/16k/24k against the probed-cell ceiling ~0.455 (the flat
-# sqrt tier) — 16x clears the 0.4 target and the rerank stage stays
-# queries x R rows, trivially bounded.
-_PQ_RERANK_R = 16 * _TOPK
+# by measured sweeps at BOTH gate-relevant scales (SCALE.md tables):
+# n=20k (sf1) recall@5 0.327/0.379/0.424/0.437 at R=4k/8k/16k/24k;
+# n=200k (sf10) 0.384/0.412/0.425/0.438/0.444 at R=16k/24k/32k/48k/
+# 64k. R=32k is the smallest width holding >= 0.4 at n=200k WITH
+# margin; the rerank stage stays queries x R rows and the ADC window
+# q*nprobe*(R+margin) — both trivially bounded.
+_PQ_RERANK_R = 32 * _TOPK
 
 
 def _sqrt_pq_rerank_ctes() -> str:
