@@ -2740,6 +2740,12 @@ def ngram_novelty_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("g"),
         )
+        # sh feeds the type table AND the occurrence join; without a
+        # hard boundary each consumer re-tokenizes + re-shingles the
+        # heavy text column (plan-audited: 5 FileScans -> 1 text scan
+        # + doc_id-only scans). The checkpoint is (doc_id, hash) = 16
+        # bytes/row — the pin(corpus) discipline from the suffix array.
+        .localCheckpoint()
     )
     # decile via the two-level TeraSort rank (operators/suffix_array.
     # ranked) — a global ntile window would funnel every doc_id

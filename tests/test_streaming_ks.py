@@ -77,3 +77,48 @@ def test_planted_disjoint_supports_alarm(spark, tmp_path):
     assert rows["a"].ks == 1.0 and rows["a"].w1_cents == 100.0
     assert rows["a"].reject_h0
     assert [r.cohort for r in sink.alarms(spark).collect()] == ["ALL", "a"]
+
+
+def test_real_stream_availablenow_matches_batch(spark, tmp_path):
+    """Drive the KS monitor through an actual readStream ->
+    foreachBatch -> availableNow query: the readout must still equal
+    the batch ks_drift_report."""
+    import json
+
+    ev = _events(spark).persist()
+    ref = ev.filter(F.col("day") < _PSI_SPLIT_DAY)
+    cur = ev.filter(F.col("day") >= _PSI_SPLIT_DAY)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = cur.select("event_type", "value").collect()
+    third = (len(rows) + 2) // 3
+    for i in range(3):
+        chunk = rows[i * third : (i + 1) * third]
+        (src / f"f{i}.json").write_text(
+            "\n".join(
+                json.dumps({"event_type": r.event_type, "value": r.value})
+                for r in chunk
+            )
+        )
+
+    sink = StreamingKSSink(str(tmp_path / "state"), ref)
+    stream = (
+        spark.readStream.schema("event_type string, value double")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink.write)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    ev.unpersist()
+
+    got = [tuple(r) for r in sink.ks(spark).collect()]
+    want = [
+        tuple(r) for r in REGISTRY["ks_drift_report"].spark_fn(spark, SF).collect()
+    ]
+    assert got == want
