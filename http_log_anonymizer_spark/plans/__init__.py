@@ -63,6 +63,7 @@ _WINDOW = [
     "t_closeness_report",  # new this round
     "ngram_novelty_report",  # new this round
     "containment_join",  # new this round
+    "zipf_fit_report",  # new this round
     # --- r03-latest fill (26 of 35; the 9 deferred to round 8 are the
     # --- TPC-H/simple-scalar shapes with double coverage elsewhere) ---
     "apply_mix_sampling",
@@ -81,7 +82,6 @@ _WINDOW = [
     "event_transition_matrix",
     "frequent_resources_sketch",
     "kmv_cohort_overlap",
-    "latency_quantile_sketch",
     "multimodal_resize_features",
     "pack_sequences",
     "pii_source_summary",

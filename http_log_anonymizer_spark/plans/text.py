@@ -2272,3 +2272,130 @@ def token_pmi_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), "w1", "w2")
         .limit(_PMI_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# Zipf rank-frequency fit — the corpus-health power law
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "zipf_fit_report",
+    oracle="""
+WITH t AS (
+  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+tc0 AS (
+  SELECT source AS cohort, tok, CAST(count(*) AS BIGINT) AS cnt
+  FROM t GROUP BY ALL
+),
+tc AS (
+  SELECT * FROM tc0
+  UNION ALL
+  SELECT 'ALL' AS cohort, tok, CAST(sum(cnt) AS BIGINT) FROM tc0 GROUP BY tok
+),
+r AS (
+  SELECT cohort, cnt,
+         row_number() OVER (PARTITION BY cohort ORDER BY cnt DESC, tok) AS rnk
+  FROM tc
+),
+xy AS (
+  SELECT cohort, cnt, ln(CAST(rnk AS DOUBLE)) AS x, ln(CAST(cnt AS DOUBLE)) AS y
+  FROM r
+),
+agg AS (
+  SELECT cohort,
+         CAST(count(*) AS BIGINT) AS n_types,
+         CAST(sum(cnt) AS BIGINT) AS n_tokens,
+         CAST(max(cnt) AS BIGINT) AS top_cnt,
+         count(*) * sum(x * y) - sum(x) * sum(y) AS sxy_n,
+         count(*) * sum(x * x) - sum(x) * sum(x) AS sxx_n,
+         count(*) * sum(y * y) - sum(y) * sum(y) AS syy_n
+  FROM xy GROUP BY cohort
+)
+SELECT cohort, n_types, n_tokens,
+       round(CASE WHEN sxx_n > 0 THEN sxy_n / sxx_n END, 4) AS zipf_slope,
+       round(CASE WHEN sxx_n > 0 AND syy_n > 0
+                  THEN (sxy_n * sxy_n) / (sxx_n * syy_n) END, 4) AS r2,
+       round(top_cnt * 1.0 / n_tokens, 4) AS top_share
+FROM agg
+ORDER BY cohort
+""",
+)
+def zipf_fit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit per source plus pooled ALL: least-
+    squares slope of ln(count) on ln(rank) over the vocabulary, with
+    R^2 and the top token's mass share. Natural text sits near slope
+    -1 (Zipf 1949); the fit is the corpus-health check that flags
+    synthetic, template or degenerate text (near-uniform counts give a
+    flat slope with low R^2 — exactly what this synthetic corpus's
+    saturated ~31-word vocabulary shows, which is the point of
+    registering the measurement), and its slope feeds smoothing
+    choices for the n-gram LM family.
+
+    Determinism: the per-type (x, y) = (ln rank, ln count) come from
+    exact integers, the per-cohort moment sums are doubles over the
+    VOCABULARY-bounded type table, and outputs round at 4dp — the PSI
+    precedent (a 31k-term double sum agrees across engines to ~1e-10,
+    far inside the rounding). Degenerate cohorts: a single type yields
+    NULL slope and R^2 (no rank variance); uniform counts yield the
+    correct flat slope 0 with NULL R^2 (zero count variance) — never
+    a 0/0.
+
+    Scale shape: one explode to the (cohort, token) type table with
+    map-side combine; the rank window partitions BY COHORT over
+    vocabulary-bounded rows (never corpus-proportional); the fit is a
+    single moment aggregate per cohort."""
+    d = load_table(
+        spark, sf_dir, "documents", spread=True, bytes_per_task=256 * 1024
+    )
+    t = d.select("source", F.explode(tokens_ws("text")).alias("tok"))
+    tc0 = t.groupBy(F.col("source").alias("cohort"), "tok").agg(
+        F.count("*").alias("cnt")
+    )
+    # vocabulary-bounded: one materialization feeds both union branches
+    tc0 = tc0.localCheckpoint()
+    tc = tc0.unionByName(
+        tc0.groupBy("tok")
+        .agg(F.sum("cnt").alias("cnt"))
+        .select(F.lit("ALL").alias("cohort"), "tok", "cnt")
+    )
+    w = Window.partitionBy("cohort").orderBy(F.desc("cnt"), "tok")
+    xy = tc.select(
+        "cohort",
+        "cnt",
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("cnt").cast("double")).alias("y"),
+    )
+    n = F.count("*")
+    agg = xy.groupBy("cohort").agg(
+        n.alias("n_types"),
+        F.sum("cnt").alias("n_tokens"),
+        F.max("cnt").alias("top_cnt"),
+        (n * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y")).alias(
+            "sxy_n"
+        ),
+        (n * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x")).alias(
+            "sxx_n"
+        ),
+        (n * F.sum(F.col("y") * F.col("y")) - F.sum("y") * F.sum("y")).alias(
+            "syy_n"
+        ),
+    )
+    return agg.select(
+        "cohort",
+        "n_types",
+        "n_tokens",
+        F.round(
+            F.when(F.col("sxx_n") > 0, F.col("sxy_n") / F.col("sxx_n")), 4
+        ).alias("zipf_slope"),
+        F.round(
+            F.when(
+                (F.col("sxx_n") > 0) & (F.col("syy_n") > 0),
+                (F.col("sxy_n") * F.col("sxy_n"))
+                / (F.col("sxx_n") * F.col("syy_n")),
+            ),
+            4,
+        ).alias("r2"),
+        F.round(F.col("top_cnt") * 1.0 / F.col("n_tokens"), 4).alias("top_share"),
+    ).orderBy("cohort")
