@@ -2308,14 +2308,22 @@ agg AS (
          CAST(count(*) AS BIGINT) AS n_types,
          CAST(sum(cnt) AS BIGINT) AS n_tokens,
          CAST(max(cnt) AS BIGINT) AS top_cnt,
+         CAST(min(cnt) AS BIGINT) AS min_cnt,
          count(*) * sum(x * y) - sum(x) * sum(y) AS sxy_n,
          count(*) * sum(x * x) - sum(x) * sum(x) AS sxx_n,
          count(*) * sum(y * y) - sum(y) * sum(y) AS syy_n
   FROM xy GROUP BY cohort
 )
+-- Gates are EXACT-INTEGER predicates (engine-identical), never the
+-- catastrophically-cancelled float moments: rank variance exists iff
+-- n_types > 1; count variance exists iff max(cnt) > min(cnt). The
+-- float sxx_n/syy_n are only used INSIDE already-gated arithmetic.
 SELECT cohort, n_types, n_tokens,
-       round(CASE WHEN sxx_n > 0 THEN sxy_n / sxx_n END, 4) AS zipf_slope,
-       round(CASE WHEN sxx_n > 0 AND syy_n > 0
+       round(CASE WHEN n_types > 1 THEN
+                  CASE WHEN top_cnt = min_cnt THEN 0.0
+                       ELSE sxy_n / sxx_n END
+             END, 4) AS zipf_slope,
+       round(CASE WHEN n_types > 1 AND top_cnt > min_cnt
                   THEN (sxy_n * sxy_n) / (sxx_n * syy_n) END, 4) AS r2,
        round(top_cnt * 1.0 / n_tokens, 4) AS top_share
 FROM agg
@@ -2337,10 +2345,15 @@ def zipf_fit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integers, the per-cohort moment sums are doubles over the
     VOCABULARY-bounded type table, and outputs round at 4dp — the PSI
     precedent (a 31k-term double sum agrees across engines to ~1e-10,
-    far inside the rounding). Degenerate cohorts: a single type yields
-    NULL slope and R^2 (no rank variance); uniform counts yield the
-    correct flat slope 0 with NULL R^2 (zero count variance) — never
-    a 0/0.
+    far inside the rounding). Degenerate cohorts gate on EXACT-INTEGER
+    predicates, never on the sign of a cancelled float moment: a
+    single type (n_types = 1) yields NULL slope and R^2 (no rank
+    variance); uniform counts (max(cnt) = min(cnt), BIGINT-exact in
+    both engines) yield literal slope 0.0 with NULL R^2 (zero count
+    variance). The float sxx_n/syy_n only appear inside already-gated
+    arithmetic, so an engine-dependent summation-order sign at ±1 ulp
+    of 0 can never flip a NULL/non-NULL decision (the r07 divergence
+    on zero-variance input).
 
     Scale shape: one explode to the (cohort, token) type table with
     map-side combine; the rank window partitions BY COHORT over
@@ -2372,6 +2385,7 @@ def zipf_fit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.alias("n_types"),
         F.sum("cnt").alias("n_tokens"),
         F.max("cnt").alias("top_cnt"),
+        F.min("cnt").alias("min_cnt"),
         (n * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y")).alias(
             "sxy_n"
         ),
@@ -2386,12 +2400,23 @@ def zipf_fit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cohort",
         "n_types",
         "n_tokens",
+        # Exact-integer gates (see the oracle's comment): n_types > 1
+        # for rank variance, max(cnt) > min(cnt) for count variance.
+        # The float moments stay inside the already-gated arithmetic
+        # so an engine-dependent cancellation sign can never flip a
+        # NULL/non-NULL decision (the r07 divergence).
         F.round(
-            F.when(F.col("sxx_n") > 0, F.col("sxy_n") / F.col("sxx_n")), 4
+            F.when(
+                F.col("n_types") > 1,
+                F.when(F.col("top_cnt") == F.col("min_cnt"), F.lit(0.0)).otherwise(
+                    F.col("sxy_n") / F.col("sxx_n")
+                ),
+            ),
+            4,
         ).alias("zipf_slope"),
         F.round(
             F.when(
-                (F.col("sxx_n") > 0) & (F.col("syy_n") > 0),
+                (F.col("n_types") > 1) & (F.col("top_cnt") > F.col("min_cnt")),
                 (F.col("sxy_n") * F.col("sxy_n"))
                 / (F.col("sxx_n") * F.col("syy_n")),
             ),

@@ -49,6 +49,18 @@ def test_exact_power_law_recovers_its_exponent(spark, tmp_path):
     assert abs(s.top_share - 1024 / s.n_tokens) < 1e-4
 
 
+def test_single_type_cohort_yields_null_slope_and_r2(spark, tmp_path):
+    # one vocabulary type: no rank variance, so BOTH slope and R^2 are
+    # NULL — gated on the exact integer n_types = 1, not on whether a
+    # cancelled float moment happened to land on the right side of 0
+    _write_docs(spark, tmp_path, ["solo solo solo solo solo"])
+    got = _run(spark, tmp_path)
+    s = got["s"]
+    assert s.n_types == 1
+    assert s.zipf_slope is None and s.r2 is None
+    assert s.top_share == 1.0
+
+
 def test_uniform_counts_yield_null_fit(spark, tmp_path):
     # every token exactly 4 times: zero y-variance -> the least-squares
     # slope is exactly 0 (flat) and R^2 is undefined (NULL)
