@@ -5174,13 +5174,21 @@ agg AS (
          sum(absd * (CASE WHEN c_next IS NULL THEN 0 ELSE c_next - c END)) AS w1n
   FROM d GROUP BY cohort
 )
+-- degenerate one-sided cohorts (n_ref = 0 or n_cur = 0): the
+-- two-sample statistic is undefined, but one-sided presence IS
+-- maximal drift -> NULL stats, reject_h0 = true (exact integer gate)
 SELECT cohort, n_ref, n_cur,
-       round(CAST(mx.a AS DOUBLE) / (CAST(n_ref AS DOUBLE) * n_cur), 6) AS ks,
-       CAST(-mx.b AS BIGINT) AS ks_at,
-       round(CAST(w1n AS DOUBLE) / (CAST(n_ref AS DOUBLE) * n_cur), 4) AS w1_cents,
-       CAST(mx.a AS DOUBLE) / (CAST(n_ref AS DOUBLE) * n_cur)
-         >= {_KS_ALPHA_C} * sqrt((n_ref + CAST(n_cur AS DOUBLE)) / (CAST(n_ref AS DOUBLE) * n_cur))
-         AS reject_h0
+       CASE WHEN n_ref > 0 AND n_cur > 0 THEN
+         round(CAST(mx.a AS DOUBLE) / (CAST(n_ref AS DOUBLE) * n_cur), 6)
+       END AS ks,
+       CASE WHEN n_ref > 0 AND n_cur > 0 THEN CAST(-mx.b AS BIGINT) END AS ks_at,
+       CASE WHEN n_ref > 0 AND n_cur > 0 THEN
+         round(CAST(w1n AS DOUBLE) / (CAST(n_ref AS DOUBLE) * n_cur), 4)
+       END AS w1_cents,
+       CASE WHEN n_ref = 0 OR n_cur = 0 THEN true ELSE
+         CAST(mx.a AS DOUBLE) / (CAST(n_ref AS DOUBLE) * n_cur)
+           >= {_KS_ALPHA_C} * sqrt((n_ref + CAST(n_cur AS DOUBLE)) / (CAST(n_ref AS DOUBLE) * n_cur))
+       END AS reject_h0
 FROM agg
 ORDER BY cohort
 """
@@ -5270,12 +5278,19 @@ def ks_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     crit = F.lit(_KS_ALPHA_C) * F.sqrt(
         (F.col("n_ref") + F.col("n_cur").cast("double")) / nm
     )
+    # degenerate one-sided cohorts (zero rows on either side of the
+    # split): the statistic is 0/0, but one-sided presence IS maximal
+    # drift — NULL stats, reject_h0 = true. Exact integer gate shared
+    # with the streaming monitor (ADVICE r07).
+    degen = (F.col("n_ref") == 0) | (F.col("n_cur") == 0)
     return agg.select(
         "cohort",
         "n_ref",
         "n_cur",
-        F.round(ks, 6).alias("ks"),
-        (-F.col("mx.b")).cast("long").alias("ks_at"),
-        F.round(F.col("w1n").cast("double") / nm, 4).alias("w1_cents"),
-        (ks >= crit).alias("reject_h0"),
+        F.when(~degen, F.round(ks, 6)).alias("ks"),
+        F.when(~degen, (-F.col("mx.b")).cast("long")).alias("ks_at"),
+        F.when(~degen, F.round(F.col("w1n").cast("double") / nm, 4)).alias(
+            "w1_cents"
+        ),
+        F.when(degen, F.lit(True)).otherwise(ks >= crit).alias("reject_h0"),
     ).orderBy("cohort")

@@ -2695,7 +2695,7 @@ occ AS (
 )
 SELECT decile,
        CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
-       count(*) AS n_gram_types,
+       count(*) AS n_doc_gram_pairs,
        CAST(sum(novel) AS BIGINT) AS n_novel,
        round(sum(novel) * 1.0 / count(*), 6) AS novelty_rate
 FROM occ
@@ -2717,8 +2717,15 @@ def ngram_novelty_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     does not distort the cross-document signal.
 
     Determinism: novelty is an integer comparison against a min-
-    aggregate; ntile over the unique doc_id order is deterministic in
-    both engines; the only division is the final 6dp rate.
+    aggregate; deciles come from the explicit ((r-1)*D) DIV n + 1
+    formula over the unique-doc_id rank (NOT either engine's ntile,
+    whose remainder placement is an engine choice) so both engines
+    share the same remainder rule; the only division is the final 6dp
+    rate. The denominator column is n_doc_gram_pairs — distinct
+    (doc, gram) occurrence ROWS, a gram appearing in two docs of one
+    decile counts twice — because novelty_rate is a per-occurrence
+    fraction; a count of distinct gram TYPES per decile would be a
+    different (coarser) statistic.
 
     Scale shape: one scan to the distinct (doc_id, gram-hash) pairs
     (array-native shingles, no per-token explode), one hash groupBy
@@ -2782,7 +2789,7 @@ def ngram_novelty_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         occ.groupBy("decile")
         .agg(
             F.countDistinct("doc_id").alias("n_docs"),
-            F.count("*").alias("n_gram_types"),
+            F.count("*").alias("n_doc_gram_pairs"),
             F.sum("novel").alias("n_novel"),
             F.round(F.sum("novel") * 1.0 / F.count("*"), 6).alias("novelty_rate"),
         )

@@ -362,8 +362,12 @@ sig AS (
   FROM st
 ),
 tot AS (
+  -- quantized terms accumulate as DECIMAL(38,0), not BIGINT: each
+  -- round(nh*sigma*1e6) is a deterministic integer-valued double and
+  -- the decimal sum is exact (and order-independent) at any scale,
+  -- where a BIGINT sum would silently overflow past nh*sigma ~ 9.2e12
   SELECT CAST(sum(nh) AS BIGINT) AS n_total,
-         CAST(sum(CAST(round(nh * sigma * 1000000) AS BIGINT)) AS DOUBLE)
+         CAST(sum(CAST(round(nh * sigma * 1000000) AS DECIMAL(38,0))) AS DOUBLE)
            / 1000000 AS w_total
   FROM sig
 )
@@ -423,12 +427,18 @@ def neyman_allocation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # docstring's bit-determinism claim would not survive a different
     # stratum arrival order. Each nh*sigma term is itself a
     # deterministic double (exact-integer moments), so its rounding to
-    # 1e-6 units is deterministic, and the integer sum is
-    # order-independent.
+    # 1e-6 units is deterministic. The quantized terms accumulate as
+    # decimal(38,0), not long (ADVICE r07): a long sum silently
+    # overflows once nh*sigma exceeds ~9.2e12, while the decimal sum
+    # stays exact — and therefore order-independent — at any scale.
     tot = sig.agg(
         F.sum("nh").alias("n_total"),
         (
-            F.sum(F.round(F.col("nh") * F.col("sigma") * 1_000_000).cast("long"))
+            F.sum(
+                F.round(F.col("nh") * F.col("sigma") * 1_000_000).cast(
+                    "decimal(38,0)"
+                )
+            )
             .cast("double")
             / 1_000_000
         ).alias("w_total"),

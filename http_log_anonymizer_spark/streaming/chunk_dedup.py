@@ -33,7 +33,22 @@ dedups against itself (its chunks are already in the seen set) and is
 then SUPPRESSED from the docs output (anti-join on the already-emitted
 doc-id set), so ``deduped_docs`` carries exactly one row per doc_id —
 the first delivery's — and aggregate readers are correct by default
-(ADVICE r06). Reference parity: the reference pipeline dedups whole
+(ADVICE r06).
+
+CONTRACT (ADVICE r07): under at-least-once delivery ``doc_id`` must
+uniquely identify CONTENT — the standard Kafka-key discipline the
+reference relies on too (ReplacingMergeTree collapses on the sort
+key). If an upstream redelivers a doc_id with CHANGED text, the new
+text's novel chunks still enter the seen set and the chunks output
+(chunk-level dedup state stays correct), but the docs output keeps
+the FIRST delivery's row: ``deduped_docs`` reflects first-delivery
+content, by design, and will not re-describe the mutated document.
+Mutable documents need a versioned key (doc_id, revision) upstream;
+in-place mutation under one key is indistinguishable from redelivery
+at this layer, and silently replacing the docs row would break the
+exactly-one-row-per-key guarantee aggregate readers depend on.
+
+Reference parity: the reference pipeline dedups whole
 records in ClickHouse (ReplacingMergeTree, http_log.rs:105-107); this
 sink is the intra-document streaming generalization.
 """

@@ -147,14 +147,24 @@ class StreamingKSSink(EpochStateSink):
         crit = F.lit(_KS_ALPHA_C) * F.sqrt(
             (F.col("n_ref") + F.col("n_cur").cast("double")) / nm
         )
+        # Degenerate-sample guard (ADVICE r07): a cohort present in the
+        # reference with ZERO current rows (before the first batch, or
+        # a vanished cohort) — or current rows with no reference — has
+        # an undefined two-sample statistic (0/0), but one-sided
+        # presence IS maximal drift, so the guard emits NULL stats with
+        # reject_h0 = true instead of a NaN that alarms() would
+        # silently skip. Exact integer gate, mirroring the batch twin.
+        degen = (F.col("n_ref") == 0) | (F.col("n_cur") == 0)
         return agg.select(
             "cohort",
             "n_ref",
             "n_cur",
-            F.round(ks, 6).alias("ks"),
-            (-F.col("mx.b")).cast("long").alias("ks_at"),
-            F.round(F.col("w1n").cast("double") / nm, 4).alias("w1_cents"),
-            (ks >= crit).alias("reject_h0"),
+            F.when(~degen, F.round(ks, 6)).alias("ks"),
+            F.when(~degen, (-F.col("mx.b")).cast("long")).alias("ks_at"),
+            F.when(~degen, F.round(F.col("w1n").cast("double") / nm, 4)).alias(
+                "w1_cents"
+            ),
+            F.when(degen, F.lit(True)).otherwise(ks >= crit).alias("reject_h0"),
         ).orderBy("cohort")
 
     def alarms(self, spark: SparkSession) -> DataFrame:

@@ -78,14 +78,25 @@ class StreamingPSISink(EpochStateSink):
 
     def _bucketize(self, df: DataFrame) -> DataFrame:
         """(cohort, bucket) per row — the batch query's exact integer
-        binning: c = round(value*100), bucket = (c-lo)*b div (hi-lo+1)."""
+        binning: c = round(value*100), bucket = (c-lo)*b div (hi-lo+1),
+        CLAMPED to [0, b) (standard PSI practice with deploy-time
+        edges): values outside the calibration range land in the edge
+        buckets instead of silently vanishing from both the terms and
+        the n_cur totals — out-of-range drift is the strongest signal
+        a fixed-calibration monitor can see, and an unclamped index
+        would drop exactly those rows at the psi() grid join (ADVICE
+        r07). When fed corpus-derived edges (the batch-parity tests)
+        the clamp is a no-op, so batch/stream equality is unaffected."""
         b, lo, hi = self.buckets, self.lo, self.hi
         return df.select(
             F.col(self.cohort_col).alias("cohort"),
             F.round(F.col(self.value_col) * 100).cast("long").alias("c"),
         ).select(
             "cohort",
-            F.expr(f"((c - {lo}) * {b}) div ({hi} - {lo} + 1)").alias("bucket"),
+            F.expr(
+                f"greatest(0, least({b} - 1,"
+                f" ((c - {lo}) * {b}) div ({hi} - {lo} + 1)))"
+            ).alias("bucket"),
         )
 
     # -- the sink ------------------------------------------------------

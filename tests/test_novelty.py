@@ -47,7 +47,7 @@ def test_repeats_are_zero_novel_and_fresh_text_fully_novel(spark, tmp_path):
         assert r.n_docs == 2
         # each decile: one fresh doc (8 novel 3-gram types) + one exact
         # repeat (8 types, 0 novel) -> novelty_rate 0.5
-        assert r.n_gram_types == 16 and r.n_novel == 8, d
+        assert r.n_doc_gram_pairs == 16 and r.n_novel == 8, d
         assert r.novelty_rate == 0.5
 
 

@@ -122,3 +122,29 @@ def test_real_stream_availablenow_matches_batch(spark, tmp_path):
         tuple(r) for r in REGISTRY["ks_drift_report"].spark_fn(spark, SF).collect()
     ]
     assert got == want
+
+
+def test_degenerate_cohorts_alarm_instead_of_nan(spark, tmp_path):
+    """A cohort with zero rows on either side (before the first batch,
+    a vanished cohort, or a brand-new one) has an undefined two-sample
+    statistic; it must surface as ks NULL + reject_h0 = true — an
+    alarm — not a NaN that alarms() silently skips (ADVICE r07)."""
+    ref = spark.createDataFrame(
+        [("a", 0.10), ("a", 0.20)], "event_type string, value double"
+    )
+    sink = StreamingKSSink(str(tmp_path / "state"), ref)
+    # before any batch: every reference cohort is current-empty
+    pre = {r.cohort: r for r in sink.ks(spark).collect()}
+    assert set(pre) == {"a", "ALL"}
+    assert pre["a"].n_cur == 0 and pre["a"].ks is None and pre["a"].reject_h0
+    assert {r.cohort for r in sink.alarms(spark).collect()} == {"a", "ALL"}
+    # a cohort the reference never saw appears in the stream: same deal
+    sink.write(
+        spark.createDataFrame([("b", 0.15)], "event_type string, value double"), 0
+    )
+    rows = {r.cohort: r for r in sink.ks(spark).collect()}
+    assert rows["b"].n_ref == 0 and rows["b"].ks is None and rows["b"].reject_h0
+    # cohort 'a' is still one-sided (all its current rows are missing)
+    assert rows["a"].n_cur == 0 and rows["a"].reject_h0
+    # ALL is now two-sided and well-defined
+    assert rows["ALL"].ks is not None

@@ -92,6 +92,33 @@ def test_unseen_cohort_and_empty_state_behave(spark, tmp_path):
     assert rows["b"].n_ref == 0 and rows["b"].n_cur == 1
 
 
+def test_out_of_range_values_land_in_edge_buckets(spark, tmp_path):
+    """Deploy-time edges are FIXED; values outside [lo, hi] must clamp
+    into the edge buckets (standard PSI practice) rather than take an
+    out-of-grid bucket index that psi()'s grid join silently drops —
+    out-of-range drift is the strongest signal a fixed-calibration
+    monitor can see (ADVICE r07)."""
+    ref = spark.createDataFrame(
+        [("a", 0.10 + (i % 11) * 0.01) for i in range(60)],
+        "event_type string, value double",
+    )
+    sink = StreamingPSISink(str(tmp_path / "state"), ref, lo=10, hi=20, buckets=4)
+    # every current value is far outside the calibration range
+    sink.write(
+        spark.createDataFrame(
+            [("a", 9.0 if i % 2 else -3.0) for i in range(60)],
+            "event_type string, value double",
+        ),
+        0,
+    )
+    rows = {r.cohort: r for r in sink.psi(spark).collect()}
+    # nothing dropped: all 60 out-of-range rows are counted
+    assert rows["a"].n_cur == 60
+    # and the mass sits in the edge buckets: heavy drift must alarm
+    assert rows["a"].psi > 0.25 and rows["a"].drift_flag
+    assert [r.cohort for r in sink.alarms(spark).collect()] == ["ALL", "a"]
+
+
 def test_real_stream_availablenow_matches_batch(spark, tmp_path):
     """Drive the PSI monitor through an actual readStream ->
     foreachBatch -> availableNow query (not direct write() calls): the
