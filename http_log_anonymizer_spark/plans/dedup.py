@@ -35,7 +35,7 @@ from http_log_anonymizer_spark.functions.text import (
     shingles_sql,
     tokens_ws,
 )
-from http_log_anonymizer_spark.plans.registry import register
+from http_log_anonymizer_spark.plans.registry import ScaleGate, register
 from http_log_anonymizer_spark.sources.batch import load_table
 
 # ---------------------------------------------------------------------------
@@ -495,6 +495,13 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_ngram_jaccard",
+    # brute all-pairs Jaccard via the shingle self-join (the exact
+    # oracle of record): pair work grows with the square of per-shingle
+    # document frequency — boilerplate-heavy corpora blow up first.
+    # The ceiling is the sf1 corpus size; MinHash LSH is the scale path.
+    scale_gate=ScaleGate(
+        table="documents", max_rows=50_000, wide_twin="dedup_minhash_lsh"
+    ),
     oracle=f"""
 WITH {_EDGES_SQL},
 sz AS (SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id),

@@ -37,7 +37,7 @@ from http_log_anonymizer_spark.functions.vectors import (
     norm_column,
     unit_from,
 )
-from http_log_anonymizer_spark.plans.registry import register
+from http_log_anonymizer_spark.plans.registry import ScaleGate, register
 from http_log_anonymizer_spark.sources.batch import load_table
 
 _DIM = 64
@@ -199,6 +199,13 @@ def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_lsh_topk",
+    # candidate-quadratic demo width (n*q/2^4): measured 21.2 s at
+    # sf10 (200k vectors) and KILLED at 45 min at sf100 (2M) —
+    # SCALE.md sf100 table. The ceiling sits just above the largest
+    # measured-safe input; the wide twin is the registered scale path.
+    scale_gate=ScaleGate(
+        table="embeddings", max_rows=250_000, wide_twin="ann_lsh_wide_topk"
+    ),
     oracle=f"""
 WITH {UNIT_CTE_SQL},
 b AS (SELECT vec_id, ue, {_bucket_sql('embedding')} AS bucket FROM unit),
@@ -274,6 +281,12 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embed_neardup",
+    # all-pairs by declared design (the exact oracle of record):
+    # n^2/2 dot products. sf1 (20k vectors) measured seconds on the
+    # GEMM path; the ceiling caps the pair count at ~6x that work.
+    scale_gate=ScaleGate(
+        table="embeddings", max_rows=50_000, wide_twin="embed_neardup_lsh"
+    ),
     oracle=f"""
 WITH {UNIT_CTE_SQL}
 SELECT
