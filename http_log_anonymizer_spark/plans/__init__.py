@@ -21,72 +21,73 @@ from http_log_anonymizer_spark.plans import scalars  # noqa: E402,F401
 from http_log_anonymizer_spark.plans import analytics  # noqa: E402,F401
 from http_log_anonymizer_spark.plans import curation  # noqa: E402,F401
 
-# Round-7 window (VERDICT r06 item 1 — staleness debt FIRST): the 17
-# queries whose latest driver row is r02, plus psi_drift_report (never
-# driver-checked — added after the r06 window froze), plus every query
-# whose plan or oracle changed this round (the occ_key struct-min fix,
-# the Neyman integer-grid denominator, the PQ scan refactor and its
-# new two-stage rerank tier), plus as much of the r03-stale cohort as
-# fits. After this round no registry query's latest green row is older
-# than r03, and the 9 r03 queries that didn't fit (listed in
-# ROADMAP.md) rotate in round 8. Everything outside the window stays
-# locally gated by tests/test_registry_oracle.py (same comparator).
+# Round-8 window (VERDICT r07 item 2 — staleness debt FIRST): the 14
+# r03-stale queries (the full remainder of the rotation — after this
+# round nothing in the union is older than r04), then every query
+# whose plan or oracle changed this round (the zipf exact-integer
+# gate, the ngram_novelty column rename, the Neyman decimal
+# accumulator, the KS degenerate-cohort guard, the three new scale
+# gates), then the stalest r04 cohort fill — with the three r07
+# driver-bench drift suspects (ann_ivf_topk, dedup_simhash,
+# dedup_simhash_wide) and both gated r04 queries placed first. The 17
+# r04 queries that didn't fit rotate in round 9 (listed in
+# ROADMAP.md). Everything outside the window stays locally gated by
+# tests/test_registry_oracle.py (same comparator).
 _WINDOW = [
-    # --- r02-latest driver rows: stalest first ---
-    "gopher_quality_flags",
-    "decontaminate_docs",
-    "tfidf_top_terms",
-    "http_cache_efficiency",
-    "latency_percentiles",
-    "asof_last_purchase",
-    "ccnet_perplexity_buckets",
-    "dedup_incremental_batch",
-    "embed_hashing_trick",
-    "multimodal_frame_sample",
-    "multimodal_payload_stats",
-    "order_fill_outer",
-    "pivot_event_counts",
-    "quality_histogram",
-    "time_features",
-    "train_val_test_split",
-    "http_error_bursts",
-    # --- never driver-checked ---
-    "psi_drift_report",
-    # --- plan/oracle changed in round 7: re-verify ---
-    "line_dedup_report",
-    "cdc_dedup_report",
+    # --- r03-latest driver rows: the rotation's last fill ---
+    "array_feature_stats",
+    "large_order_customers",
+    "latency_quantile_sketch",
+    "map_ops_explode",
+    "nation_market_share",
+    "null_semantics",
+    "promo_revenue_share",
+    "rolling_correlation",
+    "snapshot_diff_cdc",
+    "stratified_sample",
+    "unpivot_lineitem_metrics",
+    "user_entropy_scores",
+    "weighted_reservoir_sample",
+    "winsorized_stats",
+    # --- plan/oracle changed in round 8: re-verify ---
+    "zipf_fit_report",
+    "ngram_novelty_report",
     "neyman_allocation_report",
-    "ann_ivf_sqrt_pq_topk",
-    "ann_ivf_sqrt_pq_rerank_topk",  # new this round
-    "ann_ivf_sqrt_pq_rerank_recall_report",  # new this round
-    "ks_drift_report",  # new this round
-    "t_closeness_report",  # new this round
-    "ngram_novelty_report",  # new this round
-    "containment_join",  # new this round
-    "zipf_fit_report",  # new this round
-    # --- r03-latest fill (26 of 35; the 9 deferred to round 8 are the
-    # --- TPC-H/simple-scalar shapes with double coverage elsewhere) ---
-    "apply_mix_sampling",
-    "blocklist_hit_report",
-    "bm25_retrieval",
-    "bpe_encode_stats",
-    "bpe_learn_merges",
-    "bpe_pretokenize_stats",
-    "dedup_clusters_star",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "distinct_users_approx",
-    "doc_chunking",
-    "dsir_importance_weights",
-    "event_funnel",
-    "event_transition_matrix",
-    "frequent_resources_sketch",
-    "kmv_cohort_overlap",
-    "multimodal_resize_features",
-    "pack_sequences",
-    "pii_source_summary",
-    "retention_cohorts",
-    "sliding_window_traffic",
+    "ks_drift_report",
+    "dedup_ngram_jaccard",  # scale-gated this round
+    # --- r04-latest fill (31 of 48; 17 defer to round 9): the drift
+    # --- suspects and the other two gated queries lead ---
+    "ann_ivf_topk",
+    "dedup_simhash",
+    "dedup_simhash_wide",
+    "ann_lsh_topk",  # scale-gated this round
+    "embed_neardup",  # scale-gated this round
+    "ams_f2_selfjoin_size",
+    "ann_brute_topk",
+    "ann_ivf_adc_topk",
+    "ann_ivf_kmeans_topk",
+    "ann_lsh_recall_report",
+    "ann_lsh_wide_topk",
+    "ann_quantized_topk",
+    "best_order_per_customer",
+    "bloom_membership_report",
+    "bm25_query_table",
+    "cms_user_frequency",
+    "customer_running_revenue",
+    "dedup_simhash_stats",
+    "dedup_simhash_xwide",
+    "embed_neardup_gemm",
+    "embed_neardup_lsh",
+    "embed_quantization_error",
+    "hard_negative_mining",
+    "hdr_latency_quantiles",
+    "hilbert_layout",
+    "hll_user_cardinality",
+    "hybrid_rrf_fusion",
+    "ivf_cluster_stats",
+    "ivf_residual_quantization",
+    "k_anonymity_report",
+    "kmeans_cluster_sizes",
 ]
 
 
