@@ -92,13 +92,24 @@ def _sign_pattern(replica: int, dim: int = _EMB_DIM) -> list[int]:
     ]
 
 
+# Parquet row-group ceiling for generated tables. The default writer
+# produced single ~240 MB row groups on the sf100 text columns
+# (VERDICT r07 item 5): a row group is the parquet SPLIT unit, so a
+# 240 MB group forces one task per 240 MB of text — scan parallelism
+# collapses and the single shared JVM needed a 16 GiB heap just to
+# decode. 32 MiB groups restore split parallelism at default heap.
+_ROW_GROUP_BYTES = 32 * 1024 * 1024
+
+
 def generate(
     spark: SparkSession,
     src: str,
     out: str,
     mult: int = 10,
+    tables: list[str] | None = None,
 ) -> None:
-    """Write ``mult``-times-scaled copies of every table to ``out``."""
+    """Write ``mult``-times-scaled copies of every table to ``out``
+    (all of TABLES, or just ``tables`` for a targeted regeneration)."""
     strides = {
         name: _stride_for(spark, src, t, c) for name, (t, c) in _DOMAINS.items()
     }
@@ -111,7 +122,7 @@ def generate(
 
     rep = F.explode(F.sequence(F.lit(0), F.lit(mult - 1))).alias("_r")
 
-    for table in TABLES:
+    for table in tables if tables is not None else TABLES:
         df = spark.read.parquet(f"{src}/{table}.parquet")
         if table in ("region", "nation"):
             out_df = df  # fixed-cardinality dimensions stay single-copy
@@ -154,9 +165,9 @@ def generate(
                 out_df = out_df.withColumn("embedding", flipped)
             out_df = out_df.drop("_r")
         n_files = max(1, (df.count() * mult) // 400_000)
-        out_df.repartition(n_files).write.mode("overwrite").parquet(
-            f"{out}/{table}.parquet"
-        )
+        out_df.repartition(n_files).write.mode("overwrite").option(
+            "parquet.block.size", str(_ROW_GROUP_BYTES)
+        ).parquet(f"{out}/{table}.parquet")
 
 
 def ensure(spark: SparkSession, out: str, src: str = "/root/testdata/sf0.1", mult: int = 10) -> str:

@@ -29,6 +29,10 @@ class PipelineMetrics:
     batches: int = 0
     rows_written: int = 0
     batch_duration_ms: list = field(default_factory=list)
+    # sink-commit (addBatch) leg of each micro-batch — the reference's
+    # anonymizer_pipeline_output_duration_seconds (telemetry.rs:21-54,
+    # "Output Time" dashboard panel)
+    sink_duration_ms: list = field(default_factory=list)
 
     def snapshot(self) -> dict:
         durations = self.batch_duration_ms
@@ -63,6 +67,11 @@ class MetricsListener(StreamingQueryListener):
         self.metrics.rows_written += out_rows
         if p.batchDuration is not None:
             self.metrics.batch_duration_ms.append(p.batchDuration)
+        # durationMs['addBatch'] is the sink-commit leg (the reference's
+        # output_duration metric); absent for batches with no sink work
+        add_batch = (p.durationMs or {}).get("addBatch")
+        if add_batch is not None:
+            self.metrics.sink_duration_ms.append(add_batch)
         observed = p.observedMetrics or {}
         decode = observed.get("decode")
         if decode is not None:

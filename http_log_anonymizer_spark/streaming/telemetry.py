@@ -10,8 +10,17 @@ Metric mapping (reference name -> source here):
       -> PipelineMetrics.received / .rejected
   anonymizer_pipeline_inserts_total        -> .batches
   anonymizer_pipeline_rows_written_total   -> .rows_written
-  anonymizer_pipeline_message_latency_seconds (summary: _count/_sum)
+  anonymizer_pipeline_message_latency_seconds (histogram)
       -> .batch_duration_ms
+  anonymizer_pipeline_output_duration_seconds (histogram)
+      -> .sink_duration_ms (the addBatch sink-commit leg)
+
+Latency metrics are HISTOGRAMS (cumulative le buckets + _count/_sum),
+not summaries: the reference's Grafana dashboard computes p75/p99 via
+histogram_quantile() over rate(..._bucket[5m]) — a summary has no
+_bucket series and those panels would be empty
+(grafana/dashboards/grafana_dashboard_anonymizer_performance.json;
+dashboard analog: grafana/anonymizer_performance.json in this repo).
 
 stdlib-only (http.server in a daemon thread): prometheus_client is not
 in this container and the text format is a stable, documented public
@@ -32,9 +41,31 @@ from http_log_anonymizer_spark.streaming.listener import PipelineMetrics
 _PREFIX = "anonymizer_pipeline"
 
 
+# Histogram bucket boundaries (seconds). Spans trigger cadences from
+# sub-100ms micro-batches to multi-minute stalls; +Inf is implicit.
+_LATENCY_BUCKETS = (0.05, 0.1, 0.25, 0.5, 1.0, 2.5, 5.0, 10.0, 30.0, 60.0)
+
+
+def _histogram_lines(name: str, help_text: str, values_s: list) -> list:
+    """Prometheus histogram exposition: cumulative le buckets,
+    _count and _sum — the shape histogram_quantile() needs."""
+    lines = [
+        f"# HELP {name} {help_text}",
+        f"# TYPE {name} histogram",
+    ]
+    for le in _LATENCY_BUCKETS:
+        n = sum(1 for v in values_s if v <= le)
+        lines.append(f'{name}_bucket{{le="{le}"}} {n}')
+    lines.append(f'{name}_bucket{{le="+Inf"}} {len(values_s)}')
+    lines.append(f"{name}_count {len(values_s)}")
+    lines.append(f"{name}_sum {sum(values_s)}")
+    return lines
+
+
 def render_prometheus(metrics: PipelineMetrics) -> str:
     """PipelineMetrics -> Prometheus text exposition format (v0.0.4)."""
     durations_s = [ms / 1000.0 for ms in metrics.batch_duration_ms]
+    sink_s = [ms / 1000.0 for ms in metrics.sink_duration_ms]
     lines = [
         f"# HELP {_PREFIX}_messages_total Messages seen by the decode stage.",
         f"# TYPE {_PREFIX}_messages_total counter",
@@ -46,10 +77,16 @@ def render_prometheus(metrics: PipelineMetrics) -> str:
         f"# HELP {_PREFIX}_rows_written_total Rows written by the sink.",
         f"# TYPE {_PREFIX}_rows_written_total counter",
         f"{_PREFIX}_rows_written_total {metrics.rows_written}",
-        f"# HELP {_PREFIX}_message_latency_seconds Batch processing latency.",
-        f"# TYPE {_PREFIX}_message_latency_seconds summary",
-        f"{_PREFIX}_message_latency_seconds_count {len(durations_s)}",
-        f"{_PREFIX}_message_latency_seconds_sum {sum(durations_s)}",
+        *_histogram_lines(
+            f"{_PREFIX}_message_latency_seconds",
+            "End-to-end micro-batch processing latency.",
+            durations_s,
+        ),
+        *_histogram_lines(
+            f"{_PREFIX}_output_duration_seconds",
+            "Sink commit (addBatch) duration per micro-batch.",
+            sink_s,
+        ),
     ]
     return "\n".join(lines) + "\n"
 
