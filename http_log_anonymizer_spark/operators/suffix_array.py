@@ -235,24 +235,24 @@ def suffix_order(last_rank: DataFrame) -> DataFrame:
     ).select("gpos", "sa_idx")
 
 
-def adjacent_lcp(
-    sa: DataFrame, rank_tables: list[DataFrame], tokens: DataFrame
-) -> DataFrame:
-    """(sa_idx, gpos, prv, lcp): LCP between each suffix and its
-    predecessor in suffix-array order, by binary descent over the
-    radix-2 rank tables (table k covers 2^(k+1) tokens; lcp += 2^(k+1)
-    on a rank match at offset lcp, high table to low) plus a FINAL
-    raw-token equality step (+1) that restores the single-token
-    granularity the pair-start tables skip. Greedy exactness: the pair
-    tables floor lcp to 2*floor(L/2) (any even value is a sum of
-    distinct {2, 4, ..., 2^rounds}), and the token step supplies the
-    odd unit. ``tokens`` is the (gpos, tok) corpus. sa_idx = 1 has no
-    predecessor -> lcp = 0, prv = -1."""
+def _sa_pairs(sa: DataFrame) -> DataFrame:
+    """(sa_idx, gpos, prv, lcp=0): each suffix with its predecessor in
+    suffix-array order (prv = -1 for sa_idx = 1)."""
     prev = sa.select((F.col("sa_idx") + 1).alias("sa_idx"), F.col("gpos").alias("prv"))
-    cur = sa.join(prev, "sa_idx", "left").select(
+    return sa.join(prev, "sa_idx", "left").select(
         "sa_idx", "gpos", F.coalesce("prv", F.lit(-1)).alias("prv"),
         F.lit(0).cast("long").alias("lcp"),
     )
+
+
+def _descent(
+    cur: DataFrame, rank_tables: list[DataFrame], tokens: DataFrame
+) -> DataFrame:
+    """Binary LCP descent for a (sa_idx, gpos, prv, lcp) table: lcp +=
+    2^(k+1) whenever rank_k matches at offset lcp, high table to low,
+    then one raw-token equality step (+1). Runs on WHATEVER subset it
+    is given — adjacent_lcp feeds it all N pairs, the PLCP variant
+    only the irreducible ones."""
     for r in range(len(rank_tables) - 2, -1, -1):
         h = 1 << (r + 1)
         rt = rank_tables[r]
@@ -293,6 +293,144 @@ def adjacent_lcp(
                 F.col("lcp") + 1,
             )
             .otherwise(F.col("lcp"))
+            .alias("lcp"),
+        )
+    )
+
+
+def adjacent_lcp(
+    sa: DataFrame, rank_tables: list[DataFrame], tokens: DataFrame
+) -> DataFrame:
+    """(sa_idx, gpos, prv, lcp): LCP between each suffix and its
+    predecessor in suffix-array order, by binary descent over the
+    radix-2 rank tables (table k covers 2^(k+1) tokens; lcp += 2^(k+1)
+    on a rank match at offset lcp, high table to low) plus a FINAL
+    raw-token equality step (+1) that restores the single-token
+    granularity the pair-start tables skip. Greedy exactness: the pair
+    tables floor lcp to 2*floor(L/2) (any even value is a sum of
+    distinct {2, 4, ..., 2^rounds}), and the token step supplies the
+    odd unit. ``tokens`` is the (gpos, tok) corpus. sa_idx = 1 has no
+    predecessor -> lcp = 0, prv = -1.
+
+    Every pair pays the full descent (2 joins x rank tables + the
+    token step); :func:`adjacent_lcp_plcp` is the measured-faster
+    variant that descends only the IRREDUCIBLE pairs."""
+    return _descent(_sa_pairs(sa), rank_tables, tokens)
+
+
+def prefix_max_by_range(
+    df: DataFrame, order_col: str, val_col: str, out: str = "pmax"
+) -> DataFrame:
+    """(*df.columns, out): running MAX of ``val_col`` in ``order_col``
+    order (inclusive; nulls ignored), same two-level distributed
+    pattern as :func:`cumsum_by_range` — per-partition window max plus
+    the max over all EARLIER partitions (a #partitions-row driver
+    collect). ``order_col`` values must be unique."""
+    d = (
+        df.repartitionByRange(_range_parts(df), F.col(order_col))
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    d = pin(d)  # same off-heap pin as ranked()
+    maxes = {
+        r["_pid"]: r["m"]
+        for r in d.groupBy("_pid").agg(F.max(val_col).alias("m")).collect()
+    }
+    offs, run = {}, None
+    for pid in sorted(maxes):
+        offs[pid] = run
+        m = maxes[pid]
+        if m is not None and (run is None or m > run):
+            run = m
+    omap = F.create_map(
+        *[F.lit(x) for pid, m in offs.items() for x in (pid, -1 if m is None else m)]
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    part_max = F.max(val_col).over(w)
+    return d.select(
+        *df.columns,
+        F.greatest(F.coalesce(part_max, F.lit(-1)), omap[F.col("_pid")])
+        .cast("long")
+        .alias(out),
+    ).drop("_pid")
+
+
+def adjacent_lcp_plcp(
+    sa: DataFrame, rank_tables: list[DataFrame], tokens: DataFrame
+) -> DataFrame:
+    """(sa_idx, gpos, prv, lcp): same output as :func:`adjacent_lcp`,
+    computed via PLCP irreducibility (Karkkainen, Manzini & Puglisi,
+    CPM 2009 — the theory behind Kasai's O(n) scan, VERDICT r07
+    item 7): position i is REDUCIBLE iff tok[i-1] == tok[phi(i)-1]
+    (phi(i) = the SA-predecessor suffix, our ``prv``); for reducible i,
+    phi(i) = phi(i-1) + 1 and plcp(i) = plcp(i-1) - 1 EXACTLY — both
+    suffixes extend the previous text position's pair by one shared
+    leading token. So only the irreducible positions need the binary
+    descent; every reducible run telescopes to
+    ``plcp(anchor) - (i - anchor)`` where anchor is the nearest
+    irreducible position <= i in TEXT order.
+
+    Work: 2 token equi-joins to flag reducibility + descent over only
+    the irreducible pairs + one distributed prefix-max + one anchor
+    join — vs the full descent's (2 x tables + 2) corpus-sized joins
+    on every pair. On duplicate-heavy corpora (the ones this operator
+    exists for) reducible positions dominate, which is exactly the
+    KMP09 observation that the number of irreducible LCP values is
+    small. Exactness is unconditional — the telescoping lemma is an
+    identity, not an approximation; parity with :func:`adjacent_lcp`
+    is asserted in tests/test_suffix_array.py.
+
+    Scale discipline unchanged: the prefix-max is the two-level
+    range-partitioned scan (no single-task global window), all joins
+    are equi-joins, nothing corpus-sized visits the driver."""
+    base = _sa_pairs(sa)
+    ta = tokens.select(F.col("gpos").alias("_ga"), F.col("tok").alias("_ta"))
+    tb = tokens.select(F.col("gpos").alias("_gb"), F.col("tok").alias("_tb"))
+    flagged = (
+        base.join(ta, base.gpos - 1 == ta._ga, "left")
+        .join(tb, base.prv - 1 == tb._gb, "left")
+        .select(
+            "sa_idx",
+            "gpos",
+            "prv",
+            "lcp",
+            (
+                (F.col("gpos") >= 1)
+                & (F.col("prv") >= 1)
+                & F.col("_ta").isNotNull()
+                & F.col("_tb").isNotNull()
+                & (F.col("_ta") == F.col("_tb"))
+            ).alias("_red"),
+        )
+    )
+    flagged = pin(flagged)
+    irred = _descent(
+        flagged.filter(~F.col("_red")).select("sa_idx", "gpos", "prv", "lcp"),
+        rank_tables,
+        tokens,
+    ).select(F.col("gpos").alias("_anchor"), F.col("lcp").alias("_alcp"))
+    anchored = prefix_max_by_range(
+        flagged.select(
+            "sa_idx",
+            "gpos",
+            "prv",
+            F.when(~F.col("_red"), F.col("gpos")).alias("_iv"),
+        ),
+        "gpos",
+        "_iv",
+        out="_anchor",
+    )
+    return (
+        anchored.join(irred, "_anchor")
+        .select(
+            "sa_idx",
+            "gpos",
+            "prv",
+            (F.col("_alcp") - (F.col("gpos") - F.col("_anchor")))
+            .cast("long")
             .alias("lcp"),
         )
     )

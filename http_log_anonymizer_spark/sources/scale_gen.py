@@ -76,6 +76,21 @@ _DOMAINS = {
 _EMB_DIM = 64
 
 
+def _parquet_parts(path: str) -> list:
+    from pathlib import Path
+
+    p = Path(path)
+    if p.is_file():
+        return [str(p)]
+    return sorted(str(f) for f in p.rglob("*.parquet") if f.is_file())
+
+
+def _pq_file_meta(path: str):
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).metadata
+
+
 def _stride_for(spark: SparkSession, src: str, table: str, col: str) -> int:
     mx = spark.read.parquet(f"{src}/{table}.parquet").agg(F.max(col)).first()[0]
     return 10 ** int(math.ceil(math.log10(int(mx) + 2)))
@@ -164,10 +179,92 @@ def generate(
                 )
                 out_df = out_df.withColumn("embedding", flipped)
             out_df = out_df.drop("_r")
-        n_files = max(1, (df.count() * mult) // 400_000)
-        out_df.repartition(n_files).write.mode("overwrite").option(
+        # Bound the split unit by BYTES, not a fixed row count: 400k
+        # rows of text is ~240 MB uncompressed and the parquet writer's
+        # lazy block-size check can leave it a single row group —
+        # exactly the sf100 layout that collapsed scan parallelism
+        # (VERDICT r07 item 5). maxRecordsPerFile derives from the
+        # SOURCE footers' measured uncompressed bytes/row, so every
+        # generated file (hence row group) stays near _ROW_GROUP_BYTES
+        # whatever the table's row width.
+        src_md = [
+            _pq_file_meta(p)
+            for p in _parquet_parts(f"{src}/{table}.parquet")
+        ]
+        src_rows = sum(m.num_rows for m in src_md)
+        src_unc = sum(
+            m.row_group(i).total_byte_size
+            for m in src_md
+            for i in range(m.num_row_groups)
+        )
+        bytes_per_row = max(1.0, src_unc / max(1, src_rows))
+        rows_per_file = max(10_000, int(_ROW_GROUP_BYTES / bytes_per_row))
+        n_rows = df.count() * mult
+        n_files = max(1, n_rows // max(rows_per_file, 1))
+        out_df.repartition(int(n_files)).write.mode("overwrite").option(
             "parquet.block.size", str(_ROW_GROUP_BYTES)
-        ).parquet(f"{out}/{table}.parquet")
+        ).option("maxRecordsPerFile", str(rows_per_file)).parquet(
+            f"{out}/{table}.parquet"
+        )
+
+
+def generate_anisotropic_embeddings(
+    spark: SparkSession,
+    out: str,
+    n: int,
+    dim: int = _EMB_DIM,
+    half_life: int = 8,
+) -> None:
+    """Decaying-spectrum embedding corpus (VERDICT r07 item 9): the
+    testdata embeddings are isotropic (iid components), so the
+    OPQ/SRHT/Matryoshka recall harnesses report honest negatives —
+    rotation and prefix-truncation have nothing to exploit. Real
+    embedding corpora (CLIP/BERT) are strongly ANISOTROPIC: their
+    covariance spectrum decays, most energy rides the leading
+    directions. This generator plants exactly that structure, axis-
+    aligned: component k has standard deviation 2^(-k/half_life)
+    (half_life=8 => 64-dim spectrum spans a 2^8 = 256x sigma ratio,
+    the eigenvalue-decay ballpark of sentence-embedding covariance),
+    so prefix dims carry most energy (the Matryoshka/MRL premise,
+    Kusupati et al. 2022) and contiguous PQ subspaces are maximally
+    UNbalanced (the OPQ premise, Ge et al. 2013 — rotation lift
+    appears where variance is unevenly distributed across code
+    subspaces).
+
+    Determinism: components are hash-derived, no RNG — g_k(v) is a
+    standardized sum of 4 xxhash64-uniforms (Irwin-Hall, CLT-gaussian
+    enough for geometry), so regeneration is bit-stable and the
+    recall reports over this corpus are reproducible measurements.
+    Writes ``<out>/embeddings.parquet`` in the testdata schema
+    (vec_id long, embedding array<float>, label int) — the recall
+    harnesses take any sf_dir containing it.
+    """
+    grid = 1 << 24
+
+    def uniform(k: int, j: int):
+        h = F.xxhash64(F.col("vec_id"), F.lit(k), F.lit(j))
+        return (F.pmod(h, F.lit(grid))).cast("double") / grid
+
+    def component(k: int):
+        # Irwin-Hall(4): mean 2, var 4/12 — standardize, then scale by
+        # the decaying sigma; one Catalyst expression per component
+        g = sum(uniform(k, j) for j in range(4))
+        sigma = 2.0 ** (-k / half_life)
+        return ((g - F.lit(2.0)) / F.lit(math.sqrt(4 / 12.0)) * F.lit(sigma)).cast(
+            "float"
+        )
+
+    df = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[component(k) for k in range(dim)]).alias("embedding"),
+        F.pmod(F.xxhash64(F.col("id"), F.lit("label")), F.lit(16))
+        .cast("int")
+        .alias("label"),
+    )
+    n_files = max(1, n // 400_000)
+    df.repartition(n_files).write.mode("overwrite").option(
+        "parquet.block.size", str(_ROW_GROUP_BYTES)
+    ).parquet(f"{out}/embeddings.parquet")
 
 
 def ensure(spark: SparkSession, out: str, src: str = "/root/testdata/sf0.1", mult: int = 10) -> str:

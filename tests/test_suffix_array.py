@@ -9,10 +9,12 @@ from pyspark.sql import functions as F
 
 from http_log_anonymizer_spark.operators.suffix_array import (
     adjacent_lcp,
+    adjacent_lcp_plcp,
     build_rank_tables,
     cumsum_by_range,
     pair_lcp,
     pin,
+    prefix_max_by_range,
     ranked,
     suffix_order,
 )
@@ -242,3 +244,50 @@ def test_pin_honors_configured_scratch_root(spark, tmp_path):
         assert subdirs, "pin() did not use the configured scratch root"
     finally:
         spark.conf.unset("spark.graft.scratchDir")
+
+
+def test_prefix_max_by_range_matches_sequential(spark):
+    rows = [(i, v) for i, v in enumerate([None, 3, None, None, 7, 2, None, 9, None])]
+    df = spark.createDataFrame(rows, "o long, v long")
+    got = {r.o: r.pmax for r in prefix_max_by_range(df, "o", "v").collect()}
+    run, want = None, {}
+    for o, v in rows:
+        if v is not None and (run is None or v > run):
+            run = v
+        want[o] = -1 if run is None else run
+    assert got == want
+
+
+def test_plcp_variant_equals_full_descent_tiny(spark):
+    tokens = _tiny_corpus(spark)
+    tables = build_rank_tables(tokens, 3)
+    sa = suffix_order(tables[-1])
+    full = {r.sa_idx: (r.gpos, r.prv, r.lcp)
+            for r in adjacent_lcp(sa, tables, tokens).collect()}
+    plcp = {r.sa_idx: (r.gpos, r.prv, r.lcp)
+            for r in adjacent_lcp_plcp(sa, tables, tokens).collect()}
+    assert plcp == full
+
+
+def test_plcp_variant_equals_full_descent_duplicated_corpus(spark):
+    """A duplication-heavy corpus (the operator's target workload):
+    three near-identical documents with per-doc sentinels — reducible
+    positions dominate, every telescoped value must still be exact."""
+    docs = [
+        "the cat sat on the mat and the cat sat again",
+        "the cat sat on the mat and the dog sat again",
+        "the cat sat on the mat and the cat sat again",
+        "a completely different document with fresh words here",
+    ]
+    toks = []
+    for d, text in enumerate(docs):
+        toks += text.split() + [f"\x00{d}"]
+    tokens = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(toks)], "gpos long, tok string"
+    )
+    tables = build_rank_tables(tokens, 6)  # 2^6 = 64 >= corpus length
+    sa = suffix_order(tables[-1])
+    full = {r.sa_idx: r.lcp for r in adjacent_lcp(sa, tables, tokens).collect()}
+    plcp = {r.sa_idx: r.lcp for r in adjacent_lcp_plcp(sa, tables, tokens).collect()}
+    assert plcp == full
+    assert max(full.values()) >= 10  # the planted duplication is seen
