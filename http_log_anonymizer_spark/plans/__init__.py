@@ -29,7 +29,7 @@ from http_log_anonymizer_spark.plans import curation  # noqa: E402,F401
 # accumulator, the KS degenerate-cohort guard, the three new scale
 # gates), then the stalest r04 cohort fill — with the three r07
 # driver-bench drift suspects (ann_ivf_topk, dedup_simhash,
-# dedup_simhash_wide) and both gated r04 queries placed first. The 17
+# dedup_simhash_wide) and both gated r04 queries placed first. The 18
 # r04 queries that didn't fit rotate in round 9 (listed in
 # ROADMAP.md). Everything outside the window stays locally gated by
 # tests/test_registry_oracle.py (same comparator).
@@ -55,7 +55,8 @@ _WINDOW = [
     "neyman_allocation_report",
     "ks_drift_report",
     "dedup_ngram_jaccard",  # scale-gated this round
-    # --- r04-latest fill (31 of 48; 17 defer to round 9): the drift
+    "embedding_spectrum_report",  # new this round
+    # --- r04-latest fill (30 of 48; 18 defer to round 9): the drift
     # --- suspects and the other two gated queries lead ---
     "ann_ivf_topk",
     "dedup_simhash",
@@ -87,7 +88,6 @@ _WINDOW = [
     "ivf_cluster_stats",
     "ivf_residual_quantization",
     "k_anonymity_report",
-    "kmeans_cluster_sizes",
 ]
 
 

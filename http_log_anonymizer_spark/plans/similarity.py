@@ -2942,3 +2942,133 @@ def ann_srht_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in reports[1:]:
         out = out.unionByName(r)
     return out.orderBy("trunc_dim", "query_id")
+
+
+# ---------------------------------------------------------------------------
+# Embedding covariance spectrum — the diagnostic that DECIDES between
+# the prefix-truncation (Matryoshka) and rotation (OPQ/SRHT) tiers
+# ---------------------------------------------------------------------------
+
+_SPEC_GRID = 1_000_000  # 1e-6 component quantization (exact moments)
+_SPEC_SUB = 8  # dims per PQ subspace (matches _PQ_M x 8 over _DIM=64)
+
+
+@register(
+    "embedding_spectrum_report",
+    oracle=f"""
+WITH x AS (
+  -- CAST TO DOUBLE BEFORE the grid multiply: Spark computes
+  -- float32 * int in FLOAT precision while DuckDB promotes to DOUBLE,
+  -- so without the explicit widening the quantized integers themselves
+  -- diverge (measured: 53/64 dims off on the anisotropic corpus)
+  SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * {_SPEC_GRID}) AS BIGINT) AS v
+  FROM embeddings
+),
+st AS (
+  SELECT dim,
+         count(*) AS n,
+         CAST(sum(CAST(v AS HUGEINT)) AS HUGEINT) AS s1,
+         CAST(sum(CAST(v AS HUGEINT) * v) AS HUGEINT) AS s2
+  FROM x GROUP BY dim
+),
+-- var floored to EXACT picounits (grid^2): (n*s2 - s1^2) // n^2 is an
+-- integer both engines compute identically, where casting the >2^53
+-- raw moment to DOUBLE is not correctly-rounded the same way in both
+-- (measured 1-ulp divergence on the anisotropic corpus)
+var AS (
+  SELECT dim, CAST(dim // {_SPEC_SUB} AS BIGINT) AS subspace,
+         CAST((s2 * n - s1 * s1) // (CAST(n AS HUGEINT) * n) AS BIGINT)
+           AS var_pico
+  FROM st
+),
+tot AS (SELECT CAST(sum(var_pico) AS BIGINT) AS tv FROM var),
+cum AS (
+  SELECT dim, subspace, var_pico,
+         CAST(sum(var_pico) OVER (ORDER BY dim
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cv
+  FROM var
+)
+SELECT c.dim, c.subspace,
+       round(c.var_pico / ({_SPEC_GRID}.0 * {_SPEC_GRID}), 8) AS var,
+       -- zero total energy (constant corpus): share is undefined ->
+       -- NULL, gated on the exact integer total
+       round(CASE WHEN t.tv > 0 THEN c.cv * 1.0 / t.tv END, 4)
+         AS cum_energy_share
+FROM cum c CROSS JOIN tot t
+ORDER BY c.dim
+""",
+)
+def embedding_spectrum_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension variance of the embedding corpus with cumulative
+    energy share and PQ-subspace id — the covariance-spectrum
+    diagnostic a pipeline reads BEFORE choosing an ANN accelerator
+    tier: a flat spectrum (isotropic; this synthetic testdata) means
+    prefix truncation is useless and rotation buys nothing (the r06
+    honest negatives); a decaying spectrum (real CLIP/BERT corpora;
+    sources/scale_gen.py:generate_anisotropic_embeddings) means the
+    Matryoshka d'-prefix keeps cum_energy_share(d') of the energy and
+    unbalanced subspace variances are exactly the OPQ-lift precondition
+    (Ge et al. 2013). Measured consequence on the anisotropic series:
+    recall@5 at d'=16 goes 0.08 -> 0.82 (SCALE.md r08).
+
+    Determinism: components quantize to a 1e-6 integer grid, per-dim
+    moments are exact integer sums (HUGEINT/decimal38 — the Gram/
+    Neyman discipline), and the variance itself stays EXACT: var_pico
+    = (n*s2 - s1^2) DIV n^2 is integer floor division of exact
+    moments (casting the >2^53 raw moment to double first diverges by
+    1 ulp between engines — measured on the anisotropic corpus), so
+    the only doubles are edge divisions of <=2^53 integers, identical
+    everywhere, rounded 8dp/4dp. The cumulative window runs over the
+    DIM-bounded variance table ({_DIM} rows — never corpus-sized;
+    single-task is the correct plan for a 64-row table).
+
+    Scale shape: one posexplode scan with map-side combine into
+    {_DIM} moment rows; everything after is dimension-bounded."""
+    x = load_table(
+        spark, sf_dir, "embeddings", spread=True, bytes_per_task=256 * 1024
+    ).select(F.posexplode("embedding").alias("dim", "val"))
+    dec = "decimal(38,0)"
+    # double BEFORE the multiply — float32 * int stays float in Spark
+    # but promotes to double in DuckDB (see the oracle's comment)
+    q = x.select(
+        "dim",
+        F.round(F.col("val").cast("double") * _SPEC_GRID).cast("long").alias("v"),
+    )
+    st = q.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("v").cast(dec)).alias("s1"),
+        F.sum((F.col("v").cast(dec) * F.col("v"))).alias("s2"),
+    )
+    var = st.select(
+        "dim",
+        (F.col("dim") / _SPEC_SUB).cast("long").alias("subspace"),
+        F.expr(
+            "CAST((s2 * n - s1 * s1) DIV (CAST(n AS DECIMAL(38,0)) * n)"
+            " AS BIGINT)"
+        ).alias("var_pico"),
+    )
+    tot = var.agg(F.sum("var_pico").cast("long").alias("tv"))
+    w = Window.orderBy("dim").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        var.select(
+            "dim",
+            "subspace",
+            "var_pico",
+            F.sum("var_pico").over(w).cast("long").alias("cv"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "dim",
+            "subspace",
+            F.round(
+                F.col("var_pico") / (float(_SPEC_GRID) * _SPEC_GRID), 8
+            ).alias("var"),
+            # exact integer gate: a constant corpus has tv = 0 and an
+            # undefined share (ANSI divide-by-zero otherwise)
+            F.round(
+                F.when(F.col("tv") > 0, F.col("cv") * 1.0 / F.col("tv")), 4
+            ).alias("cum_energy_share"),
+        )
+        .orderBy("dim")
+    )
