@@ -3028,6 +3028,14 @@ def embedding_spectrum_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = load_table(
         spark, sf_dir, "embeddings", spread=True, bytes_per_task=256 * 1024
     ).select(F.posexplode("embedding").alias("dim", "val"))
+    return spectrum_from_moments(spectrum_moments(x))
+
+
+def spectrum_moments(x: DataFrame) -> DataFrame:
+    """(dim, n, s1, s2): exact integer per-dimension moments of a
+    (dim, val) table on the 1e-6 grid — the ADDITIVE state the
+    streaming spectrum monitor folds (streaming/spectrum.py) and the
+    batch report aggregates in one pass."""
     dec = "decimal(38,0)"
     # double BEFORE the multiply — float32 * int stays float in Spark
     # but promotes to double in DuckDB (see the oracle's comment)
@@ -3035,11 +3043,18 @@ def embedding_spectrum_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dim",
         F.round(F.col("val").cast("double") * _SPEC_GRID).cast("long").alias("v"),
     )
-    st = q.groupBy("dim").agg(
-        F.count("*").alias("n"),
+    return q.groupBy("dim").agg(
+        F.count("*").cast("long").alias("n"),
         F.sum(F.col("v").cast(dec)).alias("s1"),
         F.sum((F.col("v").cast(dec) * F.col("v"))).alias("s2"),
     )
+
+
+def spectrum_from_moments(st: DataFrame) -> DataFrame:
+    """(dim, subspace, var, cum_energy_share) from the exact moment
+    table — the report edge shared by the batch query and the
+    streaming monitor readout, so stream and batch are the same
+    integer arithmetic by construction."""
     var = st.select(
         "dim",
         (F.col("dim") / _SPEC_SUB).cast("long").alias("subspace"),
