@@ -1151,6 +1151,13 @@ def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     degenerate case); candidates retrieved by both get the additive
     boost that makes hybrid retrieval beat either ranker.
 
+    Scale note: the dense input is the DEMO LSH tier, so this query
+    inherits its registry scale gate transitively (the gate's error
+    names ann_lsh_topk and its wide twin); at scale, fuse
+    bm25_query_table with ann_lsh_wide_topk or the sqrt-IVF tiers —
+    the fusion stage itself is rank-bounded and indifferent to which
+    ranker feeds it.
+
     Scale shape: both inputs are already per-query top-k tables (each
     bounded at queries x k rows), so fusion is one groupBy and one
     per-query window over a RANK-bounded set — the fusion stage adds no
