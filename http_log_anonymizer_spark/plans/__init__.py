@@ -29,7 +29,7 @@ from http_log_anonymizer_spark.plans import curation  # noqa: E402,F401
 # accumulator, the KS degenerate-cohort guard, the three new scale
 # gates), then the stalest r04 cohort fill — with the three r07
 # driver-bench drift suspects (ann_ivf_topk, dedup_simhash,
-# dedup_simhash_wide) and both gated r04 queries placed first. The 18
+# dedup_simhash_wide) and both gated r04 queries placed first. The 20
 # r04 queries that didn't fit rotate in round 9 (listed in
 # ROADMAP.md). Everything outside the window stays locally gated by
 # tests/test_registry_oracle.py (same comparator).
@@ -56,7 +56,9 @@ _WINDOW = [
     "ks_drift_report",
     "dedup_ngram_jaccard",  # scale-gated this round
     "embedding_spectrum_report",  # new this round
-    # --- r04-latest fill (30 of 48; 18 defer to round 9): the drift
+    "token_burstiness_report",  # new this round
+    "minhash_estimator_error_report",  # new this round
+    # --- r04-latest fill (28 of 48; 20 defer to round 9): the drift
     # --- suspects and the other two gated queries lead ---
     "ann_ivf_topk",
     "dedup_simhash",
@@ -86,8 +88,6 @@ _WINDOW = [
     "hll_user_cardinality",
     "hybrid_rrf_fusion",
     "ivf_cluster_stats",
-    "ivf_residual_quantization",
-    "k_anonymity_report",
 ]
 
 

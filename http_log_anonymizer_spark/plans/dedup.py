@@ -2912,3 +2912,130 @@ def containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimator-error audit — how good is m/8 as a Jaccard
+# estimate on the pairs the index actually surfaces? The measurement
+# that sizes (bands, rows) choices, in the same registered-audit
+# spirit as dedup_lsh_recall_report.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "minhash_estimator_error_report",
+    oracle=f"""
+WITH {_PAIRS_CTES},
+m AS (
+  SELECT c.da, c.db,
+         {" + ".join(f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END" for i in range(_N_HASHES))}
+           AS m_matches
+  FROM cand c JOIN sig sa ON sa.doc_id = c.da JOIN sig sb ON sb.doc_id = c.db
+),
+ex AS (
+  SELECT m.da, m.db, m.m_matches,
+         COALESCE(i.i, 0) AS i,
+         sa.n + sb.n - COALESCE(i.i, 0) AS u
+  FROM m
+  JOIN sz sa ON sa.doc_id = m.da
+  JOIN sz sb ON sb.doc_id = m.db
+  LEFT JOIN inter i ON i.da = m.da AND i.db = m.db
+),
+q AS (
+  SELECT m_matches,
+         CAST(m_matches * 125000 AS BIGINT) AS est_q,
+         CAST(round(i * 1000000.0 / u) AS BIGINT) AS ex_q
+  FROM ex WHERE u > 0
+)
+SELECT m_matches,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       round(sum(ex_q) * 1.0 / (count(*) * 1000000), 4) AS mean_exact_jaccard,
+       round(sum(abs(est_q - ex_q)) * 1.0 / (count(*) * 1000000), 4) AS mean_abs_err,
+       round(max(abs(est_q - ex_q)) / 1000000.0, 6) AS max_abs_err
+FROM q
+GROUP BY m_matches
+ORDER BY m_matches
+""",
+)
+def minhash_estimator_error_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration over the pairs the LSH index
+    actually surfaces: for each signature-agreement level m (of
+    {_N_HASHES} components), the estimator says Jaccard ~ m/{_N_HASHES};
+    this report puts the EXACT Jaccard of those candidate pairs next to
+    it (mean, mean |error|, worst |error|). This is the audit that
+    sizes (bands, rows): the estimator's bias/variance at the
+    threshold level decides how many hashes verification can trust,
+    and a fat error tail at low m is the empirical case for exact
+    verification after candidate generation (which the registered
+    dedup pipeline does). Candidates carry >= 1 matching band by
+    construction, so m >= {_BAND_R}; both-empty pairs (u = 0, the
+    sentinel-signature artifact) are excluded by the exact integer
+    gate.
+
+    Determinism: m is an exact integer component count; the exact
+    Jaccard quantizes to a 1e-6 grid per pair (round of a <=2^53
+    integer ratio — identical in both engines), so every aggregate is
+    an integer sum/max with edge-only division; the PSI/Neyman grid
+    discipline.
+
+    Scale shape: reuses the cached signature/band index build of
+    dedup_minhash_lsh (one corpus pass + banded equi-join candidates);
+    the audit adds two broadcast lookups on the CANDIDATE-sized table
+    and one {_N_HASHES}+1-row aggregate — no new corpus-sized work."""
+    d = _hashed_shingle_arrays(spark, sf_dir).cache()
+    sig = minhash_signatures(d).cache()
+    bands = band_index(sig).cache()
+    bands.count()  # eager build before the self-join probes it twice
+    cand = band_candidates(bands, bands)
+    sa = sig.select(
+        F.col("doc_id").alias("da"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(_N_HASHES)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("db"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(_N_HASHES)],
+    )
+    m_col = reduce(
+        lambda acc, i: acc
+        + F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0),
+        range(1, _N_HASHES),
+        F.when(F.col("a0") == F.col("b0"), 1).otherwise(0),
+    )
+    withm = (
+        F.broadcast(cand).join(sa, "da").join(sb, "db").select(
+            "da", "db", m_col.alias("m_matches")
+        )
+    )
+    ex = (
+        F.broadcast(withm)
+        .join(d.select(F.col("doc_id").alias("da"), F.col("sh").alias("sh_a")), "da")
+        .join(d.select(F.col("doc_id").alias("db"), F.col("sh").alias("sh_b")), "db")
+        .select(
+            "m_matches",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("i"),
+            (
+                F.size("sh_a") + F.size("sh_b")
+                - F.size(F.array_intersect("sh_a", "sh_b"))
+            ).alias("u"),
+        )
+    )
+    q = ex.filter(F.col("u") > 0).select(
+        "m_matches",
+        (F.col("m_matches") * F.lit(1_000_000 // _N_HASHES)).alias("est_q"),
+        F.round(F.col("i") * 1_000_000.0 / F.col("u")).cast("long").alias("ex_q"),
+    )
+    err = F.abs(F.col("est_q") - F.col("ex_q"))
+    return (
+        q.groupBy("m_matches")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(F.sum("ex_q") * 1.0 / (F.count("*") * 1_000_000), 4).alias(
+                "mean_exact_jaccard"
+            ),
+            F.round(F.sum(err) * 1.0 / (F.count("*") * 1_000_000), 4).alias(
+                "mean_abs_err"
+            ),
+            F.round(F.max(err) / 1_000_000.0, 6).alias("max_abs_err"),
+        )
+        .orderBy("m_matches")
+    )

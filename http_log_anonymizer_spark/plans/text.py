@@ -2431,3 +2431,90 @@ def zipf_fit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("r2"),
         F.round(F.col("top_cnt") * 1.0 / F.col("n_tokens"), 4).alias("top_share"),
     ).orderBy("cohort")
+
+
+# ---------------------------------------------------------------------------
+# Term burstiness / adaptation (Church & Gale 1995; Church 2000) — the
+# "lightning strikes twice" statistic behind document-frequency-based
+# weighting and dedup sizing
+# ---------------------------------------------------------------------------
+
+_BURST_TOP = 30
+
+
+@register(
+    "token_burstiness_report",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+dt AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS c
+  FROM t GROUP BY doc_id, term
+),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM t),
+st AS (
+  SELECT term,
+         CAST(count(*) AS BIGINT) AS df,
+         CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS df2,
+         CAST(sum(c) AS BIGINT) AS cnt
+  FROM dt GROUP BY term
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY df DESC, term) AS rnk FROM st
+)
+SELECT r.term, r.df, r.df2, r.cnt,
+       round(r.df2 * 1.0 / r.df, 4) AS adaptation,
+       round(r.df * 1.0 / n.n_docs, 4) AS doc_rate
+FROM ranked r CROSS JOIN n
+WHERE r.rnk <= {_BURST_TOP}
+ORDER BY r.df DESC, r.term
+""",
+)
+def token_burstiness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness (Church's ADAPTATION) of the {_BURST_TOP} highest-df
+    terms: P(term recurs in a doc | it appeared at all) = df2/df next
+    to the unconditional doc rate df/N. Content words adapt far above
+    their doc rate (a doc that says "reactor" once likely says it
+    again) while function words sit near it — the statistic behind
+    Church & Gale's rejection of the Poisson document model, and a
+    practical curation read: terms whose adaptation is ~1 across a
+    source flag boilerplate/template text (every occurrence doc
+    repeats them), feeding the same decisions as the novelty and
+    line-dedup reports.
+
+    Determinism: every quantity is an exact integer count (per-doc
+    term counts, document frequencies); the two ratios divide <=2^53
+    integers at the edge, rounded 4dp; top-{_BURST_TOP} ties break on
+    the term string in both engines.
+
+    Scale shape: one explode with map-side combine into the per-(doc,
+    term) table, one groupBy(term) over it (vocabulary-bounded
+    output), and a TakeOrdered top-{_BURST_TOP} — no corpus-sized
+    shuffle past the first aggregate; the doc count is one scalar
+    broadcast."""
+    t = load_table(
+        spark, sf_dir, "documents", spread=True, bytes_per_task=256 * 1024
+    ).select("doc_id", F.explode(tokens_ws("text")).alias("term"))
+    dt = t.groupBy("doc_id", "term").agg(F.count("*").alias("c"))
+    n = t.agg(F.countDistinct("doc_id").alias("n_docs"))
+    st = dt.groupBy("term").agg(
+        F.count("*").alias("df"),
+        F.sum(F.when(F.col("c") >= 2, 1).otherwise(0)).alias("df2"),
+        F.sum("c").alias("cnt"),
+    )
+    w = Window.orderBy(F.desc("df"), "term")
+    return (
+        st.select("*", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= _BURST_TOP)
+        .crossJoin(F.broadcast(n))
+        .select(
+            "term",
+            "df",
+            "df2",
+            "cnt",
+            F.round(F.col("df2") * 1.0 / F.col("df"), 4).alias("adaptation"),
+            F.round(F.col("df") * 1.0 / F.col("n_docs"), 4).alias("doc_rate"),
+        )
+        .orderBy(F.desc("df"), "term")
+    )
