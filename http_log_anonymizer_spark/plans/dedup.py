@@ -2482,7 +2482,21 @@ SELECT
 """
 
 
-@register("dedup_lsh_recall_report", oracle=_lsh_recall_oracle())
+@register(
+    "dedup_lsh_recall_report",
+    # the ground-truth side is all-pairs Jaccard BY DESIGN (audit
+    # artifact; sf1 measured 47.8 s, excluded from scale series)
+    scale_gate=ScaleGate(
+        table="documents",
+        max_rows=100_000,
+        wide_twin="dedup_minhash_lsh",
+        advice=(
+            "Recall audits at scale run on a SAMPLED stratum (the "
+            "brute ground-truth side is the cost)."
+        ),
+    ),
+    oracle=_lsh_recall_oracle(),
+)
 def dedup_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered accuracy artifact for the MinHash-LSH candidate
     generator (the ann_*_recall_report pattern applied to dedup): exact

@@ -33,6 +33,9 @@ class ScaleGate:
     table: str  # input table whose row count bounds the work
     max_rows: int  # advisory ceiling (measured-safe territory)
     wide_twin: str  # registered scale-path query to use instead
+    # optional extra guidance appended to the error (e.g. "recall
+    # audits run on a sampled stratum at scale")
+    advice: str | None = None
 
 
 class ScaleGateError(RuntimeError):
@@ -59,13 +62,14 @@ def _check_scale_gate(name: str, gate: ScaleGate, sf_dir: str) -> None:
         return
     n = parquet_num_rows(sf_dir, gate.table)
     if n > gate.max_rows:
+        extra = f" {gate.advice}" if gate.advice else ""
         raise ScaleGateError(
             f"{name} is quadratic by design (a small-corpus oracle of "
             f"record) and {sf_dir}/{gate.table} has {n:,} rows — above "
             f"its {gate.max_rows:,}-row advisory ceiling. Use the "
             f"registered sub-quadratic twin {gate.wide_twin!r} at this "
             f"scale, or set SPARK_GRAFT_ALLOW_QUADRATIC=1 to force a "
-            f"deliberate large run."
+            f"deliberate large run.{extra}"
         )
 
 

@@ -154,6 +154,10 @@ def _bucket_sql(vec: str, planes: list[list[float]] | None = None) -> str:
 
 @register(
     "ann_brute_topk",
+    # exact ground truth: queries x corpus = n^2/100 dot products (369 s measured at 200k; ~10h at 2M)
+    scale_gate=ScaleGate(
+        table="embeddings", max_rows=250_000, wide_twin="ann_ivf_sqrt_topk", advice="Recall/ground-truth audits at scale run on a SAMPLED stratum (the brute side is the cost, and recall estimates need only a sample)."
+    ),
     oracle=f"""
 WITH {UNIT_CTE_SQL},
 q AS (SELECT vec_id AS query_id, ue AS qe FROM unit WHERE vec_id % 100 = 0),
@@ -415,6 +419,10 @@ def embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "semdedup_cells",
+    # within-cell all-pairs cosine over FIXED cells: pair work n^2/k, quadratic at any fixed k
+    scale_gate=ScaleGate(
+        table="embeddings", max_rows=250_000, wide_twin="embed_neardup_lsh"
+    ),
     oracle=f"""
 WITH {UNIT_CTE_SQL},
 pairs AS (
@@ -612,6 +620,10 @@ def _probe_cells(q: DataFrame, cv: DataFrame, nprobe: int) -> DataFrame:
 
 @register(
     "ann_ivf_topk",
+    # fixed-cell tier: candidates grow as nprobe*n/8 per query (the sf100 fixed-k wall, SCALE.md); the sqrt tier is the scale path
+    scale_gate=ScaleGate(
+        table="embeddings", max_rows=250_000, wide_twin="ann_ivf_sqrt_topk"
+    ),
     oracle=f"""
 WITH {UNIT_CTE_SQL},
 {_CENT_CTE},
@@ -779,6 +791,10 @@ def embed_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_quantized_topk",
+    # fixed-cell tier: candidates grow as nprobe*n/8 per query (the sf100 fixed-k wall, SCALE.md); the sqrt tier is the scale path
+    scale_gate=ScaleGate(
+        table="embeddings", max_rows=250_000, wide_twin="ann_ivf_sqrt_topk"
+    ),
     oracle=f"""
 WITH {_QUANT_CTE},
 q AS (SELECT vec_id AS query_id, qv AS qq FROM q8 WHERE vec_id % 100 = 0),
@@ -827,6 +843,10 @@ def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_ivf_adc_topk",
+    # fixed-cell tier: candidates grow as nprobe*n/8 per query (the sf100 fixed-k wall, SCALE.md); the sqrt tier is the scale path
+    scale_gate=ScaleGate(
+        table="embeddings", max_rows=250_000, wide_twin="ann_ivf_sqrt_topk"
+    ),
     oracle=f"""
 WITH {_CENT_CTE},
 {_QUANT_CTE},
@@ -913,6 +933,10 @@ def ann_ivf_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embed_neardup_gemm",
+    # exact all-pairs GEMM: O(n^2 d), ~5 TFLOP at 200k (excluded from the sf10 bench series by design)
+    scale_gate=ScaleGate(
+        table="embeddings", max_rows=250_000, wide_twin="embed_neardup_lsh"
+    ),
     oracle=f"""
 WITH {UNIT_CTE_SQL}
 SELECT
@@ -993,6 +1017,10 @@ def kmeans_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_ivf_kmeans_topk",
+    # fixed-cell tier: candidates grow as nprobe*n/8 per query (the sf100 fixed-k wall, SCALE.md); the sqrt tier is the scale path
+    scale_gate=ScaleGate(
+        table="embeddings", max_rows=250_000, wide_twin="ann_ivf_sqrt_topk"
+    ),
     oracle=f"""
 WITH {UNIT_CTE_SQL},
 {_km_ctes()},
@@ -1508,7 +1536,14 @@ def _pq_impl(
     )
 
 
-@register("ann_ivf_pq_topk", oracle=_pq_oracle())
+@register(
+    "ann_ivf_pq_topk",
+    # fixed-cell tier (see ann_ivf_topk gate comment)
+    scale_gate=ScaleGate(
+        table="embeddings", max_rows=250_000, wide_twin="ann_ivf_sqrt_pq_topk"
+    ),
+    oracle=_pq_oracle(),
+)
 def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRUE IVF-PQ (Jégou et al., TPAMI 2011 — the FAISS IndexIVFPQ
     recipe): learned coarse cells (the kmeans_quantized {_KM_K}-cell
@@ -1541,7 +1576,14 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pq_impl(spark, sf_dir, _PQ_K)
 
 
-@register("ann_ivf_pq8_topk", oracle=_pq_oracle(_PQ_K8))
+@register(
+    "ann_ivf_pq8_topk",
+    # fixed-cell tier (see ann_ivf_topk gate comment)
+    scale_gate=ScaleGate(
+        table="embeddings", max_rows=250_000, wide_twin="ann_ivf_sqrt_pq_topk"
+    ),
+    oracle=_pq_oracle(_PQ_K8),
+)
 def ann_ivf_pq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ with 8-BIT codebooks (r05 verdict item 7 — the recall
     point above the 32-bit size anchor): same construction as
@@ -1565,7 +1607,12 @@ def ann_ivf_pq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "ann_ivf_opq_topk", oracle=_pq_oracle(src="rotemb", pre=_opq_rot_cte())
+    "ann_ivf_opq_topk",
+    # fixed-cell tier (see ann_ivf_topk gate comment)
+    scale_gate=ScaleGate(
+        table="embeddings", max_rows=250_000, wide_twin="ann_ivf_sqrt_pq_topk"
+    ),
+    oracle=_pq_oracle(src="rotemb", pre=_opq_rot_cte()),
 )
 def ann_ivf_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OPQ-STYLE rotated IVF-PQ: the standard pre-rotation baseline for
@@ -1738,6 +1785,10 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_lsh_recall_report",
+    # the ground-truth side is brute-force BY DESIGN (audit artifact)
+    scale_gate=ScaleGate(
+        table="embeddings", max_rows=250_000, wide_twin="ann_lsh_wide_topk", advice="Recall/ground-truth audits at scale run on a SAMPLED stratum (the brute side is the cost, and recall estimates need only a sample)."
+    ),
     oracle=f"""
 WITH {UNIT_CTE_SQL},
 q AS (SELECT vec_id AS query_id, ue AS qe FROM unit WHERE vec_id % 100 = 0),
@@ -2001,6 +2052,10 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_ivf_sqrt_recall_report",
+    # the ground-truth side is brute-force BY DESIGN (audit artifact)
+    scale_gate=ScaleGate(
+        table="embeddings", max_rows=250_000, wide_twin="ann_ivf_sqrt_topk", advice="Recall/ground-truth audits at scale run on a SAMPLED stratum (the brute side is the cost, and recall estimates need only a sample)."
+    ),
     oracle=f"""
 WITH {UNIT_CTE_SQL},
 {_sqrt_km_ctes()},
@@ -2284,6 +2339,10 @@ def _sqrt_pq_scan(spark: SparkSession, sf_dir: str, topk: int) -> DataFrame:
 
 @register(
     "ann_ivf_sqrt_pq_recall_report",
+    # the ground-truth side is brute-force BY DESIGN (audit artifact)
+    scale_gate=ScaleGate(
+        table="embeddings", max_rows=250_000, wide_twin="ann_ivf_sqrt_pq_topk", advice="Recall/ground-truth audits at scale run on a SAMPLED stratum (the brute side is the cost, and recall estimates need only a sample)."
+    ),
     oracle=f"""
 WITH {_sqrt_pq_ctes()},
 stop AS (
@@ -2459,6 +2518,10 @@ def ann_ivf_sqrt_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_ivf_sqrt_pq_rerank_recall_report",
+    # the ground-truth side is brute-force BY DESIGN (audit artifact)
+    scale_gate=ScaleGate(
+        table="embeddings", max_rows=250_000, wide_twin="ann_ivf_sqrt_pq_rerank_topk", advice="Recall/ground-truth audits at scale run on a SAMPLED stratum (the brute side is the cost, and recall estimates need only a sample)."
+    ),
     oracle=f"""
 WITH {_sqrt_pq_ctes()},
 {_sqrt_pq_rerank_ctes()},
@@ -2578,6 +2641,10 @@ hits{dp} AS (
 
 @register(
     "ann_matryoshka_recall_report",
+    # the ground-truth side is brute-force BY DESIGN (audit artifact)
+    scale_gate=ScaleGate(
+        table="embeddings", max_rows=250_000, wide_twin="ann_ivf_sqrt_topk", advice="Recall/ground-truth audits at scale run on a SAMPLED stratum (the brute side is the cost, and recall estimates need only a sample)."
+    ),
     oracle=f"""
 WITH {UNIT_CTE_SQL},
 q AS (
@@ -2741,7 +2808,15 @@ LIMIT {_BM_TOP}
 """
 
 
-@register("bitext_margin_mining", oracle=_bitext_oracle())
+@register(
+    "bitext_margin_mining",
+    # two-sided EXACT kNN: quadratic in the split sizes; at scale the
+    # kNN inputs swap for the sqrt-IVF tier (docstring)
+    scale_gate=ScaleGate(
+        table="embeddings", max_rows=250_000, wide_twin="ann_ivf_sqrt_topk"
+    ),
+    oracle=_bitext_oracle(),
+)
 def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-{_BM_TOP} mined cross-lingual pairs by the RATIO-margin
     criterion (Artetxe & Schwenk, ACL 2019 eq. 3): for each non-'{_BM_PIVOT}'
@@ -2846,6 +2921,10 @@ def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_srht_recall_report",
+    # the ground-truth side is brute-force BY DESIGN (audit artifact)
+    scale_gate=ScaleGate(
+        table="embeddings", max_rows=250_000, wide_twin="ann_ivf_sqrt_topk", advice="Recall/ground-truth audits at scale run on a SAMPLED stratum (the brute side is the cost, and recall estimates need only a sample)."
+    ),
     oracle=f"""
 WITH {_opq_rot_cte()} {UNIT_CTE_SQL},
 q AS (

@@ -18,9 +18,28 @@ from http_log_anonymizer_spark.plans.registry import (
     parquet_num_rows,
 )
 
-GATED = ["ann_lsh_topk", "embed_neardup", "dedup_ngram_jaccard"]
+# every query the registry declares quadratic: the full family (demo
+# widths, exact/brute oracles of record, fixed-cell IVF tiers,
+# brute-ground-truth recall audits)
+GATED = sorted(n for n, q in REGISTRY.items() if q.scale_gate is not None)
+
+# the original r07-named trio plus the audit class must all be covered
+_MUST_GATE = {
+    "ann_lsh_topk",
+    "embed_neardup",
+    "dedup_ngram_jaccard",
+    "ann_brute_topk",
+    "embed_neardup_gemm",
+    "dedup_lsh_recall_report",
+    "ann_matryoshka_recall_report",
+}
 
 SF = "/root/testdata/sf0.01"
+
+
+def test_gate_family_covers_the_declared_quadratic_class():
+    assert _MUST_GATE <= set(GATED)
+    assert len(GATED) >= 20
 
 
 def _fake_over_threshold_dir(tmp_path, table: str, n_rows: int) -> str:
@@ -80,10 +99,14 @@ def test_override_env_bypasses_gate(spark, tmp_path, monkeypatch):
     assert not isinstance(e.value, ScaleGateError)
 
 
-@pytest.mark.parametrize("name", GATED)
+@pytest.mark.parametrize(
+    "name", ["ann_lsh_topk", "embed_neardup", "dedup_ngram_jaccard"]
+)
 def test_small_corpus_runs_stay_green(spark, name):
     # the driver's sf0.01 gate and every test SF are far below the
-    # ceilings: the gated queries still run and return rows
+    # ceilings: gated queries still run and return rows (the FULL
+    # gated family is exercised at sf0.01 by test_registry_oracle,
+    # which runs every registry query through the same spark_fn)
     assert os.environ.get("SPARK_GRAFT_ALLOW_QUADRATIC") != "1"
     df = REGISTRY[name].spark_fn(spark, SF)
     assert df.count() >= 0
