@@ -29,10 +29,12 @@ from http_log_anonymizer_spark.plans import curation  # noqa: E402,F401
 # accumulator, the KS degenerate-cohort guard, the three new scale
 # gates), then the stalest r04 cohort fill — with the three r07
 # driver-bench drift suspects (ann_ivf_topk, dedup_simhash,
-# dedup_simhash_wide) and both gated r04 queries placed first. The 20
+# dedup_simhash_wide) and both gated r04 queries placed first. The 22
 # r04 queries that didn't fit rotate in round 9 (listed in
-# ROADMAP.md). Everything outside the window stays locally gated by
-# tests/test_registry_oracle.py (same comparator).
+# ROADMAP.md; hybrid_rrf_fusion and ivf_cluster_stats ceded their
+# slots to the round's two late new queries — first driver check
+# beats a staleness refresh). Everything outside the window stays
+# locally gated by tests/test_registry_oracle.py (same comparator).
 _WINDOW = [
     # --- r03-latest driver rows: the rotation's last fill ---
     "array_feature_stats",
@@ -58,6 +60,8 @@ _WINDOW = [
     "embedding_spectrum_report",  # new this round
     "token_burstiness_report",  # new this round
     "minhash_estimator_error_report",  # new this round
+    "watermark_greenlist_report",  # new this round
+    "heaps_fit_report",  # new this round
     # --- r04-latest fill (28 of 48; 20 defer to round 9): the drift
     # --- suspects and the other two gated queries lead ---
     "ann_ivf_topk",
@@ -86,8 +90,6 @@ _WINDOW = [
     "hdr_latency_quantiles",
     "hilbert_layout",
     "hll_user_cardinality",
-    "hybrid_rrf_fusion",
-    "ivf_cluster_stats",
 ]
 
 

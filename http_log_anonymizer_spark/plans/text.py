@@ -1969,6 +1969,145 @@ def vocab_growth_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "heaps_fit_report",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+first_seen AS (
+  SELECT tok, min(doc_id) AS fd FROM t GROUP BY tok
+),
+tok_counts AS (
+  SELECT doc_id, count(*) AS n_tok FROM t GROUP BY doc_id
+),
+buckets AS (
+  SELECT CAST(ceil(log2(fd + 2)) AS BIGINT) AS b, count(*) AS new_types
+  FROM first_seen GROUP BY 1
+),
+tok_buckets AS (
+  SELECT CAST(ceil(log2(doc_id + 2)) AS BIGINT) AS b,
+         CAST(sum(n_tok) AS BIGINT) AS n_tokens
+  FROM tok_counts GROUP BY 1
+),
+grid AS (
+  SELECT DISTINCT b FROM (SELECT b FROM buckets UNION ALL SELECT b FROM tok_buckets)
+),
+curve AS (
+  SELECT g.b,
+         (SELECT CAST(sum(tb.n_tokens) AS BIGINT) FROM tok_buckets tb WHERE tb.b <= g.b) AS n,
+         (SELECT CAST(sum(bu.new_types) AS BIGINT) FROM buckets bu WHERE bu.b <= g.b) AS v
+  FROM grid g
+),
+xy AS (
+  SELECT n, v, ln(CAST(n AS DOUBLE)) AS x, ln(CAST(v AS DOUBLE)) AS y FROM curve
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_points,
+         CAST(max(n) AS BIGINT) AS n_tokens,
+         CAST(max(v) AS BIGINT) AS n_types,
+         CAST(max(v) AS BIGINT) AS max_v,
+         CAST(min(v) AS BIGINT) AS min_v,
+         sum(x) AS sx, sum(y) AS sy,
+         count(*) * sum(x * y) - sum(x) * sum(y) AS sxy_n,
+         count(*) * sum(x * x) - sum(x) * sum(x) AS sxx_n,
+         count(*) * sum(y * y) - sum(y) * sum(y) AS syy_n
+  FROM xy
+)
+-- zipf_fit_report's exact-integer gate discipline: x (ln cumulative
+-- tokens) is strictly increasing, so n_points > 1 is the exact slope
+-- gate; y variance exists iff the INTEGER prefix vocabularies differ
+-- (max_v > min_v) — never the sign of a cancelled float moment.
+SELECT n_points, n_tokens, n_types,
+       round(CASE WHEN n_points > 1 THEN
+                  CASE WHEN max_v = min_v THEN 0.0
+                       ELSE sxy_n / sxx_n END
+             END, 4) AS heaps_beta,
+       round(CASE WHEN n_points > 1 THEN
+                  exp((sy - (CASE WHEN max_v = min_v THEN 0.0
+                                  ELSE sxy_n / sxx_n END) * sx) / n_points)
+             END, 4) AS heaps_k,
+       round(CASE WHEN n_points > 1 AND max_v > min_v
+                  THEN (sxy_n * sxy_n) / (sxx_n * syy_n) END, 4) AS r2
+FROM agg
+""",
+)
+def heaps_fit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit V(n) = K * n^beta over the EXACT vocabulary-growth
+    curve that vocab_growth_report traces (power-of-two doc-id prefixes;
+    <= 64 integer points): least-squares slope of ln(V) on ln(n), the
+    growth exponent that sizes tokenizer vocabularies and the perplexity
+    family's type tables ahead of a scale-up (the mkn sf100 lesson:
+    type-table growth set the memory wall, and beta is its forecast).
+    Natural text sits at beta ~ 0.4-0.6 (Heaps 1978); this synthetic
+    corpus's saturated vocabulary shows as beta near 0 with the fit's
+    honesty preserved by the gates.
+
+    Determinism: the curve points are exact integers (the
+    vocab_growth_report contract); the <= 64-point moment sums are
+    doubles; degenerate cases gate on EXACT integers per the zipf
+    precedent — one point yields NULL beta/K/r2; a flat integer curve
+    (max_v = min_v) yields literal beta 0.0, K = exp(mean ln V), NULL
+    r2. x is strictly increasing (each non-empty bucket adds tokens),
+    so sxx_n is bounded away from 0 whenever n_points > 1 and the
+    float division is safe inside the gate.
+
+    Scale shape: identical to vocab_growth_report (one explode, one
+    vocabulary-bounded groupBy, a <= 64-bucket histogram and a 64x64
+    triangular join) plus a single-row fit over <= 64 points — the fit
+    itself adds no shuffle; the whole report is the curve's cost."""
+    curve = vocab_growth_report(spark, sf_dir)
+    xy = curve.select(
+        F.col("n_tokens").alias("n"),
+        F.col("n_types").alias("v"),
+        F.log(F.col("n_tokens").cast("double")).alias("x"),
+        F.log(F.col("n_types").cast("double")).alias("y"),
+    )
+    n = F.count("*")
+    agg = xy.agg(
+        n.alias("n_points"),
+        F.max("n").alias("n_tokens"),
+        F.max("v").alias("n_types"),
+        F.max("v").alias("max_v"),
+        F.min("v").alias("min_v"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        (n * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y")).alias(
+            "sxy_n"
+        ),
+        (n * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x")).alias(
+            "sxx_n"
+        ),
+        (n * F.sum(F.col("y") * F.col("y")) - F.sum("y") * F.sum("y")).alias(
+            "syy_n"
+        ),
+    )
+    slope = F.when(F.col("max_v") == F.col("min_v"), F.lit(0.0)).otherwise(
+        F.col("sxy_n") / F.col("sxx_n")
+    )
+    return agg.select(
+        "n_points",
+        "n_tokens",
+        "n_types",
+        F.round(F.when(F.col("n_points") > 1, slope), 4).alias("heaps_beta"),
+        F.round(
+            F.when(
+                F.col("n_points") > 1,
+                F.exp((F.col("sy") - slope * F.col("sx")) / F.col("n_points")),
+            ),
+            4,
+        ).alias("heaps_k"),
+        F.round(
+            F.when(
+                (F.col("n_points") > 1) & (F.col("max_v") > F.col("min_v")),
+                (F.col("sxy_n") * F.col("sxy_n"))
+                / (F.col("sxx_n") * F.col("syy_n")),
+            ),
+            4,
+        ).alias("r2"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Exact phrase search over a positional inverted index — the retrieval
 # capability BM25's bag-of-words scoring cannot express (term ORDER and
@@ -2518,3 +2657,186 @@ def token_burstiness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("df"), "term")
     )
+
+
+# ---------------------------------------------------------------------------
+# LLM-watermark detection (Kirchenbauer et al. 2023, "A Watermark for
+# Large Language Models") — the curation screen that keeps watermarked
+# model output OUT of a training corpus
+# ---------------------------------------------------------------------------
+
+_WM_SEED = "wm"  # deploy-time greenlist seed (the detector's only secret)
+_WM_DENOM = 4  # gamma = 1/4 greenlist fraction
+_WM_DOC_Z = 2.0  # per-doc screening threshold (one-sided ~2.3% FPR)
+_WM_COHORT_Z = 4.0  # cohort-level alarm (the paper's detection z)
+
+
+def _wm_pairs_sql() -> str:
+    """(source, doc_id, bigram) rows — DuckDB twin of the Spark
+    2-shingle explode."""
+    return f"""
+toks AS (
+  SELECT source, doc_id, string_split(text, ' ') AS t FROM documents
+),
+pairs AS (
+  SELECT source, doc_id, unnest({shingles_sql('t', 2)}) AS g FROM toks
+)"""
+
+
+@register(
+    "watermark_greenlist_report",
+    oracle=f"""
+WITH {_wm_pairs_sql()},
+docs0 AS (
+  SELECT source, doc_id,
+         CAST(count(*) AS BIGINT) AS n_d,
+         CAST(sum(CASE WHEN {hash64_sql("g", _WM_SEED)} % {_WM_DENOM} = 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS g_d,
+         CAST(count(DISTINCT g) AS BIGINT) AS u_d,
+         CAST(count(DISTINCT CASE WHEN {hash64_sql("g", _WM_SEED)} % {_WM_DENOM} = 0
+                             THEN g END) AS BIGINT) AS ug_d
+  FROM pairs GROUP BY source, doc_id
+),
+docs AS (
+  SELECT * FROM docs0
+  UNION ALL
+  SELECT 'ALL' AS source, doc_id, n_d, g_d, u_d, ug_d FROM docs0
+),
+dz AS (
+  SELECT source AS cohort, doc_id, n_d, g_d, u_d, ug_d,
+         ({_WM_DENOM} * ug_d - u_d) / sqrt({_WM_DENOM - 1}.0 * u_d) AS z_d
+  FROM docs
+),
+agg AS (
+  SELECT cohort,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_d) AS BIGINT) AS n_pairs,
+         CAST(sum(g_d) AS BIGINT) AS n_green,
+         CAST(sum(u_d) AS BIGINT) AS n_uniq,
+         CAST(sum(ug_d) AS BIGINT) AS n_uniq_green,
+         max(struct_pack(z := z_d, d := -doc_id)) AS mx,
+         CAST(sum(CASE WHEN z_d >= {_WM_DOC_Z} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_docs_flagged
+  FROM dz GROUP BY cohort
+)
+SELECT cohort, n_docs, n_pairs, n_green,
+       round(n_green * 1.0 / n_pairs, 4) AS green_rate,
+       round(({_WM_DENOM} * n_green - n_pairs)
+             / sqrt({_WM_DENOM - 1}.0 * n_pairs), 4) AS z_raw,
+       round(({_WM_DENOM} * n_uniq_green - n_uniq)
+             / sqrt({_WM_DENOM - 1}.0 * n_uniq), 4) AS z,
+       round(mx.z, 4) AS max_doc_z,
+       CAST(-mx.d AS BIGINT) AS max_doc_id,
+       n_docs_flagged,
+       ({_WM_DENOM} * n_uniq_green - n_uniq)
+         / sqrt({_WM_DENOM - 1}.0 * n_uniq) >= {_WM_COHORT_Z} AS wm_flag
+FROM agg
+ORDER BY cohort
+""",
+)
+def watermark_greenlist_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenlist-watermark detection z-scores per source plus pooled
+    ALL (Kirchenbauer et al. 2023): partition the vocabulary
+    pseudorandomly by the PREVIOUS token (here: hash the bigram, a
+    gamma = 1/{_WM_DENOM} greenlist) and test whether the observed
+    green fraction exceeds gamma. Un-watermarked text sits at
+    z ~ N(0, 1); text sampled from a watermarked LM concentrates green
+    tokens and drives z up by sqrt(n). The report gives the corpus-
+    curation read (which SOURCES are contaminated with watermarked
+    model output — the training-data feedback-loop guard), the
+    per-doc screening count at z >= {_WM_DOC_Z}, and the single most
+    suspect document per cohort.
+
+    The headline ``z`` counts each DISTINCT bigram once per document —
+    the paper's §5 remedy for repeated n-grams, whose green/red draw
+    is identical on every repetition and therefore inflates (or
+    deflates) the raw statistic within a document. ``z_raw`` keeps the
+    naive per-occurrence count as the diagnostic. Known caveat, shown
+    honestly by this corpus: on LOW-ENTROPY text the z's are not
+    calibrated, because distinct documents still share the same small
+    bigram population and so re-count the same greenlist coin flips
+    (evidence is not independent across docs). The synthetic template
+    corpus's ~916-bigram population is 25.9% green (within 0.6 sigma
+    of gamma), yet its heavy bigrams lean green, pooling every source's
+    identical lean into ALL z ~ 6.4 — the same template-text signature
+    zipf_fit_report shows as a flat slope. Per-source and per-doc z's
+    are the operating read; natural large-vocabulary text restores the
+    N(0,1) null (the planted tests demonstrate both regimes).
+
+    Determinism: green membership is the exact-integer predicate
+    hash64(bigram) % {_WM_DENOM} == 0 (the repo's md5-based 60-bit
+    hash, bit-equal across engines); every aggregate is a BIGINT
+    count; z = ({_WM_DENOM}g - n)/sqrt({_WM_DENOM - 1}n) is ONE float
+    expression over those integers (identical IEEE evaluation both
+    sides), rounded 4dp; the argmax doc breaks ties on min doc_id via
+    the same max(struct) device as ks_drift_report.
+
+    Scale shape: one array-native 2-shingle explode (no self-join),
+    one map-side-combined groupBy(source, doc_id) whose output is
+    doc-bounded, then a cohort-bounded rollup — the same single-
+    shuffle shape as token_stats. The greenlist hash is pure Catalyst
+    (md5/conv), so the whole plan stays in whole-stage codegen."""
+    d = load_table(
+        spark, sf_dir, "documents", spread=True, bytes_per_task=256 * 1024
+    )
+    pairs = d.select(
+        "source", "doc_id", tokens_ws("text").alias("t")
+    ).select("source", "doc_id", F.explode(shingles("t", 2)).alias("g"))
+    is_green = hash64("g", _WM_SEED) % _WM_DENOM == 0
+    docs0 = pairs.groupBy("source", "doc_id").agg(
+        F.count("*").alias("n_d"),
+        F.sum(F.when(is_green, 1).otherwise(0)).alias("g_d"),
+        F.countDistinct("g").alias("u_d"),
+        F.countDistinct(F.when(is_green, F.col("g"))).alias("ug_d"),
+    )
+    # doc-bounded; one materialization feeds both cohort branches
+    docs0 = docs0.localCheckpoint()
+    docs = docs0.unionByName(
+        docs0.select(
+            F.lit("ALL").alias("source"), "doc_id", "n_d", "g_d", "u_d", "ug_d"
+        )
+    )
+    z_d = (_WM_DENOM * F.col("ug_d") - F.col("u_d")) / F.sqrt(
+        (_WM_DENOM - 1) * 1.0 * F.col("u_d")
+    )
+    dz = docs.select(
+        F.col("source").alias("cohort"),
+        "doc_id",
+        "n_d",
+        "g_d",
+        "u_d",
+        "ug_d",
+        z_d.alias("z_d"),
+    )
+    agg = dz.groupBy("cohort").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_d").alias("n_pairs"),
+        F.sum("g_d").alias("g"),
+        F.sum("u_d").alias("u"),
+        F.sum("ug_d").alias("ug"),
+        F.max(F.struct(F.col("z_d").alias("z"), (-F.col("doc_id")).alias("d"))).alias(
+            "mx"
+        ),
+        F.sum(F.when(F.col("z_d") >= _WM_DOC_Z, 1).otherwise(0)).alias(
+            "n_docs_flagged"
+        ),
+    )
+    z_raw = (_WM_DENOM * F.col("g") - F.col("n_pairs")) / F.sqrt(
+        (_WM_DENOM - 1) * 1.0 * F.col("n_pairs")
+    )
+    z = (_WM_DENOM * F.col("ug") - F.col("u")) / F.sqrt(
+        (_WM_DENOM - 1) * 1.0 * F.col("u")
+    )
+    return agg.select(
+        "cohort",
+        "n_docs",
+        "n_pairs",
+        F.col("g").alias("n_green"),
+        F.round(F.col("g") * 1.0 / F.col("n_pairs"), 4).alias("green_rate"),
+        F.round(z_raw, 4).alias("z_raw"),
+        F.round(z, 4).alias("z"),
+        F.round(F.col("mx.z"), 4).alias("max_doc_z"),
+        (-F.col("mx.d")).cast("long").alias("max_doc_id"),
+        "n_docs_flagged",
+        (z >= _WM_COHORT_Z).alias("wm_flag"),
+    ).orderBy("cohort")

@@ -39,7 +39,13 @@ def test_top_ips_uses_take_ordered(spark):
 
 
 def test_text_queries_stay_jvm_side(spark):
-    for name in ("token_stats", "quality_histogram", "doc_fingerprints", "dedup_minhash_lsh"):
+    for name in (
+        "token_stats",
+        "quality_histogram",
+        "doc_fingerprints",
+        "dedup_minhash_lsh",
+        "watermark_greenlist_report",
+    ):
         plan = _plan(spark, name)
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, name
 
