@@ -2779,36 +2779,42 @@ def watermark_greenlist_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(
         spark, sf_dir, "documents", spread=True, bytes_per_task=256 * 1024
     )
-    pairs = d.select(
+    # source-bounded; one materialization feeds the per-source and
+    # pooled-ALL readout branches (the pre-refactor localCheckpoint
+    # sat on the doc table; the rollup is strictly smaller)
+    state = wm_cohort_rollup(
+        wm_doc_stats(d.select("source", "doc_id", "text"))
+    ).localCheckpoint()
+    return wm_readout(state)
+
+
+def wm_doc_stats(docs: DataFrame) -> DataFrame:
+    """Per-document watermark evidence over (source, doc_id, text)
+    rows: raw and distinct pair/green counts plus the per-doc deduped
+    z — the map side of the report, shared with the streaming monitor
+    (a document is one row, so its within-doc dedup is computable in
+    whichever micro-batch delivers it)."""
+    pairs = docs.select(
         "source", "doc_id", tokens_ws("text").alias("t")
     ).select("source", "doc_id", F.explode(shingles("t", 2)).alias("g"))
     is_green = hash64("g", _WM_SEED) % _WM_DENOM == 0
-    docs0 = pairs.groupBy("source", "doc_id").agg(
+    out = pairs.groupBy("source", "doc_id").agg(
         F.count("*").alias("n_d"),
         F.sum(F.when(is_green, 1).otherwise(0)).alias("g_d"),
         F.countDistinct("g").alias("u_d"),
         F.countDistinct(F.when(is_green, F.col("g"))).alias("ug_d"),
     )
-    # doc-bounded; one materialization feeds both cohort branches
-    docs0 = docs0.localCheckpoint()
-    docs = docs0.unionByName(
-        docs0.select(
-            F.lit("ALL").alias("source"), "doc_id", "n_d", "g_d", "u_d", "ug_d"
-        )
-    )
     z_d = (_WM_DENOM * F.col("ug_d") - F.col("u_d")) / F.sqrt(
         (_WM_DENOM - 1) * 1.0 * F.col("u_d")
     )
-    dz = docs.select(
-        F.col("source").alias("cohort"),
-        "doc_id",
-        "n_d",
-        "g_d",
-        "u_d",
-        "ug_d",
-        z_d.alias("z_d"),
-    )
-    agg = dz.groupBy("cohort").agg(
+    return out.withColumn("z_d", z_d)
+
+
+def wm_cohort_rollup(dz: DataFrame) -> DataFrame:
+    """Per-source additive state over wm_doc_stats rows: every field is
+    a sum or a max (the argmax struct), so partial rollups from
+    micro-batches merge into exactly the full-corpus rollup."""
+    return dz.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_d").alias("n_pairs"),
         F.sum("g_d").alias("g"),
@@ -2821,6 +2827,36 @@ def watermark_greenlist_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs_flagged"
         ),
     )
+
+
+def wm_merge_rollups(parts: DataFrame) -> DataFrame:
+    """Fold a union of wm_cohort_rollup outputs back into one rollup
+    per source (sums add, the argmax struct maxes)."""
+    return parts.groupBy("source").agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("n_pairs").cast("long").alias("n_pairs"),
+        F.sum("g").cast("long").alias("g"),
+        F.sum("u").cast("long").alias("u"),
+        F.sum("ug").cast("long").alias("ug"),
+        F.max("mx").alias("mx"),
+        F.sum("n_docs_flagged").cast("long").alias("n_docs_flagged"),
+    )
+
+
+def wm_readout(state: DataFrame) -> DataFrame:
+    """Cohort report rows (per source plus pooled ALL) from the
+    per-source rollup — the reduce side of the report, shared verbatim
+    with the streaming monitor's readout."""
+    all_row = state.groupBy(F.lit("ALL").alias("source")).agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("n_pairs").cast("long").alias("n_pairs"),
+        F.sum("g").cast("long").alias("g"),
+        F.sum("u").cast("long").alias("u"),
+        F.sum("ug").cast("long").alias("ug"),
+        F.max("mx").alias("mx"),
+        F.sum("n_docs_flagged").cast("long").alias("n_docs_flagged"),
+    )
+    agg = state.unionByName(all_row).withColumnRenamed("source", "cohort")
     z_raw = (_WM_DENOM * F.col("g") - F.col("n_pairs")) / F.sqrt(
         (_WM_DENOM - 1) * 1.0 * F.col("n_pairs")
     )
