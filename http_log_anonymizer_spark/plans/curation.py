@@ -1702,3 +1702,165 @@ def classifier_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# Diversity coreset selection — Gonzalez (1985) greedy k-center over the
+# embedding space: the coverage-driven data-selection primitive
+# (DeepCore / craig-style "select for diversity, not just quality")
+# that complements the quality classifier's pointwise filter
+# ---------------------------------------------------------------------------
+
+_KC_K = 8  # coreset size (2-approximation to the optimal k-center radius)
+_KC_QSCALE = 1000  # integer quantization grid shared with kmeans_quantized
+
+
+def _kc_oracle(k: int = _KC_K, qscale: int = _KC_QSCALE) -> str:
+    """Unrolled greedy replay (the kmeans_lloyd_sql device: fixed
+    iteration count, no recursion, pure-integer distances)."""
+    d2 = (
+        "list_sum(list_transform(generate_series(1, len(v.qv)), "
+        "i -> (v.qv[i] - s.qv[i]) * (v.qv[i] - s.qv[i])))"
+    )
+    parts = [
+        f"""kcq AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * {qscale}) AS BIGINT)) AS qv
+  FROM embeddings
+)""",
+        """set1 AS MATERIALIZED (
+  SELECT vec_id, qv FROM kcq
+  ORDER BY substring(md5('kc|' || CAST(vec_id AS VARCHAR)), 1, 15), vec_id
+  LIMIT 1
+)""",
+    ]
+    for r in range(1, k + 1):
+        parts.append(
+            f"""cand{r} AS MATERIALIZED (
+  SELECT v.vec_id, v.qv, min({d2}) AS mind2
+  FROM kcq v CROSS JOIN set{r} s
+  WHERE v.vec_id NOT IN (SELECT vec_id FROM set{r})
+  GROUP BY v.vec_id, v.qv
+  ORDER BY mind2 DESC, v.vec_id
+  LIMIT 1
+)"""
+        )
+        if r < k:
+            parts.append(
+                f"""set{r + 1} AS MATERIALIZED (
+  SELECT vec_id, qv FROM set{r}
+  UNION ALL
+  SELECT vec_id, qv FROM cand{r}
+)"""
+            )
+    rows = [
+        "SELECT CAST(0 AS INT) AS step, (SELECT vec_id FROM set1) AS vec_id,"
+        " CAST(NULL AS BIGINT) AS radius_sq"
+    ]
+    rows += [
+        f"SELECT CAST({r} AS INT), vec_id, CAST(mind2 AS BIGINT) FROM cand{r}"
+        for r in range(1, k + 1)
+    ]
+    return (
+        "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL ".join(rows)
+        + "\nORDER BY step"
+    )
+
+
+@register("kcenter_coreset", oracle=_kc_oracle())
+def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset over the embeddings table (Gonzalez
+    1985, a 2-approximation to the optimal k-center cover): seed with
+    the md5-hash-first vector, then repeatedly add the UNSELECTED
+    point farthest from the selected set. The output is the greedy
+    trajectory — steps 1..7 are the selected centers with the coverage
+    radius each one broke, and step 8 is the point the next round
+    would pick, i.e. the coreset's current coverage radius (on a table
+    with <= 8 points the trajectory simply ends early, identically in
+    both engines). Diversity-driven selection
+    is the curation counterpart to quality_classifier's pointwise
+    filter: a training subsample that COVERS the embedding space
+    instead of oversampling its densest mode (and the same trajectory,
+    read backwards, is an outlier report — early far points are the
+    corpus's isolated modes).
+
+    Determinism: vectors quantize to the kmeans_quantized integer grid
+    (floor(x * 1000), BIGINT), so every pairwise distance is an EXACT
+    integer and the argmax per round breaks ties on min vec_id in both
+    engines — no float comparison anywhere; the oracle replays the
+    same greedy with unrolled rounds (the kmeans_lloyd_sql device).
+
+    Scale shape: k passes over the corpus, each a single scan with the
+    <= k selected centers folded into the projection (bounded k x d
+    state, the kmeans centroid precedent) and a one-row max(struct)
+    reduce — no shuffle wider than one row per pass; the quantized
+    projection is computed once and cached for the loop. At 100 TB the
+    k scans ARE the cost, linear and embarrassingly parallel; for
+    large k the documented upgrade is k-means||-style oversampling
+    (sample O(k) candidates per pass, then re-run greedy on the
+    candidate set), which this trajectory report deliberately keeps
+    exact instead."""
+    e = load_table(spark, sf_dir, "embeddings", spread=True)
+    qv = e.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * _KC_QSCALE).cast("long"),
+        ).alias("qv"),
+    ).persist()
+    try:
+        seed = (
+            qv.orderBy(
+                F.substring(
+                    F.md5(F.concat(F.lit("kc|"), F.col("vec_id").cast("string"))),
+                    1,
+                    15,
+                ),
+                "vec_id",
+            )
+            .limit(1)
+            .collect()[0]
+        )
+        centers = [list(seed.qv)]
+        selected = [int(seed.vec_id)]
+        out = [(0, int(seed.vec_id), None)]
+
+        def d2_to(center: list[int]):
+            arr = F.array(*[F.lit(int(c)) for c in center])
+            return F.aggregate(
+                F.zip_with(F.col("qv"), arr, lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+
+        for r in range(1, _KC_K + 1):
+            mind2 = (
+                F.least(*[d2_to(c) for c in centers])
+                if len(centers) > 1
+                else d2_to(centers[0])
+            )
+            far = (
+                qv.filter(~F.col("vec_id").isin(selected))
+                .select(
+                    F.max(
+                        F.struct(
+                            mind2.alias("m"),
+                            (-F.col("vec_id")).alias("nv"),
+                            F.col("qv").alias("q"),
+                        )
+                    ).alias("s")
+                )
+                .collect()[0]["s"]
+            )
+            if far is None:  # fewer than k+1 points: trajectory just ends
+                break
+            out.append((r, int(-far.nv), int(far.m)))
+            if r < _KC_K:
+                centers.append(list(far.q))
+                selected.append(int(-far.nv))
+    finally:
+        qv.unpersist()
+    return spark.createDataFrame(
+        out, "step int, vec_id long, radius_sq long"
+    ).orderBy("step")
