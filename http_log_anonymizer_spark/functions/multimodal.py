@@ -185,3 +185,100 @@ def extract_resize_features(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(extract, FEATURE_SCHEMA)
+
+
+PHASH_BITS = 60  # single positive-BIGINT fingerprint, the simhash discipline
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("phash", LongType()),
+    ]
+)
+
+
+def perceptual_hash(df: DataFrame) -> DataFrame:
+    """Block-mean perceptual hash over binary media — the aHash family
+    (average hash: bit j = is block j brighter than the image mean?),
+    computed here over PHASH_BITS contiguous byte blocks because the
+    container has no pixel decode (byte i lands in block
+    (i * PHASH_BITS) div n). On a real image pipeline the same
+    mapInPandas slot computes the identical statistic over a decoded
+    8x8 luma thumbnail; everything downstream (banded hamming join,
+    dedup policy) is byte-vs-pixel agnostic.
+
+    All arithmetic is exact integers — block sums vs the cross-
+    multiplied overall mean (s_j * n > total * l_j), so the fingerprint
+    replays bit-for-bit in the SQL oracle. Arrow-batched; one task
+    holds one batch of media."""
+    import numpy as np
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = []
+            for p in pdf["data"]:
+                b = np.frombuffer(bytes(p), dtype=np.uint8).astype(np.int64)
+                n = len(b)
+                if n == 0:
+                    hashes.append(0)
+                    continue
+                blk = (np.arange(n) * PHASH_BITS) // n
+                s = np.bincount(blk, weights=b, minlength=PHASH_BITS).astype(
+                    np.int64
+                )
+                ln = np.bincount(blk, minlength=PHASH_BITS).astype(np.int64)
+                total = int(b.sum())
+                bits = (s * n) > (total * ln)
+                hashes.append(
+                    int((bits.astype(np.int64) << np.arange(PHASH_BITS)).sum())
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "phash": pd.Series(hashes, dtype="int64")}
+            )
+
+    return df.mapInPandas(hash_batch, PHASH_SCHEMA)
+
+
+def perceptual_hash_words(
+    df: DataFrame, word_bits: tuple[int, ...] = (60, 60)
+) -> DataFrame:
+    """Multi-word block-mean perceptual hash — the fingerprint-width
+    scale knob (the dedup_simhash_xwide pattern applied to media): the
+    payload splits into sum(word_bits) finer blocks, word w carrying
+    its contiguous slice as one positive BIGINT. Wider fingerprints buy
+    wider lossless band keys at the same absolute hamming radius,
+    which is what keeps the candidate join sub-quadratic past ~100k
+    assets (banded candidates grow as n^2 / 2^key_width). Same exact-
+    integer block statistic as :func:`perceptual_hash`."""
+    import numpy as np
+
+    total = sum(word_bits)
+    offsets = [sum(word_bits[:w]) for w in range(len(word_bits))]
+    schema = StructType(
+        [StructField("doc_id", LongType())]
+        + [StructField(f"sig{w}", LongType()) for w in range(len(word_bits))]
+    )
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            words: list[list[int]] = [[] for _ in word_bits]
+            for p in pdf["data"]:
+                b = np.frombuffer(bytes(p), dtype=np.uint8).astype(np.int64)
+                n = len(b)
+                if n == 0:
+                    for w in range(len(word_bits)):
+                        words[w].append(0)
+                    continue
+                blk = (np.arange(n) * total) // n
+                s = np.bincount(blk, weights=b, minlength=total).astype(np.int64)
+                ln = np.bincount(blk, minlength=total).astype(np.int64)
+                bits = (s * n) > (int(b.sum()) * ln)
+                for w, nb in enumerate(word_bits):
+                    sl = bits[offsets[w] : offsets[w] + nb].astype(np.int64)
+                    words[w].append(int((sl << np.arange(nb)).sum()))
+            out = {"doc_id": pdf["doc_id"]}
+            for w in range(len(word_bits)):
+                out[f"sig{w}"] = pd.Series(words[w], dtype="int64")
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(hash_batch, schema)

@@ -29,11 +29,12 @@ from http_log_anonymizer_spark.plans import curation  # noqa: E402,F401
 # accumulator, the KS degenerate-cohort guard, the three new scale
 # gates), then the stalest r04 cohort fill — with the three r07
 # driver-bench drift suspects (ann_ivf_topk, dedup_simhash,
-# dedup_simhash_wide) and both gated r04 queries placed first. The 23
+# dedup_simhash_wide) and both gated r04 queries placed first. The 24
 # r04 queries that didn't fit rotate in round 9 (listed in
-# ROADMAP.md; hybrid_rrf_fusion, ivf_cluster_stats and
-# hll_user_cardinality ceded their slots to the round's three late
-# new queries — first driver check beats a staleness refresh).
+# ROADMAP.md; hybrid_rrf_fusion, ivf_cluster_stats,
+# hll_user_cardinality and hilbert_layout ceded their slots to the
+# round's four late new queries — first driver check beats a
+# staleness refresh).
 # Everything outside the window stays locally gated by
 # tests/test_registry_oracle.py (same comparator).
 _WINDOW = [
@@ -64,7 +65,8 @@ _WINDOW = [
     "watermark_greenlist_report",  # new this round
     "heaps_fit_report",  # new this round
     "kcenter_coreset",  # new this round
-    # --- r04-latest fill (25 of 48; 23 defer to round 9): the drift
+    "multimodal_phash_neardup",  # new this round
+    # --- r04-latest fill (24 of 48; 24 defer to round 9): the drift
     # --- suspects and the other two gated queries lead ---
     "ann_ivf_topk",
     "dedup_simhash",
@@ -90,7 +92,6 @@ _WINDOW = [
     "embed_quantization_error",
     "hard_negative_mining",
     "hdr_latency_quantiles",
-    "hilbert_layout",
 ]
 
 

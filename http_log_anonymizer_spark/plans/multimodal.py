@@ -17,7 +17,7 @@ from http_log_anonymizer_spark.functions.multimodal import (
     decode_media_meta,
     extract_resize_features,
 )
-from http_log_anonymizer_spark.plans.registry import register
+from http_log_anonymizer_spark.plans.registry import ScaleGate, register
 from http_log_anonymizer_spark.sources.batch import load_table
 
 
@@ -226,3 +226,186 @@ def multimodal_resize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "multimodal_phash_neardup",
+    scale_gate=ScaleGate(
+        table="documents",
+        max_rows=100_000,
+        wide_twin="multimodal_phash_wide_neardup",
+        advice=(
+            "At hamming <= 10 the 60-bit fingerprint's lossless bands "
+            "carry only 5-6 bits, which degenerates past ~100k assets "
+            "(measured: sf1/50k docs 24 s, sf10/500k killed at 9 min); "
+            "the two-word 120-bit twin keeps 10-11-bit keys."
+        ),
+    ),
+    oracle="""
+-- corpus is pure ASCII: char indexing over text == byte indexing over
+-- the encoded blob (the multimodal_resize_features precedent)
+WITH m AS (
+  SELECT doc_id, text, CAST(octet_length(encode(text)) AS BIGINT) AS n
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, n, text, unnest(generate_series(1, n)) AS i FROM m
+),
+pv AS (
+  SELECT doc_id, n, ((i - 1) * 60) // n AS blk,
+         CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT) AS v
+  FROM pos
+),
+tot AS (
+  SELECT doc_id, CAST(sum(v) AS BIGINT) AS total, max(n) AS n
+  FROM pv GROUP BY doc_id
+),
+blkagg AS (
+  SELECT doc_id, blk, CAST(sum(v) AS BIGINT) AS sj,
+         CAST(count(*) AS BIGINT) AS lj
+  FROM pv GROUP BY doc_id, blk
+),
+sig AS (
+  SELECT b.doc_id,
+         CAST(sum(CASE WHEN b.sj * t.n > t.total * b.lj
+                       THEN (CAST(1 AS BIGINT) << CAST(b.blk AS INT))
+                       ELSE 0 END) AS BIGINT) AS phash
+  FROM blkagg b JOIN tot t USING (doc_id)
+  GROUP BY b.doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.phash, b.phash)) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 10
+ORDER BY doc_a, doc_b
+""",
+)
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate MEDIA detection: block-mean perceptual hash
+    (functions/multimodal.py:perceptual_hash — the aHash statistic
+    over 60 byte blocks, where a real pipeline hashes the decoded 8x8
+    luma thumbnail through the same mapInPandas slot) + the proven
+    banded hamming join from the simhash family at the IMAGE operating
+    point: hamming <= 10, the standard pHash radius on 64-bit
+    fingerprints (text simhash runs <= 4 because token features are
+    far less noisy than block means). Losslessness then needs 11
+    pigeonhole bands of 5-6 bits — the width the simhash family
+    measured as the ~1M-asset knee, so the documented scale knob is
+    the xwide two-word pattern (100-bit fingerprint -> 11 bands of 9
+    bits) once a real corpus approaches that. Image/video
+    dedup is the multimodal counterpart of dedup_simhash_wide: re-
+    encoded or lightly edited copies of the same asset share block
+    structure long after their byte streams diverge, and exact hashes
+    miss them.
+
+    Determinism: the fingerprint is pure integer arithmetic (block sum
+    vs cross-multiplied overall mean), so the oracle replays it
+    bit-for-bit from BLOB byte values and then verifies the candidate
+    set with a BRUTE quadratic join — parity therefore PROVES the
+    banded join lossless on the corpus, the dedup_prefix_filter_join
+    standard.
+
+    Scale shape: one Arrow-batched mapInPandas pass computes the
+    fingerprint (media bytes never leave the executor, constant memory
+    per task), then everything is the dedup_simhash_wide plan: 5-band
+    equi-join, first-match dedup without a distinct, candidates
+    n^2 / 2^12 per band. The Python leg is per-byte-linear and
+    embarrassingly parallel; at real-image sizes it is the decode cost
+    (a thumbnail per asset), the canonical mapInPandas slot."""
+    from http_log_anonymizer_spark.functions.multimodal import perceptual_hash
+    from http_log_anonymizer_spark.plans.dedup import (
+        band_widths,
+        simhash_banded_pairs,
+    )
+
+    d = load_table(spark, sf_dir, "documents", spread=True)
+    media = d.select("doc_id", F.encode("text", "utf-8").alias("data"))
+    sig = perceptual_hash(media).withColumnRenamed("phash", "simhash").cache()
+    sig.count()
+    return simhash_banded_pairs(
+        sig, hamming_max=10, widths=band_widths(60, 10)
+    ).orderBy("doc_a", "doc_b")
+
+
+# 11 lossless bands for hamming <= 10 over two 60-bit words, none
+# straddling a word boundary: 6 x 10-bit keys on word 0, 5 x 12-bit on
+# word 1 (the dedup_simhash_xwide layout rule).
+_PHASH_WIDE_BANDS = tuple(
+    [(0, off, 10) for off in range(0, 60, 10)]
+    + [(1, off, 12) for off in range(0, 60, 12)]
+)
+
+
+@register(
+    "multimodal_phash_wide_neardup",
+    oracle="""
+-- corpus is pure ASCII: char indexing over text == byte indexing over
+-- the encoded blob (the multimodal_resize_features precedent)
+WITH m AS (
+  SELECT doc_id, text, CAST(octet_length(encode(text)) AS BIGINT) AS n
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, n, text, unnest(generate_series(1, n)) AS i FROM m
+),
+pv AS (
+  SELECT doc_id, n, ((i - 1) * 120) // n AS blk,
+         CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT) AS v
+  FROM pos
+),
+tot AS (
+  SELECT doc_id, CAST(sum(v) AS BIGINT) AS total, max(n) AS n
+  FROM pv GROUP BY doc_id
+),
+blkagg AS (
+  SELECT doc_id, blk, CAST(sum(v) AS BIGINT) AS sj,
+         CAST(count(*) AS BIGINT) AS lj
+  FROM pv GROUP BY doc_id, blk
+),
+sig AS (
+  SELECT b.doc_id,
+         CAST(sum(CASE WHEN b.blk < 60 AND b.sj * t.n > t.total * b.lj
+                       THEN (CAST(1 AS BIGINT) << CAST(b.blk AS INT))
+                       ELSE 0 END) AS BIGINT) AS sig0,
+         CAST(sum(CASE WHEN b.blk >= 60 AND b.sj * t.n > t.total * b.lj
+                       THEN (CAST(1 AS BIGINT) << CAST(b.blk - 60 AS INT))
+                       ELSE 0 END) AS BIGINT) AS sig1
+  FROM blkagg b JOIN tot t USING (doc_id)
+  GROUP BY b.doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.sig0, b.sig0)) + bit_count(xor(a.sig1, b.sig1))
+         AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig0, b.sig0)) + bit_count(xor(a.sig1, b.sig1)) <= 10
+ORDER BY doc_a, doc_b
+""",
+)
+def multimodal_phash_wide_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The media near-dup SCALE tier: two-word 120-bit block-mean
+    perceptual hash (finer blocks, each 60-bit slice one positive
+    BIGINT — functions/multimodal.py:perceptual_hash_words) joined by
+    the multi-word banded machinery of dedup_simhash_xwide. Same
+    absolute radius as the gated 60-bit tier (hamming <= 10), so the
+    11 pigeonhole bands now carry 10-11-bit keys instead of 5-6 —
+    candidates per band drop ~2^5, which is exactly the knee the
+    60-bit tier hits past ~100k assets (its gate points here). The
+    wider fingerprint makes 10/120 a stricter RELATIVE threshold —
+    the Manku et al. trade: high-precision near-dup at scale, with
+    the 60-bit tier keeping the dense small-corpus report role.
+
+    Determinism and losslessness exactly as the 60-bit tier: integer
+    block statistic, brute quadratic oracle, parity proves the banded
+    join drops nothing."""
+    from http_log_anonymizer_spark.functions.multimodal import (
+        perceptual_hash_words,
+    )
+    from http_log_anonymizer_spark.plans.dedup import simhash_banded_pairs_words
+
+    d = load_table(spark, sf_dir, "documents", spread=True)
+    media = d.select("doc_id", F.encode("text", "utf-8").alias("data"))
+    sig = perceptual_hash_words(media, word_bits=(60, 60)).cache()
+    sig.count()
+    return simhash_banded_pairs_words(
+        sig, bands=_PHASH_WIDE_BANDS, hamming_max=10
+    ).orderBy("doc_a", "doc_b")
