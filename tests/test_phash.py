@@ -144,3 +144,27 @@ def test_wide_fingerprint_matches_python_reference(spark):
     for i, t in enumerate(texts):
         assert got[i] == py_words(t.encode("utf-8")), f"doc {i}"
     assert all(0 <= v < (1 << 60) for pair in got.values() for v in pair)
+
+
+def test_brightness_shift_invariance_property():
+    """The aHash family's defining robustness, which exact hashes lack:
+    adding a constant to EVERY byte (global brightness/exposure shift
+    on real media) preserves every fingerprint bit, because the block
+    inequality s_j*n > total*l_j gains c*l_j*n on both sides. Pure
+    numpy property check over random payloads — no Spark needed."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        data=st.binary(min_size=1, max_size=400),
+        c=st.integers(min_value=1, max_value=60),
+    )
+    def prop(data: bytes, c: int):
+        b = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
+        if (b + c > 255).any():  # keep the shift a valid byte stream
+            b = b % (256 - c)
+        shifted = bytes((b + c).astype(np.uint8))
+        assert _py_phash(bytes(b.astype(np.uint8))) == _py_phash(shifted)
+
+    prop()
