@@ -2228,8 +2228,14 @@ def line_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("cnt"), F.min("occ_key").alias("keep_key")
     )
     removed = (F.col("cnt") >= 2) & (F.col("occ_key") != F.col("keep_key"))
+    # chunk-TYPE table: grows with the corpus like the perplexity
+    # n-gram type tables — merge hint so the static planner never
+    # broadcasts it (the measured sf100 broadcast-OOM class; surfaced
+    # here by the r08 byte-bounded layout shrinking size ESTIMATES
+    # below the 64 MiB threshold at sf10). AQE may still re-promote
+    # from actual runtime sizes — the intended degrade path.
     return (
-        occ.join(g, "h")
+        occ.join(g.hint("merge"), "h")
         .groupBy("source")
         .agg(
             F.countDistinct("doc_id").alias("n_docs"),
@@ -2415,8 +2421,14 @@ def cdc_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("cnt"), F.min("occ_key").alias("keep_key")
     )
     removed = (F.col("cnt") >= 2) & (F.col("occ_key") != F.col("keep_key"))
+    # chunk-TYPE table: grows with the corpus like the perplexity
+    # n-gram type tables — merge hint so the static planner never
+    # broadcasts it (the measured sf100 broadcast-OOM class; surfaced
+    # here by the r08 byte-bounded layout shrinking size ESTIMATES
+    # below the 64 MiB threshold at sf10). AQE may still re-promote
+    # from actual runtime sizes — the intended degrade path.
     return (
-        occ.join(g, "h")
+        occ.join(g.hint("merge"), "h")
         .groupBy("source")
         .agg(
             F.countDistinct("doc_id").alias("n_docs"),
