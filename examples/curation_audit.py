@@ -36,7 +36,8 @@ def main() -> None:
     spark = get_spark(app_name="curation-audit", shuffle_partitions=8)
 
     corpus = REGISTRY["llm_corpus_report"].spark_fn(spark, SF_DIR).collect()
-    kept_docs = sum(r.kept_docs for r in corpus if hasattr(r, "kept_docs"))
+    kept_docs = sum(r.n_docs for r in corpus if r.reason == "kept")
+    kept_tokens = sum(r.n_tokens for r in corpus if r.reason == "kept")
 
     wm = {r.cohort: r for r in REGISTRY["watermark_greenlist_report"].spark_fn(spark, SF_DIR).collect()}
     zipf = {r.cohort: r for r in REGISTRY["zipf_fit_report"].spark_fn(spark, SF_DIR).collect()}
@@ -48,7 +49,8 @@ def main() -> None:
     audit = {
         "sf_dir": SF_DIR,
         "corpus_rows": len(corpus),
-        "kept_docs_if_reported": kept_docs,
+        "kept_docs": kept_docs,
+        "kept_tokens": kept_tokens,
         "watermark": {
             "flagged_sources": [c for c, r in wm.items() if r.wm_flag and c != "ALL"],
             "pooled_z": wm["ALL"].z,
