@@ -1587,8 +1587,11 @@ def mkn_trigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts-of-counts collapse to ONE row per level. The trigram-type
     and continuation-type tables grow with the corpus (2.7M trigram
     types at sf10, measured — a static-planner broadcast OOM'd there),
-    so those two joins are merge-hinted and AQE re-promotes them to
-    broadcast only from actual runtime sizes; the per-context and
+    so those two joins are merge-hinted (measured r08: the hint is
+    BINDING — AQE does not re-promote a user-hinted SMJ even on tiny
+    runtime sizes — which is the safe side of the trade: a forced
+    merge join can never OOM, and costs nothing measurable at the
+    sizes where broadcast would have won); the per-context and
     unigram tables stay vocabulary-bounded. Nothing is per-pair and
     no Python appears anywhere in the plan."""
     # byte-bounded fan-out: each task's map-side partial aggregate over
