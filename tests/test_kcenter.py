@@ -101,3 +101,55 @@ def test_table_smaller_than_k_ends_trajectory_early(spark, tmp_path):
     assert len(got) == 5  # seed + the 4 remaining points, then it ends
     assert got == _python_greedy(rows)
     assert sorted(v for _, v, _ in got) == [0, 1, 2, 3, 4]
+
+
+def test_greedy_is_a_two_approximation_property():
+    """Gonzalez's guarantee: the greedy coverage radius is <= 2x the
+    OPTIMAL k-center radius (exact on small instances by enumerating
+    all center subsets). Uses the same integer-grid distances and the
+    already-proven-equal pure-Python replay, so the guarantee
+    transfers to the registered query verbatim."""
+    import itertools
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.floats(-1, 1, width=32), st.floats(-1, 1, width=32)),
+            min_size=5,
+            max_size=9,
+            unique=True,
+        ),
+        st.integers(min_value=2, max_value=3),
+    )
+    def prop(pts, k):
+        rows = [(i, list(p)) for i, p in enumerate(pts)]
+        q = {
+            i: np.array(
+                [math.floor(float(np.float32(x)) * 1000.0) for x in v],
+                dtype=np.int64,
+            )
+            for i, v in rows
+        }
+
+        def radius(centers):
+            return max(
+                int(min(((q[i] - q[c]) ** 2).sum() for c in centers)) for i in q
+            )
+
+        traj = _python_greedy(rows, k=k)
+        # greedy centers = steps 0..k-1; the step-k row IS the greedy
+        # coverage radius (the farthest remaining point's distance)
+        centers = [v for step, v, _ in traj[:k]]
+        greedy_r2 = radius(centers)
+        if len(traj) > k:
+            assert traj[k][2] == greedy_r2  # the trajectory's own claim
+        opt_r2 = min(
+            radius(list(c)) for c in itertools.combinations(q, min(k, len(q)))
+        )
+        # squared distances: (2x radius)^2 = 4x radius^2
+        assert greedy_r2 <= 4 * opt_r2
+
+    prop()
