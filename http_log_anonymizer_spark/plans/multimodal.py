@@ -319,7 +319,12 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load_table(spark, sf_dir, "documents", spread=True)
-    media = d.select("doc_id", F.encode("text", "utf-8").alias("data"))
+    # zero-byte payloads carry no block statistic (the oracle's per-byte
+    # unnest drops them; an all-zero fingerprint would false-pair every
+    # empty asset) — exclude them explicitly on both engines
+    media = d.select("doc_id", F.encode("text", "utf-8").alias("data")).filter(
+        F.octet_length("data") > 0
+    )
     sig = perceptual_hash(media).withColumnRenamed("phash", "simhash").cache()
     sig.count()
     return simhash_banded_pairs(
@@ -403,7 +408,11 @@ def multimodal_phash_wide_neardup(spark: SparkSession, sf_dir: str) -> DataFrame
     from http_log_anonymizer_spark.plans.dedup import simhash_banded_pairs_words
 
     d = load_table(spark, sf_dir, "documents", spread=True)
-    media = d.select("doc_id", F.encode("text", "utf-8").alias("data"))
+    # zero-byte payloads excluded as in the 60-bit tier (oracle parity
+    # + no all-zero-fingerprint false pairs)
+    media = d.select("doc_id", F.encode("text", "utf-8").alias("data")).filter(
+        F.octet_length("data") > 0
+    )
     sig = perceptual_hash_words(media, word_bits=(60, 60)).cache()
     sig.count()
     return simhash_banded_pairs_words(

@@ -168,3 +168,21 @@ def test_brightness_shift_invariance_property():
         assert _py_phash(bytes(b.astype(np.uint8))) == _py_phash(shifted)
 
     prop()
+
+
+def test_empty_payloads_never_pair(spark, tmp_path):
+    """Two zero-byte assets must NOT pair (an all-zero fingerprint
+    would put every empty payload at hamming 0 of every other); the
+    oracle's per-byte unnest drops them naturally, and the Spark side
+    excludes them explicitly — parity on the planted table proves the
+    exclusion agrees."""
+    rng = random.Random(21)
+    texts = ["", "", _rand_text(rng, 300), _rand_text(rng, 300)]
+    _write_docs(spark, tmp_path, texts)
+    got = _run(spark, tmp_path)
+    assert not any(0 in p or 1 in p for p in got)
+    q = REGISTRY["multimodal_phash_wide_neardup"]
+    wide = {
+        (r.doc_a, r.doc_b) for r in q.spark_fn(spark, str(tmp_path)).collect()
+    }
+    assert not any(0 in p or 1 in p for p in wide)
