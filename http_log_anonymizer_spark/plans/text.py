@@ -2868,7 +2868,13 @@ def wm_merge_rollups(parts: DataFrame) -> DataFrame:
 def wm_readout(state: DataFrame) -> DataFrame:
     """Cohort report rows (per source plus pooled ALL) from the
     per-source rollup — the reduce side of the report, shared verbatim
-    with the streaming monitor's readout."""
+    with the streaming monitor's readout.
+
+    The union re-aggregates through wm_merge_rollups so a source
+    literally named 'ALL' merges with the pooled row exactly as the
+    oracle's GROUP BY does (without it the Spark side would emit two
+    'ALL' rows where the oracle emits one — a latent parity
+    divergence, planted-tested)."""
     all_row = state.groupBy(F.lit("ALL").alias("source")).agg(
         F.sum("n_docs").cast("long").alias("n_docs"),
         F.sum("n_pairs").cast("long").alias("n_pairs"),
@@ -2878,7 +2884,9 @@ def wm_readout(state: DataFrame) -> DataFrame:
         F.max("mx").alias("mx"),
         F.sum("n_docs_flagged").cast("long").alias("n_docs_flagged"),
     )
-    agg = state.unionByName(all_row).withColumnRenamed("source", "cohort")
+    agg = wm_merge_rollups(state.unionByName(all_row)).withColumnRenamed(
+        "source", "cohort"
+    )
     z_raw = (_WM_DENOM * F.col("g") - F.col("n_pairs")) / F.sqrt(
         (_WM_DENOM - 1) * 1.0 * F.col("n_pairs")
     )
