@@ -1810,7 +1810,7 @@ def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("qv"),
     ).persist()
     try:
-        seed = (
+        seeds = (
             qv.orderBy(
                 F.substring(
                     F.md5(F.concat(F.lit("kc|"), F.col("vec_id").cast("string"))),
@@ -1820,8 +1820,15 @@ def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "vec_id",
             )
             .limit(1)
-            .collect()[0]
+            .collect()
         )
+        if not seeds:
+            # empty table: the oracle's scalar subquery still emits its
+            # step-0 row with NULL vec_id — mirror it for parity
+            return spark.createDataFrame(
+                [(0, None, None)], "step int, vec_id long, radius_sq long"
+            )
+        seed = seeds[0]
         centers = [list(seed.qv)]
         selected = [int(seed.vec_id)]
         out = [(0, int(seed.vec_id), None)]

@@ -153,3 +153,12 @@ def test_greedy_is_a_two_approximation_property():
         assert greedy_r2 <= 4 * opt_r2
 
     prop()
+
+
+def test_empty_table_emits_the_oracle_null_row(spark, tmp_path):
+    # the oracle's step-0 scalar subquery over an empty table yields
+    # (0, NULL, NULL); the Spark side must mirror it instead of
+    # crashing on an empty seed collect
+    _write_embeddings(spark, tmp_path, [])
+    got = _run(spark, tmp_path)
+    assert got == [(0, None, None)]
