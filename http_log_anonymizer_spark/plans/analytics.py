@@ -5144,11 +5144,19 @@ t0 AS (
          CAST(sum(1 - is_ref) AS BIGINT) AS q
   FROM v GROUP BY event_type, c
 ),
-t AS (
+t1 AS (
   SELECT * FROM t0
   UNION ALL
   SELECT 'ALL' AS cohort, c, CAST(sum(r) AS BIGINT), CAST(sum(q) AS BIGINT)
   FROM t0 GROUP BY c
+),
+-- re-group so (cohort, c) is UNIQUE even when a real cohort is named
+-- 'ALL': with duplicate support points the ROWS cumulative frame is
+-- peer-order-dependent (and Spark's RANGE frame diverges from it) —
+-- the classifier_auc_report lesson applied to the ECDF
+t AS (
+  SELECT cohort, c, CAST(sum(r) AS BIGINT) AS r, CAST(sum(q) AS BIGINT) AS q
+  FROM t1 GROUP BY cohort, c
 ),
 e AS (
   SELECT cohort, c,
@@ -5232,13 +5240,24 @@ def ks_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("is_ref").cast("long").alias("r"),
         F.sum(1 - F.col("is_ref")).cast("long").alias("q"),
     ).localCheckpoint()
-    t = t0.unionByName(
-        t0.groupBy("c")
+    # (cohort, c) must be UNIQUE below: the cumulative window is
+    # peer-order-dependent on duplicates (and the Spark RANGE frame
+    # would diverge from the oracle's ROWS frame) — regroup after the
+    # pooled-ALL union, exactly as the oracle does
+    t = (
+        t0.unionByName(
+            t0.groupBy("c")
+            .agg(
+                F.sum("r").cast("long").alias("r"),
+                F.sum("q").cast("long").alias("q"),
+            )
+            .select(F.lit("ALL").alias("cohort"), "c", "r", "q")
+        )
+        .groupBy("cohort", "c")
         .agg(
             F.sum("r").cast("long").alias("r"),
             F.sum("q").cast("long").alias("q"),
         )
-        .select(F.lit("ALL").alias("cohort"), "c", "r", "q")
     )
     w = Window.partitionBy("cohort").orderBy("c")
     wc = Window.partitionBy("cohort")

@@ -1455,11 +1455,20 @@ b AS (
          CAST(sum(1 - label) AS BIGINT) AS neg
   FROM s GROUP BY source, q
 ),
-g AS (
+g0 AS (
   SELECT * FROM b
   UNION ALL
   SELECT 'ALL' AS source, q, CAST(sum(pos) AS BIGINT), CAST(sum(neg) AS BIGINT)
   FROM b GROUP BY q
+),
+-- re-group so (source, q) is UNIQUE even when a real source is named
+-- 'ALL': the ROWS window below is peer-order-dependent on duplicate
+-- q, and pos*(2*neg_lt+neg) is not symmetric under peer swaps (the
+-- measured 1-at-4dp AUC divergence on a planted 'ALL' source)
+g AS (
+  SELECT source, q, CAST(sum(pos) AS BIGINT) AS pos,
+         CAST(sum(neg) AS BIGINT) AS neg
+  FROM g0 GROUP BY source, q
 ),
 c AS (
   SELECT source, q, pos, neg,
@@ -1550,7 +1559,16 @@ def classifier_auc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.lit("ALL").alias("source"), "q", "pos", "neg")
     )
-    g = b.unionByName(all_rows)
+    # (source, q) must be UNIQUE for the ROWS window below — see the
+    # oracle's g CTE comment (planted 'ALL'-named source divergence)
+    g = (
+        b.unionByName(all_rows)
+        .groupBy("source", "q")
+        .agg(
+            F.sum("pos").cast("long").alias("pos"),
+            F.sum("neg").cast("long").alias("neg"),
+        )
+    )
     w_lt = (
         Window.partitionBy("source")
         .orderBy("q")

@@ -100,13 +100,23 @@ class StreamingKSSink(EpochStateSink):
                 F.coalesce("q", F.lit(0)).cast("long").alias("q"),
             )
         )
-        t = t0.unionByName(
-            t0.groupBy("c")
+        # regroup so (cohort, c) is unique even when a real cohort is
+        # named 'ALL' — the batch ks_drift_report fix, mirrored so the
+        # readout stays equal to it row for row
+        t = (
+            t0.unionByName(
+                t0.groupBy("c")
+                .agg(
+                    F.sum("r").cast("long").alias("r"),
+                    F.sum("q").cast("long").alias("q"),
+                )
+                .select(F.lit("ALL").alias("cohort"), "c", "r", "q")
+            )
+            .groupBy("cohort", "c")
             .agg(
                 F.sum("r").cast("long").alias("r"),
                 F.sum("q").cast("long").alias("q"),
             )
-            .select(F.lit("ALL").alias("cohort"), "c", "r", "q")
         )
         w = Window.partitionBy("cohort").orderBy("c")
         wc = Window.partitionBy("cohort")
