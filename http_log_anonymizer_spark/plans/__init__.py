@@ -66,6 +66,7 @@ _WINDOW = [
     "heaps_fit_report",  # new this round
     "kcenter_coreset",  # new this round
     "multimodal_phash_neardup",  # new this round
+    "dp_histogram_report",  # new this round (continuation session 2)
     # --- r04-latest fill (24 of 48; 24 defer to round 9): the drift
     # --- suspects and the other two gated queries lead ---
     "ann_ivf_topk",
@@ -91,7 +92,6 @@ _WINDOW = [
     "embed_neardup_lsh",
     "embed_quantization_error",
     "hard_negative_mining",
-    "hdr_latency_quantiles",
 ]
 
 
