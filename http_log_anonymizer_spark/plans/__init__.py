@@ -33,8 +33,9 @@ from http_log_anonymizer_spark.plans import curation  # noqa: E402,F401
 # r04 queries that didn't fit rotate in round 9 (listed in
 # ROADMAP.md; hybrid_rrf_fusion, ivf_cluster_stats,
 # hll_user_cardinality and hilbert_layout ceded their slots to the
-# round's four late new queries — first driver check beats a
-# staleness refresh).
+# round's four late new queries, and hdr_latency_quantiles,
+# embed_quantization_error and hard_negative_mining to continuation
+# session 2's three — first driver check beats a staleness refresh).
 # Everything outside the window stays locally gated by
 # tests/test_registry_oracle.py (same comparator).
 _WINDOW = [
@@ -67,6 +68,8 @@ _WINDOW = [
     "kcenter_coreset",  # new this round
     "multimodal_phash_neardup",  # new this round
     "dp_histogram_report",  # new this round (continuation session 2)
+    "unicode_cleanup_report",  # new this round (continuation session 2)
+    "template_prefix_report",  # new this round (continuation session 2)
     # --- r04-latest fill (24 of 48; 24 defer to round 9): the drift
     # --- suspects and the other two gated queries lead ---
     "ann_ivf_topk",
@@ -90,8 +93,6 @@ _WINDOW = [
     "dedup_simhash_xwide",
     "embed_neardup_gemm",
     "embed_neardup_lsh",
-    "embed_quantization_error",
-    "hard_negative_mining",
 ]
 
 

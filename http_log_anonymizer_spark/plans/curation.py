@@ -1889,3 +1889,232 @@ def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "step int, vec_id long, radius_sq long"
     ).orderBy("step")
+
+
+# ---------------------------------------------------------------------------
+# Unicode hygiene audit — the cleanup pass every web-scrape corpus needs
+# before tokenization (UTF-8 decode errors surface as U+FFFD; PDF/OCR
+# extractions leak C0 controls; CMS templates leak zero-width chars
+# that silently split tokens; double-decoded UTF-8 shows as mojibake
+# digraphs). This is the READ side — it measures what a cleanup pass
+# would touch; the llm_corpus_report-style filter would consume its
+# thresholds.
+# ---------------------------------------------------------------------------
+
+# Pattern notes: every class uses only syntax with IDENTICAL semantics
+# in Java regex (Spark) and RE2 (DuckDB) — literal chars, \xHH, \x{HHHH}
+# ranges; no lookaround, no \p classes. Parity over all four classes is
+# pinned on a planted hostile corpus (tests/test_unicode_cleanup.py).
+_RE_REPLACEMENT = "�"  # U+FFFD: a decoder already gave up here
+_RE_CONTROL = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"  # C0 minus \t\n\r, plus DEL
+_RE_ZERO_WIDTH = r"[\x{200B}-\x{200D}\x{FEFF}]"  # ZWSP/ZWNJ/ZWJ + stray BOM
+# double-decoded UTF-8: a lead-byte-shaped char (Â Ã â cover the
+# Latin-1/general-punctuation pages where real text lives) followed by a
+# continuation-byte-shaped char U+0080-U+00BF
+_RE_MOJIBAKE = "[ÂÃâ][\\x{0080}-\\x{00BF}]"
+
+
+@register(
+    "unicode_cleanup_report",
+    oracle=f"""
+per_doc AS (
+  SELECT source,
+    len(regexp_extract_all(coalesce(text, ''), '{_RE_REPLACEMENT}')) AS repl,
+    len(regexp_extract_all(coalesce(text, ''), '{_RE_CONTROL}')) AS ctrl,
+    len(regexp_extract_all(coalesce(text, ''), '{_RE_ZERO_WIDTH}')) AS zw,
+    len(regexp_extract_all(coalesce(text, ''), '{_RE_MOJIBAKE}')) AS moji
+  FROM documents
+)
+SELECT source,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(CASE WHEN repl + ctrl + zw + moji > 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_docs_affected,
+  CAST(sum(repl) AS BIGINT) AS repl_chars,
+  CAST(sum(ctrl) AS BIGINT) AS ctrl_chars,
+  CAST(sum(zw) AS BIGINT) AS zw_chars,
+  CAST(sum(moji) AS BIGINT) AS moji_seqs,
+  round(sum(CASE WHEN repl + ctrl + zw + moji > 0 THEN 1 ELSE 0 END) * 1.0
+        / count(*), 4) AS pct_docs_affected
+FROM per_doc GROUP BY source ORDER BY source
+""".replace("per_doc AS", "WITH per_doc AS"),
+)
+def unicode_cleanup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Unicode-hygiene audit: how many documents (and how
+    many characters) a cleanup pass would touch, split by defect class
+    — U+FFFD replacement chars (upstream decode failures), C0 control
+    chars other than tab/newline/CR (OCR and PDF extraction debris),
+    zero-width chars incl. stray BOMs (CMS/template artifacts that
+    silently split tokens and break exact-dedup fingerprints), and
+    mojibake digraphs (double-decoded UTF-8: lead-byte-shaped char
+    followed by a continuation-byte-shaped char — the 'Ã©'/'â€™'
+    signature). The audit-before-mutation pattern: run this, set
+    thresholds, then wire the same regexes into the curation filter.
+
+    Determinism: both engines run the same literal patterns restricted
+    to syntax Java regex and RE2 interpret identically (literals,
+    \\xHH, \\x{{HHHH}} ranges; no lookaround, no \\p). All counts are
+    integers; the one ratio is a rounded edge division. Parity incl.
+    every defect class is pinned on a planted hostile corpus — the
+    sf0.01 corpus is clean ASCII, where this report proves all-zeros
+    (itself worth asserting: a false positive on clean text means the
+    cleanup pass would corrupt good documents).
+
+    Scale shape: one projection computing four regexp_count's per doc
+    (JVM codegen, no Python), then one map-side-combined groupBy on
+    source (|sources| groups). At 100 TB this is a single scan at
+    regex speed; nothing row-proportional crosses the exchange."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", F.coalesce("text", F.lit("")).alias("text")
+    )
+    per_doc = docs.select(
+        "source",
+        F.regexp_count("text", F.lit(_RE_REPLACEMENT)).alias("repl"),
+        F.regexp_count("text", F.lit(_RE_CONTROL)).alias("ctrl"),
+        F.regexp_count("text", F.lit(_RE_ZERO_WIDTH)).alias("zw"),
+        F.regexp_count("text", F.lit(_RE_MOJIBAKE)).alias("moji"),
+    )
+    affected = (F.col("repl") + F.col("ctrl") + F.col("zw") + F.col("moji") > 0).cast(
+        "long"
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(affected).alias("n_docs_affected"),
+            F.sum("repl").cast("long").alias("repl_chars"),
+            F.sum("ctrl").cast("long").alias("ctrl_chars"),
+            F.sum("zw").cast("long").alias("zw_chars"),
+            F.sum("moji").cast("long").alias("moji_seqs"),
+            F.round(F.sum(affected) * 1.0 / F.count("*"), 4).alias(
+                "pct_docs_affected"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Template / boilerplate mining — the "same scaffold, different fill"
+# defect class that exact dedup misses (bodies differ) and near-dup
+# underweights (the shared prefix is a small fraction of a long doc):
+# CMS headers, cookie banners, SEO boilerplate, auto-generated listing
+# pages. Grouping on a normalized fixed-width PREFIX finds scaffolds
+# directly — the cheap first pass RefinedWeb/C4-style pipelines run
+# before line-level dedup.
+# ---------------------------------------------------------------------------
+
+_TPL_PREFIX_CHARS = 48  # scaffold window: long enough to kill chance collisions
+_TPL_MIN_DOCS = 3  # a prefix is a template once >= 3 docs share it
+_TPL_TOP_K = 5  # templates reported per source
+
+
+@register(
+    "template_prefix_report",
+    oracle=f"""
+WITH norm AS (
+  SELECT source,
+         substr(trim(regexp_replace(lower(coalesce(text, '')),
+                                    '[ \t\n\r]+', ' ', 'g')),
+                1, {_TPL_PREFIX_CHARS}) AS prefix
+  FROM documents
+),
+grp AS (
+  SELECT source, prefix, CAST(count(*) AS BIGINT) AS n
+  FROM norm GROUP BY source, prefix
+),
+ranked AS (
+  SELECT source, prefix, n,
+         row_number() OVER (PARTITION BY source ORDER BY n DESC, prefix) AS rk
+  FROM grp
+),
+summary AS (
+  SELECT source,
+         CAST(sum(n) AS BIGINT) AS n_docs,
+         CAST(count(*) AS BIGINT) AS n_prefixes,
+         CAST(sum(CASE WHEN n >= {_TPL_MIN_DOCS} THEN n ELSE 0 END) AS BIGINT)
+           AS n_template_docs
+  FROM grp GROUP BY source
+)
+SELECT s.source, s.n_docs, s.n_prefixes, s.n_template_docs,
+       round(s.n_template_docs * 1.0 / s.n_docs, 4) AS template_coverage,
+       r.prefix AS top_prefix, r.n AS top_prefix_docs
+FROM summary s JOIN ranked r ON r.source = s.source AND r.rk = 1
+ORDER BY s.source
+""",
+)
+def template_prefix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-template audit per source: documents are normalized
+    (lowercase, whitespace runs collapsed to one space, trimmed) and
+    grouped on their first {_TPL_PREFIX_CHARS} characters; a prefix
+    shared by >= {_TPL_MIN_DOCS} docs is a template (CMS scaffold,
+    cookie banner, SEO boilerplate, auto-generated listing — the
+    defect class exact dedup misses because bodies differ and near-dup
+    underweights because the shared prefix is a small part of a long
+    doc). One row per source: doc/distinct-prefix counts, how many
+    docs sit under a template and their share, plus the most common
+    prefix as the drill-down exhibit. A clean corpus reports coverage
+    0.0 with n_prefixes == n_docs — asserted on the synthetic corpus,
+    where a false positive would mean the downstream filter deletes
+    good documents; detection itself is pinned on a planted-template
+    corpus (tests/test_template_prefix.py).
+
+    Determinism: the top prefix is row_number ordered by (n DESC,
+    prefix) — prefix is the group key, so the order is total and
+    tie-proof (the planted tie-hostility audit class); whitespace
+    collapse uses an explicit [ \\t\\n\\r]+ class because Java regex
+    and RE2 disagree on \\s (vertical tab) and DuckDB's regexp_replace
+    needs the 'g' flag Spark applies implicitly. All counts integer;
+    one rounded edge ratio.
+
+    Scale shape: one projection (regex normalize + substr, JVM
+    codegen), one map-side-combined groupBy on (source, prefix) — the
+    only row-proportional exchange, keyed wide enough to dodge skew —
+    then a per-source summary and a rank-1 window over DISTINCT
+    prefixes (never raw docs). At 100 TB: one scan, one shuffle of
+    (source, 48-char prefix, count) partials."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", F.coalesce("text", F.lit("")).alias("text")
+    )
+    norm = docs.select(
+        "source",
+        F.substring(
+            F.trim(F.regexp_replace(F.lower(F.col("text")), "[ \t\n\r]+", " ")),
+            1,
+            _TPL_PREFIX_CHARS,
+        ).alias("prefix"),
+    )
+    grp = norm.groupBy("source", "prefix").agg(F.count("*").alias("n"))
+    # the distinct-prefix table feeds both the summary and the top-1
+    # window; it is prefix-bounded but derived from the full scan —
+    # pin it to one corpus read (the psi/ks plan-audit lesson)
+    grp = grp.localCheckpoint()
+    w = Window.partitionBy("source").orderBy(F.desc("n"), F.asc("prefix"))
+    top = (
+        grp.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("source", F.col("prefix").alias("top_prefix"), F.col("n").alias("top_prefix_docs"))
+    )
+    summary = grp.groupBy("source").agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.count("*").alias("n_prefixes"),
+        F.sum(
+            F.when(F.col("n") >= _TPL_MIN_DOCS, F.col("n")).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("n_template_docs"),
+    )
+    return (
+        summary.join(top, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_prefixes",
+            "n_template_docs",
+            F.round(F.col("n_template_docs") * 1.0 / F.col("n_docs"), 4).alias(
+                "template_coverage"
+            ),
+            "top_prefix",
+            "top_prefix_docs",
+        )
+        .orderBy("source")
+    )
