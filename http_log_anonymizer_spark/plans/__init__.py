@@ -34,8 +34,8 @@ from http_log_anonymizer_spark.plans import curation  # noqa: E402,F401
 # ROADMAP.md; hybrid_rrf_fusion, ivf_cluster_stats,
 # hll_user_cardinality and hilbert_layout ceded their slots to the
 # round's four late new queries, and hdr_latency_quantiles,
-# embed_quantization_error and hard_negative_mining to continuation
-# session 2's three — first driver check beats a staleness refresh).
+# embed_quantization_error, hard_negative_mining and embed_neardup_lsh
+# to continuation session 2's four — first driver check beats a staleness refresh).
 # Everything outside the window stays locally gated by
 # tests/test_registry_oracle.py (same comparator).
 _WINDOW = [
@@ -70,6 +70,7 @@ _WINDOW = [
     "dp_histogram_report",  # new this round (continuation session 2)
     "unicode_cleanup_report",  # new this round (continuation session 2)
     "template_prefix_report",  # new this round (continuation session 2)
+    "context_length_survival",  # new this round (continuation session 2)
     # --- r04-latest fill (24 of 48; 24 defer to round 9): the drift
     # --- suspects and the other two gated queries lead ---
     "ann_ivf_topk",
@@ -92,7 +93,6 @@ _WINDOW = [
     "dedup_simhash_stats",
     "dedup_simhash_xwide",
     "embed_neardup_gemm",
-    "embed_neardup_lsh",
 ]
 
 

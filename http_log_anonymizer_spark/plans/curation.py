@@ -2118,3 +2118,84 @@ def template_prefix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Context-length survival — the dial-setting twin of padding_efficiency
+# (that query scores ONE packing config; this one sweeps the candidate
+# context lengths and reports what truncation at each would cost).
+# Training configs pick max_seq_len off exactly this curve: the
+# smallest L whose token loss is acceptable.
+# ---------------------------------------------------------------------------
+
+_CTX_LADDER = [16, 32, 64, 128]  # spans the corpus: median ~56 ws-tokens
+
+
+@register(
+    "context_length_survival",
+    oracle=f"""
+WITH per_doc AS (
+  SELECT source,
+         CASE WHEN text IS NULL OR text = '' THEN 0
+              ELSE len(string_split(text, ' ')) END AS n_tok
+  FROM documents
+),
+ladder AS (SELECT unnest([{", ".join(str(x) for x in _CTX_LADDER)}]) AS ctx_len)
+SELECT p.source, l.ctx_len,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(CASE WHEN p.n_tok > l.ctx_len THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_docs_truncated,
+  CAST(sum(p.n_tok) AS BIGINT) AS tokens_total,
+  CAST(sum(greatest(p.n_tok - l.ctx_len, 0)) AS BIGINT) AS tokens_lost,
+  round(1.0 - sum(greatest(p.n_tok - l.ctx_len, 0)) * 1.0 / sum(p.n_tok), 4)
+    AS token_survival
+FROM per_doc p CROSS JOIN ladder l
+GROUP BY p.source, l.ctx_len
+ORDER BY p.source, l.ctx_len
+""",
+)
+def context_length_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncation-cost sweep over candidate training context lengths
+    {_CTX_LADDER}: per (source, ctx_len), how many documents exceed the
+    context and how many tokens truncation would discard, with the
+    surviving-token share. The curve answers the config question
+    padding_efficiency (one fixed packing) cannot: the smallest
+    max_seq_len whose token loss is acceptable, and whether a source
+    (e.g. books vs web) pays disproportionately — the standard
+    pre-training length-budget exhibit.
+
+    Determinism: whitespace token counts (the token_stats convention),
+    NULL/empty text counted as 0 tokens explicitly (split('') is
+    1-element in both engines — the planted-NULL audit class); all
+    integer sums, one rounded edge ratio.
+
+    Scale shape: one projection to (source, n_tok), a {len(_CTX_LADDER)}x
+    explode over the ladder literals (map-side, pre-combined before the
+    exchange), one groupBy on (source, ctx_len) — |sources| x
+    {len(_CTX_LADDER)} groups. At 100 TB: one scan; the shuffle carries
+    only combined partials."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.when(
+        F.col("text").isNull() | (F.col("text") == ""), F.lit(0)
+    ).otherwise(F.size(tokens_ws("text")))
+    per_doc = d.select("source", n_tok.alias("n_tok"))
+    ladder = F.explode(
+        F.array(*[F.lit(x) for x in _CTX_LADDER])
+    ).alias("ctx_len")
+    lost = F.greatest(F.col("n_tok") - F.col("ctx_len"), F.lit(0))
+    return (
+        per_doc.select("source", "n_tok", ladder)
+        .groupBy("source", "ctx_len")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((F.col("n_tok") > F.col("ctx_len")).cast("long")).alias(
+                "n_docs_truncated"
+            ),
+            F.sum("n_tok").cast("long").alias("tokens_total"),
+            F.sum(lost).cast("long").alias("tokens_lost"),
+            F.round(
+                F.lit(1.0) - F.sum(lost) * 1.0 / F.sum("n_tok"), 4
+            ).alias("token_survival"),
+        )
+        .orderBy("source", "ctx_len")
+    )
