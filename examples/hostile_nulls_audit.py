@@ -1,18 +1,21 @@
-"""Registry-wide tie-hostility audit: duplicate every document, event
-and embedding under fresh keys (exact-duplicate CONTENT, so ties
-appear in every score, count, distance and support point) and run ALL
-registry queries through the driver-equivalent oracle compare. Any
-peer-order-dependent window, unstable top-k, or union-without-regroup
-shows up as a hash mismatch — the class that produced the late-r08
-classifier_auc/ks_drift/watermark fixes (see tests/test_all_cohort.py
-for the planted-'ALL' sibling, which IS in the suite).
+"""Registry-wide NULL-hostility audit: plant NULLs in every nullable
+user-data column (documents.text/lang/source, events.ts/event_type/
+value/props, embeddings.embedding/label) and run ALL registry queries
+through the driver-equivalent oracle compare. The divergence classes
+this hunts: engine-specific NULL propagation through string/array
+expressions (Spark concat vs DuckDB concat treat NULLs differently),
+kernels that crash on None rows, cohort columns where a NULL group
+silently drops on one engine, and three-valued-logic filters that keep
+NULL on one side only.
 
-Too heavy for the per-commit suite (~15 min, 209 compares); run after
-touching window frames, rank tie-breaks or pooled-cohort unions:
+Too heavy for the per-commit suite (~15 min, 200+ compares); run after
+touching text normalization, cohort unions or any Python kernel:
 
-    python examples/hostile_ties_audit.py
+    python examples/hostile_nulls_audit.py
 
-Result of record (late r08, 209 queries): 0 fails, 0 errors.
+Result of record (late r08 continuation session 2, 212 queries):
+see ROADMAP.md — divergences found by this audit are fixed with
+planted regression tests in tests/test_null_hostile.py.
 """
 
 from __future__ import annotations
@@ -32,37 +35,45 @@ from http_log_anonymizer_spark.session import get_spark
 from oracle import compare
 
 SRC = "/root/testdata/sf0.001"
-TMP = "/tmp/hostile_ties"
+TMP = "/tmp/hostile_nulls"
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
 
 
 def build_corpus() -> None:
+    """Co-prime moduli so every combination of present/NULL columns
+    occurs, including all-NULL rows; keys stay non-null."""
     shutil.rmtree(TMP, ignore_errors=True)
     os.makedirs(TMP)
     con = duckdb.connect()
     con.execute(
         f"""COPY (
-  SELECT * FROM '{SRC}/documents.parquet'
-  UNION ALL
-  SELECT doc_id + 100000, text, lang, source, n_chars
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN NULL ELSE text END AS text,
+         CASE WHEN doc_id % 11 = 0 THEN NULL ELSE lang END AS lang,
+         CASE WHEN doc_id % 13 = 0 THEN NULL ELSE source END AS source,
+         CASE WHEN doc_id % 7 = 0 THEN NULL ELSE n_chars END AS n_chars
   FROM '{SRC}/documents.parquet'
 ) TO '{TMP}/documents.parquet' (FORMAT PARQUET)"""
     )
     con.execute(
         f"""COPY (
-  SELECT * FROM '{SRC}/events.parquet'
-  UNION ALL
-  SELECT event_id + 1000000, ts, user_id, event_type, value, props
+  SELECT event_id,
+         CASE WHEN event_id % 17 = 0 THEN NULL ELSE ts END AS ts,
+         user_id,
+         CASE WHEN event_id % 7 = 0 THEN NULL ELSE event_type END AS event_type,
+         CASE WHEN event_id % 11 = 0 THEN NULL ELSE value END AS value,
+         CASE WHEN event_id % 13 = 0 THEN NULL ELSE props END AS props
   FROM '{SRC}/events.parquet'
 ) TO '{TMP}/events.parquet' (FORMAT PARQUET)"""
     )
     con.execute(
         f"""COPY (
-  SELECT * FROM '{SRC}/embeddings.parquet'
-  UNION ALL
-  SELECT vec_id + 100000, embedding, label FROM '{SRC}/embeddings.parquet'
+  SELECT vec_id,
+         CASE WHEN vec_id % 11 = 0 THEN NULL ELSE embedding END AS embedding,
+         CASE WHEN vec_id % 7 = 0 THEN NULL ELSE label END AS label
+  FROM '{SRC}/embeddings.parquet'
 ) TO '{TMP}/embeddings.parquet' (FORMAT PARQUET)"""
     )
     for t in TABLES:
@@ -76,7 +87,7 @@ def build_corpus() -> None:
 
 def main() -> None:
     build_corpus()
-    spark = get_spark(app_name="hostile-ties-audit", shuffle_partitions=8)
+    spark = get_spark(app_name="hostile-nulls-audit", shuffle_partitions=8)
     fails, errs = [], []
     for i, (name, q) in enumerate(REGISTRY.items()):
         if q.oracle is None:
@@ -103,6 +114,9 @@ def main() -> None:
         if (i + 1) % 25 == 0:
             print(f"... {i + 1}/{len(REGISTRY)}", flush=True)
     print(f"DONE fails: {len(fails)} errs: {len(errs)}")
+    for kind, items in (("FAIL", fails), ("ERR", errs)):
+        for name, msg in items:
+            print(kind, name, "::", msg)
     raise SystemExit(1 if fails or errs else 0)
 
 

@@ -72,7 +72,7 @@ UNIT_CTE_SQL = """
 _n AS (
   SELECT *, sqrt(list_sum(list_transform(embedding,
       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-  FROM embeddings
+  FROM embeddings WHERE embedding IS NOT NULL
 ),
 unit AS (
   SELECT * EXCLUDE (nrm),

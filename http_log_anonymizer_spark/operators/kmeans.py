@@ -395,7 +395,7 @@ def kmeans_lloyd_sql(
   SELECT vec_id,
          list_transform({vec},
            x -> CAST(floor(CAST(x AS DOUBLE) * {qscale}) AS BIGINT)) AS qv
-  FROM {src}
+  FROM {src} WHERE {vec} IS NOT NULL
 )"""
     ]
     if train_where:

@@ -107,7 +107,7 @@ def pca_power_sql() -> str:
         f"""pqg AS MATERIALIZED (
   SELECT list_transform(embedding,
            x -> CAST(floor(CAST(x AS DOUBLE) * {QSCALE}) AS BIGINT)) AS q
-  FROM embeddings
+  FROM embeddings WHERE embedding IS NOT NULL
 ),
 pn AS (SELECT count(*) AS n FROM pqg),
 ps AS MATERIALIZED (

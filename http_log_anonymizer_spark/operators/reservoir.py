@@ -44,11 +44,22 @@ def partial_topk_prune(
     streaming state merge."""
 
     def prune(batches):
+        # The prune must keep a SUPERSET of what the exact Spark window
+        # finisher ranks, under Spark's semantics: (a) a NULL group key
+        # is a real group (pandas groupby silently DROPS NaN keys by
+        # default — the planted-NULL audit lost a whole stratum to
+        # that), and (b) ascending ORDER BY ranks NULLS FIRST in Spark,
+        # so NaN sort keys must go first or the prune cuts exactly the
+        # rows the finisher would rank on top.
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            s = pdf.sort_values(sort_cols, kind="mergesort")
-            yield s.groupby(group_cols, sort=False).head(k) if group_cols else s.head(k)
+            s = pdf.sort_values(sort_cols, kind="mergesort", na_position="first")
+            yield (
+                s.groupby(group_cols, sort=False, dropna=False).head(k)
+                if group_cols
+                else s.head(k)
+            )
 
     return df.mapInPandas(prune, df.schema)
 

@@ -1662,48 +1662,86 @@ def latency_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact `percentile` must shuffle and sort every value. Sketch values
     are engine-specific, so the oracle-checkable output carries the
     exact interpolated percentiles plus per-quantile `*_in_bound`
-    booleans — Spark-side deterministic checks that the GK estimate
-    lands between the exact percentiles at q +/- 2*eps (the sketch's
-    rank guarantee); the oracle verifies the exact columns and asserts
-    the bounds literally (VERDICT r02 item 3). Accuracy is additionally
-    asserted in tests/test_operators.py."""
+    booleans; the oracle verifies the exact columns and asserts the
+    bounds literally (VERDICT r02 item 3).
+
+    The bound checks assert GK's ACTUAL contract — the estimate's rank
+    interval [#(v < a), #(v <= a)] overlaps q*n +/- (eps*n + 1) — not a
+    value interval from interpolated percentiles at q +/- 2eps, which
+    the rank guarantee does NOT imply once cohorts are small (found by
+    the planted-NULL audit: its NULL-event_type cohort was the suite's
+    first ~130-row group, where the old value-interval check failed on
+    a correct sketch). Ranks count non-NULL values only, matching what
+    both engines' percentile functions aggregate. Costs one extra scan
+    joined against the |groups|-row broadcast of estimates; accuracy is
+    additionally asserted in tests/test_operators.py."""
     e = _t(spark, sf_dir, "events")
-    pct = F.expr("approx_percentile(value, array(0.5, 0.95, 0.99), 200)")
-
-    def bound(q: float) -> tuple:
-        lo, hi = max(q - 0.01, 0.0), min(q + 0.01, 1.0)
-        return (
-            F.expr(f"percentile(value, {q})"),
-            F.expr(f"percentile(value, {lo})"),
-            F.expr(f"percentile(value, {hi})"),
-        )
-
-    exprs = {q: bound(q) for q in (0.5, 0.95, 0.99)}
-    agg = e.groupBy("event_type").agg(
+    acc = 200
+    eps = 1.0 / acc
+    pct = F.expr(f"approx_percentile(value, array(0.5, 0.95, 0.99), {acc})")
+    est = e.groupBy("event_type").agg(
         F.count("*").alias("n"),
+        F.sum(F.col("value").isNotNull().cast("long")).alias("_nn"),
         pct[0].alias("_a50"),
         pct[1].alias("_a95"),
         pct[2].alias("_a99"),
-        *[
-            x.alias(f"_{kind}{tag}")
-            for q, tag in ((0.5, "50"), (0.95, "95"), (0.99, "99"))
-            for x, kind in zip(exprs[q], ("p", "lo", "hi"))
-        ],
+        F.expr("percentile(value, 0.5)").alias("_p50"),
+        F.expr("percentile(value, 0.95)").alias("_p95"),
+        F.expr("percentile(value, 0.99)").alias("_p99"),
     )
-    in_bound = lambda tag: (  # noqa: E731
-        (F.col(f"_a{tag}") >= F.col(f"_lo{tag}") - 1e-9)
-        & (F.col(f"_a{tag}") <= F.col(f"_hi{tag}") + 1e-9)
-    ).alias(f"p{tag}_in_bound")
-    return agg.select(
-        "event_type",
-        "n",
-        F.round("_p50", 4).alias("p50"),
-        F.round("_p95", 4).alias("p95"),
-        F.round("_p99", 4).alias("p99"),
-        in_bound("50"),
-        in_bound("95"),
-        in_bound("99"),
-    ).orderBy("event_type")
+    # the cohort join must be NULL-SAFE: event_type is a grouping key,
+    # and a NULL cohort is a real group in both engines — a plain
+    # equi-join would silently drop it (the planted-NULL audit)
+    est_keys = est.select(
+        F.col("event_type").alias("_et"), "_a50", "_a95", "_a99"
+    )
+    ranks = (
+        e.join(F.broadcast(est_keys), F.col("event_type").eqNullSafe(F.col("_et")))
+        .drop("_et")
+        .groupBy("event_type")
+        .agg(
+            *[
+                x
+                for tag in ("50", "95", "99")
+                for x in (
+                    F.coalesce(
+                        F.sum((F.col("value") < F.col(f"_a{tag}")).cast("long")),
+                        F.lit(0),
+                    ).alias(f"_lt{tag}"),
+                    F.coalesce(
+                        F.sum((F.col("value") <= F.col(f"_a{tag}")).cast("long")),
+                        F.lit(0),
+                    ).alias(f"_le{tag}"),
+                )
+            ]
+        )
+    )
+
+    def in_bound(tag: str, q: float):
+        target = F.lit(q) * F.col("_nn")
+        slack = F.lit(eps) * F.col("_nn") + F.lit(1.0)
+        ok = (F.col(f"_lt{tag}") <= target + slack) & (
+            F.col(f"_le{tag}") >= target - slack
+        )
+        return F.when(F.col("_nn") == 0, F.lit(True)).otherwise(ok).alias(
+            f"p{tag}_in_bound"
+        )
+
+    ranks = ranks.withColumnRenamed("event_type", "_et2")
+    return (
+        est.join(ranks, F.col("event_type").eqNullSafe(F.col("_et2")))
+        .select(
+            "event_type",
+            "n",
+            F.round("_p50", 4).alias("p50"),
+            F.round("_p95", 4).alias("p95"),
+            F.round("_p99", 4).alias("p99"),
+            in_bound("50", 0.5),
+            in_bound("95", 0.95),
+            in_bound("99", 0.99),
+        )
+        .orderBy("event_type")
+    )
 
 
 def _hilbert_oracle() -> str:
@@ -2078,7 +2116,7 @@ WITH ranked AS (
          percent_rank() OVER (
            PARTITION BY event_type ORDER BY value, event_id
          ) AS pr
-  FROM events
+  FROM events WHERE value IS NOT NULL
 )
 SELECT event_type,
        count(*) AS n_kept,
@@ -2099,7 +2137,11 @@ def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows; only the already-trimmed subset's mean is rounded. At scale
     the window sorts within each group's partition — same shuffle as
     the subsequent aggregation, reused."""
-    e = _t(spark, sf_dir, "events")
+    # a missing measurement cannot be ranked: NULL value would sit at
+    # opposite ends of the trim window in the two engines (Spark NULLS
+    # FIRST vs DuckDB NULLS LAST), shifting the percentile cut — the
+    # planted-NULL audit's divergence. Excluded identically both sides.
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     w = Window.partitionBy("event_type").orderBy("value", "event_id")
     ranked = e.select("event_type", "value", F.percent_rank().over(w).alias("pr"))
     return (
@@ -2324,7 +2366,7 @@ WITH d AS (
   SELECT CAST(ts AS DATE) AS day,
          CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
          CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS buys
-  FROM events GROUP BY 1
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
 ),
 s AS (
   SELECT day, clicks, buys,
@@ -2355,7 +2397,12 @@ def rolling_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     final doubles match to the last bit. Zero-variance windows yield
     NULL in both engines. One scan, one tiny daily series, one window
     pass."""
-    e = _t(spark, sf_dir, "events")
+    # undated events have no place in a daily series, and a NULL day
+    # group would sit at opposite ends of the rolling ORDER BY in the
+    # two engines (Spark NULLS FIRST vs DuckDB NULLS LAST), shifting
+    # every 7-row frame — excluded identically in both engines (the
+    # planted-NULL audit's divergence).
+    e = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     d = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
         F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("clicks"),
         F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("buys"),
@@ -4978,7 +5025,7 @@ def _psi_oracle() -> str:
 WITH v AS (
   SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c,
          CASE WHEN extract(day FROM ts) < {_PSI_SPLIT_DAY} THEN 1 ELSE 0 END AS is_ref
-  FROM events
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
 ),
 mm AS (SELECT min(c) AS lo, max(c) AS hi FROM v),
 b0 AS (
@@ -5052,10 +5099,21 @@ def psi_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     {_PSI_BUCKETS}-term double sum rounds at 4 (the entropy
     precedent)."""
     b = _PSI_BUCKETS
-    v = _t(spark, sf_dir, "events").select(
-        "event_type",
-        F.round(F.col("value") * 100).cast("long").alias("c"),
-        F.when(F.dayofmonth("ts") < _PSI_SPLIT_DAY, 1).otherwise(0).alias("is_ref"),
+    # a NULL measurement has no place on the value grid and an undated
+    # row has no ref/current window (Spark's otherwise(0) would silently
+    # file it as CURRENT); NULL support points would also sort at
+    # opposite ends of the two engines' windows (Spark NULLS FIRST vs
+    # DuckDB NULLS LAST) — excluded identically in both engines (the
+    # planted-NULL audit; the streaming twins drop the same rows at
+    # ingest).
+    v = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("c"),
+            F.when(F.dayofmonth("ts") < _PSI_SPLIT_DAY, 1).otherwise(0).alias("is_ref"),
+        )
     )
     mm = v.agg(F.min("c").alias("lo"), F.max("c").alias("hi"))
     b0 = (
@@ -5136,7 +5194,7 @@ WITH v AS (
   SELECT event_type,
          CAST(round(value * 100) AS BIGINT) AS c,
          CASE WHEN date_part('day', ts) < {_PSI_SPLIT_DAY} THEN 1 ELSE 0 END AS is_ref
-  FROM events
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
 ),
 t0 AS (
   SELECT event_type AS cohort, c,
@@ -5227,10 +5285,21 @@ def ks_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate is cohort-bounded. Nothing is row-proportional past the
     first aggregate. The cross-multiplied gaps stay exact through
     decimal(38,0)/HUGEINT up to n_ref*n_cur ~ 1e38 — beyond any corpus."""
-    v = _t(spark, sf_dir, "events").select(
-        "event_type",
-        F.round(F.col("value") * 100).cast("long").alias("c"),
-        F.when(F.dayofmonth("ts") < _PSI_SPLIT_DAY, 1).otherwise(0).alias("is_ref"),
+    # a NULL measurement has no place on the value grid and an undated
+    # row has no ref/current window (Spark's otherwise(0) would silently
+    # file it as CURRENT); NULL support points would also sort at
+    # opposite ends of the two engines' windows (Spark NULLS FIRST vs
+    # DuckDB NULLS LAST) — excluded identically in both engines (the
+    # planted-NULL audit; the streaming twins drop the same rows at
+    # ingest).
+    v = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("c"),
+            F.when(F.dayofmonth("ts") < _PSI_SPLIT_DAY, 1).otherwise(0).alias("is_ref"),
+        )
     )
     # the type table is grid-bounded (cohorts x distinct cent values);
     # materialize it so the union's two branches (per-cohort + pooled

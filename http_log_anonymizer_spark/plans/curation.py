@@ -1745,7 +1745,7 @@ def _kc_oracle(k: int = _KC_K, qscale: int = _KC_QSCALE) -> str:
   SELECT vec_id,
          list_transform(embedding,
            x -> CAST(floor(CAST(x AS DOUBLE) * {qscale}) AS BIGINT)) AS qv
-  FROM embeddings
+  FROM embeddings WHERE embedding IS NOT NULL
 )""",
         """set1 AS MATERIALIZED (
   SELECT vec_id, qv FROM kcq

@@ -129,9 +129,23 @@ def hashed_shingle_transform(d: DataFrame) -> DataFrame:
     """(doc_id, text, ...) -> (doc_id, sh): the tokenize+hash projection
     of :func:`_hashed_shingle_arrays`, reusable over any document-shaped
     DataFrame (batch tables, micro-batches — streaming/neardup.py)."""
-    return d.select("doc_id", tokens_ws("text").alias("toks")).select(
-        "doc_id",
-        F.array_distinct(F.transform(shingles("toks"), lambda s: hash64(s))).alias("sh"),
+    return (
+        d.select("doc_id", tokens_ws("text").alias("toks"))
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.transform(shingles("toks"), lambda s: hash64(s))
+            ).alias("sh"),
+        )
+        # Docs with no shingles (NULL/empty/too-short text) carry no
+        # content to match and never enter the ORACLE either (its
+        # unnest emits no edge rows). Keeping them here is worse than
+        # asymmetric: their empty arrays fold to identical init-value
+        # MinHash signatures, so every contentless doc bands with every
+        # other and exact-Jaccard verification divides 0/0 (found by
+        # examples/hostile_nulls_audit.py; pinned in
+        # tests/test_null_hostile.py).
+        .filter(F.size("sh") > 0)
     )
 
 

@@ -326,7 +326,7 @@ WITH {HTTP_LOG_SQL},
 m AS (
   SELECT date_trunc('hour', timestamp) AS hour, count(*) AS n,
          CAST(sum(CASE WHEN response_status >= 500 THEN 1 ELSE 0 END) AS BIGINT) AS errs
-  FROM http_log GROUP BY 1
+  FROM http_log WHERE timestamp IS NOT NULL GROUP BY 1
 ),
 r AS (
   SELECT hour, n, errs, round(errs * 1.0 / n, 4) AS err_rate,
@@ -348,7 +348,11 @@ def http_error_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines gate identical hours. One scan, one tiny per-hour
     series, one window — the shape of every streaming alert evaluated
     in batch."""
-    log = http_log_view(spark, sf_dir)
+    # undated rows have no hour, and a NULL hour group would sit at
+    # opposite ends of the lag chain in the two engines (Spark NULLS
+    # FIRST vs DuckDB NULLS LAST) — excluded identically (the
+    # planted-NULL audit's divergence).
+    log = http_log_view(spark, sf_dir).filter(F.col("timestamp").isNotNull())
     from pyspark.sql import Window
 
     m = log.groupBy(F.date_trunc("hour", "timestamp").alias("hour")).agg(

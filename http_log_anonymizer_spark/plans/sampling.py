@@ -134,7 +134,7 @@ WITH keyed AS (
   SELECT doc_id, lang, n_chars,
          round(-ln(({hash64_sql("CAST(doc_id AS VARCHAR)", "wres")} + 1) / {_U_DENOM:.1f})
                / n_chars, 9) AS pri
-  FROM documents
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
 ),
 ranked AS (
   SELECT doc_id, lang, n_chars,
@@ -157,7 +157,13 @@ def weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     only float in the pipeline; u and w are exact)."""
     from http_log_anonymizer_spark.operators.reservoir import reservoir_per_group
 
-    d = load_table(spark, sf_dir, "documents").select(
+    # A-ES is defined over strictly positive weights: a NULL or zero
+    # weight has no exponential race time (and a NULL priority would
+    # rank NULLS-FIRST in Spark vs NULLS-LAST in DuckDB — the planted-
+    # NULL audit's divergence). Excluded identically in both engines.
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull() & (F.col("n_chars") > 0)
+    ).select(
         "doc_id",
         "lang",
         "n_chars",

@@ -94,7 +94,7 @@ SELECT
   round(avg(list_sum(list_transform(embedding[1:8],
         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS avg_sumsq8,
   count(*) AS n
-FROM embeddings
+FROM embeddings WHERE embedding IS NOT NULL
 GROUP BY label
 ORDER BY label
 """,

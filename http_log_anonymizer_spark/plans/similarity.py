@@ -502,7 +502,7 @@ WITH comp AS (
   SELECT label, vec_id,
          generate_subscripts(embedding, 1) AS pos,
          unnest(embedding) AS v
-  FROM embeddings
+  FROM embeddings WHERE embedding IS NOT NULL
 ),
 -- integer-quantized centroid: exact integer sums -> deterministic
 cent AS (
@@ -574,7 +574,7 @@ comp AS (
   SELECT label,
          generate_subscripts(embedding, 1) AS pos,
          unnest(embedding) AS v
-  FROM embeddings
+  FROM embeddings WHERE embedding IS NOT NULL
 ),
 cent AS (
   SELECT label, pos,
@@ -737,7 +737,7 @@ _QUANT_CTE = f"""
 q8 AS (
   SELECT vec_id, label,
          list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {_QSCALE}) AS BIGINT)) AS qv
-  FROM embeddings
+  FROM embeddings WHERE embedding IS NOT NULL
 )
 """
 
@@ -852,7 +852,7 @@ WITH {_CENT_CTE},
 {_QUANT_CTE},
 q AS (
   SELECT vec_id AS query_id, embedding AS qemb
-  FROM embeddings WHERE vec_id % 100 = 0
+  FROM embeddings WHERE embedding IS NOT NULL AND vec_id % 100 = 0
 ),
 qd AS (
   SELECT q.query_id, cv.label,
@@ -1345,7 +1345,7 @@ def _opq_rot_cte() -> str:
            list_transform(generate_series(1, {_DIM}), i ->
              CAST(floor(CAST(embedding[i] AS DOUBLE) * {_OPQ_QS}) AS BIGINT)
              * ({sgn})[i]) AS sx
-    FROM embeddings
+    FROM embeddings WHERE embedding IS NOT NULL
   )
 ),
 """
@@ -1404,7 +1404,7 @@ codes AS MATERIALIZED (
 ),
 q AS (
   SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qemb
-  FROM {src} WHERE vec_id % 100 = 0
+  FROM {src} WHERE embedding IS NOT NULL AND vec_id % 100 = 0
 ),
 kqd AS (
   SELECT q.query_id, q.qemb, c.cluster AS label,
@@ -1660,6 +1660,7 @@ r AS (
          list_transform(generate_series(1, {_DIM}),
            i -> CAST(e.embedding[i] AS DOUBLE) - cv.cvec[i]) AS res
   FROM embeddings e JOIN cv ON cv.label = e.label
+  WHERE e.embedding IS NOT NULL
 ),
 err AS (
   SELECT label,
@@ -1762,7 +1763,15 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     never shuffles and the oracle hash-matches bit-for-bit."""
     from http_log_anonymizer_spark.operators.topk import brute_topk
 
-    u = _unit_table(spark, sf_dir, extra=["label"], cache=False)
+    # an UNLABELED vector cannot be certified as a negative (and a
+    # query without a label has no class to contrast against) — the
+    # oracle's c.label <> q.qlabel excludes NULLs by three-valued
+    # logic, while numpy's != treats NaN as "different"; exclude
+    # unlabeled rows explicitly so both engines mine the same set
+    # (the planted-NULL audit's divergence)
+    u = _unit_table(spark, sf_dir, extra=["label"], cache=False).filter(
+        F.col("label").isNotNull()
+    )
     q = u.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("ue").alias("qe"),
@@ -2603,7 +2612,7 @@ _MRL_DIMS = (16, 32)
 
 def _mrl_trunc_ctes(dp: int, src: str = "embeddings") -> str:
     return f"""t{dp} AS (
-  SELECT vec_id, embedding[1:{dp}] AS te FROM {src}
+  SELECT vec_id, embedding[1:{dp}] AS te FROM {src} WHERE embedding IS NOT NULL
 ),
 _tn{dp} AS (
   SELECT vec_id, te,
@@ -3042,7 +3051,7 @@ WITH x AS (
   -- diverge (measured: 53/64 dims off on the anisotropic corpus)
   SELECT generate_subscripts(embedding, 1) - 1 AS dim,
          CAST(round(CAST(unnest(embedding) AS DOUBLE) * {_SPEC_GRID}) AS BIGINT) AS v
-  FROM embeddings
+  FROM embeddings WHERE embedding IS NOT NULL
 ),
 st AS (
   SELECT dim,

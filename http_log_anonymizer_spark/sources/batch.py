@@ -138,6 +138,16 @@ def load_table(
     for c, dtype in df.dtypes:
         if dtype == "timestamp_ntz":
             df = df.withColumn(c, F.col(c).cast("timestamp"))
+    # Vector-table contract: a row with a NULL embedding carries no
+    # payload any vector operator can use (distances, signatures,
+    # centroids are all undefined over it), so it is dropped AT SCAN —
+    # the T3 invalid-record-drop discipline applied to the batch side.
+    # Without this, NULL vectors crash the numpy kernels (len(None))
+    # and fold into degenerate LSH/ADC codes (examples/
+    # hostile_nulls_audit.py). Every registered oracle scanning
+    # `embeddings` carries the matching WHERE embedding IS NOT NULL.
+    if name == "embeddings" and "embedding" in df.columns:
+        df = df.filter(F.col("embedding").isNotNull())
     if spread:
         size = _table_bytes(sf_dir, name) if bytes_per_task else None
         df = _spread(spark, df, size, bytes_per_task or 256 * 1024)

@@ -53,8 +53,10 @@ class StreamingKSSink(EpochStateSink):
         )
 
     def _quantize(self, df: DataFrame) -> DataFrame:
-        """(cohort, c): the batch query's cent quantization."""
-        return df.select(
+        """(cohort, c): the batch query's cent quantization. NULL
+        measurements are dropped, matching the batch report's explicit
+        exclusion (a NULL has no place on the ECDF grid)."""
+        return df.filter(F.col(self.value_col).isNotNull()).select(
             F.col(self.cohort_col).alias("cohort"),
             F.round(F.col(self.value_col) * 100).cast("long").alias("c"),
         )

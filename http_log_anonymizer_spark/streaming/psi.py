@@ -86,9 +86,11 @@ class StreamingPSISink(EpochStateSink):
         a fixed-calibration monitor can see, and an unclamped index
         would drop exactly those rows at the psi() grid join (ADVICE
         r07). When fed corpus-derived edges (the batch-parity tests)
-        the clamp is a no-op, so batch/stream equality is unaffected."""
+        the clamp is a no-op, so batch/stream equality is unaffected.
+        NULL measurements are dropped, matching the batch report's
+        explicit exclusion (a NULL has no bucket)."""
         b, lo, hi = self.buckets, self.lo, self.hi
-        return df.select(
+        return df.filter(F.col(self.value_col).isNotNull()).select(
             F.col(self.cohort_col).alias("cohort"),
             F.round(F.col(self.value_col) * 100).cast("long").alias("c"),
         ).select(
