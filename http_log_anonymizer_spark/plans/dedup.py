@@ -1656,8 +1656,15 @@ def _sa_build(spark: SparkSession, sf_dir: str):
         suffix_order,
     )
 
-    t = load_table(spark, sf_dir, "documents").select(
-        "doc_id", tokens_ws("text").alias("toks")
+    # a doc without text has no suffixes, and a NULL token count
+    # poisons every LATER document's global offset through the
+    # running-sum window (the planted-NULL audit: the oracle's
+    # corrupted offsets blew its doubling joins into a 78 GB temp
+    # spill on a 50-doc corpus) — excluded identically in both engines
+    t = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", tokens_ws("text").alias("toks"))
     )
     t2 = t.select(
         "doc_id",
@@ -1704,7 +1711,7 @@ _SA_CORPUS_SQL = """tk AS (
   SELECT doc_id,
          list_append(string_split(text, ' '), chr(0) || CAST(doc_id AS VARCHAR)) AS toks,
          len(string_split(text, ' ')) AS n
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 ),
 offs AS (
   SELECT doc_id, toks, n,
