@@ -294,7 +294,7 @@ WITH deltas AS (
               > INTERVAL 30 MINUTE
          OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
          THEN 1 ELSE 0 END AS new_session
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 ),
 sessions AS (
   SELECT user_id, ts,
@@ -315,7 +315,11 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     running sum of boundaries). The batch analog of the streaming
     session-window operator in streaming/; one shuffle on user_id
     shared by both window steps."""
-    e = _t(spark, sf_dir, "events")
+    # undated events cannot be time-ordered, and NULL ts sits at
+    # opposite ends of the two engines' ordered windows (Spark NULLS
+    # FIRST vs DuckDB NULLS LAST) — excluded identically in both
+    # engines (the planted-NULL audit's divergence).
+    e = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
     deltas = e.select(
@@ -500,7 +504,7 @@ WITH marks AS (
               > INTERVAL 30 MINUTE
          OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
          THEN 1 ELSE 0 END AS new_session
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 ),
 numbered AS (
   SELECT user_id, ts, value,
@@ -526,7 +530,11 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     session-window aggregation. The oracle reproduces the same sessions
     with lag + running-sum SQL — proving the two formulations agree.
     Spark's session end == last event + gap by definition."""
-    e = load_table(spark, sf_dir, "events")
+    # undated events cannot be time-ordered, and NULL ts sits at
+    # opposite ends of the two engines' ordered windows (Spark NULLS
+    # FIRST vs DuckDB NULLS LAST) — excluded identically in both
+    # engines (the planted-NULL audit's divergence).
+    e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     return (
         e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
         .agg(
@@ -621,10 +629,12 @@ def distinct_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
     oracle="""
 WITH err AS (
-  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+  SELECT event_id, user_id, ts FROM events
+  WHERE event_type = 'error' AND ts IS NOT NULL
 ),
 pur AS (
-  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+  SELECT user_id, ts, value FROM events
+  WHERE event_type = 'purchase' AND ts IS NOT NULL
 )
 SELECT
   err.event_id,
@@ -645,7 +655,11 @@ def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     agreement proves the operator's point-in-time semantics."""
     from http_log_anonymizer_spark.operators import asof_join
 
-    e = _t(spark, sf_dir, "events")
+    # undated events cannot be time-ordered, and NULL ts sits at
+    # opposite ends of the two engines' ordered windows (Spark NULLS
+    # FIRST vs DuckDB NULLS LAST) — excluded identically in both
+    # engines (the planted-NULL audit's divergence).
+    e = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     err = e.filter(F.col("event_type") == "error").select(
         "event_id", "user_id", F.col("ts").alias("error_ts")
     )
@@ -2069,7 +2083,7 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH seq AS (
   SELECT user_id, event_type,
          lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 ),
 counts AS (
   SELECT prev, event_type AS next, count(*) AS n
@@ -2091,7 +2105,11 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     the groupBy partitioning. Sequence order is total (ts, event_id) so
     both engines see identical bigrams; n/sum(n) is an exact integer
     ratio rounded once."""
-    e = _t(spark, sf_dir, "events")
+    # undated events cannot be time-ordered, and NULL ts sits at
+    # opposite ends of the two engines' ordered windows (Spark NULLS
+    # FIRST vs DuckDB NULLS LAST) — excluded identically in both
+    # engines (the planted-NULL audit's divergence).
+    e = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = e.select("user_id", "event_type", F.lag("event_type").over(w).alias("prev"))
     counts = (
@@ -4610,7 +4628,8 @@ FROM (
                        extract(hour FROM ts) AS hour_of_day,
                        dayofweek(ts) + 1 AS day_of_week,
                        extract(day FROM ts) AS day_of_month
-                FROM events))
+                FROM events
+                WHERE event_type IS NOT NULL AND ts IS NOT NULL))
     GROUP BY a, b
   ),
   -- complete the contingency table: ZERO cells contribute E to chi^2
@@ -4654,7 +4673,14 @@ def chi_square_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     that bounded table, and the marginal windows partition over <= 288
     cells. Map-side combine does the heavy lifting; nothing after the
     first aggregate touches corpus-sized data."""
-    e = _t(spark, sf_dir, "events").select(
+    # complete-case contingency analysis: a NULL category matches
+    # nothing in the null-unsafe grid-completion join, leaving zero
+    # marginals that divide by zero in Spark and silently vanish in
+    # DuckDB — rows missing either attribute are excluded identically
+    # in both engines (the planted-NULL audit's crash).
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull() & F.col("ts").isNotNull()
+    ).select(
         F.col("event_type"),
         F.hour("ts").cast("long").alias("hour_of_day"),
         F.dayofweek("ts").cast("long").alias("day_of_week"),

@@ -1237,7 +1237,8 @@ _QN_TOP = 0.8  # select the per-source top 20%
 @register(
     "quality_quantile_normalize",
     oracle=f"""
-WITH t AS (SELECT source, string_split(text, ' ') AS toks FROM documents),
+WITH t AS (SELECT source, string_split(text, ' ') AS toks FROM documents
+          WHERE text IS NOT NULL),
 f AS (SELECT source, {_FEATURES_SQL} FROM t),
 s AS (SELECT source, {_SCORE_SQL} AS score FROM f),
 b AS (
@@ -1263,9 +1264,18 @@ SELECT source,
              / sum(cnt), 4) AS sel_rate,
        round(min(CASE WHEN pct >= {_QN_TOP} THEN q END) / {_QN_GRID}.0, 4)
          AS raw_threshold,
-       round(sum(CASE WHEN pct >= {_QN_TOP} THEN q * cnt ELSE 0 END)
-             / {_QN_GRID}.0
-             / sum(CASE WHEN pct >= {_QN_TOP} THEN cnt ELSE 0 END), 4)
+       -- round(a/(G*n), 4) computed HALF-UP in EXACT integer
+       -- arithmetic: the quotient can land exactly on a 4th-decimal
+       -- half (the grid divides 10^4), where Spark's BigDecimal
+       -- HALF_UP and DuckDB's binary-double round disagree by 1e-4
+       -- (the planted-NULL audit's last diff)
+       CAST((sum(CAST(CASE WHEN pct >= {_QN_TOP} THEN q * cnt ELSE 0 END
+                 AS HUGEINT)) * 20000
+             + CAST({_QN_GRID} AS HUGEINT)
+               * sum(CASE WHEN pct >= {_QN_TOP} THEN cnt ELSE 0 END))
+            // (CAST(2 * {_QN_GRID} AS HUGEINT)
+                * sum(CASE WHEN pct >= {_QN_TOP} THEN cnt ELSE 0 END))
+            AS DOUBLE) / 10000.0
          AS mean_selected_score
 FROM p GROUP BY source ORDER BY source
 """,
@@ -1293,7 +1303,14 @@ def quality_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the 20-row (source, raw_threshold) table — a broadcast."""
     # spread: the tokenize+feature map stage hits the single-file
     # parallelism floor on replica series (the line_dedup finding)
-    d = load_table(spark, sf_dir, "documents", spread=True, bytes_per_task=256 * 1024)
+    # a doc without text has no features to score: the NULL score
+    # bucket would sit at opposite ends of the CDF window in the two
+    # engines (Spark NULLS FIRST vs DuckDB NULLS LAST) — excluded
+    # identically in both engines (the planted-NULL audit's
+    # divergence).
+    d = load_table(
+        spark, sf_dir, "documents", spread=True, bytes_per_task=256 * 1024
+    ).filter(F.col("text").isNotNull())
     t = d.select("source", tokens_ws("text").alias("toks"))
     feats = _quality_features(F.col("toks"))
     scored = t.select("source", _quality_score(feats).alias("score"))
@@ -1330,11 +1347,16 @@ def quality_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.min(F.when(sel, F.col("q"))) / float(_QN_GRID), 4
             ).alias("raw_threshold"),
-            F.round(
-                F.sum(F.when(sel, F.col("q") * F.col("cnt")).otherwise(0))
-                / float(_QN_GRID)
-                / sel_cnt,
-                4,
+            (
+                F.expr(
+                    f"CAST((CAST(sum(CASE WHEN pct >= {_QN_TOP} THEN q * cnt "
+                    f"ELSE 0 END) AS DECIMAL(38,0)) * 20000 "
+                    f"+ CAST({_QN_GRID} AS DECIMAL(38,0)) "
+                    f"* sum(CASE WHEN pct >= {_QN_TOP} THEN cnt ELSE 0 END)) "
+                    f"DIV (CAST(2 * {_QN_GRID} AS DECIMAL(38,0)) "
+                    f"* sum(CASE WHEN pct >= {_QN_TOP} THEN cnt ELSE 0 END)) "
+                    f"AS DOUBLE) / 10000.0"
+                )
             ).alias("mean_selected_score"),
         )
         .orderBy("source")
@@ -1440,7 +1462,8 @@ _AUC_GRID = 10_000  # score quantization grid shared with the calibration op
 
 def _auc_oracle() -> str:
     return f"""
-WITH t AS (SELECT source, string_split(text, ' ') AS toks FROM documents),
+WITH t AS (SELECT source, string_split(text, ' ') AS toks FROM documents
+          WHERE text IS NOT NULL),
 lab AS (
   SELECT source, toks,
          CASE WHEN len(list_filter(toks, t -> t IN ({_BLOCK_SQL}))) = 0
@@ -1530,7 +1553,14 @@ def classifier_auc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-cohort global sort this repo forbids), one ~21-row final
     aggregate. The ALL cohort re-aggregates the same bounded bucket
     table, not the doc stream."""
-    d = load_table(spark, sf_dir, "documents", spread=True, bytes_per_task=256 * 1024)
+    # a doc without text has no features to score: the NULL score
+    # bucket would sit at opposite ends of the CDF window in the two
+    # engines (Spark NULLS FIRST vs DuckDB NULLS LAST) — excluded
+    # identically in both engines (the planted-NULL audit's
+    # divergence).
+    d = load_table(
+        spark, sf_dir, "documents", spread=True, bytes_per_task=256 * 1024
+    ).filter(F.col("text").isNotNull())
     t = d.select("source", tokens_ws("text").alias("toks"))
     label = F.when(
         F.size(F.filter(F.col("toks"), lambda tk: tk.isin(*_BLOCKLIST))) == 0, 1

@@ -66,6 +66,7 @@ def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH m AS (
   SELECT doc_id, source, octet_length(encode(text)) AS n_bytes FROM documents
+  WHERE text IS NOT NULL
 ),
 decoded AS (
   SELECT
@@ -93,7 +94,10 @@ def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode itself is the deterministic stub (no media libs in the
     container — see functions/multimodal.py); schema, batching and
     partition parallelism are the real thing being exercised."""
-    d = load_table(spark, sf_dir, "documents")
+    # a NULL payload (no text to encode) is the T3 invalid-record
+    # class: the Python decode kernel cannot batch None bytes — dropped
+    # identically in both engines (the planted-NULL audit's crash).
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     m = d.select("doc_id", "source", F.encode("text", "utf-8").alias("data"))
     decoded = decode_media_meta(m)
     return (
@@ -116,6 +120,7 @@ def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 -- char indexing over the text equals byte indexing over the blob
 WITH m AS (
   SELECT doc_id, text AS data, octet_length(encode(text)) AS n FROM documents
+  WHERE text IS NOT NULL
 ),
 idx AS (
   SELECT doc_id, data, n,
@@ -149,7 +154,10 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampled frame boundary and checksum."""
     from http_log_anonymizer_spark.functions.multimodal import sample_frames
 
-    d = load_table(spark, sf_dir, "documents")
+    # a NULL payload (no text to encode) is the T3 invalid-record
+    # class: the Python decode kernel cannot batch None bytes — dropped
+    # identically in both engines (the planted-NULL audit's crash).
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     m = d.select("doc_id", F.encode("text", "utf-8").alias("data"))
     frames = sample_frames(m)
     return frames.agg(
@@ -166,7 +174,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 -- corpus is pure ASCII: char indexing over text == byte indexing over blob
 WITH m AS (
   SELECT doc_id, source, text AS data, octet_length(encode(text)) AS n
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 ),
 meta AS (
   SELECT doc_id, source, data, n,
@@ -210,7 +218,10 @@ def multimodal_resize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes every thumbnail dimension and histogram bin from BLOB
     arithmetic — only the first 4 of 8 bins are projected (ASCII text
     never populates the upper bins)."""
-    d = load_table(spark, sf_dir, "documents")
+    # a NULL payload (no text to encode) is the T3 invalid-record
+    # class: the Python decode kernel cannot batch None bytes — dropped
+    # identically in both engines (the planted-NULL audit's crash).
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     m = d.select("doc_id", "source", F.encode("text", "utf-8").alias("data"))
     feats = extract_resize_features(m)
     return (

@@ -133,6 +133,7 @@ slid AS (
     e.event_type,
     e.value
   FROM events e CROSS JOIN offsets o
+  WHERE e.ts IS NOT NULL
 )
 SELECT window_start, event_type, count(*) AS cnt, round(sum(value), 2) AS total
 FROM slid
@@ -145,7 +146,10 @@ def sliding_window_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
     window() generator — each event lands in 5 overlapping windows. The
     oracle reproduces the expansion with an explicit offset cross join;
     agreement proves Spark's epoch-aligned window math."""
-    e = load_table(spark, sf_dir, "events")
+    # Spark's window() generator silently drops NULL ts while the
+    # oracle's cross-join expansion keeps a NULL window — exclude
+    # undated events EXPLICITLY in both engines (planted-NULL audit)
+    e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     return (
         e.groupBy(
             F.window("ts", "5 minutes", "1 minute").alias("w"), "event_type"

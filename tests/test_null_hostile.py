@@ -22,6 +22,19 @@ divergence classes, each pinned here on the queries that carried them:
    engines' groupBys keep (latency_quantile_sketch), and numpy's
    NaN != x disagreed with SQL three-valued c.label <> q.qlabel
    (hard_negative_mining).
+
+Second sweep wave (same classes, more carriers): the time-ordered
+family (sliding windows, sessions, as-of, transition bigrams) excludes
+undated events in both engines; the quality-score family excludes
+textless docs (a NULL score bucket has no CDF position); multimodal
+payload synthesis drops NULL payloads (the T3 invalid-record class);
+chi-square runs complete-case (a NULL category zero-marginal divides
+by zero in Spark and silently vanishes in DuckDB); the suffix-array
+corpus excludes textless docs (a NULL token count poisoned every later
+document's offset — the oracle spilled 78 GB on 50 docs); and
+quality_quantile_normalize's mean rounds HALF-UP in exact integer
+arithmetic (the grid can produce exact 4th-decimal halves, where
+Spark's BigDecimal and DuckDB's binary-double rounding disagree).
 """
 
 from __future__ import annotations
@@ -55,6 +68,20 @@ FIXED_QUERIES = [
     "ivf_residual_quantization",  # class 4 (label-join leg)
     "latency_quantile_sketch",  # class 5 (null-safe cohort join)
     "hard_negative_mining",  # class 5 (NaN != vs <> semantics)
+    # --- second sweep wave ---
+    "sliding_window_traffic",  # class 2: window() drops NULL ts, oracle kept it
+    "sessionize_events",  # class 2: lag chain over NULL ts
+    "session_window_agg",  # class 2
+    "asof_last_purchase",  # class 2: as-of ordering over NULL ts
+    "event_transition_matrix",  # class 2: bigram lag over NULL ts
+    "quality_quantile_normalize",  # class 2 + exact-half rounding divergence
+    "classifier_auc_report",  # class 2: NULL score support point
+    "chi_square_report",  # class 5: NULL category zero-marginal division
+    "multimodal_decode_meta",  # class 4: NULL payload crashes the kernel
+    "multimodal_frame_sample",  # class 4
+    "multimodal_resize_features",  # class 4
+    "suffix_array_dup_report",  # class 3: NULL token count poisons offsets
+    "dup_span_report",  # class 3 (shared corpus CTE)
 ]
 
 
