@@ -35,7 +35,10 @@ from http_log_anonymizer_spark.plans import curation  # noqa: E402,F401
 # hll_user_cardinality and hilbert_layout ceded their slots to the
 # round's four late new queries, and hdr_latency_quantiles,
 # embed_quantization_error, hard_negative_mining and embed_neardup_lsh
-# to continuation session 2's four — first driver check beats a staleness refresh).
+# to continuation session 2's four, and dedup_simhash_xwide +
+# embed_neardup_gemm to the two late result-affecting plan fixes
+# (classifier_auc_report peer-order AUC, quality_quantile_normalize
+# exact-half rounding) — first driver check beats a staleness refresh).
 # Everything outside the window stays locally gated by
 # tests/test_registry_oracle.py (same comparator).
 _WINDOW = [
@@ -71,6 +74,11 @@ _WINDOW = [
     "unicode_cleanup_report",  # new this round (continuation session 2)
     "template_prefix_report",  # new this round (continuation session 2)
     "context_length_survival",  # new this round (continuation session 2)
+    # --- result-affecting plan changes late in round 8: the AUC
+    # --- peer-order fix and the exact-half HALF-UP rounding fix can
+    # --- change values even on NULL-free driver data ---
+    "classifier_auc_report",
+    "quality_quantile_normalize",
     # --- r04-latest fill (24 of 48; 24 defer to round 9): the drift
     # --- suspects and the other two gated queries lead ---
     "ann_ivf_topk",
@@ -91,8 +99,6 @@ _WINDOW = [
     "cms_user_frequency",
     "customer_running_revenue",
     "dedup_simhash_stats",
-    "dedup_simhash_xwide",
-    "embed_neardup_gemm",
 ]
 
 
