@@ -38,7 +38,9 @@ from http_log_anonymizer_spark.plans import curation  # noqa: E402,F401
 # to continuation session 2's four, and dedup_simhash_xwide +
 # embed_neardup_gemm to the two late result-affecting plan fixes
 # (classifier_auc_report peer-order AUC, quality_quantile_normalize
-# exact-half rounding) — first driver check beats a staleness refresh).
+# exact-half rounding), and dedup_simhash_stats to continuation
+# session 3's gopher_repetition_report — first driver check beats a
+# staleness refresh).
 # Everything outside the window stays locally gated by
 # tests/test_registry_oracle.py (same comparator).
 _WINDOW = [
@@ -74,6 +76,7 @@ _WINDOW = [
     "unicode_cleanup_report",  # new this round (continuation session 2)
     "template_prefix_report",  # new this round (continuation session 2)
     "context_length_survival",  # new this round (continuation session 2)
+    "gopher_repetition_report",  # new this round (continuation session 3)
     # --- result-affecting plan changes late in round 8: the AUC
     # --- peer-order fix and the exact-half HALF-UP rounding fix can
     # --- change values even on NULL-free driver data ---
@@ -98,7 +101,6 @@ _WINDOW = [
     "bm25_query_table",
     "cms_user_frequency",
     "customer_running_revenue",
-    "dedup_simhash_stats",
 ]
 
 

@@ -11,7 +11,7 @@ the cross-engine determinism contracts).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from http_log_anonymizer_spark.functions.text import (
@@ -2906,3 +2906,192 @@ def wm_readout(state: DataFrame) -> DataFrame:
         "n_docs_flagged",
         (z >= _WM_COHORT_Z).alias("wm_flag"),
     ).orderBy("cohort")
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition filters — the character-fraction half (Rae et al. 2021)
+# ---------------------------------------------------------------------------
+
+# (n, integer percent threshold) from Rae et al. 2021 Table A1: a doc is
+# flagged when the top-n-gram's character mass exceeds pct% of the text
+# (n = 2..4), or when characters inside DUPLICATED n-grams exceed pct%
+# (n = 5..10). Integer-percent form so the gates are exact in both
+# engines: 100 * mass > pct * total_chars, all BIGINT.
+_REP_TOP = [(2, 20), (3, 18), (4, 16)]
+_REP_DUP = [(5, 15), (6, 14), (7, 13), (8, 12), (9, 11), (10, 10)]
+
+
+def _rep_fold(sorted_grams: Column) -> Column:
+    """One O(L) fold over a SORTED gram array returning struct(dup,
+    best): ``best`` = max over distinct grams of count * length (the
+    top-gram character mass), ``dup`` = sum of count * length over
+    grams with count >= 2 (duplicated-gram character mass). Equal
+    grams are adjacent after array_sort, so runs are contiguous and
+    one (prev, run, dup, best) accumulator closes each run as the next
+    distinct gram arrives; ``finish`` closes the last run. Pure
+    Catalyst higher-order functions — no explode, no shuffle, no
+    Python."""
+    zero = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("dup"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def _close(acc):
+        # character mass of the run being closed (0 for the sentinel)
+        return acc["run"] * F.length(acc["prev"]).cast("long")
+
+    def merge(acc, x):
+        same = acc["prev"] == x
+        contrib = _close(acc)
+        dup = F.when(same, acc["dup"]).otherwise(
+            acc["dup"] + F.when(acc["run"] >= 2, contrib).otherwise(F.lit(0).cast("long"))
+        )
+        best = F.when(same, acc["best"]).otherwise(F.greatest(acc["best"], contrib))
+        run = F.when(same, acc["run"] + F.lit(1).cast("long")).otherwise(
+            F.lit(1).cast("long")
+        )
+        return F.struct(
+            x.alias("prev"),
+            run.cast("long").alias("run"),
+            dup.cast("long").alias("dup"),
+            best.cast("long").alias("best"),
+        )
+
+    def finish(acc):
+        contrib = _close(acc)
+        dup = acc["dup"] + F.when(acc["run"] >= 2, contrib).otherwise(
+            F.lit(0).cast("long")
+        )
+        best = F.greatest(acc["best"], contrib)
+        return F.struct(dup.cast("long").alias("dup"), best.cast("long").alias("best"))
+
+    return F.aggregate(sorted_grams, zero, merge, finish)
+
+
+def _rep_oracle_sql() -> str:
+    g_ctes, s_ctes, coal, joins = [], [], [], []
+    for n, _ in _REP_TOP + _REP_DUP:
+        g_ctes.append(
+            f"g{n} AS (SELECT doc_id, g, count(*) AS c FROM "
+            f"(SELECT doc_id, unnest({shingles_sql('ts', n)}) AS g FROM t) "
+            f"GROUP BY doc_id, g)"
+        )
+        coal.append(f"coalesce(s{n}.v, 0) AS v{n}")
+        joins.append(f"LEFT JOIN s{n} ON t.doc_id = s{n}.doc_id")
+    for n, _ in _REP_TOP:
+        s_ctes.append(
+            f"s{n} AS (SELECT doc_id, CAST(max(c * length(g)) AS BIGINT) AS v "
+            f"FROM g{n} GROUP BY doc_id)"
+        )
+    for n, _ in _REP_DUP:
+        s_ctes.append(
+            f"s{n} AS (SELECT doc_id, CAST(sum(CASE WHEN c >= 2 THEN c * length(g) "
+            f"ELSE 0 END) AS BIGINT) AS v FROM g{n} GROUP BY doc_id)"
+        )
+    bad = {
+        n: f"100 * v{n} > {pct} * total" for n, pct in _REP_TOP + _REP_DUP
+    }
+    flag_cols = [
+        f"CAST(sum(CASE WHEN {bad[n]} THEN 1 ELSE 0 END) AS BIGINT) AS "
+        f"n_bad_top{n}"
+        for n, _ in _REP_TOP
+    ] + [
+        f"CAST(sum(CASE WHEN {bad[n]} THEN 1 ELSE 0 END) AS BIGINT) AS "
+        f"n_bad_dup{n}"
+        for n, _ in _REP_DUP
+    ]
+    keep = " AND ".join(f"NOT ({bad[n]})" for n, _ in _REP_TOP + _REP_DUP)
+    frac = lambda n: f"CASE WHEN total > 0 THEN v{n} * 1.0 / total ELSE 0.0 END"
+    g_block = ",\n".join(g_ctes)
+    s_block = ",\n".join(s_ctes)
+    flag_block = ",\n       ".join(flag_cols)
+    return f"""
+WITH t AS (
+  SELECT doc_id, source, CAST(length(text) AS BIGINT) AS total,
+         string_split(text, ' ') AS ts
+  FROM documents WHERE text IS NOT NULL
+),
+{g_block},
+{s_block},
+per_doc AS (
+  SELECT t.source, t.total, {", ".join(coal)}
+  FROM t
+  {" ".join(joins)}
+)
+SELECT source,
+       count(*) AS n_docs,
+       {flag_block},
+       CAST(sum(CASE WHEN {keep} THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       round(avg({frac(2)}), 4) AS avg_top2_frac,
+       round(avg({frac(5)}), 4) AS avg_dup5_frac,
+       round(avg({frac(10)}), 4) AS avg_dup10_frac
+FROM per_doc
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("gopher_repetition_report", oracle=_rep_oracle_sql())
+def gopher_repetition_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition filters, character-fraction half (Rae et al.
+    2021, Table A1): per document, the character mass of the single
+    most frequent {2,3,4}-gram and the character mass inside DUPLICATED
+    {5..10}-grams, each as a fraction of the text's characters,
+    thresholded at the paper's limits (20/18/16% top, 15..10% dup) and
+    summarized per source. Complements gopher_quality_flags (mean word
+    length / top unigram / dup-2gram token fractions) — together they
+    are the full Gopher repetition suite minus the line/paragraph rules
+    (this corpus has no newlines, so those would be dead columns).
+
+    Duplicated-gram mass counts every occurrence (count * gram length),
+    the occurrence-sum form standard in public reimplementations —
+    overlapping occurrences are not de-overlapped, so the fraction can
+    exceed 1 on pathological repetition; the thresholds only test
+    exceedance, and the gates are exact integers
+    (100 * mass > pct * total_chars) so both engines cut identically.
+
+    Scale shape: ZERO data shuffle for the per-document work — each of
+    the nine gram sizes is an array_sort + one O(L) higher-order fold
+    inside the row (_rep_fold; no explode, no Python, whole-stage
+    codegen), so a 100 TB corpus streams through map tasks and only the
+    narrow (source, 13 numbers) aggregate crosses the wire. Contrast
+    gopher_quality_flags' top-unigram mode, which needs the token
+    explode + two keyed aggregations."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    t = d.select(
+        "doc_id",
+        "source",
+        F.length("text").cast("long").alias("total"),
+        tokens_ws("text").alias("ts"),
+    )
+    sel = [F.col("source"), F.col("total")]
+    for n, _ in _REP_TOP:
+        sel.append(_rep_fold(F.array_sort(shingles("ts", n)))["best"].alias(f"v{n}"))
+    for n, _ in _REP_DUP:
+        sel.append(_rep_fold(F.array_sort(shingles("ts", n)))["dup"].alias(f"v{n}"))
+    per_doc = t.select(*sel)
+    bad = {
+        n: (F.lit(100) * F.col(f"v{n}") > F.lit(pct) * F.col("total"))
+        for n, pct in _REP_TOP + _REP_DUP
+    }
+    keep = None
+    for n, _ in _REP_TOP + _REP_DUP:
+        keep = ~bad[n] if keep is None else keep & ~bad[n]
+    frac = lambda n: F.when(
+        F.col("total") > 0, F.col(f"v{n}") * 1.0 / F.col("total")
+    ).otherwise(F.lit(0.0))
+    one_if = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")
+    aggs = [F.count("*").alias("n_docs")]
+    for n, _ in _REP_TOP:
+        aggs.append(one_if(bad[n]).alias(f"n_bad_top{n}"))
+    for n, _ in _REP_DUP:
+        aggs.append(one_if(bad[n]).alias(f"n_bad_dup{n}"))
+    aggs.append(one_if(keep).alias("n_keep"))
+    aggs += [
+        F.round(F.avg(frac(2)), 4).alias("avg_top2_frac"),
+        F.round(F.avg(frac(5)), 4).alias("avg_dup5_frac"),
+        F.round(F.avg(frac(10)), 4).alias("avg_dup10_frac"),
+    ]
+    return per_doc.groupBy("source").agg(*aggs).orderBy("source")
