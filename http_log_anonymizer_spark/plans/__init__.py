@@ -38,9 +38,10 @@ from http_log_anonymizer_spark.plans import curation  # noqa: E402,F401
 # to continuation session 2's four, and dedup_simhash_xwide +
 # embed_neardup_gemm to the two late result-affecting plan fixes
 # (classifier_auc_report peer-order AUC, quality_quantile_normalize
-# exact-half rounding), and dedup_simhash_stats to continuation
-# session 3's gopher_repetition_report — first driver check beats a
-# staleness refresh).
+# exact-half rounding), and dedup_simhash_stats +
+# customer_running_revenue to continuation session 3's
+# gopher_repetition_report + soft_dedup_weights — first driver check
+# beats a staleness refresh).
 # Everything outside the window stays locally gated by
 # tests/test_registry_oracle.py (same comparator).
 _WINDOW = [
@@ -77,6 +78,7 @@ _WINDOW = [
     "template_prefix_report",  # new this round (continuation session 2)
     "context_length_survival",  # new this round (continuation session 2)
     "gopher_repetition_report",  # new this round (continuation session 3)
+    "soft_dedup_weights",  # new this round (continuation session 3)
     # --- result-affecting plan changes late in round 8: the AUC
     # --- peer-order fix and the exact-half HALF-UP rounding fix can
     # --- change values even on NULL-free driver data ---
@@ -100,7 +102,6 @@ _WINDOW = [
     "bloom_membership_report",
     "bm25_query_table",
     "cms_user_frequency",
-    "customer_running_revenue",
 ]
 
 

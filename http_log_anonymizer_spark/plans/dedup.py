@@ -3112,3 +3112,109 @@ def minhash_estimator_error_report(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("m_matches")
     )
+
+
+# ---------------------------------------------------------------------------
+# Soft dedup: duplicate-aware down-weighting instead of dropping
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "soft_dedup_weights",
+    oracle=f"""
+WITH RECURSIVE {_PAIRS_CTES},
+edges2 AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION
+  SELECT doc_b AS s, doc_a AS d FROM pairs
+),
+reach(src, dst) AS (
+  SELECT s, d FROM edges2
+  UNION
+  SELECT r.src, e.d FROM reach r JOIN edges2 e ON r.dst = e.s
+),
+comp AS (
+  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+  FROM reach GROUP BY src
+),
+csize AS (SELECT cluster_id, count(*) AS c FROM comp GROUP BY cluster_id),
+docs AS (
+  SELECT doc_id, source,
+         CASE WHEN text IS NULL THEN 0
+              ELSE len(string_split(text, ' ')) END AS n_toks
+  FROM documents
+),
+weighted AS (
+  SELECT d.source, d.n_toks, coalesce(cs.c, 1) AS c
+  FROM docs d
+  LEFT JOIN comp ON d.doc_id = comp.doc_id
+  LEFT JOIN csize cs ON comp.cluster_id = cs.cluster_id
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+       CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+       round(sum(1.0 / c), 4) AS soft_mass,
+       round(sum(n_toks * 1.0 / c), 2) AS effective_tokens,
+       round(sum(1.0 / c) / count(*), 4) AS keep_ratio
+FROM weighted
+GROUP BY source
+ORDER BY source
+""",
+)
+def soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SoftDeDup down-weighting (Xue et al., ACL Findings 2024): instead
+    of DROPPING near-duplicates, every document gets sampling weight
+    1 / commonness, where commonness is the size of its verified
+    near-dup cluster (the same MinHash-LSH + exact-Jaccard + connected
+    components as dedup_clusters; singletons and docs too short to
+    shingle keep weight 1). A cluster of c copies then contributes
+    total mass 1 — hard dedup's keep-one policy — while preserving
+    intra-cluster diversity for the sampler. Per source: document and
+    token counts, the soft mass (sum of weights), the weighted
+    effective token count the corpus contributes to a training mix,
+    and the keep ratio (soft mass / docs).
+
+    Scale shape: the cluster table is built once from the verified
+    pairs (banded equi-join, never all-pairs) and is proportional to
+    DUPLICATED docs only; weight assignment is two narrow equi-joins
+    ((doc_id, cluster_id) then (cluster_id, c)) against the corpus scan
+    followed by one (source) aggregate — no step touches the corpus
+    more than once, so the whole report rides the dedup pipeline's
+    existing 100 TB story. The oracle replays the clusters with the
+    recursive CTE shared by both components algorithms."""
+    from http_log_anonymizer_spark.operators.components import connected_components
+
+    pairs = minhash_verified_pairs(spark, sf_dir)
+    comp = connected_components(pairs, src="doc_a", dst="doc_b").select(
+        F.col("node").alias("doc_id"), F.col("cluster").alias("cluster_id")
+    )
+    csize = comp.groupBy("cluster_id").agg(F.count("*").alias("c"))
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.when(F.col("text").isNull(), F.lit(0))
+        .otherwise(F.size(tokens_ws("text")))
+        .cast("long")
+        .alias("n_toks"),
+    )
+    weighted = (
+        docs.join(comp, "doc_id", "left")
+        .join(csize, "cluster_id", "left")
+        .select("source", "n_toks", F.coalesce("c", F.lit(1)).alias("c"))
+    )
+    w = F.lit(1.0) / F.col("c")
+    return (
+        weighted.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("c") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_docs"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+            F.round(F.sum(w), 4).alias("soft_mass"),
+            F.round(F.sum(F.col("n_toks") * w), 2).alias("effective_tokens"),
+            F.round(F.sum(w) / F.count("*"), 4).alias("keep_ratio"),
+        )
+        .orderBy("source")
+    )
