@@ -3059,7 +3059,17 @@ def gopher_repetition_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     narrow (source, 13 numbers) aggregate crosses the wire. Contrast
     gopher_quality_flags' top-unigram mode, which needs the token
     explode + two keyed aggregations."""
-    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    # spread=True: the per-doc fold work is CPU-heavy while the table is
+    # byte-small (50k docs ~ 22 MB = ONE parquet split), so without the
+    # round-robin exchange the nine folds run at scan parallelism —
+    # measured at sf1: 43.6 s -> 14.1 s cold / 8.2 s warm; at sf10:
+    # 92.6 s -> 53.8 s. The isNotNull guard is a plain
+    # column predicate, safe to push into the scan (contrast the
+    # hashed_shingle_transform lesson, SCALE.md "Predicate pushdown can
+    # silently defeat the spread").
+    d = load_table(spark, sf_dir, "documents", spread=True).where(
+        F.col("text").isNotNull()
+    )
     t = d.select(
         "doc_id",
         "source",
