@@ -2919,6 +2919,8 @@ def wm_readout(state: DataFrame) -> DataFrame:
 # engines: 100 * mass > pct * total_chars, all BIGINT.
 _REP_TOP = [(2, 20), (3, 18), (4, 16)]
 _REP_DUP = [(5, 15), (6, 14), (7, 13), (8, 12), (9, 11), (10, 10)]
+# 1e-6 quantization grid for the per-doc fractions (see _rep_oracle_sql)
+_REP_GRID = 1_000_000
 
 
 def _rep_fold(sorted_grams: Column) -> Column:
@@ -3003,7 +3005,16 @@ def _rep_oracle_sql() -> str:
         for n, _ in _REP_DUP
     ]
     keep = " AND ".join(f"NOT ({bad[n]})" for n, _ in _REP_TOP + _REP_DUP)
-    frac = lambda n: f"CASE WHEN total > 0 THEN v{n} * 1.0 / total ELSE 0.0 END"
+    # per-doc fraction quantized to the 1e-6 integer grid (the
+    # sampling.py micro-unit precedent): sums over the grid are EXACT
+    # decimals in both engines, so the streaming monitor's incremental
+    # state equals the one-shot batch aggregate bit for bit, and the
+    # cross-engine average never depends on double summation order.
+    q = lambda n: (
+        f"CASE WHEN total > 0 THEN CAST(round(v{n} * {_REP_GRID}.0 / total) "
+        f"AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END"
+    )
+    avg = lambda n: f"round(CAST(sum({q(n)}) AS DOUBLE) / {_REP_GRID} / count(*), 4)"
     g_block = ",\n".join(g_ctes)
     s_block = ",\n".join(s_ctes)
     flag_block = ",\n       ".join(flag_cols)
@@ -3024,9 +3035,9 @@ SELECT source,
        count(*) AS n_docs,
        {flag_block},
        CAST(sum(CASE WHEN {keep} THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
-       round(avg({frac(2)}), 4) AS avg_top2_frac,
-       round(avg({frac(5)}), 4) AS avg_dup5_frac,
-       round(avg({frac(10)}), 4) AS avg_dup10_frac
+       {avg(2)} AS avg_top2_frac,
+       {avg(5)} AS avg_dup5_frac,
+       {avg(10)} AS avg_dup10_frac
 FROM per_doc
 GROUP BY source
 ORDER BY source
@@ -3070,8 +3081,19 @@ def gopher_repetition_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents", spread=True).where(
         F.col("text").isNotNull()
     )
-    t = d.select(
-        "doc_id",
+    return rep_readout(rep_cohort_rollup(rep_doc_stats(d)))
+
+
+# Shared map/reduce halves — the streaming monitor
+# (streaming/repetition.py) reuses these so its readout IS the batch
+# report over arrived rows (the watermark-monitor template).
+
+
+def rep_doc_stats(d: DataFrame) -> DataFrame:
+    """(source, total, v2..v10) per document over (source, text, ...)
+    rows — the map half: nine array_sort + O(L) folds inside the row,
+    zero shuffle. NULL-text rows are dropped (no content to measure)."""
+    t = d.where(F.col("text").isNotNull()).select(
         "source",
         F.length("text").cast("long").alias("total"),
         tokens_ws("text").alias("ts"),
@@ -3081,7 +3103,15 @@ def gopher_repetition_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         sel.append(_rep_fold(F.array_sort(shingles("ts", n)))["best"].alias(f"v{n}"))
     for n, _ in _REP_DUP:
         sel.append(_rep_fold(F.array_sort(shingles("ts", n)))["dup"].alias(f"v{n}"))
-    per_doc = t.select(*sel)
+    return t.select(*sel)
+
+
+def rep_cohort_rollup(per_doc: DataFrame) -> DataFrame:
+    """Per-source mergeable state over doc stats: every field is an
+    exact sum (BIGINT counts; fraction sums on the 1e-6 integer grid as
+    decimal(38,0)), so batch boundaries and arrival order cannot change
+    the readout and incremental merges equal the one-shot aggregate bit
+    for bit."""
     bad = {
         n: (F.lit(100) * F.col(f"v{n}") > F.lit(pct) * F.col("total"))
         for n, pct in _REP_TOP + _REP_DUP
@@ -3089,19 +3119,51 @@ def gopher_repetition_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep = None
     for n, _ in _REP_TOP + _REP_DUP:
         keep = ~bad[n] if keep is None else keep & ~bad[n]
-    frac = lambda n: F.when(
-        F.col("total") > 0, F.col(f"v{n}") * 1.0 / F.col("total")
-    ).otherwise(F.lit(0.0))
+    grid = lambda n: F.when(
+        F.col("total") > 0,
+        F.round(F.col(f"v{n}") * float(_REP_GRID) / F.col("total"), 0),
+    ).otherwise(F.lit(0.0)).cast("decimal(38,0)")
     one_if = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")
-    aggs = [F.count("*").alias("n_docs")]
+    aggs = [F.count("*").cast("long").alias("n_docs")]
     for n, _ in _REP_TOP:
         aggs.append(one_if(bad[n]).alias(f"n_bad_top{n}"))
     for n, _ in _REP_DUP:
         aggs.append(one_if(bad[n]).alias(f"n_bad_dup{n}"))
     aggs.append(one_if(keep).alias("n_keep"))
     aggs += [
-        F.round(F.avg(frac(2)), 4).alias("avg_top2_frac"),
-        F.round(F.avg(frac(5)), 4).alias("avg_dup5_frac"),
-        F.round(F.avg(frac(10)), 4).alias("avg_dup10_frac"),
+        F.sum(grid(2)).cast("decimal(38,0)").alias("q2"),
+        F.sum(grid(5)).cast("decimal(38,0)").alias("q5"),
+        F.sum(grid(10)).cast("decimal(38,0)").alias("q10"),
     ]
-    return per_doc.groupBy("source").agg(*aggs).orderBy("source")
+    return per_doc.groupBy("source").agg(*aggs)
+
+
+_REP_STATE_SUMS = [
+    "n_docs",
+    *[f"n_bad_top{n}" for n, _ in _REP_TOP],
+    *[f"n_bad_dup{n}" for n, _ in _REP_DUP],
+    "n_keep",
+]
+
+
+def rep_merge_rollups(states: DataFrame) -> DataFrame:
+    """Fold any union of rollup states back into one state per source."""
+    aggs = [F.sum(c).cast("long").alias(c) for c in _REP_STATE_SUMS]
+    aggs += [F.sum(c).cast("decimal(38,0)").alias(c) for c in ("q2", "q5", "q10")]
+    return states.groupBy("source").agg(*aggs)
+
+
+def rep_readout(state: DataFrame) -> DataFrame:
+    """The report rows from a rollup state: counts pass through, the
+    grid sums become averages (exact integers until the final two
+    deterministic double ops)."""
+    avg = lambda c: F.round(
+        F.col(c).cast("double") / _REP_GRID / F.col("n_docs"), 4
+    )
+    return state.select(
+        "source",
+        *_REP_STATE_SUMS,
+        avg("q2").alias("avg_top2_frac"),
+        avg("q5").alias("avg_dup5_frac"),
+        avg("q10").alias("avg_dup10_frac"),
+    ).orderBy("source")
