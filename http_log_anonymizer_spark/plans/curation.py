@@ -2229,3 +2229,137 @@ def context_length_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "ctx_len")
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-filter operating curve
+# ---------------------------------------------------------------------------
+
+# Candidate cutoffs spanning the calibrated score range (scores span
+# ~0.35-0.85 on this corpus; see the logistic-model note above). Plain
+# literals so both engines parse the identical double.
+_QF_THRESHOLDS = [0.3, 0.35, 0.4, 0.45, 0.5, 0.55, 0.6, 0.65, 0.7, 0.75]
+_QF_GRID = 1_000_000  # 1e-6 micro-grid for the mean-score sum (exact)
+
+
+@register(
+    "quality_filter_tradeoff",
+    oracle=f"""
+WITH t AS (
+  SELECT string_split(text, ' ') AS toks FROM documents WHERE text IS NOT NULL
+),
+f AS (SELECT {_FEATURES_SQL} FROM t),
+scored AS (
+  SELECT n_toks, {_SCORE_SQL} AS score,
+         CAST(round({_SCORE_SQL} * {_QF_GRID}) AS DECIMAL(38,0)) AS q
+  FROM f
+),
+totals AS (
+  SELECT count(*) AS total_docs, CAST(sum(n_toks) AS BIGINT) AS total_tokens
+  FROM scored
+),
+grid AS (SELECT unnest([{", ".join(str(t) for t in _QF_THRESHOLDS)}]) AS threshold),
+kept AS (
+  SELECT g.threshold,
+         count(*) FILTER (s.score >= g.threshold) AS n_docs_kept,
+         CAST(coalesce(sum(s.n_toks) FILTER (s.score >= g.threshold), 0)
+              AS BIGINT) AS tokens_kept,
+         coalesce(sum(s.q) FILTER (s.score >= g.threshold),
+                  CAST(0 AS DECIMAL(38,0))) AS qsum
+  FROM grid g CROSS JOIN scored s
+  GROUP BY g.threshold
+)
+SELECT k.threshold,
+       k.n_docs_kept,
+       round(k.n_docs_kept * 1.0 / t.total_docs, 4) AS pct_docs_kept,
+       k.tokens_kept,
+       round(k.tokens_kept * 1.0 / t.total_tokens, 4) AS pct_tokens_kept,
+       CASE WHEN k.n_docs_kept > 0
+            THEN round(CAST(k.qsum AS DOUBLE) / {_QF_GRID} / k.n_docs_kept, 4)
+            END AS mean_score_kept
+FROM kept k CROSS JOIN totals t
+ORDER BY k.threshold
+""",
+)
+def quality_filter_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter operating curve: for each candidate cutoff, the
+    documents and tokens a `score >= threshold` filter would keep
+    (count and corpus share) and the mean score of the kept set — the
+    table a training-data pipeline publishes BEFORE committing to a
+    cutoff, making the aggressiveness/volume trade explicit (the
+    C4-vs-CCNet debate is exactly this curve). Reuses the calibrated
+    logistic quality model shared by quality_classifier / the AUC and
+    calibration reports, so the curve describes the exact filter those
+    queries apply at 0.5.
+
+    Exactness: the score is computed in lockstep operation order in
+    both engines (the module's _SCORE_SQL discipline), thresholds are
+    plain literals, and the kept-set mean accumulates per-doc scores on
+    the 1e-6 integer grid as decimal(38,0) — no double summation-order
+    dependence anywhere.
+
+    Scale shape: one corpus scan computes (n_toks, score, grid score)
+    per doc; the 10-threshold fan-out explodes a constant array on rows
+    that are already 3 narrow numbers, and partial aggregation
+    collapses each task's slice to 10 rows before any wire — the
+    shuffle moves O(10 x tasks) rows regardless of corpus size. The
+    totals row is a second 1-row aggregate broadcast onto 10 rows."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    t = d.select(tokens_ws("text").alias("toks"))
+    feats = _quality_features(F.col("toks"))
+    score = _quality_score(feats)
+    scored = t.select(
+        feats["n_toks"].cast("long").alias("n_toks"),
+        score.alias("score"),
+        F.round(score * _QF_GRID, 0).cast("decimal(38,0)").alias("q"),
+    )
+    totals = scored.agg(
+        F.count("*").alias("total_docs"),
+        F.sum("n_toks").cast("long").alias("total_tokens"),
+    )
+    thr = F.array(*[F.lit(x) for x in _QF_THRESHOLDS])
+    kept = (
+        scored.select(F.explode(thr).alias("threshold"), "n_toks", "score", "q")
+        .groupBy("threshold")
+        .agg(
+            F.sum(F.when(F.col("score") >= F.col("threshold"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_docs_kept"),
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("score") >= F.col("threshold"), F.col("n_toks"))
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("tokens_kept"),
+            F.coalesce(
+                F.sum(F.when(F.col("score") >= F.col("threshold"), F.col("q"))),
+                F.lit(0),
+            )
+            .cast("decimal(38,0)")
+            .alias("qsum"),
+        )
+    )
+    return (
+        kept.crossJoin(F.broadcast(totals))
+        .select(
+            "threshold",
+            "n_docs_kept",
+            F.round(F.col("n_docs_kept") * 1.0 / F.col("total_docs"), 4).alias(
+                "pct_docs_kept"
+            ),
+            "tokens_kept",
+            F.round(F.col("tokens_kept") * 1.0 / F.col("total_tokens"), 4).alias(
+                "pct_tokens_kept"
+            ),
+            F.when(
+                F.col("n_docs_kept") > 0,
+                F.round(
+                    F.col("qsum").cast("double") / _QF_GRID / F.col("n_docs_kept"),
+                    4,
+                ),
+            ).alias("mean_score_kept"),
+        )
+        .orderBy("threshold")
+    )
