@@ -39,9 +39,10 @@ from http_log_anonymizer_spark.plans import curation  # noqa: E402,F401
 # embed_neardup_gemm to the two late result-affecting plan fixes
 # (classifier_auc_report peer-order AUC, quality_quantile_normalize
 # exact-half rounding), and dedup_simhash_stats +
-# customer_running_revenue + cms_user_frequency to continuation
-# session 3's gopher_repetition_report + soft_dedup_weights +
-# quality_filter_tradeoff — first driver check beats a staleness
+# customer_running_revenue + cms_user_frequency + bm25_query_table to
+# continuation session 3's gopher_repetition_report +
+# soft_dedup_weights + quality_filter_tradeoff +
+# rho_excess_loss_report — first driver check beats a staleness
 # refresh).
 # Everything outside the window stays locally gated by
 # tests/test_registry_oracle.py (same comparator).
@@ -81,6 +82,7 @@ _WINDOW = [
     "gopher_repetition_report",  # new this round (continuation session 3)
     "soft_dedup_weights",  # new this round (continuation session 3)
     "quality_filter_tradeoff",  # new this round (continuation session 3)
+    "rho_excess_loss_report",  # new this round (continuation session 3)
     # --- result-affecting plan changes late in round 8: the AUC
     # --- peer-order fix and the exact-half HALF-UP rounding fix can
     # --- change values even on NULL-free driver data ---
@@ -102,7 +104,6 @@ _WINDOW = [
     "ann_quantized_topk",
     "best_order_per_customer",
     "bloom_membership_report",
-    "bm25_query_table",
 ]
 
 

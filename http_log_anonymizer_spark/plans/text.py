@@ -3167,3 +3167,146 @@ def rep_readout(state: DataFrame) -> DataFrame:
         avg("q5").alias("avg_dup5_frac"),
         avg("q10").alias("avg_dup10_frac"),
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# RHO-style excess-loss token selection (reference-model contrast)
+# ---------------------------------------------------------------------------
+
+# Selection threshold in nats: keep bigram occurrences the corpus model
+# finds at least exp(0.25) ~ 1.28x more surprising than the reference
+# model (measured spread on the synthetic corpus: quartiles ~ +-0.25,
+# so the gate is non-degenerate). Plain literal in both engines.
+_RHO_TAU = 0.25
+_RHO_GRID = 1_000_000  # 1e-6 micro-grid for the mean-excess sum
+# Deterministic reference ("holdout") slice: docs with doc_id % 5 == 0.
+_RHO_REF_MOD = 5
+
+
+@register(
+    "rho_excess_loss_report",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, source, string_split(text, ' ') AS ts
+  FROM documents WHERE text IS NOT NULL
+),
+bg AS (
+  SELECT doc_id, source, ts[i] AS w1, ts[i + 1] AS w2
+  FROM toks, unnest(generate_series(1, len(ts) - 1)) AS u(i)
+),
+c2C AS (SELECT w1, w2, count(*) AS n2c FROM bg GROUP BY w1, w2),
+c1C AS (SELECT w1, sum(n2c) AS n1c FROM c2C GROUP BY w1),
+c2R AS (
+  SELECT w1, w2, count(*) AS n2r FROM bg
+  WHERE doc_id % {_RHO_REF_MOD} = 0 GROUP BY w1, w2
+),
+c1R AS (SELECT w1, sum(n2r) AS n1r FROM c2R GROUP BY w1),
+ex AS (
+  SELECT c2C.w1, c2C.w2,
+         (-ln(c2C.n2c * 1.0 / c1C.n1c)) - (-ln(c2R.n2r * 1.0 / c1R.n1r))
+           AS excess
+  FROM c2C
+  JOIN c1C ON c2C.w1 = c1C.w1
+  JOIN c2R ON c2C.w1 = c2R.w1 AND c2C.w2 = c2R.w2
+  JOIN c1R ON c2C.w1 = c1R.w1
+),
+scored AS (
+  SELECT bg.source, ex.excess FROM bg
+  LEFT JOIN ex ON bg.w1 = ex.w1 AND bg.w2 = ex.w2
+)
+SELECT source,
+       count(*) AS n_pairs,
+       CAST(count(excess) AS BIGINT) AS n_scored,
+       CAST(count(*) - count(excess) AS BIGINT) AS n_oov,
+       CAST(sum(CASE WHEN excess > {_RHO_TAU} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CASE WHEN count(excess) > 0
+            THEN round(sum(CASE WHEN excess > {_RHO_TAU} THEN 1 ELSE 0 END)
+                       * 1.0 / count(excess), 4) END AS kept_share,
+       CASE WHEN count(excess) > 0
+            THEN round(CAST(sum(CAST(round(excess * {_RHO_GRID})
+                                     AS DECIMAL(38,0))) AS DOUBLE)
+                       / {_RHO_GRID} / count(excess), 4) END AS mean_excess
+FROM scored
+GROUP BY source
+ORDER BY source
+""",
+)
+def rho_excess_loss_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RHO-style excess-loss token selection (Mindermann et al., ICML
+    2022; RHO-1, Lin et al. 2024): score every bigram occurrence by how
+    much MORE surprising the corpus model finds it than a reference
+    model trained on a deterministic holdout slice (doc_id % 5 == 0) —
+    occurrences with high excess loss are 'learnable but not yet
+    learnt' (valuable under the target distribution, underfit by the
+    corpus), the mass RHO-1's selective LM training keeps. Per source:
+    occurrence counts, reference-OOV mass (bigram types the holdout
+    never saw — unscorable, reported not hidden), kept share above the
+    tau = 0.25-nat gate, and the mean excess on the 1e-6 integer grid.
+
+    Both models are self-normalized bigram MLEs (p(w2|w1) = c2/c1, no
+    smoothing constant in the contract); the unigram denominators are
+    derived FROM the bigram type tables (sum over w2), so the corpus is
+    scanned twice (full + slice), not four times. The excess expression
+    is written in lockstep operation order in both engines.
+
+    Scale shape: the perplexity family's type-table discipline — all
+    counting shuffles key on token types with map-side combine, the
+    excess table is a bounded TYPE table materialized once
+    (localCheckpoint) and merge-joined onto the occurrence stream
+    (merge hints: the static planner must not broadcast off a post-agg
+    estimate, the measured sf10 OOM class), and nothing is ever
+    per-pair."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    toks = d.select("doc_id", "source", tokens_ws("text").alias("ts"))
+    bg = toks.select(
+        "doc_id",
+        "source",
+        F.posexplode(
+            F.slice("ts", 1, F.greatest(F.size("ts") - 1, F.lit(0)))
+        ).alias("i", "w1"),
+        "ts",
+    ).select("doc_id", "source", "w1", F.expr("ts[i + 1]").alias("w2"))
+    c2c = bg.groupBy("w1", "w2").agg(F.count("*").alias("n2c"))
+    c1c = c2c.groupBy("w1").agg(F.sum("n2c").alias("n1c"))
+    c2r = (
+        bg.filter(F.col("doc_id") % _RHO_REF_MOD == 0)
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("n2r"))
+    )
+    c1r = c2r.groupBy("w1").agg(F.sum("n2r").alias("n1r"))
+    nll_c = -F.log(F.col("n2c") * 1.0 / F.col("n1c"))
+    nll_r = -F.log(F.col("n2r") * 1.0 / F.col("n1r"))
+    ex = (
+        c2c.join(c1c.hint("merge"), "w1")
+        .join(c2r.hint("merge"), ["w1", "w2"])
+        .join(c1r.hint("merge"), "w1")
+        .select("w1", "w2", (nll_c - nll_r).alias("excess"))
+        .localCheckpoint()
+    )
+    scored = bg.join(ex.hint("merge"), ["w1", "w2"], "left").select(
+        "source", "excess"
+    )
+    kept = F.sum(F.when(F.col("excess") > _RHO_TAU, 1).otherwise(0)).cast("long")
+    n_scored = F.count("excess")
+    grid = F.round(F.col("excess") * _RHO_GRID, 0).cast("decimal(38,0)")
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            n_scored.cast("long").alias("n_scored"),
+            (F.count("*") - n_scored).cast("long").alias("n_oov"),
+            kept.alias("n_kept"),
+            F.when(
+                n_scored > 0,
+                F.round(kept * 1.0 / n_scored, 4),
+            ).alias("kept_share"),
+            F.when(
+                n_scored > 0,
+                F.round(
+                    F.sum(grid).cast("double") / _RHO_GRID / n_scored, 4
+                ),
+            ).alias("mean_excess"),
+        )
+        .orderBy("source")
+    )
