@@ -13,9 +13,10 @@ touching text normalization, cohort unions or any Python kernel:
 
     python examples/hostile_nulls_audit.py
 
-Result of record (late r08 continuation session 2, 212 queries):
-see ROADMAP.md — divergences found by this audit are fixed with
-planted regression tests in tests/test_null_hostile.py.
+Result of record (r08 continuation session 3, all 217 queries):
+0 fails, 0 errors. Divergences found by earlier runs of this audit
+are fixed with planted regression tests in tests/test_null_hostile.py
+(see ROADMAP.md).
 """
 
 from __future__ import annotations

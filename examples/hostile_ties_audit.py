@@ -12,7 +12,8 @@ touching window frames, rank tie-breaks or pooled-cohort unions:
 
     python examples/hostile_ties_audit.py
 
-Result of record (late r08, 209 queries): 0 fails, 0 errors.
+Result of record (r08 continuation session 3, all 217 queries):
+0 fails, 0 errors.
 """
 
 from __future__ import annotations
