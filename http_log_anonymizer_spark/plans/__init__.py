@@ -39,10 +39,11 @@ from http_log_anonymizer_spark.plans import curation  # noqa: E402,F401
 # embed_neardup_gemm to the two late result-affecting plan fixes
 # (classifier_auc_report peer-order AUC, quality_quantile_normalize
 # exact-half rounding), and dedup_simhash_stats +
-# customer_running_revenue + cms_user_frequency + bm25_query_table to
-# continuation session 3's gopher_repetition_report +
-# soft_dedup_weights + quality_filter_tradeoff +
-# rho_excess_loss_report — first driver check beats a staleness
+# customer_running_revenue + cms_user_frequency + bm25_query_table +
+# bloom_membership_report to continuation session 3's five new queries
+# (gopher_repetition_report, soft_dedup_weights,
+# quality_filter_tradeoff, rho_excess_loss_report,
+# epochs_per_source_report) — first driver check beats a staleness
 # refresh).
 # Everything outside the window stays locally gated by
 # tests/test_registry_oracle.py (same comparator).
@@ -83,6 +84,7 @@ _WINDOW = [
     "soft_dedup_weights",  # new this round (continuation session 3)
     "quality_filter_tradeoff",  # new this round (continuation session 3)
     "rho_excess_loss_report",  # new this round (continuation session 3)
+    "epochs_per_source_report",  # new this round (continuation session 3)
     # --- result-affecting plan changes late in round 8: the AUC
     # --- peer-order fix and the exact-half HALF-UP rounding fix can
     # --- change values even on NULL-free driver data ---
@@ -103,7 +105,6 @@ _WINDOW = [
     "ann_lsh_wide_topk",
     "ann_quantized_topk",
     "best_order_per_customer",
-    "bloom_membership_report",
 ]
 
 

@@ -2363,3 +2363,113 @@ def quality_filter_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold")
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-constrained epoch planning (repetition budgeting)
+# ---------------------------------------------------------------------------
+
+# Token budget as a multiple of the corpus (how much training the run
+# will do relative to one full pass), the temperature alpha shared with
+# temperature_mix_weights, and the data-constrained-scaling constants
+# of Muennighoff et al., NeurIPS 2023: value of repeated data decays
+# with half-life R* ~ 15.4 repetitions, and ~4 epochs is the knee
+# beyond which repetition stops paying.
+_EPOCH_BUDGET_MULT = 4
+_EPOCH_RSTAR = 15.4
+_EPOCH_KNEE = 4.0
+
+
+@register(
+    "epochs_per_source_report",
+    oracle=f"""
+WITH t AS (
+  SELECT source, len(string_split(text, ' ')) AS n_tok
+  FROM documents WHERE text IS NOT NULL
+),
+agg AS (
+  SELECT source, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS source_tokens
+  FROM t GROUP BY source
+),
+share AS (
+  SELECT source, n_docs, source_tokens,
+         source_tokens * 1.0 / (SELECT sum(source_tokens) FROM agg) AS p
+  FROM agg
+),
+scaled AS (
+  SELECT source, n_docs, source_tokens, p, pow(p, {_TEMP_ALPHA}) AS pa FROM share
+),
+ep AS (
+  SELECT source, n_docs, source_tokens, p,
+         {_EPOCH_BUDGET_MULT} * (pa / (SELECT sum(pa) FROM scaled)) / p
+           AS epochs_raw
+  FROM scaled
+)
+SELECT source, n_docs, source_tokens,
+       round(p, 6) AS token_share,
+       round(epochs_raw, 4) AS epochs,
+       round(1 + {_EPOCH_RSTAR} * (1 - exp(-(epochs_raw - 1) / {_EPOCH_RSTAR})), 4)
+         AS effective_epochs,
+       epochs_raw > {_EPOCH_KNEE} AS over_knee
+FROM ep
+ORDER BY source
+""",
+)
+def epochs_per_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-constrained epoch planning (Muennighoff et al., NeurIPS
+    2023): given a token budget of 4x the corpus and the
+    temperature-alpha sampling weights (same alpha as
+    temperature_mix_weights, over SOURCE), how many epochs each source
+    actually runs — epochs = budget * sample_prob / token_share — plus
+    the paper's diminishing-returns correction (repeated data decays
+    with half-life R* ~ 15.4: effective epochs =
+    1 + R*(1 - exp(-(k-1)/R*))) and the 4-epoch knee flag beyond which
+    repetition stops paying. Upsampled tail sources hitting the knee is
+    THE failure mode of naive temperature mixing on skewed corpora;
+    this is the table that catches it before a run is launched.
+
+    Scale shape: one corpus scan to (source, n_tok), one bounded
+    per-source aggregate, totals broadcast back onto the source rows —
+    nothing beyond the scan grows with the corpus. Double arithmetic is
+    written in lockstep operation order in both engines (pow/exp over
+    the same aggregated integers; the repo's round-after discipline)."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    t = d.select("source", F.size(tokens_ws("text")).cast("long").alias("n_tok"))
+    agg = t.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("source_tokens"),
+    )
+    totals = agg.agg(
+        F.sum("source_tokens").alias("tot_tokens"),
+    )
+    share = agg.crossJoin(F.broadcast(totals)).select(
+        "source",
+        "n_docs",
+        "source_tokens",
+        (F.col("source_tokens") * 1.0 / F.col("tot_tokens")).alias("p"),
+    )
+    scaled = share.withColumn("pa", F.pow("p", _TEMP_ALPHA))
+    pa_tot = scaled.agg(F.sum("pa").alias("pa_tot"))
+    ep = scaled.crossJoin(F.broadcast(pa_tot)).select(
+        "source",
+        "n_docs",
+        "source_tokens",
+        "p",
+        (
+            F.lit(_EPOCH_BUDGET_MULT)
+            * (F.col("pa") / F.col("pa_tot"))
+            / F.col("p")
+        ).alias("epochs"),
+    )
+    eff = F.lit(1) + _EPOCH_RSTAR * (
+        F.lit(1) - F.exp(-(F.col("epochs") - 1) / _EPOCH_RSTAR)
+    )
+    return ep.select(
+        "source",
+        "n_docs",
+        "source_tokens",
+        F.round("p", 6).alias("token_share"),
+        F.round("epochs", 4).alias("epochs"),
+        F.round(eff, 4).alias("effective_epochs"),
+        (F.col("epochs") > _EPOCH_KNEE).alias("over_knee"),
+    ).orderBy("source")
