@@ -142,6 +142,15 @@ def generate(
         if table in ("region", "nation"):
             out_df = df  # fixed-cardinality dimensions stay single-copy
         else:
+            # Spread the byte-small source BEFORE the x-mult explode:
+            # Spark sizes scan parallelism by bytes, so a one-split
+            # source would run the entire explode+perturb (mult x rows)
+            # in ONE task — measured at mult=1000: lineitem alone held
+            # a single core for >30 min; with the spread the same stage
+            # runs 32-wide. The repartition shuffles only the tiny
+            # source, never the exploded output (same rule as
+            # load_table(spread=True); SCALE.md "bytes-vs-CPU").
+            df = df.repartition(spark.sparkContext.defaultParallelism)
             wide = df.select("*", rep)
             shifted = [
                 (F.col(c) + F.col("_r") * key_stride(c)).alias(c)
