@@ -107,6 +107,11 @@ def _spread(
 
 def _table_bytes(sf_dir: str, name: str) -> int:
     p = os.path.join(sf_dir, f"{name}.parquet")
+    for ext in ("parquet", "orc", "json"):
+        cand = os.path.join(sf_dir, f"{name}.{ext}")
+        if os.path.exists(cand):
+            p = cand
+            break
     if os.path.isdir(p):
         return sum(
             os.path.getsize(os.path.join(root, f))
@@ -131,7 +136,17 @@ def load_table(
     # hour()/date_trunc()/window() agree regardless of the host TZ of
     # whoever created the SparkSession (the driver does, not us).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    pq_path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.exists(pq_path):
+        df = spark.read.parquet(pq_path)
+    else:
+        # Format fallback (sources/formats.py): a corpus exported as
+        # ORC or JSON lines answers every registry query unchanged.
+        from http_log_anonymizer_spark.sources.formats import read_fallback
+
+        df = read_fallback(spark, sf_dir, name)
+        if df is None:
+            df = spark.read.parquet(pq_path)  # raise parquet's error
     for c in _TIMESTAMP_NS_COLS.get(name, []):
         if c in df.columns and dict(df.dtypes)[c] == "bigint":
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
