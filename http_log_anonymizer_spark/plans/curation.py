@@ -2303,66 +2303,85 @@ def quality_filter_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     that are already 3 narrow numbers, and partial aggregation
     collapses each task's slice to 10 rows before any wire — the
     shuffle moves O(10 x tasks) rows regardless of corpus size. The
-    totals row is a second 1-row aggregate broadcast onto 10 rows."""
+    totals travel as two more sum columns on each threshold row (also
+    how the streaming monitor's state stays one mergeable table)."""
     d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    t = d.select(tokens_ws("text").alias("toks"))
+    return qf_readout(qf_curve_rollup(qf_doc_stats(d)))
+
+
+# Shared map/reduce halves — the streaming monitor
+# (streaming/quality_curve.py) reuses these so its readout IS the batch
+# curve over arrived rows (the repetition/watermark-monitor template).
+
+
+def qf_doc_stats(d: DataFrame) -> DataFrame:
+    """(n_toks, score, q) per document over (text, ...) rows — the map
+    half: the calibrated logistic score plus its 1e-6-grid quantization.
+    NULL-text rows are dropped (nothing to score)."""
+    t = d.where(F.col("text").isNotNull()).select(tokens_ws("text").alias("toks"))
     feats = _quality_features(F.col("toks"))
     score = _quality_score(feats)
-    scored = t.select(
+    return t.select(
         feats["n_toks"].cast("long").alias("n_toks"),
         score.alias("score"),
         F.round(score * _QF_GRID, 0).cast("decimal(38,0)").alias("q"),
     )
-    totals = scored.agg(
-        F.count("*").alias("total_docs"),
-        F.sum("n_toks").cast("long").alias("total_tokens"),
-    )
+
+
+def qf_curve_rollup(scored: DataFrame) -> DataFrame:
+    """Per-threshold mergeable state over doc stats: kept counts, kept
+    token mass, the grid score sum, and the corpus totals replicated as
+    two more sum columns — every field an exact sum, so batch
+    boundaries and arrival order cannot change the readout."""
     thr = F.array(*[F.lit(x) for x in _QF_THRESHOLDS])
-    kept = (
+    keep = F.col("score") >= F.col("threshold")
+    return (
         scored.select(F.explode(thr).alias("threshold"), "n_toks", "score", "q")
         .groupBy("threshold")
         .agg(
-            F.sum(F.when(F.col("score") >= F.col("threshold"), 1).otherwise(0))
-            .cast("long")
-            .alias("n_docs_kept"),
-            F.coalesce(
-                F.sum(
-                    F.when(F.col("score") >= F.col("threshold"), F.col("n_toks"))
-                ),
-                F.lit(0),
-            )
+            F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("n_docs_kept"),
+            F.coalesce(F.sum(F.when(keep, F.col("n_toks"))), F.lit(0))
             .cast("long")
             .alias("tokens_kept"),
-            F.coalesce(
-                F.sum(F.when(F.col("score") >= F.col("threshold"), F.col("q"))),
-                F.lit(0),
-            )
+            F.coalesce(F.sum(F.when(keep, F.col("q"))), F.lit(0))
             .cast("decimal(38,0)")
             .alias("qsum"),
+            F.count("*").cast("long").alias("total_docs"),
+            F.sum("n_toks").cast("long").alias("total_tokens"),
         )
     )
-    return (
-        kept.crossJoin(F.broadcast(totals))
-        .select(
-            "threshold",
-            "n_docs_kept",
-            F.round(F.col("n_docs_kept") * 1.0 / F.col("total_docs"), 4).alias(
-                "pct_docs_kept"
+
+
+def qf_merge_rollups(states: DataFrame) -> DataFrame:
+    """Fold any union of curve states back into one row per threshold."""
+    aggs = [
+        F.sum(c).cast("long").alias(c)
+        for c in ("n_docs_kept", "tokens_kept", "total_docs", "total_tokens")
+    ]
+    aggs.insert(2, F.sum("qsum").cast("decimal(38,0)").alias("qsum"))
+    return states.groupBy("threshold").agg(*aggs)
+
+
+def qf_readout(state: DataFrame) -> DataFrame:
+    """The curve rows from a rollup state: counts pass through, shares
+    and the kept-set mean derive from exact sums."""
+    return state.select(
+        "threshold",
+        "n_docs_kept",
+        F.round(F.col("n_docs_kept") * 1.0 / F.col("total_docs"), 4).alias(
+            "pct_docs_kept"
+        ),
+        "tokens_kept",
+        F.round(F.col("tokens_kept") * 1.0 / F.col("total_tokens"), 4).alias(
+            "pct_tokens_kept"
+        ),
+        F.when(
+            F.col("n_docs_kept") > 0,
+            F.round(
+                F.col("qsum").cast("double") / _QF_GRID / F.col("n_docs_kept"), 4
             ),
-            "tokens_kept",
-            F.round(F.col("tokens_kept") * 1.0 / F.col("total_tokens"), 4).alias(
-                "pct_tokens_kept"
-            ),
-            F.when(
-                F.col("n_docs_kept") > 0,
-                F.round(
-                    F.col("qsum").cast("double") / _QF_GRID / F.col("n_docs_kept"),
-                    4,
-                ),
-            ).alias("mean_score_kept"),
-        )
-        .orderBy("threshold")
-    )
+        ).alias("mean_score_kept"),
+    ).orderBy("threshold")
 
 
 # ---------------------------------------------------------------------------
