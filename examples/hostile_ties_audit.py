@@ -12,7 +12,7 @@ touching window frames, rank tie-breaks or pooled-cohort unions:
 
     python examples/hostile_ties_audit.py
 
-Result of record (r08 continuation session 3, all 217 queries):
+Result of record (r08 continuation session 3, all 218 queries):
 0 fails, 0 errors.
 """
 
