@@ -40,11 +40,11 @@ from http_log_anonymizer_spark.plans import curation  # noqa: E402,F401
 # (classifier_auc_report peer-order AUC, quality_quantile_normalize
 # exact-half rounding), and dedup_simhash_stats +
 # customer_running_revenue + cms_user_frequency + bm25_query_table +
-# bloom_membership_report to continuation session 3's five new queries
-# (gopher_repetition_report, soft_dedup_weights,
-# quality_filter_tradeoff, rho_excess_loss_report,
-# epochs_per_source_report) — first driver check beats a staleness
-# refresh).
+# bloom_membership_report + best_order_per_customer to continuation
+# session 3's six new queries (gopher_repetition_report,
+# soft_dedup_weights, quality_filter_tradeoff, rho_excess_loss_report,
+# epochs_per_source_report, split_leakage_report) — first driver check
+# beats a staleness refresh).
 # Everything outside the window stays locally gated by
 # tests/test_registry_oracle.py (same comparator).
 _WINDOW = [
@@ -85,6 +85,7 @@ _WINDOW = [
     "quality_filter_tradeoff",  # new this round (continuation session 3)
     "rho_excess_loss_report",  # new this round (continuation session 3)
     "epochs_per_source_report",  # new this round (continuation session 3)
+    "split_leakage_report",  # new this round (continuation session 3)
     # --- result-affecting plan changes late in round 8: the AUC
     # --- peer-order fix and the exact-half HALF-UP rounding fix can
     # --- change values even on NULL-free driver data ---
@@ -104,7 +105,6 @@ _WINDOW = [
     "ann_lsh_recall_report",
     "ann_lsh_wide_topk",
     "ann_quantized_topk",
-    "best_order_per_customer",
 ]
 
 

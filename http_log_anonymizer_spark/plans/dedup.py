@@ -3218,3 +3218,104 @@ def soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Split leakage: near-dup pairs crossing the train/val/test boundary
+# ---------------------------------------------------------------------------
+
+# The split rule IS train_val_test_split's (plans/sampling.py): hash64
+# of doc_id under the "split" seed, 80/10/10. Keep in lockstep.
+_SPLIT_CASE = (
+    "CASE WHEN {h} % 100 < 80 THEN 'train' "
+    "WHEN {h} % 100 < 90 THEN 'val' ELSE 'test' END"
+)
+
+
+@register(
+    "split_leakage_report",
+    oracle=f"""
+WITH {_PAIRS_CTES},
+cls AS (
+  SELECT doc_a, doc_b, jr,
+         least({_SPLIT_CASE.format(h=hash64_sql("CAST(doc_a AS VARCHAR)", "split"))},
+               {_SPLIT_CASE.format(h=hash64_sql("CAST(doc_b AS VARCHAR)", "split"))})
+           AS split_a,
+         greatest({_SPLIT_CASE.format(h=hash64_sql("CAST(doc_a AS VARCHAR)", "split"))},
+                  {_SPLIT_CASE.format(h=hash64_sql("CAST(doc_b AS VARCHAR)", "split"))})
+           AS split_b
+  FROM pairs
+),
+grp AS (
+  SELECT split_a, split_b, count(*) AS n_pairs,
+         round(max(jr), 3) AS max_jaccard
+  FROM cls GROUP BY split_a, split_b
+),
+docs AS (
+  SELECT split_a, split_b, count(DISTINCT d) AS n_docs FROM (
+    SELECT split_a, split_b, doc_a AS d FROM cls
+    UNION ALL
+    SELECT split_a, split_b, doc_b AS d FROM cls
+  ) GROUP BY split_a, split_b
+)
+SELECT g.split_a, g.split_b, g.n_pairs, d.n_docs, g.max_jaccard,
+       g.split_a <> g.split_b AS is_leak
+FROM grp g JOIN docs d ON g.split_a = d.split_a AND g.split_b = d.split_b
+ORDER BY g.split_a, g.split_b
+""",
+)
+def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-contamination check: verified near-duplicate pairs that
+    CROSS the train/val/test boundary (the split rule is
+    train_val_test_split's deterministic hash, kept in lockstep) —
+    the classic ordering bug where splitting happens before dedup, so
+    the test set contains near-copies of training documents and every
+    eval number is inflated (Lee et al. 2022 measured this on C4/Wiki40B
+    derivatives). Per unordered split pair: pair count, distinct
+    documents involved, worst-case Jaccard, and the is_leak verdict —
+    any non-zero cross-split row means dedup (or leakage removal) must
+    run BEFORE the split is consumed.
+
+    Scale shape: classification is a projection over the verified-pair
+    table (already candidate-bounded by the banded LSH join, never
+    all-pairs); the rollup groups at most 6 unordered split pairs, and
+    the distinct-doc count shuffles only pair endpoints. Rides the
+    dedup pipeline's existing 100 TB story end to end."""
+    pairs = minhash_verified_pairs(spark, sf_dir)
+
+    def split_of(c: str):
+        b = hash64(F.col(c).cast("string"), "split") % 100
+        return (
+            F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+        )
+
+    cls = pairs.select(
+        "doc_a",
+        "doc_b",
+        "jr",
+        F.least(split_of("doc_a"), split_of("doc_b")).alias("split_a"),
+        F.greatest(split_of("doc_a"), split_of("doc_b")).alias("split_b"),
+    )
+    grp = cls.groupBy("split_a", "split_b").agg(
+        F.count("*").alias("n_pairs"),
+        F.round(F.max("jr"), 3).alias("max_jaccard"),
+    )
+    docs = (
+        cls.select(
+            "split_a", "split_b", F.explode(F.array("doc_a", "doc_b")).alias("d")
+        )
+        .groupBy("split_a", "split_b")
+        .agg(F.countDistinct("d").alias("n_docs"))
+    )
+    return (
+        grp.join(docs, ["split_a", "split_b"])
+        .select(
+            "split_a",
+            "split_b",
+            "n_pairs",
+            "n_docs",
+            "max_jaccard",
+            (F.col("split_a") != F.col("split_b")).alias("is_leak"),
+        )
+        .orderBy("split_a", "split_b")
+    )
