@@ -20,6 +20,7 @@ from http_log_anonymizer_spark.plans import sampling  # noqa: E402,F401
 from http_log_anonymizer_spark.plans import scalars  # noqa: E402,F401
 from http_log_anonymizer_spark.plans import analytics  # noqa: E402,F401
 from http_log_anonymizer_spark.plans import curation  # noqa: E402,F401
+from http_log_anonymizer_spark.plans import linkage  # noqa: E402,F401
 
 # Round-8 window (VERDICT r07 item 2 — staleness debt FIRST): the 14
 # r03-stale queries (the full remainder of the rotation — after this
@@ -104,7 +105,9 @@ _WINDOW = [
     "ann_ivf_kmeans_topk",
     "ann_lsh_recall_report",
     "ann_lsh_wide_topk",
-    "ann_quantized_topk",
+    # session 4: ann_quantized_topk cedes its r04-fill slot to the new
+    # record_linkage_em (first driver check beats a staleness refresh)
+    "record_linkage_em",
 ]
 
 

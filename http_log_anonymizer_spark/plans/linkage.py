@@ -1,0 +1,231 @@
+"""Probabilistic record linkage — the Fellegi–Sunter model fit by EM.
+
+The reference's mission is anonymization of identified records
+(anonymizer/src/lib.rs:1-20); the inverse problem a data platform hits
+just as often is RE-identification of the same real-world entity
+across two noisy feeds (CRM vs billing, two crawl snapshots, raw vs
+anonymized audit) — classic probabilistic record linkage (Fellegi &
+Sunter, JASA 1969; Winkler 2006). ``record_linkage_em`` implements the
+standard pipeline: a blocked candidate-pair universe, per-pair binary
+agreement vectors over comparison features, EM estimation of the
+match-class parameters (m_f = P(agree_f | match), u_f = P(agree_f |
+non-match), lambda = match prevalence), and posterior match weights.
+
+Cross-engine determinism follows the repo's exact-integer discipline
+(kmeans_quantized / pagerank precedent): every probability lives on a
+1e-9 integer grid, every division is a truncating integer division of
+NON-NEGATIVE integers (Spark ``DIV`` truncates toward zero, DuckDB
+``//`` floors — identical on non-negatives), and the whole EM loop is
+ONE SQL text shared by both engines with two dialect substitutions
+(``DIV`` vs ``//``, ``DECIMAL(38,0)`` vs ``HUGEINT``), so the oracle
+replays the fit bit for bit.
+
+The two record feeds are derived views of ``customer`` (the planted-
+view pattern of plans/text.py's PII family): side B re-observes every
+customer with deterministic noise keyed off ``c_custkey`` — name
+corrupted for keys = 0 mod 5, account balance shifted by $2.37 for
+keys = 0 mod 4, market segment re-labelled for keys = 0 mod 3 — so
+true match pairs (same custkey) carry realistic partial agreement and
+within-block non-match pairs carry near-zero agreement.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from http_log_anonymizer_spark.plans.registry import register
+from http_log_anonymizer_spark.sources.batch import load_table
+
+_RL_GRID = 10**9  # probability grid: 1.0 == 1e9
+_RL_BLOCK = 50  # blocking-pass width: pairs per record stay constant
+_RL_ROUNDS = 3  # fixed, unrolled EM rounds (kmeans/pagerank precedent)
+_RL_MATCH = 500_000_000  # posterior >= 0.5 classifies as match
+# Neutral init, away from the 0/1 absorbing states.
+_RL_LAM0 = 50_000_000  # 0.05
+_RL_M0 = 900_000_000  # 0.90
+_RL_U0 = 100_000_000  # 0.10
+
+_RL_FEATURES = ("name", "bal", "seg")
+
+
+def _clamp(expr: str, big: str) -> str:
+    """Clamp a grid probability to [1, GRID-1] so products never hit
+    the absorbing 0/1 states (mirrors max(1, min(GRID-1, .)))."""
+    return (
+        f"greatest(CAST(1 AS {big}), "
+        f"least(CAST({_RL_GRID - 1} AS {big}), {expr}))"
+    )
+
+
+def _pm_pu(param: str, big: str, intdiv: str) -> tuple[str, str]:
+    """Textual per-pair class-likelihood products, renormalized to the
+    grid after every factor (pm = lambda * prod_f m-or-(1-m); pu
+    likewise with 1-lambda and u). ``param`` is the alias of the
+    one-row parameter relation."""
+    pm = f"{param}.lam"
+    pu = f"(CAST({_RL_GRID} AS {big}) - {param}.lam)"
+    for f in _RL_FEATURES:
+        pm = (
+            f"(({pm}) * (CASE WHEN g_{f} = 1 THEN {param}.m_{f} "
+            f"ELSE CAST({_RL_GRID} AS {big}) - {param}.m_{f} END)) "
+            f"{intdiv} CAST({_RL_GRID} AS {big})"
+        )
+        pu = (
+            f"(({pu}) * (CASE WHEN g_{f} = 1 THEN {param}.u_{f} "
+            f"ELSE CAST({_RL_GRID} AS {big}) - {param}.u_{f} END)) "
+            f"{intdiv} CAST({_RL_GRID} AS {big})"
+        )
+    return pm, pu
+
+
+def _em_sql(intdiv: str, big: str, table: str) -> str:
+    """The shared EM text; ``intdiv`` is 'DIV' (Spark) or '//'
+    (DuckDB), ``big`` is DECIMAL(38,0) (Spark) or HUGEINT (DuckDB) and
+    ``table`` the customer relation name — the only dialect deltas."""
+    g = _RL_GRID
+    parts: list[str] = []
+    # Side B: the noisy re-observation of every customer.
+    parts.append(f"""
+rl_b AS (
+  SELECT c_custkey AS kb,
+    CASE WHEN c_custkey % 5 = 0
+         THEN substr(c_name, 1, length(c_name) - 1) || 'X'
+         ELSE c_name END AS name_b,
+    CAST(round(c_acctbal * 100) AS BIGINT)
+      + CASE WHEN c_custkey % 4 = 0 THEN 237 ELSE 0 END AS cents_b,
+    CASE WHEN c_custkey % 3 = 0 THEN 'RELOCATED'
+         ELSE c_mktsegment END AS seg_b
+  FROM {table}
+)""")
+    # Blocked candidate pairs with binary agreement vectors. The
+    # equality tests are null-safe so a NULL attribute compares the
+    # same way in both engines (agree only when both sides are NULL).
+    parts.append(f"""
+rl_pairs AS (
+  SELECT a.c_custkey AS ka, b.kb,
+    CASE WHEN a.c_name IS NOT DISTINCT FROM b.name_b
+         THEN 1 ELSE 0 END AS g_name,
+    CASE WHEN abs(CAST(round(a.c_acctbal * 100) AS BIGINT) - b.cents_b)
+              <= 100 THEN 1 ELSE 0 END AS g_bal,
+    CASE WHEN a.c_mktsegment IS NOT DISTINCT FROM b.seg_b
+         THEN 1 ELSE 0 END AS g_seg
+  FROM {table} a
+  JOIN rl_b b ON a.c_custkey {intdiv} {_RL_BLOCK} = b.kb {intdiv} {_RL_BLOCK}
+)""")
+    # Round-0 parameters: neutral literals on the grid.
+    init_cols = [f"CAST({_RL_LAM0} AS {big}) AS lam"]
+    for f in _RL_FEATURES:
+        init_cols.append(f"CAST({_RL_M0} AS {big}) AS m_{f}")
+        init_cols.append(f"CAST({_RL_U0} AS {big}) AS u_{f}")
+    parts.append(f"rl_p0 AS (SELECT {', '.join(init_cols)})")
+    for k in range(1, _RL_ROUNDS + 1):
+        pm, pu = _pm_pu("q", big, intdiv)
+        # E-step: per-pair posterior match weight on the grid.
+        parts.append(f"""
+rl_l{k} AS (
+  SELECT pr.*, {pm} AS pm, {pu} AS pu
+  FROM rl_pairs pr CROSS JOIN rl_p{k - 1} q
+)""")
+        parts.append(f"""
+rl_w{k} AS (
+  SELECT *, (pm * CAST({g} AS {big}))
+            {intdiv} greatest(pm + pu, CAST(1 AS {big})) AS w
+  FROM rl_l{k}
+)""")
+        # M-step sums: every field an exact integer.
+        sums = [
+            "count(*) AS n",
+            f"sum(CAST(w AS {big})) AS s",
+        ]
+        for f in _RL_FEATURES:
+            sums.append(f"sum(CAST(w AS {big}) * g_{f}) AS s_{f}")
+            sums.append(f"sum(CAST(g_{f} AS {big})) AS c_{f}")
+        parts.append(f"rl_s{k} AS (SELECT {', '.join(sums)} FROM rl_w{k})")
+        # M-step updates, clamped to the open grid interval.
+        upd = [
+            _clamp(f"s {intdiv} CAST(greatest(n, 1) AS {big})", big)
+            + " AS lam"
+        ]
+        for f in _RL_FEATURES:
+            upd.append(
+                _clamp(
+                    f"(s_{f} * CAST({g} AS {big})) "
+                    f"{intdiv} greatest(s, CAST(1 AS {big}))",
+                    big,
+                )
+                + f" AS m_{f}"
+            )
+            upd.append(
+                _clamp(
+                    f"((c_{f} * CAST({g} AS {big}) - s_{f}) "
+                    f"* CAST({g} AS {big})) "
+                    f"{intdiv} greatest(CAST(n AS {big}) "
+                    f"* CAST({g} AS {big}) - s, CAST(1 AS {big}))",
+                    big,
+                )
+                + f" AS u_{f}"
+            )
+        parts.append(f"rl_p{k} AS (SELECT {', '.join(upd)} FROM rl_s{k})")
+    # Final classification under the fitted parameters.
+    pm, pu = _pm_pu("q", big, intdiv)
+    carried = ["q.lam"]
+    for f in _RL_FEATURES:
+        carried += [f"q.m_{f}", f"q.u_{f}"]
+    parts.append(f"""
+rl_fl AS (
+  SELECT pr.*, {', '.join(carried)}, {pm} AS pm, {pu} AS pu
+  FROM rl_pairs pr CROSS JOIN rl_p{_RL_ROUNDS} q
+)""")
+    param_out = ["CAST(lam AS BIGINT) AS lambda9"]
+    for f in _RL_FEATURES:
+        param_out.append(f"CAST(m_{f} AS BIGINT) AS m_{f}9")
+        param_out.append(f"CAST(u_{f} AS BIGINT) AS u_{f}9")
+    return f"""
+WITH {', '.join(parts)},
+rl_final AS (
+  SELECT *, (pm * CAST({g} AS {big}))
+            {intdiv} greatest(pm + pu, CAST(1 AS {big})) AS w
+  FROM rl_fl
+)
+SELECT ka AS custkey_a, kb AS custkey_b, g_name, g_bal, g_seg,
+       CAST(w AS BIGINT) AS w9,
+       {', '.join(param_out)}
+FROM rl_final
+WHERE w >= {_RL_MATCH}
+ORDER BY custkey_a, custkey_b
+"""
+
+
+@register("record_linkage_em", oracle=_em_sql("//", "HUGEINT", "customer"))
+def record_linkage_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter probabilistic record linkage of ``customer``
+    against its deterministic noisy re-observation, fit by {_RL_ROUNDS}
+    unrolled EM rounds on a 1e-9 integer probability grid and
+    classified at posterior >= 0.5. Output: the matched pairs with
+    their agreement vectors, posterior weights, and the fitted
+    (lambda, m_f, u_f) parameters — so the driver hash pins the EM
+    trajectory itself, not just the pair list.
+
+    Plan shape (scale-first): the blocking pass keeps candidate volume
+    LINEAR in the corpus — a fixed-width key (custkey DIV {_RL_BLOCK})
+    yields constant-size blocks, {_RL_BLOCK} candidates per record at
+    any scale (production swaps in domain keys / multi-pass blocking;
+    the EM arithmetic is invariant to the generator). Each EM round is
+    one shuffle-free scan-side aggregate over the pair relation (8
+    exact-integer sums, map-side combined to one row), and parameters
+    travel as a one-row broadcast (Catalyst plans the CROSS JOIN of a
+    1-row aggregate as a broadcast nested loop), never a driver
+    collect. The candidate join is a standard equi-join on the block
+    key; AQE handles any block skew. Nothing in the plan is
+    all-pairs, and no Python touches the hot path.
+
+    The match class separates on this corpus exactly as FS theory
+    predicts: u_name ~ 0 within blocks (names near-unique), so name
+    agreement alone is near-decisive; matches with a corrupted name
+    recover through balance agreement (u_bal ~ 2e-4); matches with two
+    corrupted features (name+bal: custkey = 0 mod 20) fall below the
+    0.5 posterior — honest false negatives, documented rather than
+    tuned away."""
+    c = load_table(spark, sf_dir, "customer")
+    c.createOrReplaceTempView("customer_rl_em")
+    return spark.sql(_em_sql("DIV", "DECIMAL(38,0)", "customer_rl_em"))
