@@ -101,7 +101,10 @@ _WINDOW = [
     "embed_neardup",  # scale-gated this round
     "ams_f2_selfjoin_size",
     "ann_brute_topk",
-    "ann_ivf_adc_topk",
+    # session 4: ann_ivf_adc_topk cedes its r04-fill slot to
+    # pii_source_summary, whose plan was refactored into the shared
+    # map/reduce halves behind the new streaming PII monitor
+    "pii_source_summary",
     "ann_ivf_kmeans_topk",
     "ann_lsh_recall_report",
     "ann_lsh_wide_topk",

@@ -492,25 +492,69 @@ def pii_source_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     dashboard behind any scrub pass: how many documents carry PII and
     how much, by origin. Map-side counts then one small shuffle on
     source (integer sums cast to BIGINT in the oracle: DuckDB sum()
-    returns HUGEINT)."""
-    p = _pii_view(spark, sf_dir)
-    e = F.size(F.regexp_extract_all("t", F.lit(_PII_EMAIL), F.lit(0)))
-    ph = F.size(F.regexp_extract_all("t", F.lit(_PII_PHONE), F.lit(0)))
-    i = F.size(F.regexp_extract_all("t", F.lit(_PII_IPV4), F.lit(0)))
-    per_doc = p.select("source", e.alias("e"), ph.alias("p"), i.alias("i"))
-    return (
-        per_doc.groupBy("source")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum(
-                F.when(F.col("e") + F.col("p") + F.col("i") > 0, 1).otherwise(0)
-            ).alias("docs_with_pii"),
-            F.sum("e").alias("total_emails"),
-            F.sum("p").alias("total_phones"),
-            F.sum("i").alias("total_ips"),
-        )
-        .orderBy("source")
+    returns HUGEINT). Built from the shared map/reduce halves below so
+    the streaming monitor's (streaming/pii.py) readout IS this query
+    over arrived rows."""
+    return pii_readout(pii_rollup(pii_doc_counts(_pii_view(spark, sf_dir))))
+
+
+# Shared map/reduce halves — the streaming PII monitor
+# (streaming/pii.py) reuses these so its readout IS the batch summary
+# over arrived rows (the quality-curve/repetition-monitor template).
+
+
+def pii_doc_counts(rows: DataFrame, text_col: str = "t") -> DataFrame:
+    """(source, e, p, i) per document over (source, text) rows — the
+    map half: per-type PII match counts, all JVM regex."""
+    e = F.size(F.regexp_extract_all(text_col, F.lit(_PII_EMAIL), F.lit(0)))
+    ph = F.size(F.regexp_extract_all(text_col, F.lit(_PII_PHONE), F.lit(0)))
+    i = F.size(F.regexp_extract_all(text_col, F.lit(_PII_IPV4), F.lit(0)))
+    return rows.where(F.col(text_col).isNotNull()).select(
+        "source", e.alias("e"), ph.alias("p"), i.alias("i")
     )
+
+
+def pii_rollup(counts: DataFrame) -> DataFrame:
+    """Per-source mergeable state over doc counts: every field an exact
+    BIGINT sum, so arrival order and batch boundaries cannot change the
+    readout and incremental merges equal the one-shot aggregate."""
+    return counts.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("e") + F.col("p") + F.col("i") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("docs_with_pii"),
+        F.sum("e").cast("long").alias("total_emails"),
+        F.sum("p").cast("long").alias("total_phones"),
+        F.sum("i").cast("long").alias("total_ips"),
+    )
+
+
+def pii_merge_rollups(states: DataFrame) -> DataFrame:
+    """Fold any union of per-source states back into one row each."""
+    return states.groupBy("source").agg(
+        *[
+            F.sum(c).cast("long").alias(c)
+            for c in (
+                "n_docs",
+                "docs_with_pii",
+                "total_emails",
+                "total_phones",
+                "total_ips",
+            )
+        ]
+    )
+
+
+def pii_readout(state: DataFrame) -> DataFrame:
+    """The summary rows from a rollup state (counts pass through)."""
+    return state.select(
+        "source",
+        "n_docs",
+        "docs_with_pii",
+        "total_emails",
+        "total_phones",
+        "total_ips",
+    ).orderBy("source")
 
 
 @register(
