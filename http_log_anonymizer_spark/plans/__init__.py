@@ -105,7 +105,9 @@ _WINDOW = [
     # pii_source_summary, whose plan was refactored into the shared
     # map/reduce halves behind the new streaming PII monitor
     "pii_source_summary",
-    "ann_ivf_kmeans_topk",
+    # session 4: ann_ivf_kmeans_topk cedes its r04-fill slot to the new
+    # shuffle_mixing_report
+    "shuffle_mixing_report",
     "ann_lsh_recall_report",
     "ann_lsh_wide_topk",
     # session 4: ann_quantized_topk cedes its r04-fill slot to the new

@@ -338,6 +338,179 @@ def training_shard_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "shuffle_mixing_report",
+    oracle=f"""
+WITH keyed AS (
+  SELECT doc_id, source,
+         {hash64_sql("CAST(doc_id AS VARCHAR)", "shuf")} AS skey
+  FROM documents
+),
+sh AS (SELECT *, skey % {_N_SHARDS} AS shard FROM keyed),
+adj AS (
+  SELECT shard,
+         CASE WHEN lead(1) OVER w IS NOT NULL
+                   AND source IS NOT DISTINCT FROM lead(source) OVER w
+              THEN 1 ELSE 0 END AS same,
+         CASE WHEN lead(1) OVER w IS NOT NULL THEN 1 ELSE 0 END AS pair
+  FROM sh WINDOW w AS (PARTITION BY shard ORDER BY skey, doc_id)
+),
+obs AS (
+  SELECT shard, CAST(sum(same) AS BIGINT) AS same_src_pairs,
+         CAST(sum(pair) AS BIGINT) AS n_pairs
+  FROM adj GROUP BY shard
+),
+srcc AS (SELECT shard, source, count(*) AS c FROM sh GROUP BY shard, source),
+per AS (
+  SELECT shard, CAST(sum(c) AS BIGINT) AS n_docs,
+         count(*) AS n_sources,
+         CAST(sum(c * (c - 1)) AS BIGINT) AS exp_num
+  FROM srcc GROUP BY shard
+),
+m AS (
+  SELECT p.shard, p.n_docs, p.n_sources, o.n_pairs, o.same_src_pairs,
+         CAST((CAST(p.exp_num AS HUGEINT) * 1000000) // p.n_docs AS BIGINT)
+           AS exp_micro
+  FROM per p JOIN obs o ON p.shard = o.shard
+),
+pooled AS (
+  SELECT CAST(-1 AS BIGINT) AS shard,
+         CAST(sum(n_docs) AS BIGINT) AS n_docs,
+         (SELECT count(*) FROM (SELECT DISTINCT source FROM sh) t)
+           AS n_sources,
+         CAST(sum(n_pairs) AS BIGINT) AS n_pairs,
+         CAST(sum(same_src_pairs) AS BIGINT) AS same_src_pairs,
+         CAST(sum(exp_micro) AS BIGINT) AS exp_micro
+  FROM m
+),
+allrows AS (
+  SELECT CAST(shard AS BIGINT) AS shard, n_docs,
+         CAST(n_sources AS BIGINT) AS n_sources, n_pairs, same_src_pairs,
+         exp_micro
+  FROM m
+  UNION ALL SELECT * FROM pooled
+)
+SELECT shard, n_docs, n_sources, n_pairs, same_src_pairs,
+       round(exp_micro / 1000000.0, 6) AS expected_same,
+       CASE WHEN exp_micro > 0
+            THEN round(same_src_pairs * 1000000.0 / exp_micro, 6)
+       END AS mixing_ratio
+FROM allrows
+ORDER BY shard
+""",
+)
+def shuffle_mixing_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixing audit of the training read order — the certificate that
+    the shuffle behind training_shard_report actually interleaves
+    sources. A trainer reads each shard sequentially in shuffle-key
+    order; if the shuffle key correlates with provenance (the classic
+    failure: keying on URL, which clusters by domain), consecutive
+    examples share a source and gradient batches see correlated data.
+    Per shard (and pooled as shard = -1): observed same-source
+    ADJACENT pairs along the read order vs the exact expectation under
+    a uniform random permutation of that shard's composition,
+    E[same] = sum_s c_s(c_s-1) / n (a derangement-free mean over the
+    n-1 adjacent slots). mixing_ratio ~ 1 certifies the shuffle;
+    >> 1 flags clustering (bad key), << 1 flags a suspiciously
+    anti-random order (e.g. round-robin leakage from the generator).
+
+    Exactness: the expectation's numerator and denominator are exact
+    integers; the only divisions are one truncating integer division
+    onto a 1e-6 grid (HUGEINT/DECIMAL(38,0), non-negative, so DuckDB
+    // and Spark DIV agree) and per-row double divisions of exact
+    integers (identical IEEE both engines). The pooled row sums the
+    GRID values, never doubles, so summation order cannot move it.
+    Adjacency is null-safe (NULL source is a source value).
+
+    Scale shape: one scan; the per-shard lead() window partitions by
+    shard — parallelism equals shard count and the per-shard
+    sequential pass is exactly the trainer's own read pattern (at
+    cluster scale shard count is sized to the reader fleet, so
+    partitions stay bounded); one (shard, source) groupBy (map-side
+    combined, group count = shards x sources); two 16-row joins; the
+    pooled row folds 16 grid integers."""
+    d = load_table(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        "source",
+        hash64(F.col("doc_id").cast("string"), "shuf").alias("skey"),
+    ).withColumn("shard", F.col("skey") % _N_SHARDS)
+    w = Window.partitionBy("shard").orderBy("skey", "doc_id")
+    has_next = F.lead(F.lit(1)).over(w)
+    adj = keyed.select(
+        "shard",
+        F.when(
+            has_next.isNotNull()
+            & F.col("source").eqNullSafe(F.lead("source").over(w)),
+            1,
+        )
+        .otherwise(0)
+        .alias("same"),
+        F.when(has_next.isNotNull(), 1).otherwise(0).alias("pair"),
+    )
+    obs = adj.groupBy("shard").agg(
+        F.sum("same").cast("long").alias("same_src_pairs"),
+        F.sum("pair").cast("long").alias("n_pairs"),
+    )
+    srcc = keyed.groupBy("shard", "source").agg(F.count("*").alias("c"))
+    per = srcc.groupBy("shard").agg(
+        F.sum("c").cast("long").alias("n_docs"),
+        F.count("*").alias("n_sources"),
+        F.sum(F.col("c") * (F.col("c") - 1)).cast("long").alias("exp_num"),
+    )
+    m = per.join(obs, "shard").select(
+        "shard",
+        "n_docs",
+        "n_sources",
+        "n_pairs",
+        "same_src_pairs",
+        F.expr(
+            "CAST((CAST(exp_num AS DECIMAL(38,0)) * 1000000) "
+            "DIV CAST(n_docs AS DECIMAL(38,0)) AS BIGINT)"
+        ).alias("exp_micro"),
+    )
+    n_src_all = keyed.select("source").distinct().agg(
+        F.count("*").alias("n_sources")
+    )
+    pooled = (
+        m.agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("n_pairs").cast("long").alias("n_pairs"),
+            F.sum("same_src_pairs").cast("long").alias("same_src_pairs"),
+            F.sum("exp_micro").cast("long").alias("exp_micro"),
+        )
+        .crossJoin(F.broadcast(n_src_all))
+        .select(
+            F.lit(-1).cast("long").alias("shard"),
+            "n_docs",
+            F.col("n_sources").cast("long").alias("n_sources"),
+            "n_pairs",
+            "same_src_pairs",
+            "exp_micro",
+        )
+    )
+    rows = m.select(
+        F.col("shard").cast("long").alias("shard"),
+        "n_docs",
+        F.col("n_sources").cast("long").alias("n_sources"),
+        "n_pairs",
+        "same_src_pairs",
+        "exp_micro",
+    ).unionByName(pooled)
+    return rows.select(
+        "shard",
+        "n_docs",
+        "n_sources",
+        "n_pairs",
+        "same_src_pairs",
+        F.round(F.col("exp_micro") / 1000000.0, 6).alias("expected_same"),
+        F.when(
+            F.col("exp_micro") > 0,
+            F.round(F.col("same_src_pairs") * 1000000.0 / F.col("exp_micro"), 6),
+        ).alias("mixing_ratio"),
+    ).orderBy("shard")
+
+
 # ---------------------------------------------------------------------------
 # Neyman allocation (Neyman 1934; Cochran, Sampling Techniques §5.5) —
 # variance-optimal sample-size allocation across strata, the sampling
