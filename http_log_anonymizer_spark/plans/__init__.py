@@ -109,7 +109,9 @@ _WINDOW = [
     # shuffle_mixing_report
     "shuffle_mixing_report",
     "ann_lsh_recall_report",
-    "ann_lsh_wide_topk",
+    # session 4: ann_lsh_wide_topk cedes its r04-fill slot to the new
+    # kmeans_silhouette_report
+    "kmeans_silhouette_report",
     # session 4: ann_quantized_topk cedes its r04-fill slot to the new
     # record_linkage_em (first driver check beats a staleness refresh)
     "record_linkage_em",

@@ -1016,6 +1016,155 @@ def kmeans_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "kmeans_silhouette_report",
+    oracle=f"""
+WITH {_km_ctes()},
+ksil_d AS (
+  SELECT a.vec_id, a.cluster AS assigned, c.cluster AS label,
+         sqrt(list_sum(list_transform(generate_series(1, {_DIM}),
+           i -> (a.qv[i] / 1000.0 - c.c[i])
+              * (a.qv[i] / 1000.0 - c.c[i])))) AS d
+  FROM kassign{_KM_ROUNDS} a CROSS JOIN kcent{_KM_ROUNDS} c
+),
+ksil_ab AS (
+  SELECT vec_id, assigned,
+         min(CASE WHEN label = assigned THEN d END) AS da,
+         min(CASE WHEN label <> assigned THEN d END) AS db
+  FROM ksil_d GROUP BY vec_id, assigned
+),
+ksil_s AS (
+  SELECT assigned AS cluster,
+         CASE WHEN greatest(da, COALESCE(db, da)) > 0
+              THEN CAST(floor((COALESCE(db, da) - da)
+                   / greatest(da, COALESCE(db, da)) * 1000000) AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END AS s_micro
+  FROM ksil_ab
+),
+ksil_g AS (
+  SELECT cluster, count(*) AS n_vectors,
+         CAST(sum(s_micro) AS BIGINT) AS ssum,
+         CAST(min(s_micro) AS BIGINT) AS smin,
+         CAST(max(s_micro) AS BIGINT) AS smax
+  FROM ksil_s GROUP BY cluster
+),
+ksil_all AS (
+  SELECT CAST(cluster AS BIGINT) AS cluster, n_vectors, ssum, smin, smax
+  FROM ksil_g
+  UNION ALL
+  SELECT CAST(-1 AS BIGINT), CAST(sum(n_vectors) AS BIGINT),
+         CAST(sum(ssum) AS BIGINT), CAST(min(smin) AS BIGINT),
+         CAST(max(smax) AS BIGINT)
+  FROM ksil_g
+)
+SELECT cluster, n_vectors,
+       round(ssum / (n_vectors * 1000000.0), 6) AS mean_silhouette,
+       round(smin / 1000000.0, 6) AS min_silhouette,
+       round(smax / 1000000.0, 6) AS max_silhouette
+FROM ksil_all
+ORDER BY cluster
+""",
+)
+def kmeans_silhouette_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-quality audit of the k-means run the registry ships:
+    the SIMPLIFIED silhouette (Kaufman & Rousseeuw 1990; the
+    centroid-distance variant scikit-learn calls simplified
+    silhouette) per cluster and pooled (cluster = -1): for each vector
+    a = distance to its own centroid, b = nearest OTHER centroid,
+    s = (b - a) / max(a, b). Mean s near 1 = tight separated cells,
+    near 0 = overlapping cells (the honest reading on isotropic
+    synthetic embeddings), negative = vectors parked in the wrong
+    cell. This is the table an IVF operator reads before trusting its
+    cell layout (the recall reports measure the consequence; this
+    measures the cause).
+
+    Determinism: the training run is kmeans_quantized (exact integer
+    sums, md5 seeds, fixed rounds — the SQL-replayable variant);
+    silhouette distances reuse the fold-order-exact d2 (zip_with +
+    left-fold aggregate == list_sum's serial fold), sqrt is correctly
+    rounded IEEE in both engines, each vector's s lands on a 1e-6
+    integer grid via floor(), and per-cluster means divide exact
+    integer sums once — no double summation anywhere.
+
+    Scale shape: distances are a whole-stage-codegen expression over k
+    literal centroid arrays (no join, no shuffle for the k x d side);
+    the only shuffle is the k-group rollup, map-side combined. Work is
+    O(n * k * d) — the same as one extra assignment round."""
+    from http_log_anonymizer_spark.operators.kmeans import kmeans_quantized
+
+    e = load_table(
+        spark, sf_dir, "embeddings", spread=True, bytes_per_task=256 * 1024
+    ).select("vec_id", "embedding")
+    assignments, cent = kmeans_quantized(e, k=_KM_K, rounds=_KM_ROUNDS)
+    qv = e.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.floor(x * 1000).cast("long"),
+        ).alias("qv"),
+    ).join(assignments, "vec_id")
+
+    structs = []
+    for c, cvec in enumerate(cent):
+        carr = F.array(*[F.lit(v) for v in cvec])
+        diff = F.zip_with(
+            "qv", carr, lambda x, cc: (x / 1000.0 - cc) * (x / 1000.0 - cc)
+        )
+        d = F.sqrt(F.aggregate(diff, F.lit(0.0), lambda acc, t: acc + t))
+        structs.append(F.struct(d.alias("d"), F.lit(c).alias("label")))
+    arr = F.array(*structs)
+    da = F.element_at(
+        F.filter(arr, lambda t: t["label"] == F.col("cluster")), 1
+    )["d"]
+    db = F.coalesce(
+        F.array_min(
+            F.transform(
+                F.filter(arr, lambda t: t["label"] != F.col("cluster")),
+                lambda t: t["d"],
+            )
+        ),
+        da,
+    )
+    s_micro = (
+        F.when(
+            F.greatest(da, db) > 0,
+            F.floor((db - da) / F.greatest(da, db) * 1000000).cast("long"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("s_micro")
+    )
+    sv = qv.select(F.col("cluster").alias("cluster"), s_micro)
+    g = sv.groupBy("cluster").agg(
+        F.count("*").alias("n_vectors"),
+        F.sum("s_micro").cast("long").alias("ssum"),
+        F.min("s_micro").cast("long").alias("smin"),
+        F.max("s_micro").cast("long").alias("smax"),
+    )
+    pooled = g.agg(
+        F.lit(-1).cast("long").alias("cluster"),
+        F.sum("n_vectors").cast("long").alias("n_vectors"),
+        F.sum("ssum").cast("long").alias("ssum"),
+        F.min("smin").cast("long").alias("smin"),
+        F.max("smax").cast("long").alias("smax"),
+    )
+    rows = g.select(
+        F.col("cluster").cast("long").alias("cluster"),
+        "n_vectors",
+        "ssum",
+        "smin",
+        "smax",
+    ).unionByName(pooled)
+    return rows.select(
+        "cluster",
+        "n_vectors",
+        F.round(F.col("ssum") / (F.col("n_vectors") * 1000000.0), 6).alias(
+            "mean_silhouette"
+        ),
+        F.round(F.col("smin") / 1000000.0, 6).alias("min_silhouette"),
+        F.round(F.col("smax") / 1000000.0, 6).alias("max_silhouette"),
+    ).orderBy("cluster")
+
+
+@register(
     "ann_ivf_kmeans_topk",
     # fixed-cell tier: candidates grow as nprobe*n/8 per query (the sf100 fixed-k wall, SCALE.md); the sqrt tier is the scale path
     scale_gate=ScaleGate(
