@@ -15,10 +15,13 @@ Cross-engine determinism follows the repo's exact-integer discipline
 (kmeans_quantized / pagerank precedent): every probability lives on a
 1e-9 integer grid, every division is a truncating integer division of
 NON-NEGATIVE integers (Spark ``DIV`` truncates toward zero, DuckDB
-``//`` floors — identical on non-negatives), and the whole EM loop is
-ONE SQL text shared by both engines with two dialect substitutions
-(``DIV`` vs ``//``, ``DECIMAL(38,0)`` vs ``HUGEINT``), so the oracle
-replays the fit bit for bit.
+``//`` floors — identical on non-negatives), and every arithmetic
+expression is generated from ONE shared text (:func:`_pm_pu` /
+:func:`_clamp`) with dialect substitutions (``DIV`` vs ``//``,
+``DECIMAL(38,0)``/``BIGINT`` vs ``HUGEINT``) — the Spark side runs it
+as a per-round literal-parameter loop (one bounded 1-row collect per
+round, the kmeans precedent), the oracle as unrolled CTEs, and the
+fits agree bit for bit.
 
 The two record feeds are derived views of ``customer`` (the planted-
 view pattern of plans/text.py's PII family): side B re-observes every
@@ -57,25 +60,42 @@ def _clamp(expr: str, big: str) -> str:
     )
 
 
-def _pm_pu(param: str, big: str, intdiv: str) -> tuple[str, str]:
+def _pm_pu(ref: dict[str, str], big: str, intdiv: str) -> tuple[str, str]:
     """Textual per-pair class-likelihood products, renormalized to the
     grid after every factor (pm = lambda * prod_f m-or-(1-m); pu
-    likewise with 1-lambda and u). ``param`` is the alias of the
-    one-row parameter relation."""
-    pm = f"{param}.lam"
-    pu = f"(CAST({_RL_GRID} AS {big}) - {param}.lam)"
+    likewise with 1-lambda and u). ``ref`` maps parameter names to SQL
+    texts — column references in the oracle's unrolled CTEs, BIGINT
+    literals in the Spark per-round expression — so BOTH engines run
+    the identical arithmetic."""
+    pm = ref["lam"]
+    pu = f"(CAST({_RL_GRID} AS {big}) - {ref['lam']})"
     for f in _RL_FEATURES:
         pm = (
-            f"(({pm}) * (CASE WHEN g_{f} = 1 THEN {param}.m_{f} "
-            f"ELSE CAST({_RL_GRID} AS {big}) - {param}.m_{f} END)) "
+            f"(({pm}) * (CASE WHEN g_{f} = 1 THEN {ref['m_' + f]} "
+            f"ELSE CAST({_RL_GRID} AS {big}) - {ref['m_' + f]} END)) "
             f"{intdiv} CAST({_RL_GRID} AS {big})"
         )
         pu = (
-            f"(({pu}) * (CASE WHEN g_{f} = 1 THEN {param}.u_{f} "
-            f"ELSE CAST({_RL_GRID} AS {big}) - {param}.u_{f} END)) "
+            f"(({pu}) * (CASE WHEN g_{f} = 1 THEN {ref['u_' + f]} "
+            f"ELSE CAST({_RL_GRID} AS {big}) - {ref['u_' + f]} END)) "
             f"{intdiv} CAST({_RL_GRID} AS {big})"
         )
     return pm, pu
+
+
+def _param_refs(alias: str) -> dict[str, str]:
+    """Column-reference texts for the oracle's parameter relations."""
+    refs = {"lam": f"{alias}.lam"}
+    for f in _RL_FEATURES:
+        refs[f"m_{f}"] = f"{alias}.m_{f}"
+        refs[f"u_{f}"] = f"{alias}.u_{f}"
+    return refs
+
+
+def _literal_refs(params: dict[str, int], big: str) -> dict[str, str]:
+    """Literal texts for the Spark per-round expression (cast so
+    integer products stay in 64-bit range, mirroring the oracle)."""
+    return {k: f"CAST({v} AS {big})" for k, v in params.items()}
 
 
 def _em_sql(intdiv: str, big: str, table: str) -> str:
@@ -119,7 +139,7 @@ rl_pairs AS (
         init_cols.append(f"CAST({_RL_U0} AS {big}) AS u_{f}")
     parts.append(f"rl_p0 AS (SELECT {', '.join(init_cols)})")
     for k in range(1, _RL_ROUNDS + 1):
-        pm, pu = _pm_pu("q", big, intdiv)
+        pm, pu = _pm_pu(_param_refs("q"), big, intdiv)
         # E-step: per-pair posterior match weight on the grid.
         parts.append(f"""
 rl_l{k} AS (
@@ -167,7 +187,7 @@ rl_w{k} AS (
             )
         parts.append(f"rl_p{k} AS (SELECT {', '.join(upd)} FROM rl_s{k})")
     # Final classification under the fitted parameters.
-    pm, pu = _pm_pu("q", big, intdiv)
+    pm, pu = _pm_pu(_param_refs("q"), big, intdiv)
     carried = ["q.lam"]
     for f in _RL_FEATURES:
         carried += [f"q.m_{f}", f"q.u_{f}"]
@@ -196,28 +216,41 @@ ORDER BY custkey_a, custkey_b
 """
 
 
+def _pairs_sql(table: str) -> str:
+    """Just the pair-universe CTEs of :func:`_em_sql` (Spark dialect),
+    as a standalone SELECT."""
+    whole = _em_sql("DIV", "DECIMAL(38,0)", table)
+    # rl_b + rl_pairs are the first two CTE parts; cut at rl_p0.
+    head = whole.split("rl_p0 AS")[0].rstrip().rstrip(",")
+    return f"{head}\nSELECT * FROM rl_pairs"
+
+
 @register("record_linkage_em", oracle=_em_sql("//", "HUGEINT", "customer"))
 def record_linkage_em(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fellegi–Sunter probabilistic record linkage of ``customer``
     against its deterministic noisy re-observation, fit by {_RL_ROUNDS}
-    unrolled EM rounds on a 1e-9 integer probability grid and
-    classified at posterior >= 0.5. Output: the matched pairs with
-    their agreement vectors, posterior weights, and the fitted
-    (lambda, m_f, u_f) parameters — so the driver hash pins the EM
-    trajectory itself, not just the pair list.
+    EM rounds on a 1e-9 integer probability grid and classified at
+    posterior >= 0.5. Output: the matched pairs with their agreement
+    vectors, posterior weights, and the fitted (lambda, m_f, u_f)
+    parameters — so the driver hash pins the EM trajectory itself, not
+    just the pair list.
 
     Plan shape (scale-first): the blocking pass keeps candidate volume
     LINEAR in the corpus — a fixed-width key (custkey DIV {_RL_BLOCK})
     yields constant-size blocks, {_RL_BLOCK} candidates per record at
     any scale (production swaps in domain keys / multi-pass blocking;
     the EM arithmetic is invariant to the generator). Each EM round is
-    one shuffle-free scan-side aggregate over the pair relation (8
-    exact-integer sums, map-side combined to one row), and parameters
-    travel as a one-row broadcast (Catalyst plans the CROSS JOIN of a
-    1-row aggregate as a broadcast nested loop), never a driver
-    collect. The candidate join is a standard equi-join on the block
-    key; AQE handles any block skew. Nothing in the plan is
-    all-pairs, and no Python touches the hot path.
+    ONE job: the candidate equi-join (AQE handles block skew) feeding a
+    shuffle-free map-side-combined aggregate of 8 exact-integer sums;
+    only that one 8-number row reaches the driver per round (the
+    kmeans_quantized per-round-stats precedent — bounded state, not a
+    corpus collect). Fitted parameters re-enter the next round as
+    BIGINT literals through the same textual expression the oracle's
+    unrolled CTEs use, so both engines run identical arithmetic. A
+    fully-lazy chained-CTE variant was measured quadratic-in-rounds
+    (each round's aggregate re-executes every earlier round's subtree:
+    >10 min at sf1 vs seconds for the literal-param loop) — the same
+    re-execution trap as the suffix-array checkpoint-chain lesson.
 
     The match class separates on this corpus exactly as FS theory
     predicts: u_name ~ 0 within blocks (names near-unique), so name
@@ -226,6 +259,63 @@ def record_linkage_em(spark: SparkSession, sf_dir: str) -> DataFrame:
     corrupted features (name+bal: custkey = 0 mod 20) fall below the
     0.5 posterior — honest false negatives, documented rather than
     tuned away."""
+    from pyspark.sql import functions as F
+
+    g = _RL_GRID
     c = load_table(spark, sf_dir, "customer")
     c.createOrReplaceTempView("customer_rl_em")
-    return spark.sql(_em_sql("DIV", "DECIMAL(38,0)", "customer_rl_em"))
+    pairs = spark.sql(_pairs_sql("customer_rl_em"))
+
+    def w_expr(params: dict[str, int]) -> str:
+        pm, pu = _pm_pu(_literal_refs(params, "BIGINT"), "BIGINT", "DIV")
+        return (
+            f"(({pm}) * CAST({g} AS BIGINT)) DIV "
+            f"greatest(({pm}) + ({pu}), CAST(1 AS BIGINT))"
+        )
+
+    clamp = lambda x: max(1, min(g - 1, x))
+    params = {"lam": _RL_LAM0}
+    for f in _RL_FEATURES:
+        params[f"m_{f}"] = _RL_M0
+        params[f"u_{f}"] = _RL_U0
+    dec = "decimal(38,0)"
+    for _ in range(_RL_ROUNDS):
+        w = F.expr(w_expr(params)).alias("w")
+        aggs = [
+            F.count("*").alias("n"),
+            F.sum(F.col("w").cast(dec)).alias("s"),
+        ]
+        for f in _RL_FEATURES:
+            aggs.append(
+                F.sum(F.col("w").cast(dec) * F.col(f"g_{f}")).alias(f"s_{f}")
+            )
+            aggs.append(F.sum(F.col(f"g_{f}")).cast(dec).alias(f"c_{f}"))
+        row = pairs.select("*", w).agg(*aggs).collect()[0]
+        n = int(row["n"] or 0)
+        s = int(row["s"] or 0)
+        params["lam"] = clamp(s // max(n, 1))
+        for f in _RL_FEATURES:
+            sf_ = int(row[f"s_{f}"] or 0)
+            cf = int(row[f"c_{f}"] or 0)
+            params[f"m_{f}"] = clamp((sf_ * g) // max(s, 1))
+            params[f"u_{f}"] = clamp(
+                ((cf * g - sf_) * g) // max(n * g - s, 1)
+            )
+    out_cols = [
+        F.col("ka").alias("custkey_a"),
+        F.col("kb").alias("custkey_b"),
+        "g_name",
+        "g_bal",
+        "g_seg",
+        F.col("w").cast("long").alias("w9"),
+        F.lit(params["lam"]).cast("long").alias("lambda9"),
+    ]
+    for f in _RL_FEATURES:
+        out_cols.append(F.lit(params[f"m_{f}"]).cast("long").alias(f"m_{f}9"))
+        out_cols.append(F.lit(params[f"u_{f}"]).cast("long").alias(f"u_{f}9"))
+    return (
+        pairs.select("*", F.expr(w_expr(params)).alias("w"))
+        .filter(F.col("w") >= _RL_MATCH)
+        .select(*out_cols)
+        .orderBy("custkey_a", "custkey_b")
+    )
