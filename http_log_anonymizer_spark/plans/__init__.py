@@ -100,7 +100,9 @@ _WINDOW = [
     "ann_lsh_topk",  # scale-gated this round
     "embed_neardup",  # scale-gated this round
     "ams_f2_selfjoin_size",
-    "ann_brute_topk",
+    # session 4: ann_brute_topk cedes its r04-fill slot to the new
+    # sequential_patterns
+    "sequential_patterns",
     # session 4: ann_ivf_adc_topk cedes its r04-fill slot to
     # pii_source_summary, whose plan was refactored into the shared
     # map/reduce halves behind the new streaming PII monitor
