@@ -99,7 +99,9 @@ _WINDOW = [
     "dedup_simhash_wide",
     "ann_lsh_topk",  # scale-gated this round
     "embed_neardup",  # scale-gated this round
-    "ams_f2_selfjoin_size",
+    # session 4: ams_f2_selfjoin_size cedes its r04-fill slot to the
+    # new textrank_keywords
+    "textrank_keywords",
     # session 4: ann_brute_topk cedes its r04-fill slot to the new
     # sequential_patterns
     "sequential_patterns",

@@ -3354,3 +3354,138 @@ def rho_excess_loss_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004) — damped
+# PageRank over the token co-occurrence graph (window 2 = adjacent
+# tokens, undirected, weight = co-occurrence count). The graph-over-
+# text member of the ranking family: PMI scores pairs, TF-IDF scores
+# (doc, term), TextRank scores terms by global graph centrality.
+# ---------------------------------------------------------------------------
+
+_TR_SCALE = 1_000_000_000
+_TR_ROUNDS = 5
+_TR_TOP = 30
+_TR_BASE = int(0.15 * _TR_SCALE)
+
+
+def _textrank_oracle() -> str:
+    parts = [
+        f"""trt AS (
+  SELECT string_split(text, ' ') AS ts FROM documents WHERE text IS NOT NULL
+),
+trbg AS (
+  SELECT ts[i] AS a, ts[i + 1] AS b
+  FROM trt, unnest(generate_series(1, len(ts) - 1)) AS u(i)
+  WHERE ts[i] <> ts[i + 1]
+),
+tredges AS (
+  SELECT src, dst, count(*) AS w FROM (
+    SELECT a AS src, b AS dst FROM trbg
+    UNION ALL
+    SELECT b AS src, a AS dst FROM trbg
+  ) GROUP BY src, dst
+),
+troutw AS (SELECT src, CAST(sum(w) AS BIGINT) AS wout FROM tredges GROUP BY src),
+trnodes AS (SELECT DISTINCT src AS node FROM tredges),
+trr0 AS (SELECT node, CAST({_TR_SCALE} AS BIGINT) AS r FROM trnodes)"""
+    ]
+    for t in range(_TR_ROUNDS):
+        parts.append(
+            f"""trr{t + 1} AS (
+  SELECT node, CAST(sum(f) AS BIGINT) AS r FROM (
+    SELECT e.dst AS node,
+           CAST((CAST(p.r AS HUGEINT) * 85 * e.w)
+                // (100 * CAST(o.wout AS HUGEINT)) AS BIGINT) AS f
+    FROM trr{t} p
+    JOIN tredges e ON e.src = p.node
+    JOIN troutw o ON o.src = e.src
+    UNION ALL
+    SELECT node, {_TR_BASE} AS f FROM trnodes
+  ) GROUP BY node
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT node AS token, r AS rank_scaled, pos FROM (
+  SELECT node, r,
+         row_number() OVER (ORDER BY r DESC, node) AS pos
+  FROM trr{_TR_ROUNDS}
+) WHERE pos <= {_TR_TOP}
+ORDER BY pos"""
+    )
+
+
+@register("textrank_keywords", oracle=_textrank_oracle())
+def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_TR_TOP} corpus keywords by TextRank: damped PageRank
+    (d = 0.85, {_TR_ROUNDS} fixed rounds) over the undirected
+    adjacent-token co-occurrence graph. The scaled-integer
+    determinization is pagerank_copurchase's — rank mass on a 1e-9
+    grid, per-edge flow (r * 85 * w) div (100 * wout) with truncating
+    division — except the flow numerator is computed in
+    HUGEINT/DECIMAL(38,0): token hubs concentrate mass and edge
+    weights grow with the corpus, so the BIGINT headroom argument that
+    held for co-purchase weights does not transfer (overflow by
+    design-margin, not by luck).
+
+    Scale shape: the bigram pass is one map-only projection; the edge
+    table is a TYPE table (distinct adjacent-token pairs — vocabulary-
+    bounded growth, the perplexity-family discipline) and every round
+    is one equi-join of the |V|-row rank state onto it plus one
+    map-side-combined groupBy(dst); all {_TR_ROUNDS} rounds reuse the
+    same edge shuffle via ReusedExchange (the pagerank lesson — no
+    memory pinning). The final ranking window runs over the
+    vocabulary-bounded node table. Self-loops (a token repeated
+    adjacently) are dropped, the TextRank convention; dangling nodes
+    cannot exist in an undirected graph."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.where(F.col("text").isNotNull()).select(
+        tokens_ws("text").alias("ts")
+    )
+    bg = (
+        toks.select(
+            F.posexplode(
+                F.slice("ts", 1, F.greatest(F.size("ts") - 1, F.lit(0)))
+            ).alias("i", "a"),
+            "ts",
+        )
+        .select("a", F.expr("ts[i + 1]").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+    )
+    und = bg.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        bg.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    edges = und.groupBy("src", "dst").agg(F.count("*").alias("w"))
+    outw = edges.groupBy("src").agg(F.sum("w").alias("wout"))
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    ranks = nodes.select("node", F.lit(_TR_SCALE).cast("long").alias("r"))
+    flow_expr = (
+        "CAST((CAST(r AS DECIMAL(38,0)) * 85 * w) "
+        "DIV (100 * CAST(wout AS DECIMAL(38,0))) AS LONG)"
+    )
+    for _ in range(_TR_ROUNDS):
+        flow = (
+            edges.join(ranks, edges.src == ranks.node)
+            .join(outw, "src")
+            .select(F.col("dst").alias("node"), F.expr(flow_expr).alias("f"))
+            .unionByName(
+                nodes.select("node", F.lit(_TR_BASE).cast("long").alias("f"))
+            )
+            .groupBy("node")
+            .agg(F.sum("f").cast("long").alias("r"))
+        )
+        ranks = flow
+    w30 = Window.orderBy(F.desc("r"), "node")
+    return (
+        ranks.select(
+            F.col("node").alias("token"),
+            F.col("r").alias("rank_scaled"),
+            F.row_number().over(w30).alias("pos"),
+        )
+        .filter(F.col("pos") <= _TR_TOP)
+        .orderBy("pos")
+    )
