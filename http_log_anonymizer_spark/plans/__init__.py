@@ -112,7 +112,10 @@ _WINDOW = [
     # session 4: ann_ivf_kmeans_topk cedes its r04-fill slot to the new
     # shuffle_mixing_report
     "shuffle_mixing_report",
-    "ann_lsh_recall_report",
+    # session 4: ann_lsh_recall_report cedes its r04-fill slot to
+    # decontaminate_docs, whose plan was refactored into the shared
+    # halves behind the new streaming decontamination monitor
+    "decontaminate_docs",
     # session 4: ann_lsh_wide_topk cedes its r04-fill slot to the new
     # kmeans_silhouette_report
     "kmeans_silhouette_report",

@@ -1330,11 +1330,42 @@ def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     contamination check run before LLM training. The benchmark shingle
     set is DISTINCT and typically tiny vs the corpus, so the overlap
     probe is a semi-join-shaped equi-join that broadcasts at scale;
-    per-doc counts are one shuffle on doc_id."""
+    per-doc counts are one shuffle on doc_id. Built from the shared
+    halves below so the streaming monitor's
+    (streaming/decontamination.py) flagged rows ARE this query over
+    arrived documents."""
     e = _shingle_edges(spark, sf_dir).cache()
     e.count()  # eager: split into bench + train below
     bench = e.filter(F.col("doc_id") % 20 == 0).select("s").distinct()
     train = e.filter(F.col("doc_id") % 20 != 0)
+    return decon_flagged(train, bench).orderBy("doc_id")
+
+
+# Shared halves — the streaming decontamination monitor
+# (streaming/decontamination.py) reuses these so its per-doc flagged
+# rows ARE the batch query's over arrived documents.
+
+_DECON_THRESHOLD = 0.3
+
+
+def decon_shingle_rows(d: DataFrame) -> DataFrame:
+    """(doc_id, s) distinct word-3-gram shingles over any
+    document-shaped DataFrame (batch tables, micro-batches)."""
+    return d.select("doc_id", tokens_ws("text").alias("toks")).select(
+        "doc_id", F.explode(F.array_distinct(shingles("toks"))).alias("s")
+    )
+
+
+def decon_bench_set(d: DataFrame) -> DataFrame:
+    """The DISTINCT shingle set of a benchmark corpus."""
+    return decon_shingle_rows(d).select("s").distinct()
+
+
+def decon_flagged(train: DataFrame, bench: DataFrame) -> DataFrame:
+    """Per-document contamination rows over (doc_id, s) training
+    shingles vs a benchmark shingle set: docs whose shared-shingle
+    share reaches {_DECON_THRESHOLD} (the batch query's output shape,
+    unordered)."""
     tot = train.groupBy("doc_id").agg(F.count("*").alias("n_total"))
     shared = (
         train.join(F.broadcast(bench), "s")
@@ -1344,9 +1375,10 @@ def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlap = F.col("n_shared") * 1.0 / F.col("n_total")
     return (
         shared.join(tot, "doc_id")
-        .filter(overlap >= 0.3)
-        .select("doc_id", "n_shared", "n_total", F.round(overlap, 3).alias("overlap"))
-        .orderBy("doc_id")
+        .filter(overlap >= _DECON_THRESHOLD)
+        .select(
+            "doc_id", "n_shared", "n_total", F.round(overlap, 3).alias("overlap")
+        )
     )
 
 
