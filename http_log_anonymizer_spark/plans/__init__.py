@@ -95,7 +95,11 @@ _WINDOW = [
     # --- r04-latest fill (24 of 48; 24 defer to round 9): the drift
     # --- suspects and the other two gated queries lead ---
     "ann_ivf_topk",
-    "dedup_simhash",
+    # session 4: dedup_simhash cedes its slot to the new
+    # hits_copurchase (its r07 drift suspicion was closed by the
+    # measured isolated-rerun classification in SCALE.md, not by a
+    # correctness row; first driver check beats a staleness refresh)
+    "hits_copurchase",
     "dedup_simhash_wide",
     "ann_lsh_topk",  # scale-gated this round
     "embed_neardup",  # scale-gated this round

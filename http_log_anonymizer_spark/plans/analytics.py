@@ -3277,6 +3277,156 @@ def personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# HITS hubs & authorities (Kleinberg, JACM 1999) over the BIPARTITE
+# customer -> part purchase graph — the centrality pair PageRank's
+# single score cannot express on asymmetric relations: a hub is a
+# customer whose basket concentrates on authoritative parts, an
+# authority is a part bought by strong hubs. (On the symmetric part
+# co-purchase graph hubs equal authorities, which is why this operator
+# runs on the directed bipartite purchase relation instead.)
+# ---------------------------------------------------------------------------
+
+_HITS_ROUNDS = 4
+_HITS_TOP = 15
+_HITS_SCALE = 1_000_000_000
+
+
+def _hits_oracle() -> str:
+    s = _HITS_SCALE
+    parts = [
+        """he AS (
+  SELECT o_custkey AS c, l_partkey AS p, count(*) AS w
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY c, p
+)""",
+        f"hub0 AS (SELECT DISTINCT c AS node, CAST({s} AS BIGINT) AS sc FROM he)",
+    ]
+    for k in range(1, _HITS_ROUNDS + 1):
+        parts.append(
+            f"""araw{k} AS (
+  SELECT e.p AS node, sum(CAST(e.w AS HUGEINT) * h.sc) AS sc
+  FROM he e JOIN hub{k - 1} h ON h.node = e.c GROUP BY e.p
+)"""
+        )
+        parts.append(
+            f"amax{k} AS (SELECT greatest(max(sc), 1) AS mx FROM araw{k})"
+        )
+        parts.append(
+            f"""auth{k} AS (
+  SELECT node, CAST((sc * {s}) // mx AS BIGINT) AS sc FROM araw{k}, amax{k}
+)"""
+        )
+        parts.append(
+            f"""hraw{k} AS (
+  SELECT e.c AS node, sum(CAST(e.w AS HUGEINT) * a.sc) AS sc
+  FROM he e JOIN auth{k} a ON a.node = e.p GROUP BY e.c
+)"""
+        )
+        parts.append(
+            f"hmax{k} AS (SELECT greatest(max(sc), 1) AS mx FROM hraw{k})"
+        )
+        parts.append(
+            f"""hub{k} AS (
+  SELECT node, CAST((sc * {s}) // mx AS BIGINT) AS sc FROM hraw{k}, hmax{k}
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT kind, node, score_scaled, pos FROM (
+  SELECT 'authority' AS kind, node, sc AS score_scaled,
+         row_number() OVER (ORDER BY sc DESC, node) AS pos
+  FROM auth{_HITS_ROUNDS}
+  UNION ALL
+  SELECT 'hub', node, sc,
+         row_number() OVER (ORDER BY sc DESC, node) AS pos
+  FROM hub{_HITS_ROUNDS}
+) WHERE pos <= {_HITS_TOP}
+ORDER BY kind, pos"""
+    )
+
+
+@register("hits_copurchase", oracle=_hits_oracle())
+def hits_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_HITS_TOP} hubs (customers) and authorities (parts) by
+    {_HITS_ROUNDS} rounds of Kleinberg's HITS over the bipartite
+    purchase graph. Determinization: scores live on a 1e-9 integer
+    grid, each half-step's raw scores are exact HUGEINT/DECIMAL(38,0)
+    integer sums (edge weights grow with the corpus — the textrank
+    overflow argument), and the standard norm step is replaced by
+    MAX-normalization, sc' = sc * SCALE div max(sc) — scale-invariant
+    exactly like the L2 norm for ranking purposes but engine-exact
+    (truncating division of non-negative integers).
+
+    Scale shape: the edge table (customer, part, weight) materializes
+    ONCE to scratch parquet (operators/suffix_array.pin — each
+    normalization is an aggregate over the previous half-step, so a
+    lazy chain would re-execute every earlier round: the
+    record_linkage_em lesson), and node-sized score states pin per
+    half-round (bounded by |customers| / |parts|, far below the edge
+    table). Each half-round is one equi-join of the node-score table
+    onto the pinned edges + one map-side-combined groupBy, with the
+    1-row max broadcast back — nothing visits the driver. Nodes
+    outside the purchase relation carry no score, the HITS convention
+    on the induced subgraph."""
+    from http_log_anonymizer_spark.operators.suffix_array import pin
+
+    s = _HITS_SCALE
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = pin(
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .agg(F.count("*").alias("w"))
+    )
+    hub = edges.select("c").distinct().select(
+        F.col("c").alias("node"), F.lit(s).cast("long").alias("sc")
+    )
+
+    def half_step(state: DataFrame, src: str, dst: str) -> DataFrame:
+        raw = (
+            edges.join(state, state.node == edges[src])
+            .groupBy(F.col(dst).alias("node"))
+            .agg(
+                F.sum(
+                    F.col("w").cast("decimal(38,0)") * F.col("sc")
+                ).alias("raw")
+            )
+        )
+        mx = raw.agg(
+            F.greatest(F.max("raw"), F.lit(1).cast("decimal(38,0)")).alias("mx")
+        )
+        return pin(
+            raw.crossJoin(F.broadcast(mx)).select(
+                "node",
+                F.expr(f"CAST((raw * {s}) DIV mx AS BIGINT)").alias("sc"),
+            )
+        )
+
+    for _ in range(_HITS_ROUNDS):
+        auth = half_step(hub, "c", "p")
+        hub = half_step(auth, "p", "c")
+    wk = Window.partitionBy("kind").orderBy(F.desc("score_scaled"), "node")
+    ranked = (
+        auth.select(
+            F.lit("authority").alias("kind"),
+            "node",
+            F.col("sc").alias("score_scaled"),
+        )
+        .unionByName(
+            hub.select(
+                F.lit("hub").alias("kind"),
+                "node",
+                F.col("sc").alias("score_scaled"),
+            )
+        )
+        .select("*", F.row_number().over(wk).alias("pos"))
+    )
+    return ranked.filter(F.col("pos") <= _HITS_TOP).orderBy("kind", "pos")
+
+
+# ---------------------------------------------------------------------------
 # Triangle counting (degree-ordered wedge join — the Cohen / Suri-
 # Vassilvitskii MapReduce formulation) over the part co-purchase
 # graph: with PageRank and connected components this completes the

@@ -505,13 +505,15 @@ def pii_source_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def pii_doc_counts(rows: DataFrame, text_col: str = "t") -> DataFrame:
     """(source, e, p, i) per document over (source, text) rows — the
-    map half: per-type PII match counts, all JVM regex."""
+    map half: per-type PII match counts, all JVM regex. NULL-text rows
+    are KEPT as zero-PII documents (NULL match counts aggregate as 0
+    in both engines) — the registry-wide null-hostile audit caught an
+    isNotNull pre-filter here silently shrinking n_docs vs the
+    oracle's count(*)."""
     e = F.size(F.regexp_extract_all(text_col, F.lit(_PII_EMAIL), F.lit(0)))
     ph = F.size(F.regexp_extract_all(text_col, F.lit(_PII_PHONE), F.lit(0)))
     i = F.size(F.regexp_extract_all(text_col, F.lit(_PII_IPV4), F.lit(0)))
-    return rows.where(F.col(text_col).isNotNull()).select(
-        "source", e.alias("e"), ph.alias("p"), i.alias("i")
-    )
+    return rows.select("source", e.alias("e"), ph.alias("p"), i.alias("i"))
 
 
 def pii_rollup(counts: DataFrame) -> DataFrame:

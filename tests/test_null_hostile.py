@@ -82,6 +82,12 @@ FIXED_QUERIES = [
     "multimodal_resize_features",  # class 4
     "suffix_array_dup_report",  # class 3: NULL token count poisons offsets
     "dup_span_report",  # class 3 (shared corpus CTE)
+    # --- session-4 wave ---
+    # pii_doc_counts briefly gained an isNotNull pre-filter during the
+    # streaming-monitor refactor, shrinking n_docs vs the oracle's
+    # count(*) (caught by the registry-wide sweep): NULL-text docs are
+    # zero-PII documents, KEPT in both engines
+    "pii_source_summary",
 ]
 
 
