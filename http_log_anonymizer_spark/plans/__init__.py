@@ -94,7 +94,10 @@ _WINDOW = [
     "quality_quantile_normalize",
     # --- r04-latest fill (24 of 48; 24 defer to round 9): the drift
     # --- suspects and the other two gated queries lead ---
-    "ann_ivf_topk",
+    # session 4: ann_ivf_topk cedes its slot to the new
+    # benford_first_digit_report (its r07 drift suspicion was likewise
+    # closed by the measured isolated-rerun classification in SCALE.md)
+    "benford_first_digit_report",
     # session 4: dedup_simhash cedes its slot to the new
     # hits_copurchase (its r07 drift suspicion was closed by the
     # measured isolated-rerun classification in SCALE.md, not by a

@@ -5795,3 +5795,149 @@ def ks_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.when(degen, F.lit(True)).otherwise(ks >= crit).alias("reject_h0"),
     ).orderBy("cohort")
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit conformity (Newcomb 1881; Benford 1938; Nigrini
+# 2012) — the forensic data-quality screen for value columns: organic
+# multiplicative amounts follow P(d) = log10(1 + 1/d); fabricated,
+# capped, or generator-artifact values do not. The per-digit deviation
+# table plus Nigrini's MAD conformity verdict.
+# ---------------------------------------------------------------------------
+
+# floor(log10(1 + 1/d) * 1e6): the expected-share grid, computed once
+# in Python and inlined as IDENTICAL integer literals in both engines.
+_BENFORD_EXP = {
+    1: 301029, 2: 176091, 3: 124938, 4: 96910, 5: 79181,
+    6: 66946, 7: 57991, 8: 51152, 9: 45757,
+}
+# Nigrini 2012 first-digit MAD thresholds on the same 1e-6 grid.
+_BENFORD_MAD = (6000, 12000, 15000)
+
+
+def _benford_oracle() -> str:
+    exp_rows = ", ".join(f"({d}, {m})" for d, m in _BENFORD_EXP.items())
+    lo, mid, hi = _BENFORD_MAD
+    return f"""
+WITH bf_v AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+),
+bf_d AS (
+  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+         count(*) AS n
+  FROM bf_v WHERE cents > 0 GROUP BY digit
+),
+bf_n AS (SELECT COALESCE(CAST(sum(n) AS BIGINT), 0) AS nt FROM bf_d),
+bf_e (digit, exp_micro) AS (VALUES {exp_rows}),
+bf_m AS (
+  SELECT e.digit, COALESCE(d.n, 0) AS n_obs,
+         (COALESCE(d.n, 0) * 1000000) // greatest(t.nt, 1) AS obs_micro,
+         e.exp_micro
+  FROM bf_e e LEFT JOIN bf_d d ON d.digit = e.digit CROSS JOIN bf_n t
+),
+bf_all AS (
+  SELECT CAST(0 AS BIGINT) AS digit, t.nt AS n_obs,
+         CAST(NULL AS DOUBLE) AS obs_share, CAST(NULL AS DOUBLE) AS exp_share,
+         round((SELECT sum(abs(obs_micro - exp_micro)) // 9 FROM bf_m)
+               / 1000000.0, 6) AS abs_dev,
+         CASE WHEN (SELECT sum(abs(obs_micro - exp_micro)) // 9 FROM bf_m)
+                   <= {lo} THEN 'close'
+              WHEN (SELECT sum(abs(obs_micro - exp_micro)) // 9 FROM bf_m)
+                   <= {mid} THEN 'acceptable'
+              WHEN (SELECT sum(abs(obs_micro - exp_micro)) // 9 FROM bf_m)
+                   <= {hi} THEN 'marginal'
+              ELSE 'nonconformity' END AS conformity
+  FROM bf_n t
+)
+SELECT digit, n_obs, obs_share, exp_share, abs_dev, conformity FROM (
+  SELECT CAST(digit AS BIGINT) AS digit, CAST(n_obs AS BIGINT) AS n_obs,
+         round(obs_micro / 1000000.0, 6) AS obs_share,
+         round(exp_micro / 1000000.0, 6) AS exp_share,
+         round(abs(obs_micro - exp_micro) / 1000000.0, 6) AS abs_dev,
+         CAST(NULL AS VARCHAR) AS conformity
+  FROM bf_m
+  UNION ALL
+  SELECT * FROM bf_all
+)
+ORDER BY digit
+"""
+
+
+@register("benford_first_digit_report", oracle=_benford_oracle())
+def benford_first_digit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of order totals (integer
+    cents) against Benford's law, with Nigrini's mean-absolute-
+    deviation conformity verdict on the pooled row (digit = 0):
+    'close' <= 0.006 < 'acceptable' <= 0.012 < 'marginal' <= 0.015 <
+    'nonconformity'. The forensic screen a data platform runs on any
+    organic value column — fabricated or generator-capped amounts
+    break the log-law visibly (TPC-H's uniform price generator lands
+    in 'nonconformity' by construction: an honest negative that IS the
+    finding).
+
+    Exactness: expected shares are floor(log10(1+1/d)*1e6) integer
+    literals computed once and inlined IDENTICALLY in both engines;
+    observed shares land on the same 1e-6 grid by truncating division;
+    the MAD is an exact integer mean of 9 grid deviations. All nine
+    digits always appear (a zero-count digit is a deviation, not an
+    absent row). NULL/non-positive amounts are excluded identically.
+
+    Scale shape: one scan collapsing map-side to <= 9 rows; everything
+    after is constant-size arithmetic."""
+    lo, mid, hi = _BENFORD_MAD
+    o = _t(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    d = (
+        o.filter(F.col("cents") > 0)
+        .select(
+            F.substring(F.col("cents").cast("string"), 1, 1)
+            .cast("long")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count("*").alias("n"))
+    )
+    e = spark.createDataFrame(
+        [(k, v) for k, v in _BENFORD_EXP.items()], "digit long, exp_micro long"
+    )
+    nt = d.agg(F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("nt"))
+    m = (
+        e.join(d, "digit", "left")
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "digit",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_obs"),
+            F.expr(
+                "(COALESCE(n, 0) * 1000000) DIV greatest(nt, 1)"
+            ).alias("obs_micro"),
+            "exp_micro",
+            "nt",
+        )
+    )
+    digits = m.select(
+        F.col("digit"),
+        F.col("n_obs"),
+        F.round(F.col("obs_micro") / 1000000.0, 6).alias("obs_share"),
+        F.round(F.col("exp_micro") / 1000000.0, 6).alias("exp_share"),
+        F.round(F.abs(F.col("obs_micro") - F.col("exp_micro")) / 1000000.0, 6)
+        .alias("abs_dev"),
+        F.lit(None).cast("string").alias("conformity"),
+    )
+    mad = m.agg(
+        F.expr("sum(abs(obs_micro - exp_micro)) DIV 9").alias("mad_micro"),
+        F.max("nt").alias("nt"),
+    )
+    pooled = mad.select(
+        F.lit(0).cast("long").alias("digit"),
+        F.col("nt").cast("long").alias("n_obs"),
+        F.lit(None).cast("double").alias("obs_share"),
+        F.lit(None).cast("double").alias("exp_share"),
+        F.round(F.col("mad_micro") / 1000000.0, 6).alias("abs_dev"),
+        F.when(F.col("mad_micro") <= lo, "close")
+        .when(F.col("mad_micro") <= mid, "acceptable")
+        .when(F.col("mad_micro") <= hi, "marginal")
+        .otherwise("nonconformity")
+        .alias("conformity"),
+    )
+    return digits.unionByName(pooled).orderBy("digit")
