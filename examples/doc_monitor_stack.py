@@ -1,10 +1,12 @@
 """The document-feed monitor stack on ONE stream: a single
 readStream -> foreachBatch query fans each micro-batch of
-(source, doc_id, text) rows into the three content monitors —
+(source, doc_id, text) rows into the five content monitors —
 Gopher repetition (extractor regressions / templated output), the
 quality-filter operating curve (is the deployed cutoff still sane),
-and LLM-watermark screening (model output leaking into the feed) —
-then prints every readout. Together with examples/monitor_stack.py
+LLM-watermark screening (model output leaking into the feed),
+PII exposure (a scrub stage silently bypassed), and benchmark
+decontamination (eval text leaking into training) — then prints
+every readout. Together with examples/monitor_stack.py
 (privacy trio + PSI + spectrum over event rows) this covers the
 engine's full ingest-monitoring surface; each monitor keeps its own
 state root + epoch tags, so one batch function feeds them all and a
@@ -31,6 +33,10 @@ from http_log_anonymizer_spark.streaming.quality_curve import (
 from http_log_anonymizer_spark.streaming.repetition import (
     StreamingRepetitionMonitor,
 )
+from http_log_anonymizer_spark.streaming.decontamination import (
+    StreamingDecontaminationMonitor,
+)
+from http_log_anonymizer_spark.streaming.pii import StreamingPIIMonitor
 from http_log_anonymizer_spark.streaming.watermark import StreamingWatermarkMonitor
 
 
@@ -47,12 +53,21 @@ def main() -> None:
     rep = StreamingRepetitionMonitor(str(root / "rep"))
     curve = StreamingQualityCurveMonitor(str(root / "curve"))
     wm = StreamingWatermarkMonitor(str(root / "wm"))
+    # the RAW corpus text carries no PII (markers live in the derived
+    # pii view), so this demonstrates the clean-feed quiet path; the
+    # leak path is exercised in tests/test_streaming_pii.py
+    pii = StreamingPIIMonitor(str(root / "pii"), alarm_pct=50)
+    decon = StreamingDecontaminationMonitor(
+        str(root / "decon"), "/root/testdata/sf0.001"
+    )
 
     def fan_out(batch_df, batch_id: int) -> None:
         batch_df.persist()
         rep.write(batch_df, batch_id)
         curve.write(batch_df, batch_id)
         wm.write(batch_df, batch_id)
+        pii.write(batch_df.withColumnRenamed("text", "t"), batch_id)
+        decon.write(batch_df.filter("doc_id % 20 != 0"), batch_id)
         batch_df.unpersist()
 
     q = (
@@ -80,6 +95,9 @@ def main() -> None:
         # watermark_greenlist_report's docstring). On natural text a
         # clean feed stays quiet (tests/test_streaming_watermark.py).
         "wm_alarms": wm.alarms(spark),
+        "pii_alarms": pii.alarms(spark),
+        "pii_sources": pii.report(spark).count(),
+        "decon_alarms": decon.alarms(spark),
     }
     print(json.dumps(report))
 
