@@ -18,6 +18,11 @@ _NEW = [
     "shuffle_mixing_report",
     "kmeans_silhouette_report",
     "pii_source_summary",  # refactored into the monitor's shared halves
+    "sequential_patterns",
+    "textrank_keywords",
+    "hits_copurchase",
+    "benford_first_digit_report",
+    "decontaminate_docs",  # refactored into the monitor's shared halves
 ]
 
 
