@@ -13,8 +13,9 @@ touching text normalization, cohort unions or any Python kernel:
 
     python examples/hostile_nulls_audit.py
 
-Result of record (r08 continuation session 3, all 218 queries):
-0 fails, 0 errors. Divergences found by earlier runs of this audit
+Result of record (r08 continuation session 4, all 226 queries):
+0 fails, 0 errors — after the sweep caught and fixed the PII
+refactor's NULL-text undercount (tests/test_null_hostile.py). Divergences found by earlier runs of this audit
 are fixed with planted regression tests in tests/test_null_hostile.py
 (see ROADMAP.md).
 """

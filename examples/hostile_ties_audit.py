@@ -12,8 +12,9 @@ touching window frames, rank tie-breaks or pooled-cohort unions:
 
     python examples/hostile_ties_audit.py
 
-Result of record (r08 continuation session 3, all 218 queries):
-0 fails, 0 errors.
+Result of record (r08 continuation session 4, all 225 queries —
+benford_first_digit_report registered after the snapshot, verified
+individually against the same corpus): 0 fails, 0 errors.
 """
 
 from __future__ import annotations
