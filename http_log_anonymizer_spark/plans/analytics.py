@@ -5884,20 +5884,41 @@ def benford_first_digit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one scan collapsing map-side to <= 9 rows; everything
     after is constant-size arithmetic."""
-    lo, mid, hi = _BENFORD_MAD
-    o = _t(spark, sf_dir, "orders").select(
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
-    )
-    d = (
-        o.filter(F.col("cents") > 0)
+    return bf_readout(bf_digit_counts(_t(spark, sf_dir, "orders")))
+
+
+# Shared map/reduce halves — the streaming Benford monitor
+# (streaming/benford.py) reuses these so its readout IS the batch
+# report over arrived rows (the PII-monitor template).
+
+
+def bf_digit_counts(rows: DataFrame, amount_col: str = "o_totalprice") -> DataFrame:
+    """(digit, n) first-significant-digit counts over positive integer
+    cents of ``amount_col`` — the map half; exact BIGINT counts, so
+    states merge by addition."""
+    cents = F.round(F.col(amount_col) * 100).cast("long")
+    return (
+        rows.select(cents.alias("cents"))
+        .filter(F.col("cents") > 0)
         .select(
             F.substring(F.col("cents").cast("string"), 1, 1)
             .cast("long")
             .alias("digit")
         )
         .groupBy("digit")
-        .agg(F.count("*").alias("n"))
+        .agg(F.count("*").cast("long").alias("n"))
     )
+
+
+def bf_merge_rollups(states: DataFrame) -> DataFrame:
+    """Fold any union of digit-count states back to one row each."""
+    return states.groupBy("digit").agg(F.sum("n").cast("long").alias("n"))
+
+
+def bf_readout(d: DataFrame) -> DataFrame:
+    """The Benford report rows from a (digit, n) state."""
+    spark = d.sparkSession
+    lo, mid, hi = _BENFORD_MAD
     e = spark.createDataFrame(
         [(k, v) for k, v in _BENFORD_EXP.items()], "digit long, exp_micro long"
     )
