@@ -103,7 +103,10 @@ _WINDOW = [
     # measured isolated-rerun classification in SCALE.md, not by a
     # correctness row; first driver check beats a staleness refresh)
     "hits_copurchase",
-    "dedup_simhash_wide",
+    # session 4: dedup_simhash_wide cedes its slot to the new
+    # conformal_threshold_report (same closed-by-measurement rationale
+    # as its two drift-suspect siblings above)
+    "conformal_threshold_report",
     "ann_lsh_topk",  # scale-gated this round
     "embed_neardup",  # scale-gated this round
     # session 4: ams_f2_selfjoin_size cedes its r04-fill slot to the

@@ -2492,3 +2492,168 @@ def epochs_per_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(eff, 4).alias("effective_epochs"),
         (F.col("epochs") > _EPOCH_KNEE).alias("over_knee"),
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# Split-conformal threshold calibration (Vovk et al. 2005; Papadopoulos
+# et al. 2002; Angelopoulos & Bates 2023 survey) — the finite-sample
+# counterpart of quality_filter_tradeoff: instead of reporting keep
+# rates at fixed thresholds, pick the threshold FROM a held-out
+# calibration split so that a fresh in-distribution document scores
+# above it with probability >= 1 - alpha (exchangeability guarantee).
+# ---------------------------------------------------------------------------
+
+_CONF_GRID = 10_000  # score grid (the quality_quantile_normalize grid)
+_CONF_ALPHAS = (1, 5, 10, 20)  # alpha in percent
+_CONF_CAL_PCT = 20  # hash64(doc_id,'conf') % 100 < 20 -> calibration
+
+
+@register(
+    "conformal_threshold_report",
+    oracle=f"""
+WITH ct AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+  WHERE text IS NOT NULL
+),
+cf AS (SELECT doc_id, {_FEATURES_SQL} FROM ct),
+cs AS (
+  SELECT CASE WHEN {hash64_sql("CAST(doc_id AS VARCHAR)", "conf")} % 100
+              < {_CONF_CAL_PCT} THEN 'cal' ELSE 'eval' END AS split,
+         CAST(round({_SCORE_SQL} * {_CONF_GRID}) AS BIGINT) AS q
+  FROM cf
+),
+ncal AS (SELECT count(*) AS n_cal FROM cs WHERE split = 'cal'),
+nev AS (SELECT count(*) AS n_eval FROM cs WHERE split = 'eval'),
+cb AS (SELECT q, count(*) AS cnt FROM cs WHERE split = 'cal' GROUP BY q),
+cc AS (
+  SELECT q, sum(cnt) OVER (
+    ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) AS cum FROM cb
+),
+eb AS (SELECT q, count(*) AS cnt FROM cs WHERE split = 'eval' GROUP BY q),
+al (alpha_pct) AS (VALUES (1), (5), (10), (20)),
+kk AS (
+  SELECT alpha_pct, (alpha_pct * (n.n_cal + 1)) // 100 AS k, n.n_cal
+  FROM al CROSS JOIN ncal n
+),
+th AS (
+  SELECT k.alpha_pct, k.n_cal, k.k, min(c.q) AS qt
+  FROM kk k LEFT JOIN cc c ON c.cum >= k.k AND k.k >= 1
+  GROUP BY k.alpha_pct, k.n_cal, k.k
+),
+kept AS (
+  SELECT t.alpha_pct,
+         COALESCE(CAST(sum(CASE WHEN t.qt IS NULL OR e.q >= t.qt
+                                THEN e.cnt ELSE 0 END) AS BIGINT), 0)
+           AS n_kept_eval
+  FROM th t LEFT JOIN eb e ON true
+  GROUP BY t.alpha_pct
+)
+SELECT round(t.alpha_pct / 100.0, 2) AS alpha,
+       CAST(t.n_cal AS BIGINT) AS n_cal,
+       CAST(t.k AS BIGINT) AS k_rank,
+       round(t.qt / {_CONF_GRID}.0, 4) AS threshold,
+       CAST(v.n_eval AS BIGINT) AS n_eval,
+       k.n_kept_eval,
+       CASE WHEN v.n_eval > 0
+            THEN round(k.n_kept_eval * 1.0 / v.n_eval, 6) END AS coverage_eval
+FROM th t JOIN kept k ON k.alpha_pct = t.alpha_pct CROSS JOIN nev v
+ORDER BY alpha
+""",
+)
+def conformal_threshold_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal calibration of the quality filter: a {_CONF_CAL_PCT}%
+    hash-held-out calibration split picks, for each alpha in
+    {{0.01, 0.05, 0.1, 0.2}}, the threshold t = the k-th smallest
+    calibration score with k = floor(alpha * (n_cal + 1)) — by
+    exchangeability a fresh in-distribution document scores >= t with
+    probability >= 1 - alpha. The report pins the chosen thresholds
+    AND the realized coverage on the remaining documents, the number a
+    release review actually reads (guarantee is marginal over
+    calibration draws; the realized column shows this draw).
+
+    Exactness: scores land on the {_CONF_GRID} integer grid (the
+    quantile-normalize discipline), k is exact integer arithmetic, the
+    threshold is a grid value selected by an order-only rule (min q
+    with cumulative calibration count >= k), and coverage divides
+    exact integers once. k < 1 (alpha below 1/(n_cal+1) resolution)
+    yields a NULL threshold = keep everything — the conformal
+    convention for unattainably small alpha, planted-tested.
+
+    Scale shape: one corpus scan to (split, grid score); per-split
+    grid-bucket tables are bounded by the {_CONF_GRID}-value grid, so
+    the cumulative window and the 4-row threshold/coverage joins are
+    constant-size work (broadcast nested loops over bounded sides, by
+    construction). The split rule is the samplers' hash64 — append-
+    stable and engine-exact."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    toks = d.select("doc_id", tokens_ws("text").alias("toks"))
+    feats = _quality_features(F.col("toks"))
+    score = _quality_score(feats)
+    cs = toks.select(
+        F.when(
+            hash64(F.col("doc_id").cast("string"), "conf") % 100
+            < _CONF_CAL_PCT,
+            "cal",
+        )
+        .otherwise("eval")
+        .alias("split"),
+        F.round(score * _CONF_GRID).cast("long").alias("q"),
+    )
+    ncal = cs.filter("split = 'cal'").agg(F.count("*").alias("n_cal"))
+    nev = cs.filter("split = 'eval'").agg(F.count("*").alias("n_eval"))
+    cb = cs.filter("split = 'cal'").groupBy("q").agg(F.count("*").alias("cnt"))
+    wq = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, 0)
+    cc = cb.select("q", F.sum("cnt").over(wq).alias("cum"))
+    eb = cs.filter("split = 'eval'").groupBy("q").agg(
+        F.count("*").alias("cnt")
+    )
+    al = spark.createDataFrame(
+        [(a,) for a in _CONF_ALPHAS], "alpha_pct long"
+    )
+    kk = al.crossJoin(F.broadcast(ncal)).select(
+        "alpha_pct",
+        F.expr("(alpha_pct * (n_cal + 1)) DIV 100").alias("k"),
+        "n_cal",
+    )
+    th = (
+        kk.join(
+            cc, (F.col("cum") >= F.col("k")) & (F.col("k") >= 1), "left"
+        )
+        .groupBy("alpha_pct", "n_cal", "k")
+        .agg(F.min("q").alias("qt"))
+    )
+    kept = (
+        th.crossJoin(eb)
+        .groupBy("alpha_pct")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("qt").isNull() | (F.col("q") >= F.col("qt")),
+                        F.col("cnt"),
+                    ).otherwise(0)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_kept_eval")
+        )
+    )
+    return (
+        th.join(kept, "alpha_pct")
+        .crossJoin(F.broadcast(nev))
+        .select(
+            F.round(F.col("alpha_pct") / 100.0, 2).alias("alpha"),
+            F.col("n_cal").cast("long").alias("n_cal"),
+            F.col("k").cast("long").alias("k_rank"),
+            F.round(F.col("qt") / float(_CONF_GRID), 4).alias("threshold"),
+            F.col("n_eval").cast("long").alias("n_eval"),
+            "n_kept_eval",
+            F.when(
+                F.col("n_eval") > 0,
+                F.round(F.col("n_kept_eval") * 1.0 / F.col("n_eval"), 6),
+            ).alias("coverage_eval"),
+        )
+        .orderBy("alpha")
+    )
