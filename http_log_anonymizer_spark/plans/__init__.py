@@ -107,7 +107,12 @@ _WINDOW = [
     # conformal_threshold_report (same closed-by-measurement rationale
     # as its two drift-suspect siblings above)
     "conformal_threshold_report",
-    "ann_lsh_topk",  # scale-gated this round
+    # session 4: ann_lsh_topk cedes its slot to the new
+    # linkage_blocking_recall_report — the gate-wrapper change it was
+    # window'd for is one shared code path with embed_neardup and
+    # dedup_ngram_jaccard (both still in the window), so two driver
+    # checks cover the wrapper class and a first check wins the slot
+    "linkage_blocking_recall_report",
     "embed_neardup",  # scale-gated this round
     # session 4: ams_f2_selfjoin_size cedes its r04-fill slot to the
     # new textrank_keywords

@@ -35,6 +35,7 @@ within-block non-match pairs carry near-zero agreement.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from http_log_anonymizer_spark.plans.registry import register
 from http_log_anonymizer_spark.sources.batch import load_table
@@ -259,8 +260,6 @@ def record_linkage_em(spark: SparkSession, sf_dir: str) -> DataFrame:
     corrupted features (name+bal: custkey = 0 mod 20) fall below the
     0.5 posterior — honest false negatives, documented rather than
     tuned away."""
-    from pyspark.sql import functions as F
-
     g = _RL_GRID
     c = load_table(spark, sf_dir, "customer")
     c.createOrReplaceTempView("customer_rl_em")
@@ -319,3 +318,216 @@ def record_linkage_em(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(*out_cols)
         .orderBy("custkey_a", "custkey_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Blocking-design audit (Christen 2012, "Data Matching", ch. 4;
+# Papadakis et al. 2020 survey) — the table a linkage engineer reads
+# BEFORE record_linkage_em runs: each candidate blocking strategy's
+# true-pair recall and candidate volume. Both metrics are computed
+# WITHOUT materializing a single candidate pair: recall compares each
+# record's key against its re-observation's key on the same row, and
+# candidate volume is the exact group-size cross product
+# sum_k cntA(k) * cntB(k) — so the audit stays LINEAR even for
+# strategies whose actual pair set would be quadratic (which is
+# exactly what the candidates_per_record column exposes).
+# ---------------------------------------------------------------------------
+
+# balance bucket width in cents; the +100000 shift keeps the bucket
+# argument non-negative (acctbal >= -999.99), where Spark's truncating
+# DIV and DuckDB's flooring // agree.
+_RL_BAL_BUCKET = 500
+_RL_BAL_SHIFT = 100_000
+
+
+def _rl_keys_sql() -> dict[str, tuple[str, str]]:
+    """(key_a_expr, key_b_expr) per strategy, over columns of the
+    joined (customer a x its re-observation b) row. Texts are engine-
+    portable; key comparison and grouping are null-safe everywhere."""
+    cents_a = "CAST(round(c_acctbal * 100) AS BIGINT)"
+    return {
+        "block50": (f"c_custkey {{intdiv}} {_RL_BLOCK}", f"kb {{intdiv}} {_RL_BLOCK}"),
+        "name_exact": ("c_name", "name_b"),
+        "bal_bucket": (
+            f"({cents_a} + {_RL_BAL_SHIFT}) {{intdiv}} {_RL_BAL_BUCKET}",
+            f"(cents_b + {_RL_BAL_SHIFT}) {{intdiv}} {_RL_BAL_BUCKET}",
+        ),
+    }
+
+
+def _blocking_oracle() -> str:
+    keys = _rl_keys_sql()
+    parts = [
+        # the same re-observation view the EM query links against
+        _em_sql("//", "HUGEINT", "customer").split("rl_pairs AS")[0].split("WITH")[1].rstrip().rstrip(","),
+        """rl_j AS (
+  SELECT a.*, b.kb, b.name_b, b.cents_b
+  FROM customer a JOIN rl_b b ON a.c_custkey = b.kb
+)""",
+        "rl_n AS (SELECT count(*) AS n FROM rl_j)",
+    ]
+    strat_rows = []
+    for name, (ka, kb) in keys.items():
+        ka_sql = ka.format(intdiv="//")
+        kb_sql = kb.format(intdiv="//")
+        parts.append(
+            f"""rl_c_{name} AS (
+  SELECT CAST(sum(CASE WHEN {ka_sql} IS NOT DISTINCT FROM {kb_sql}
+                       THEN 1 ELSE 0 END) AS BIGINT) AS caught
+  FROM rl_j
+)"""
+        )
+        parts.append(
+            f"""rl_v_{name} AS (
+  SELECT CAST(COALESCE(sum(ca.na * cb.nb), 0) AS BIGINT) AS cand FROM
+    (SELECT {ka_sql} AS k, count(*) AS na FROM rl_j GROUP BY k) ca
+    JOIN (SELECT {kb_sql} AS k, count(*) AS nb FROM rl_j GROUP BY k) cb
+      ON ca.k IS NOT DISTINCT FROM cb.k
+)"""
+        )
+        strat_rows.append(
+            f"""SELECT '{name}' AS strategy, n.n AS n_true_pairs,
+       c.caught AS n_caught,
+       CASE WHEN n.n > 0 THEN round(c.caught * 1.0 / n.n, 6) END AS recall,
+       v.cand AS n_candidates,
+       CASE WHEN n.n > 0 THEN round(v.cand * 1.0 / n.n, 2) END
+         AS candidates_per_record
+FROM rl_n n, rl_c_{name} c, rl_v_{name} v"""
+        )
+    union_caught = " OR ".join(
+        f"{ka.format(intdiv='//')} IS NOT DISTINCT FROM {kb.format(intdiv='//')}"
+        for name, (ka, kb) in keys.items()
+        if name != "block50"
+    )
+    parts.append(
+        f"""rl_c_union AS (
+  SELECT CAST(sum(CASE WHEN {union_caught} THEN 1 ELSE 0 END) AS BIGINT)
+    AS caught
+  FROM rl_j
+)"""
+    )
+    strat_rows.append(
+        """SELECT 'name_or_bal_union' AS strategy, n.n AS n_true_pairs,
+       c.caught AS n_caught,
+       CASE WHEN n.n > 0 THEN round(c.caught * 1.0 / n.n, 6) END AS recall,
+       CAST(NULL AS BIGINT) AS n_candidates,
+       CAST(NULL AS DOUBLE) AS candidates_per_record
+FROM rl_n n, rl_c_union c"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + "\nSELECT * FROM (\n"
+        + "\nUNION ALL\n".join(strat_rows)
+        + "\n) ORDER BY strategy"
+    )
+
+
+@register("linkage_blocking_recall_report", oracle=_blocking_oracle())
+def linkage_blocking_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-design audit for the record-linkage pipeline: for each
+    candidate strategy — the shipped fixed-width key (block50), an
+    exact-name pass, a $5 balance-bucket pass, and the multi-pass
+    union of the two REALISTIC passes (name OR balance; block50 is
+    generator-derived and would trivially force 1.0) — the TRUE-PAIR recall against the known diagonal and the
+    exact candidate volume. On this corpus the table shows the
+    textbook contrasts: block50 recall 1.0 at a constant
+    {_RL_BLOCK} candidates/record; name_exact loses exactly the
+    name-corrupted fifth of matches at ~1 candidate/record;
+    bal_bucket's recall depends on how often the planted $2.37 shift
+    crosses a bucket edge while its candidate volume GROWS with the
+    corpus (the too-coarse-key trap, visible as candidates_per_record
+    rising with sf); the union recovers near-full recall — the
+    standard multi-pass argument. The union row's candidate volume is
+    NULL by design: computing |union of pair sets| requires
+    materializing pairs, which this audit exists to avoid.
+
+    Exactness: recall compares each record's key against its
+    re-observation's key ON THE SAME ROW (a 1:1 equi-join on custkey,
+    no pair enumeration); volumes are exact integer group-size cross
+    products sum_k cntA(k)*cntB(k) in HUGEINT/DECIMAL; all key
+    comparisons and groupings are null-safe; the balance bucket shifts
+    cents non-negative before integer division so truncation and
+    flooring agree.
+
+    Scale shape: one 1:1 join + per-strategy map-side-combined
+    aggregates + key-group count joins bounded by distinct key counts.
+    LINEAR at any corpus size — including for strategies whose real
+    candidate sets would not be."""
+    keys = _rl_keys_sql()
+    c = load_table(spark, sf_dir, "customer")
+    c.createOrReplaceTempView("customer_rl_blk")
+    b = spark.sql(
+        "WITH "
+        + _em_sql("DIV", "DECIMAL(38,0)", "customer_rl_blk")
+        .split("rl_pairs AS")[0]
+        .split("WITH")[1]
+        .rstrip()
+        .rstrip(",")
+        + " SELECT * FROM rl_b"
+    )
+    j = c.join(b, c.c_custkey == b.kb)
+    n = j.agg(F.count("*").alias("n"))
+    from functools import reduce
+
+    rows = []
+    union_pred = None
+    for name, (ka, kb) in keys.items():
+        ka_c = F.expr(ka.format(intdiv="DIV"))
+        kb_c = F.expr(kb.format(intdiv="DIV"))
+        pred = ka_c.eqNullSafe(kb_c)
+        if name != "block50":
+            union_pred = pred if union_pred is None else (union_pred | pred)
+        caught = j.agg(
+            F.sum(F.when(pred, 1).otherwise(0)).cast("long").alias("caught")
+        )
+        ca = j.groupBy(ka_c.alias("k")).agg(F.count("*").alias("na"))
+        cb = j.groupBy(kb_c.alias("k")).agg(F.count("*").alias("nb"))
+        cand = (
+            ca.join(cb, ca.k.eqNullSafe(cb.k))
+            .agg(
+                F.coalesce(
+                    F.sum(
+                        F.col("na").cast("decimal(38,0)") * F.col("nb")
+                    ),
+                    F.lit(0),
+                )
+                .cast("long")
+                .alias("cand")
+            )
+        )
+        rows.append(
+            caught.crossJoin(F.broadcast(cand))
+            .crossJoin(F.broadcast(n))
+            .select(
+                F.lit(name).alias("strategy"),
+                F.col("n").alias("n_true_pairs"),
+                F.col("caught").alias("n_caught"),
+                F.when(
+                    F.col("n") > 0,
+                    F.round(F.col("caught") * 1.0 / F.col("n"), 6),
+                ).alias("recall"),
+                F.col("cand").alias("n_candidates"),
+                F.when(
+                    F.col("n") > 0,
+                    F.round(F.col("cand") * 1.0 / F.col("n"), 2),
+                ).alias("candidates_per_record"),
+            )
+        )
+    u_caught = j.agg(
+        F.sum(F.when(union_pred, 1).otherwise(0)).cast("long").alias("caught")
+    )
+    rows.append(
+        u_caught.crossJoin(F.broadcast(n)).select(
+            F.lit("name_or_bal_union").alias("strategy"),
+            F.col("n").alias("n_true_pairs"),
+            F.col("caught").alias("n_caught"),
+            F.when(
+                F.col("n") > 0,
+                F.round(F.col("caught") * 1.0 / F.col("n"), 6),
+            ).alias("recall"),
+            F.lit(None).cast("long").alias("n_candidates"),
+            F.lit(None).cast("double").alias("candidates_per_record"),
+        )
+    )
+    return reduce(lambda a, b2: a.unionByName(b2), rows).orderBy("strategy")
