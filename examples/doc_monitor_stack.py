@@ -56,7 +56,7 @@ def main() -> None:
     # the RAW corpus text carries no PII (markers live in the derived
     # pii view), so this demonstrates the clean-feed quiet path; the
     # leak path is exercised in tests/test_streaming_pii.py
-    pii = StreamingPIIMonitor(str(root / "pii"), alarm_pct=50)
+    pii = StreamingPIIMonitor(str(root / "pii"), alarm_pct=50, text_col="text")
     decon = StreamingDecontaminationMonitor(
         str(root / "decon"), "/root/testdata/sf0.001"
     )
@@ -66,7 +66,7 @@ def main() -> None:
         rep.write(batch_df, batch_id)
         curve.write(batch_df, batch_id)
         wm.write(batch_df, batch_id)
-        pii.write(batch_df.withColumnRenamed("text", "t"), batch_id)
+        pii.write(batch_df, batch_id)
         decon.write(batch_df.filter("doc_id % 20 != 0"), batch_id)
         batch_df.unpersist()
 

@@ -290,8 +290,9 @@ WITH deltas AS (
   SELECT
     user_id,
     ts,
-    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-              > INTERVAL 30 MINUTE
+    CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+              OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              > 1800000000
          OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
          THEN 1 ELSE 0 END AS new_session
   FROM events WHERE ts IS NOT NULL
@@ -321,11 +322,16 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # engines (the planted-NULL audit's divergence).
     e = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # microsecond-exact gap (ADVICE r08): whole-second casts floor the
+    # diff and can disagree with the oracle's full-precision compare
+    # inside the 1-second ambiguity window.
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
     deltas = e.select(
         "user_id",
         "ts",
-        F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0).alias("new_session"),
+        F.when(gap.isNull() | (gap > 1_800_000_000), 1)
+        .otherwise(0)
+        .alias("new_session"),
     )
     ws = Window.partitionBy("user_id").orderBy("ts").rowsBetween(Window.unboundedPreceding, 0)
     sessions = deltas.select("user_id", F.sum("new_session").over(ws).alias("session_id"))
@@ -5092,7 +5098,7 @@ _PATH_TOP = 20
     oracle=f"""
 WITH deltas AS (
   SELECT user_id, ts, event_id, event_type,
-         CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
                 OR lag(ts) OVER w IS NULL
               THEN 1 ELSE 0 END AS new_session
   FROM events
@@ -5142,10 +5148,15 @@ def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         "event_id",
         "event_type",
+        # microsecond-exact gap (ADVICE r08): whole-second casts floor
+        # the diff, so a 1800.8 s gap could floor to exactly 1800 and
+        # split in DuckDB but not here. unix_micros / epoch_us on the
+        # two sides compare the same integer.
         F.when(
             (
-                F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")
-                > 1800
+                F.unix_micros(F.col("ts"))
+                - F.lag(F.unix_micros(F.col("ts"))).over(w)
+                > 1_800_000_000
             )
             | F.lag(F.col("ts")).over(w).isNull(),
             1,
@@ -5203,7 +5214,7 @@ _SEQ_MINSUP_BP = 1
 _SEQ_SESS_SQL = """
 seq_d AS (
   SELECT user_id, ts, event_id, event_type,
-         CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
                 OR lag(ts) OVER w IS NULL
               THEN 1 ELSE 0 END AS new_session
   FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
@@ -5311,10 +5322,15 @@ def sequential_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         "event_id",
         "event_type",
+        # microsecond-exact gap (ADVICE r08): a whole-second cast
+        # floors the diff, so a true gap of e.g. 1800.8 s could floor
+        # to exactly 1800 and diverge from the oracle's full-precision
+        # compare. unix_micros here, epoch_us in the oracle.
         F.when(
             (
-                F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")
-                > 1800
+                F.unix_micros(F.col("ts"))
+                - F.lag(F.unix_micros(F.col("ts"))).over(w)
+                > 1_800_000_000
             )
             | F.lag(F.col("ts")).over(w).isNull(),
             1,

@@ -2640,8 +2640,14 @@ def conformal_threshold_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_kept_eval")
         )
     )
+    # LEFT join (not inner): the oracle's ``kept`` CTE is built with
+    # LEFT JOIN eb ON true, so an EMPTY eval split (degenerate corpus:
+    # everything hashed into calibration, or all-NULL text) still
+    # yields all alpha rows with n_kept_eval = 0. An inner join here
+    # would return 0 rows on that edge — a cross-engine divergence
+    # (ADVICE r08).
     return (
-        th.join(kept, "alpha_pct")
+        th.join(kept, "alpha_pct", "left")
         .crossJoin(F.broadcast(nev))
         .select(
             F.round(F.col("alpha_pct") / 100.0, 2).alias("alpha"),
@@ -2649,7 +2655,9 @@ def conformal_threshold_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("k").cast("long").alias("k_rank"),
             F.round(F.col("qt") / float(_CONF_GRID), 4).alias("threshold"),
             F.col("n_eval").cast("long").alias("n_eval"),
-            "n_kept_eval",
+            F.coalesce(F.col("n_kept_eval"), F.lit(0))
+            .cast("long")
+            .alias("n_kept_eval"),
             F.when(
                 F.col("n_eval") > 0,
                 F.round(F.col("n_kept_eval") * 1.0 / F.col("n_eval"), 6),

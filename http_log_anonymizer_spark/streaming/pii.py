@@ -46,9 +46,15 @@ class StreamingPIIMonitor(EpochStateSink):
     (e.g. 35) and page only when exposure exceeds it.
     """
 
-    def __init__(self, base_dir: str, alarm_pct: int = _PII_ALARM_PCT) -> None:
+    def __init__(
+        self,
+        base_dir: str,
+        alarm_pct: int = _PII_ALARM_PCT,
+        text_col: str = "t",
+    ) -> None:
         self.base_dir = base_dir
         self.alarm_pct = alarm_pct
+        self.text_col = text_col
 
     def write(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -56,7 +62,7 @@ class StreamingPIIMonitor(EpochStateSink):
         self._housekeep(tag)
         if batch_df.isEmpty():
             return
-        rollup = pii_rollup(pii_doc_counts(batch_df))
+        rollup = pii_rollup(pii_doc_counts(batch_df, text_col=self.text_col))
         state = self._read_state(spark, tag)
         if state is not None:
             rollup = pii_merge_rollups(rollup.unionByName(state))

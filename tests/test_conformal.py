@@ -113,3 +113,22 @@ def test_identical_scores_keep_everything_at_any_attainable_alpha(
     for r in got.values():
         if r.k_rank >= 1:
             assert r.coverage_eval == 1.0  # q >= qt holds with equality
+
+
+def test_empty_eval_split_still_reports_every_alpha(spark, tmp_path):
+    """ADVICE r08: with an empty eval bucket table (here: every text is
+    NULL, so BOTH splits are empty) the oracle's LEFT JOIN ... ON true
+    still yields the 4 alpha rows with n_kept_eval = 0, while an inner
+    Spark join would return 0 rows. Pin the left-join fix: 4 rows, all
+    n_kept_eval = 0, NULL thresholds (k < 1) and NULL coverage."""
+    spark.createDataFrame(
+        [(i, None, "en", "s", 0) for i in range(5)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    rows = _run(spark, tmp_path)
+    assert len(rows) == len(_CONF_ALPHAS)
+    for r in rows.values():
+        assert r.n_kept_eval == 0
+        assert r.n_eval == 0
+        assert r.threshold is None
+        assert r.coverage_eval is None

@@ -86,3 +86,19 @@ def test_leak_in_a_clean_feed_alarms_through_real_stream(spark, tmp_path):
     assert StreamingPIIMonitor(str(tmp_path / "state"), alarm_pct=50).alarms(
         spark
     ) == []
+
+
+def test_text_col_parameter_scans_the_named_column(spark, tmp_path):
+    """ADVICE r08: the docstring promised a ``text_col`` parameter the
+    constructor didn't take, forcing callers to withColumnRenamed. Pin
+    the parameter: a monitor built with text_col='text' must produce
+    the same readout as the default-column monitor fed renamed rows."""
+    d = _pii_view(spark, SF).persist()
+    renamed = StreamingPIIMonitor(str(tmp_path / "renamed"))
+    renamed.write(d, 0)
+    direct = StreamingPIIMonitor(str(tmp_path / "direct"), text_col="text")
+    direct.write(d.withColumnRenamed("t", "text"), 0)
+    assert [tuple(r) for r in direct.report(spark).collect()] == [
+        tuple(r) for r in renamed.report(spark).collect()
+    ]
+    d.unpersist()
