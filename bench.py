@@ -91,6 +91,20 @@ def main() -> None:
 
     timings = _noop_best_of_2(spark, bench_queries, sf_dir)
 
+    # Extended section (VERDICT r08 item 7): cheap representatives of
+    # the session-3/4 families (graph, linkage, conformal) the frozen
+    # core-set predates, so driver benches can catch regressions in
+    # those code paths. Reported SEPARATELY (queries_ext / ext_total) —
+    # the frozen core and the main headline set stay membership-stable
+    # and round-over-round comparable.
+    EXT_SET = (
+        "textrank_keywords",
+        "linkage_blocking_recall_report",
+        "conformal_threshold_report",
+    )
+    ext_queries = {n: REGISTRY[n] for n in EXT_SET if n in REGISTRY}
+    ext_timings = _noop_best_of_2(spark, ext_queries, sf_dir)
+
     # Old count()-based method, kept for comparability with BENCH_r01
     # (runs second: any intra-query caches are warm for both passes of a
     # given query family, as they were within r01's single pass).
@@ -109,6 +123,8 @@ def main() -> None:
         "queries_count": timings_count,
         "count_method_total": round(sum(timings_count.values()), 3),
         "core_total": _core_total(timings),
+        "queries_ext": ext_timings,
+        "ext_total": round(sum(ext_timings.values()), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
 
@@ -143,6 +159,9 @@ def main() -> None:
             result["queries_sf1"] = sf1_timings
             result["sf1_total"] = round(sum(sf1_timings.values()), 3)
             result["core_total_sf1"] = _core_total(sf1_timings)
+            ext1_timings = _noop_best_of_2(spark, ext_queries, sf1_dir)
+            result["queries_ext_sf1"] = ext1_timings
+            result["ext_total_sf1"] = round(sum(ext1_timings.values()), 3)
             result["sf1"] = 1.0
         except Exception as exc:  # noqa: BLE001 — record, keep main series
             result["sf1_error"] = f"{type(exc).__name__}: {exc}"[:500]
@@ -270,6 +289,8 @@ def main() -> None:
         "queries",
         "count_method_total",
         "core_total",
+        "ext_total",
+        "ext_total_sf1",
         "core_total_sf1",
         "sf1_total",
         "sf10_total",

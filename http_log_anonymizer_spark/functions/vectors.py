@@ -68,11 +68,16 @@ def unit_from(vec_col: Column | str, norm_col: Column | str) -> Column:
     return F.transform(_d(vec_col), lambda x: x / n)
 
 
-UNIT_CTE_SQL = """
+def unit_cte_sql(src: str = "embeddings") -> str:
+    """DuckDB CTE pair ``_n, unit`` building the unit-vector table from
+    any (vec_id, embedding, ...) source — ``src`` lets rotated /
+    derived corpora (e.g. the OPQ pre-rotation's ``rotemb``) reuse the
+    same normalization text."""
+    return f"""
 _n AS (
   SELECT *, sqrt(list_sum(list_transform(embedding,
       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-  FROM embeddings WHERE embedding IS NOT NULL
+  FROM {src} WHERE embedding IS NOT NULL
 ),
 unit AS (
   SELECT * EXCLUDE (nrm),
@@ -80,3 +85,6 @@ unit AS (
   FROM _n
 )
 """
+
+
+UNIT_CTE_SQL = unit_cte_sql()

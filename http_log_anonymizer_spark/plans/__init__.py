@@ -22,121 +22,75 @@ from http_log_anonymizer_spark.plans import analytics  # noqa: E402,F401
 from http_log_anonymizer_spark.plans import curation  # noqa: E402,F401
 from http_log_anonymizer_spark.plans import linkage  # noqa: E402,F401
 
-# Round-8 window (VERDICT r07 item 2 — staleness debt FIRST): the 14
-# r03-stale queries (the full remainder of the rotation — after this
-# round nothing in the union is older than r04), then every query
-# whose plan or oracle changed this round (the zipf exact-integer
-# gate, the ngram_novelty column rename, the Neyman decimal
-# accumulator, the KS degenerate-cohort guard, the three new scale
-# gates), then the stalest r04 cohort fill — with the three r07
-# driver-bench drift suspects (ann_ivf_topk, dedup_simhash,
-# dedup_simhash_wide) and both gated r04 queries placed first. The 24
-# r04 queries that didn't fit rotate in round 9 (listed in
-# ROADMAP.md; hybrid_rrf_fusion, ivf_cluster_stats,
-# hll_user_cardinality and hilbert_layout ceded their slots to the
-# round's four late new queries, and hdr_latency_quantiles,
-# embed_quantization_error, hard_negative_mining and embed_neardup_lsh
-# to continuation session 2's four, and dedup_simhash_xwide +
-# embed_neardup_gemm to the two late result-affecting plan fixes
-# (classifier_auc_report peer-order AUC, quality_quantile_normalize
-# exact-half rounding), and dedup_simhash_stats +
-# customer_running_revenue + cms_user_frequency + bm25_query_table +
-# bloom_membership_report + best_order_per_customer to continuation
-# session 3's six new queries (gopher_repetition_report,
-# soft_dedup_weights, quality_filter_tradeoff, rho_excess_loss_report,
-# epochs_per_source_report, split_leakage_report) — first driver check
-# beats a staleness refresh).
+# Round-9 window (VERDICT r08 items 1, 3, 6 — exactly the prescribed
+# allocation): multimodal_phash_wide_neardup FIRST (the only registry
+# query never driver-checked — added after the r08 window filled), the
+# round's two new driver-green-required queries
+# (ann_ivf_sqrt_opq_pq_topk, the rotated production PQ tier of
+# directive 3, and storage_estimate_report, the reference capacity ask
+# of directive 6), then ALL 47 r04-stale queries — 1 + 2 + 47 = 50,
+# the verdict's own arithmetic ("47 + this one = 48 <= 50"), after
+# which nothing in the correctness union is older than r05. The
+# sessionize_events / session_window_agg rows double as re-verification
+# of this round's microsecond-gap fix (ADVICE r08). The round's one
+# OTHER new query (ann_ivf_sqrt_opq_pq_recall_report) shares its
+# entire pipeline with the windowed rotated tier and the recall-join
+# wrapper with three driver-green recall reports; it is locally
+# oracle-gated and LEADS the r10 rotation (ROADMAP).
 # Everything outside the window stays locally gated by
 # tests/test_registry_oracle.py (same comparator).
 _WINDOW = [
-    # --- r03-latest driver rows: the rotation's last fill ---
-    "array_feature_stats",
-    "large_order_customers",
-    "latency_quantile_sketch",
-    "map_ops_explode",
-    "nation_market_share",
-    "null_semantics",
-    "promo_revenue_share",
-    "rolling_correlation",
-    "snapshot_diff_cdc",
-    "stratified_sample",
-    "unpivot_lineitem_metrics",
-    "user_entropy_scores",
-    "weighted_reservoir_sample",
-    "winsorized_stats",
-    # --- plan/oracle changed in round 8: re-verify ---
-    "zipf_fit_report",
-    "ngram_novelty_report",
-    "neyman_allocation_report",
-    "ks_drift_report",
-    "dedup_ngram_jaccard",  # scale-gated this round
-    "embedding_spectrum_report",  # new this round
-    "token_burstiness_report",  # new this round
-    "minhash_estimator_error_report",  # new this round
-    "watermark_greenlist_report",  # new this round
-    "heaps_fit_report",  # new this round
-    "kcenter_coreset",  # new this round
-    "multimodal_phash_neardup",  # new this round
-    "dp_histogram_report",  # new this round (continuation session 2)
-    "unicode_cleanup_report",  # new this round (continuation session 2)
-    "template_prefix_report",  # new this round (continuation session 2)
-    "context_length_survival",  # new this round (continuation session 2)
-    "gopher_repetition_report",  # new this round (continuation session 3)
-    "soft_dedup_weights",  # new this round (continuation session 3)
-    "quality_filter_tradeoff",  # new this round (continuation session 3)
-    "rho_excess_loss_report",  # new this round (continuation session 3)
-    "epochs_per_source_report",  # new this round (continuation session 3)
-    "split_leakage_report",  # new this round (continuation session 3)
-    # --- result-affecting plan changes late in round 8: the AUC
-    # --- peer-order fix and the exact-half HALF-UP rounding fix can
-    # --- change values even on NULL-free driver data ---
-    "classifier_auc_report",
-    "quality_quantile_normalize",
-    # --- r04-latest fill (24 of 48; 24 defer to round 9): the drift
-    # --- suspects and the other two gated queries lead ---
-    # session 4: ann_ivf_topk cedes its slot to the new
-    # benford_first_digit_report (its r07 drift suspicion was likewise
-    # closed by the measured isolated-rerun classification in SCALE.md)
-    "benford_first_digit_report",
-    # session 4: dedup_simhash cedes its slot to the new
-    # hits_copurchase (its r07 drift suspicion was closed by the
-    # measured isolated-rerun classification in SCALE.md, not by a
-    # correctness row; first driver check beats a staleness refresh)
-    "hits_copurchase",
-    # session 4: dedup_simhash_wide cedes its slot to the new
-    # conformal_threshold_report (same closed-by-measurement rationale
-    # as its two drift-suspect siblings above)
-    "conformal_threshold_report",
-    # session 4: ann_lsh_topk cedes its slot to the new
-    # linkage_blocking_recall_report — the gate-wrapper change it was
-    # window'd for is one shared code path with embed_neardup and
-    # dedup_ngram_jaccard (both still in the window), so two driver
-    # checks cover the wrapper class and a first check wins the slot
-    "linkage_blocking_recall_report",
-    "embed_neardup",  # scale-gated this round
-    # session 4: ams_f2_selfjoin_size cedes its r04-fill slot to the
-    # new textrank_keywords
-    "textrank_keywords",
-    # session 4: ann_brute_topk cedes its r04-fill slot to the new
-    # sequential_patterns
-    "sequential_patterns",
-    # session 4: ann_ivf_adc_topk cedes its r04-fill slot to
-    # pii_source_summary, whose plan was refactored into the shared
-    # map/reduce halves behind the new streaming PII monitor
-    "pii_source_summary",
-    # session 4: ann_ivf_kmeans_topk cedes its r04-fill slot to the new
-    # shuffle_mixing_report
-    "shuffle_mixing_report",
-    # session 4: ann_lsh_recall_report cedes its r04-fill slot to
-    # decontaminate_docs, whose plan was refactored into the shared
-    # halves behind the new streaming decontamination monitor
-    "decontaminate_docs",
-    # session 4: ann_lsh_wide_topk cedes its r04-fill slot to the new
-    # kmeans_silhouette_report
-    "kmeans_silhouette_report",
-    # session 4: ann_quantized_topk cedes its r04-fill slot to the new
-    # record_linkage_em (first driver check beats a staleness refresh)
-    "record_linkage_em",
+    "multimodal_phash_wide_neardup",  # never driver-checked (r08 verdict #1)
+    "ann_ivf_sqrt_opq_pq_topk",  # new this round (r08 verdict #3)
+    "storage_estimate_report",  # new this round (r08 verdict #6)
+    # --- all 47 r04-stale queries (r08 verdict #1: the full cohort) ---
+    "ams_f2_selfjoin_size",
+    "ann_brute_topk",
+    "ann_ivf_adc_topk",
+    "ann_ivf_kmeans_topk",
+    "ann_ivf_topk",
+    "ann_lsh_recall_report",
+    "ann_lsh_topk",
+    "ann_lsh_wide_topk",
+    "ann_quantized_topk",
+    "best_order_per_customer",
+    "bloom_membership_report",
+    "bm25_query_table",
+    "cms_user_frequency",
+    "customer_running_revenue",
+    "dedup_simhash",
+    "dedup_simhash_stats",
+    "dedup_simhash_wide",
+    "dedup_simhash_xwide",
+    "embed_neardup_gemm",
+    "embed_neardup_lsh",
+    "embed_quantization_error",
+    "hard_negative_mining",
+    "hdr_latency_quantiles",
+    "hilbert_layout",
+    "hll_user_cardinality",
+    "hybrid_rrf_fusion",
+    "ivf_cluster_stats",
+    "ivf_residual_quantization",
+    "k_anonymity_report",
+    "kmeans_cluster_sizes",
+    "nation_volume",
+    "padding_efficiency",
+    "pagerank_copurchase",
+    "pricing_summary",
+    "range_join_error_context",
+    "rerank_fusion_topk",
+    "semdedup_cells",
+    "session_window_agg",
+    "sessionize_events",
+    "source_overlap_matrix",
+    "temperature_mix_weights",
+    "triangle_counts",
+    "unigram_encode_stats",
+    "unigram_lm_vocab",
+    "user_zscore_outliers",
+    "value_percentiles",
+    "wordpiece_encode_stats",
 ]
 
 

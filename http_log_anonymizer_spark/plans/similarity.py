@@ -35,6 +35,7 @@ from http_log_anonymizer_spark.functions.vectors import (
     dot,
     dot_sql,
     norm_column,
+    unit_cte_sql,
     unit_from,
 )
 from http_log_anonymizer_spark.plans.registry import ScaleGate, register
@@ -47,12 +48,22 @@ _N_PLANES = 4
 
 
 def _unit_table(
-    spark: SparkSession, sf_dir: str, extra: list[str] = [], cache: bool = True
+    spark: SparkSession,
+    sf_dir: str,
+    extra: list[str] = [],
+    cache: bool = True,
+    rotate: bool = False,
 ) -> DataFrame:
     """(vec_id, [extra...], ue): unit-vector table. Cache when the table
     is scanned more than ~twice (all-pairs, LSH index); a single-pass
-    consumer is cheaper without the materialization."""
+    consumer is cheaper without the materialization. ``rotate=True``
+    normalizes the OPQ-rotated corpus instead (unit(Hx) == H unit(x) up
+    to float rounding, so rotated ground truth matches the rotated
+    tier's search space)."""
     e = load_table(spark, sf_dir, "embeddings", spread=True, bytes_per_task=256 * 1024)
+    if rotate:
+        assert not extra, "rotate drops non-embedding columns"
+        e = _opq_rotate(e.select("vec_id", "embedding"))
     n = e.select("vec_id", *extra, "embedding", norm_column("embedding").alias("nrm"))
     u = n.select("vec_id", *extra, unit_from("embedding", "nrm").alias("ue"))
     if cache:
@@ -1302,7 +1313,7 @@ _SQRT_SMOD_SQL = (
 )
 
 
-def _sqrt_km_ctes() -> str:
+def _sqrt_km_ctes(src: str = "embeddings") -> str:
     from http_log_anonymizer_spark.operators.kmeans import kmeans_lloyd_sql
 
     return kmeans_lloyd_sql(
@@ -1310,6 +1321,7 @@ def _sqrt_km_ctes() -> str:
         rounds=_SQRT_ROUNDS,
         qscale=1000,
         dim=_DIM,
+        src=src,
         train_where=f"vec_id % {_SQRT_SMOD_SQL} = 0",
     )
 
@@ -2290,11 +2302,13 @@ def ann_ivf_sqrt_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id")
 
 
-def _sqrt_pq_ctes() -> str:
+def _sqrt_pq_ctes(src: str = "embeddings", pre: str = "") -> str:
     """unit .. pranked: the full IndexIVFPQ replay (coarse training,
     residuals, 8 codebook trainings, encode, decode, sqrt probe, ADC
     rank) — shared by the topk oracle and the registered recall
-    report."""
+    report. ``src``/``pre`` point the whole replay at a derived corpus
+    (the OPQ tier prepends its ``rotemb`` rotation CTE and swaps the
+    source)."""
     from http_log_anonymizer_spark.operators.kmeans import kmeans_lloyd_sql
 
     sub_trains = []
@@ -2331,13 +2345,13 @@ def _sqrt_pq_ctes() -> str:
         for m in range(_PQ_M)
     )
     cat = " || ".join(f"t{m}.c" for m in range(_PQ_M))
-    return f"""{UNIT_CTE_SQL},
-{_sqrt_km_ctes()},
+    return f"""{pre}{unit_cte_sql(src)},
+{_sqrt_km_ctes(src)},
 resid AS MATERIALIZED (
   SELECT e.vec_id, a.cluster,
          list_transform(generate_series(1, {_DIM}),
            i -> CAST(e.embedding[i] AS DOUBLE) - c.c[i]) AS r
-  FROM embeddings e
+  FROM {src} e
   JOIN kassign{_SQRT_ROUNDS} a ON a.vec_id = e.vec_id
   JOIN kcent{_SQRT_ROUNDS} c ON c.cluster = a.cluster
 ),
@@ -2370,9 +2384,9 @@ pranked AS (
 )"""
 
 
-def _sqrt_pq_oracle() -> str:
+def _sqrt_pq_oracle(src: str = "embeddings", pre: str = "") -> str:
     return f"""
-WITH {_sqrt_pq_ctes()}
+WITH {_sqrt_pq_ctes(src, pre)}
 SELECT query_id, neighbor_id, adc, rank FROM pranked WHERE rank <= {_TOPK}
 ORDER BY query_id, rank
 """
@@ -2407,14 +2421,18 @@ def ann_ivf_sqrt_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sqrt_pq_scan(spark, sf_dir, _TOPK).withColumnRenamed("cos", "adc")
 
 
-def _sqrt_pq_scan(spark: SparkSession, sf_dir: str, topk: int) -> DataFrame:
+def _sqrt_pq_scan(
+    spark: SparkSession, sf_dir: str, topk: int, rotate: bool = False
+) -> DataFrame:
     """Shared IndexIVFPQ build + ADC scan (the body of
     ann_ivf_sqrt_pq_topk): sqrt coarse cells with sampled training,
     {_PQ_M} x {_PQ_K8} residual codebooks, decode-once reconstruction,
     sqrt probe, cogrouped ADC top-``topk``. Returns (query_id,
     neighbor_id, cos, rank). ``ann_ivf_sqrt_pq_rerank_topk`` calls it
     with a wider ``topk`` as the compressed-domain shortlist for its
-    exact-float second stage."""
+    exact-float second stage. ``rotate=True`` runs the IDENTICAL
+    pipeline in the OPQ-rotated space (corpus and queries through
+    :func:`_opq_rotate` first — the ann_ivf_sqrt_opq_pq_topk tier)."""
     import math
 
     from http_log_anonymizer_spark.operators.ivf import ivf_probe_cells, ivf_scan_topk
@@ -2423,6 +2441,8 @@ def _sqrt_pq_scan(spark: SparkSession, sf_dir: str, topk: int) -> DataFrame:
     e = load_table(
         spark, sf_dir, "embeddings", spread=True, bytes_per_task=256 * 1024
     ).select("vec_id", "embedding")
+    if rotate:
+        e = _opq_rotate(e)
     n = e.count()
     k = int(round(math.sqrt(n)))
     smod = max(1, n // (50 * k))
@@ -2486,7 +2506,14 @@ def _sqrt_pq_scan(spark: SparkSession, sf_dir: str, topk: int) -> DataFrame:
         ).alias("ue"),
     )
 
-    q = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 100 == 0).select(
+    qsrc = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % 100 == 0)
+        .select("vec_id", "embedding")
+    )
+    if rotate:
+        qsrc = _opq_rotate(qsrc)
+    q = qsrc.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").cast("array<double>").alias("qemb"),
         F.col("embedding").cast("array<double>").alias("qe"),
@@ -2730,6 +2757,125 @@ def ann_ivf_sqrt_pq_rerank_recall_report(
         "query_id", "neighbor_id"
     )
     stop = ann_ivf_sqrt_pq_rerank_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    hits = (
+        btop.alias("b")
+        .join(
+            stop.alias("s"),
+            (F.col("s.query_id") == F.col("b.query_id"))
+            & (F.col("s.neighbor_id") == F.col("b.neighbor_id")),
+            "left",
+        )
+        .groupBy(F.col("b.query_id").alias("query_id"))
+        .agg(F.count(F.col("s.neighbor_id")).alias("n_hits"))
+    )
+    return hits.select(
+        "query_id",
+        F.lit(_TOPK).alias("k"),
+        F.col("n_hits").cast("long").alias("n_hits"),
+        F.round(F.col("n_hits") * 1.0 / _TOPK, 4).alias("recall"),
+    ).orderBy("query_id")
+
+
+@register(
+    "ann_ivf_sqrt_opq_pq_topk",
+    oracle=_sqrt_pq_oracle(src="rotemb", pre=_opq_rot_cte()),
+)
+def ann_ivf_sqrt_opq_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ-ROTATED IndexIVFPQ at production sizing — the missing
+    rotated tier of the r08 anisotropy ladder (SCALE.md): corpus AND
+    queries go through the integer-exact HD rotation y = H(s ⊙ x)/8
+    (Ge et al., "Optimized Product Quantization", CVPR 2013 §4's
+    random-rotation init; FAISS ships it as the OPQ pretransform in
+    front of IVFPQ), then the EXACT ann_ivf_sqrt_pq_topk pipeline —
+    sqrt coarse cells with sampled training, {_PQ_M} x {_PQ_K8}
+    residual codebooks, decode-once ADC, sqrt probe — runs unchanged
+    in the rotated space.
+
+    Why this tier exists: on decaying (anisotropic) spectra the
+    contiguous-slice PQ subspaces capture wildly unequal variance and
+    plain sqrt-PQ recall collapses (measured 0.145 on the aniso
+    corpus, SCALE.md r08); the orthonormal rotation spreads variance
+    evenly across the 8 subspaces, attacking the SAME failure mode the
+    exact-float rerank stage papers over — but at encode time, for
+    free at query time, instead of with a per-query
+    {_PQ_RERANK_R}-candidate fetch.
+
+    Cross-engine exactness: identical to ann_ivf_opq_topk's argument —
+    inputs quantize to integers first (floor(x * 2^17) is exact on
+    float32), the Hadamard fold is order-free int64 arithmetic, the
+    final /2^20 is exact, so rotated vectors are BIT-IDENTICAL in both
+    engines and the whole downstream train/encode/probe/ADC chain
+    stays hash-checkable.
+
+    Scale shape: exactly ann_ivf_sqrt_pq_topk's (n^(3/4) candidate
+    work per query, codes-not-floats scan payload) plus one fused
+    64-integer-dot projection per vector — no new shuffle, no Python,
+    no materialized d x d matrix."""
+    return _sqrt_pq_scan(spark, sf_dir, _TOPK, rotate=True).withColumnRenamed(
+        "cos", "adc"
+    )
+
+
+@register(
+    "ann_ivf_sqrt_opq_pq_recall_report",
+    # the ground-truth side is brute-force BY DESIGN (audit artifact)
+    scale_gate=ScaleGate(
+        table="embeddings", max_rows=250_000, wide_twin="ann_ivf_sqrt_opq_pq_topk", advice="Recall/ground-truth audits at scale run on a SAMPLED stratum (the brute side is the cost, and recall estimates need only a sample)."
+    ),
+    oracle=f"""
+WITH {_sqrt_pq_ctes(src="rotemb", pre=_opq_rot_cte())},
+stop AS (
+  SELECT query_id, neighbor_id FROM pranked WHERE rank <= {_TOPK}
+),
+bscored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         round({dot_sql('q.qe', 'c.ue', _DIM)}, 4) AS cos
+  FROM q JOIN unit c ON c.vec_id <> q.query_id
+),
+btop AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+    ) AS rank FROM bscored
+  ) WHERE rank <= {_TOPK}
+),
+hits AS (
+  SELECT b.query_id, count(s.neighbor_id) AS n_hits
+  FROM btop b LEFT JOIN stop s
+    ON s.query_id = b.query_id AND s.neighbor_id = b.neighbor_id
+  GROUP BY b.query_id
+)
+SELECT query_id,
+       {_TOPK} AS k,
+       CAST(n_hits AS BIGINT) AS n_hits,
+       round(n_hits * 1.0 / {_TOPK}, 4) AS recall
+FROM hits
+ORDER BY query_id
+""",
+)
+def ann_ivf_sqrt_opq_pq_recall_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-query recall@{_TOPK} of the rotated IndexIVFPQ tier against
+    exact brute force IN THE ROTATED SPACE (rotation is an isometry,
+    so true neighbor sets are preserved and rotated ground truth IS
+    ground truth) — the registered artifact behind the SCALE.md
+    rotation-vs-rerank table, same wrapper as
+    ann_ivf_sqrt_pq_recall_report (one shared recall-join code path).
+    The oracle replays rotation, the entire index build, the rotated
+    brute side and the overlap count in one statement."""
+    from http_log_anonymizer_spark.operators.topk import brute_topk
+
+    u = _unit_table(spark, sf_dir, cache=False, rotate=True)
+    q = u.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("ue").alias("qe")
+    )
+    btop = brute_topk(u, q, k=_TOPK, cache_key=f"annqrot|{sf_dir}").select(
+        "query_id", "neighbor_id"
+    )
+    stop = ann_ivf_sqrt_opq_pq_topk(spark, sf_dir).select(
         "query_id", "neighbor_id"
     )
     hits = (

@@ -228,3 +228,36 @@ def test_keep_first_survives_string_and_huge_doc_ids(spark, tmp_path):
         r.doc_id: (r.n_chunks, r.n_kept) for r in sink2.deduped_docs(spark).collect()
     }
     assert got2 == {big0: (2, 2), big1: (2, 0)}
+
+
+def test_changed_text_redelivery_pins_the_documented_contract(spark, tmp_path):
+    """VERDICT r08 item 8: the CONTRACT block (chunk_dedup.py docstring)
+    documents what happens when an upstream redelivers a doc_id with
+    CHANGED text — the docs row stays the FIRST delivery's (suppressed
+    re-describe), while the new text's novel chunks still enter the
+    seen set and dedup later arrivals. Pin it so the contract can't
+    drift."""
+    first = " ".join(f"a{i}" for i in range(2 * L))
+    novel_seg = " ".join(f"b{i}" for i in range(L))
+    changed = _chunks(first)[0] + " " + novel_seg  # keeps chunk 1, swaps chunk 2
+    sink = StreamingChunkDedupSink(str(tmp_path / "state"), compact_every=4)
+    sink.write(_bdf(spark, [(1, first)]), 0)
+    sink.write(_bdf(spark, [(1, changed)]), 1)  # same key, mutated content
+
+    # docs output: exactly one row per doc_id, the FIRST delivery's
+    rows = sink.deduped_docs(spark).collect()
+    assert len(rows) == 1
+    assert rows[0].kept_text == first and rows[0].n_kept == 2
+
+    # chunk-level state stays correct: the mutated text's novel chunk
+    # entered the seen set (2 original + 1 novel = 3 hashes) ...
+    assert len(sink.seen_chunks(spark).collect()) == 3
+
+    # ... and it dedups later arrivals: a NEW doc made of the novel
+    # segment plus fresh material keeps only the fresh chunk
+    fresh = " ".join(f"c{i}" for i in range(L))
+    sink.write(_bdf(spark, [(2, novel_seg + " " + fresh)]), 2)
+    by_id = {r.doc_id: r for r in sink.deduped_docs(spark).collect()}
+    assert len(by_id) == 2
+    assert by_id[2].n_chunks == 2 and by_id[2].n_kept == 1
+    assert by_id[2].kept_text == fresh
