@@ -276,6 +276,92 @@ def generate_anisotropic_embeddings(
     ).parquet(f"{out}/embeddings.parquet")
 
 
+def generate_boilerplate_documents(
+    spark: SparkSession,
+    out: str,
+    n_docs: int,
+    n_templates: int = 20,
+    header_len: int = 40,
+    footer_len: int = 30,
+    body_len: int = 20,
+    dup_every: int = 4,
+) -> None:
+    """Boilerplate-heavy / high-duplication documents corpus (VERDICT
+    r08 item 5): the suffix-array operator's ACTUAL target workload.
+    The stock synthetic corpus is the PLCP worst case — a ~31-word
+    saturated vocabulary with no true cross-document duplication gives
+    7.4% LCP reducibility, so the PLCP variant descends 93% of pairs
+    anyway and loses its A/B (SCALE.md). Real crawl corpora are the
+    opposite: shared templates (headers, footers, nav chrome) and
+    outright page duplicates make long repeated runs dominate, and
+    PLCP reducibility — plcp(i) = plcp(i-1) - 1 inside a repeated run
+    — scales with exactly that duplication.
+
+    Structure, all hash-derived (bit-stable, no RNG):
+      - each doc belongs to template family ``doc_id % n_templates``
+        and wraps its body in the family's fixed {header_len}-token
+        header and {footer_len}-token footer (the boilerplate);
+      - the body is {body_len} unique tokens drawn from a 100k-word
+        vocabulary via xxhash64(content_id, j);
+      - every ``dup_every``-th doc is an EXACT full copy of its
+        predecessor (content_id = doc_id - 1), planting the page-level
+        duplication SA dedup hunts.
+
+    Writes ``<out>/documents.parquet`` in the testdata schema
+    (doc_id, text, lang, source, n_chars)."""
+    tmpl = {
+        f: (
+            " ".join(f"hb{f}x{k}" for k in range(header_len)),
+            " ".join(f"fb{f}x{k}" for k in range(footer_len)),
+        )
+        for f in range(n_templates)
+    }
+    hdr = F.element_at(
+        F.array(*[F.lit(tmpl[f][0]) for f in range(n_templates)]),
+        (F.col("fam") + 1).cast("int"),
+    )
+    ftr = F.element_at(
+        F.array(*[F.lit(tmpl[f][1]) for f in range(n_templates)]),
+        (F.col("fam") + 1).cast("int"),
+    )
+    body = F.concat_ws(
+        " ",
+        *[
+            F.concat(
+                F.lit("w"),
+                F.pmod(F.xxhash64(F.col("content_id"), F.lit(j)), F.lit(100_000))
+                .cast("string"),
+            )
+            for j in range(body_len)
+        ],
+    )
+    df = (
+        spark.range(n_docs)
+        .select(
+            F.col("id").alias("doc_id"),
+            # every dup_every-th doc copies its predecessor verbatim
+            F.when(
+                (F.col("id") % dup_every == 1) & (F.col("id") > 0),
+                F.col("id") - 1,
+            )
+            .otherwise(F.col("id"))
+            .alias("content_id"),
+        )
+        .withColumn("fam", F.col("content_id") % n_templates)
+        .select(
+            "doc_id",
+            F.concat_ws(" ", hdr, body, ftr).alias("text"),
+            F.lit("en").alias("lang"),
+            F.concat(F.lit("tmpl"), F.col("fam").cast("string")).alias("source"),
+        )
+        .withColumn("n_chars", F.length("text").cast("long"))
+    )
+    n_files = max(1, n_docs // 400_000)
+    df.repartition(n_files).write.mode("overwrite").option(
+        "parquet.block.size", str(_ROW_GROUP_BYTES)
+    ).parquet(f"{out}/documents.parquet")
+
+
 def ensure(spark: SparkSession, out: str, src: str = "/root/testdata/sf0.1", mult: int = 10) -> str:
     """Generate once; a _DONE marker makes reruns free."""
     marker = os.path.join(out, "_DONE")

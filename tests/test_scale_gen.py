@@ -82,3 +82,35 @@ def test_scale_gen_invariants(spark, tmp_path):
     stats = j.agg(F.max("dn").alias("dn"), F.max(F.abs("cos")).alias("c")).first()
     assert stats["dn"] == 0.0  # norms preserved bit-for-bit
     assert stats["c"] < 0.9  # replicas are not planted twins
+
+
+def test_boilerplate_corpus_invariants(spark, tmp_path):
+    """The PLCP regime corpus (VERDICT r08 item 5): deterministic
+    regeneration, planted exact-duplicate fraction, and template
+    (boilerplate) sharing across each family."""
+    from http_log_anonymizer_spark.sources.scale_gen import (
+        generate_boilerplate_documents,
+    )
+
+    generate_boilerplate_documents(spark, str(tmp_path / "a"), n_docs=400)
+    generate_boilerplate_documents(spark, str(tmp_path / "b"), n_docs=400)
+    a = spark.read.parquet(str(tmp_path / "a" / "documents.parquet"))
+    b = spark.read.parquet(str(tmp_path / "b" / "documents.parquet"))
+    assert a.count() == 400
+    # bit-stable regeneration
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # planted exact duplicates: doc_id % 4 == 1 copies doc_id - 1
+    rows = {r.doc_id: r.text for r in a.collect()}
+    dups = sum(1 for i in rows if i % 4 == 1 and i > 0 and rows[i] == rows[i - 1])
+    assert dups == sum(1 for i in rows if i % 4 == 1 and i > 0)
+    # non-planted neighbors differ
+    assert rows[2] != rows[3]
+    # boilerplate: every doc of family f starts with the family header
+    # and ends with the family footer (40 + 30 shared tokens)
+    for i in (0, 5, 23, 399):
+        fam = (i - 1 if i % 4 == 1 and i > 0 else i) % 20
+        toks = rows[i].split(" ")
+        assert toks[:40] == [f"hb{fam}x{k}" for k in range(40)]
+        assert toks[-30:] == [f"fb{fam}x{k}" for k in range(30)]
+    # schema matches the testdata documents contract
+    assert set(a.columns) == {"doc_id", "text", "lang", "source", "n_chars"}
