@@ -466,7 +466,12 @@ def linkage_blocking_recall_report(spark: SparkSession, sf_dir: str) -> DataFram
         .rstrip(",")
         + " SELECT * FROM rl_b"
     )
-    j = c.join(b, c.c_custkey == b.kb)
+    # merge hint (r09, found at sf100): rl_b is a stats-less derived
+    # table (hash-built re-observations), so Catalyst under-estimates
+    # it below the broadcast threshold and the driver OOMs building a
+    # 15M-row broadcast at sf100. The 1:1 corpus-sized join must be a
+    # sort-merge join at every scale.
+    j = c.join(b.hint("merge"), c.c_custkey == b.kb)
     n = j.agg(F.count("*").alias("n"))
     from functools import reduce
 
@@ -484,7 +489,9 @@ def linkage_blocking_recall_report(spark: SparkSession, sf_dir: str) -> DataFram
         ca = j.groupBy(ka_c.alias("k")).agg(F.count("*").alias("na"))
         cb = j.groupBy(kb_c.alias("k")).agg(F.count("*").alias("nb"))
         cand = (
-            ca.join(cb, ca.k.eqNullSafe(cb.k))
+            # same trap: both key-group count tables scale with the
+            # corpus (distinct names ~ n); never broadcast either side
+            ca.join(cb.hint("merge"), ca.k.eqNullSafe(cb.k))
             .agg(
                 F.coalesce(
                     F.sum(

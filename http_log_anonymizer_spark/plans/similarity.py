@@ -1626,7 +1626,10 @@ def _pq_impl(
         spark, sf_dir, "embeddings", spread=True, bytes_per_task=256 * 1024
     ).select("vec_id", "embedding")
     if rotate:
-        e = _opq_rotate(e)
+        # pin the rotated corpus (same rationale as _sqrt_pq_scan: the
+        # training loop re-triggers its input; rotation is per-action
+        # interpreted HOF work otherwise)
+        e = _opq_rotate(e).localCheckpoint()
     assignments, centroids = kmeans_quantized(e, k=_KM_K, rounds=_KM_ROUNDS)
     cv = spark.createDataFrame(
         [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)],
@@ -2442,7 +2445,14 @@ def _sqrt_pq_scan(
         spark, sf_dir, "embeddings", spread=True, bytes_per_task=256 * 1024
     ).select("vec_id", "embedding")
     if rotate:
-        e = _opq_rotate(e)
+        # materialize the rotation ONCE: the Hadamard fold is a ~4096-
+        # int-op interpreted HOF per vector, and the trainings below
+        # re-trigger their input many times — lazily recomputing the
+        # rotated corpus per action measured 89-140 s at 20k vectors vs
+        # ~20 s for the unrotated tier (r09 ladder). One localCheckpoint
+        # makes every downstream pass read the rotated vectors, exactly
+        # how a production index stores the pretransformed corpus.
+        e = _opq_rotate(e).localCheckpoint()
     n = e.count()
     k = int(round(math.sqrt(n)))
     smod = max(1, n // (50 * k))
