@@ -26,6 +26,7 @@ from http_log_anonymizer_spark.streaming.kanon import StreamingKAnonymityMonitor
 from http_log_anonymizer_spark.streaming.ldiversity import StreamingLDiversityMonitor
 from http_log_anonymizer_spark.streaming.psi import StreamingPSISink
 from http_log_anonymizer_spark.streaming.spectrum import StreamingSpectrumMonitor
+from http_log_anonymizer_spark.streaming.storage import StreamingStorageMonitor
 from http_log_anonymizer_spark.streaming.tcloseness import StreamingTClosenessMonitor
 
 QI = ("remote_addr", "cache_status")
@@ -43,9 +44,11 @@ def main() -> None:
     rows = (
         http_log_view(spark, "/root/testdata/sf0.001")
         .select(
+            "timestamp",
             anonymize_ip_fast("remote_addr").alias("remote_addr"),
             "cache_status",
             "response_status",
+            "url",
             (F.col("bytes_sent") / 1000.0).alias("value"),
         )
         .limit(4000)
@@ -80,6 +83,13 @@ def main() -> None:
         str(root / "psi"), ref, int(lo), int(hi), cohort_col="cache_status"
     )
     spectrum = StreamingSpectrumMonitor(str(root / "spectrum"))
+    # capacity twin of storage_estimate_report; the demo feed's
+    # observed rate is tiny (4k rows spread over the corpus's event
+    # span), so even a 1 GiB budget stays quiet — the paging path is
+    # exercised in tests/test_streaming_storage.py
+    storage = StreamingStorageMonitor(
+        str(root / "storage"), retention_days=365, disk_budget_bytes=1 << 30
+    )
 
     def fan_out(batch_df, batch_id: int) -> None:
         batch_df.persist()
@@ -88,11 +98,13 @@ def main() -> None:
         tclose.write(batch_df, batch_id)
         psi.write(batch_df, batch_id)
         spectrum.write(batch_df.select("embedding"), batch_id)
+        storage.write(batch_df, batch_id)
         batch_df.unpersist()
 
     schema = (
-        "remote_addr string, cache_status string, response_status long,"
-        " value double, embedding array<float>"
+        "timestamp timestamp, remote_addr string, cache_status string,"
+        " response_status long, url string, value double,"
+        " embedding array<float>"
     )
     q = (
         spark.readStream.schema(schema)
@@ -112,6 +124,8 @@ def main() -> None:
         "psi_alarms": [r.cohort for r in psi.alarms(spark).collect()],
         "prefix_energy_d8": spectrum.prefix_energy(spark, 8),
         "l1_classes": ldiv.alarms(spark).count(),
+        "storage_alarms": storage.alarms(spark),
+        "bytes_per_row_milli": storage.observed(spark).collect()[0].bytes_per_row_milli,
     }
     print(json.dumps(report))
 

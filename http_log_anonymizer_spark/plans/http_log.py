@@ -888,6 +888,64 @@ _STORAGE_GRID_SQL = ", ".join(
 )
 
 
+def storage_row_bytes() -> "F.Column":
+    """Logical stored-row byte width as a Column over (remote_addr,
+    url) rows — the map half shared by the batch report and the
+    streaming storage monitor. The anonymizing regexp is idempotent
+    (a trailing '0' replaces itself), so pre-anonymized streaming rows
+    and raw batch rows price identically."""
+    return (
+        F.lit(_STORAGE_FIXED_BYTES)
+        + F.octet_length(F.regexp_replace("remote_addr", "[0-9]+$", "0"))
+        + F.octet_length("url")
+    )
+
+
+def storage_base(df: DataFrame) -> DataFrame:
+    """One mergeable (logical_bytes, n_rows) summary row — addition-
+    mergeable, so the streaming monitor folds it across batches."""
+    return df.select(storage_row_bytes().alias("b")).agg(
+        F.sum("b").cast("long").alias("logical_bytes"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+def storage_grid(spark: SparkSession, base: DataFrame) -> DataFrame:
+    """The rate x retention planning grid over a (logical_bytes,
+    n_rows) base row — the reduce half shared by
+    storage_estimate_report and the streaming monitor's report()."""
+    grid = spark.createDataFrame(
+        [(r, d) for r in _STORAGE_RATES for d in _STORAGE_RETENTION_DAYS],
+        "rate_per_s long, retention_days long",
+    )
+    disk = (
+        f"cast(stored_rows as decimal(38,0)) * bytes_per_row_milli"
+        f" * {_STORAGE_COMP_PERMILLE} div 1000000"
+    )
+    return (
+        grid.crossJoin(F.broadcast(base))
+        .select(
+            "rate_per_s",
+            "retention_days",
+            F.expr("(retention_days + 29) div 30").alias("months_retained"),
+            F.expr("rate_per_s * 86400 * retention_days").alias("stored_rows"),
+            F.expr("(1000 * logical_bytes) div n_rows").alias(
+                "bytes_per_row_milli"
+            ),
+        )
+        .select(
+            "*",
+            F.expr(
+                "cast(cast(stored_rows as decimal(38,0))"
+                " * bytes_per_row_milli div 1000 as bigint)"
+            ).alias("est_logical_bytes"),
+            F.expr(f"cast({disk} as bigint)").alias("est_disk_bytes"),
+            F.expr(f"cast({disk} div 1048576 as bigint)").alias("est_disk_mib"),
+        )
+        .orderBy("rate_per_s", "retention_days")
+    )
+
+
 @register(
     "storage_estimate_report",
     oracle=f"""
@@ -946,49 +1004,4 @@ def storage_estimate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     measurement cost is a single scan no matter the corpus size, and
     the per-SF bytes/row it reports is the number SCALE.md's
     bytes-per-row discipline tracks."""
-    log = http_log_view(spark, sf_dir)
-    base = (
-        log.select(
-            (
-                F.lit(_STORAGE_FIXED_BYTES)
-                + F.octet_length(
-                    F.regexp_replace("remote_addr", "[0-9]+$", "0")
-                )
-                + F.octet_length("url")
-            ).alias("b")
-        )
-        .agg(
-            F.sum("b").cast("long").alias("logical_bytes"),
-            F.count("*").alias("n_rows"),
-        )
-    )
-    grid = spark.createDataFrame(
-        [(r, d) for r in _STORAGE_RATES for d in _STORAGE_RETENTION_DAYS],
-        "rate_per_s long, retention_days long",
-    )
-    disk = (
-        f"cast(stored_rows as decimal(38,0)) * bytes_per_row_milli"
-        f" * {_STORAGE_COMP_PERMILLE} div 1000000"
-    )
-    return (
-        grid.crossJoin(F.broadcast(base))
-        .select(
-            "rate_per_s",
-            "retention_days",
-            F.expr("(retention_days + 29) div 30").alias("months_retained"),
-            F.expr("rate_per_s * 86400 * retention_days").alias("stored_rows"),
-            F.expr("(1000 * logical_bytes) div n_rows").alias(
-                "bytes_per_row_milli"
-            ),
-        )
-        .select(
-            "*",
-            F.expr(
-                "cast(cast(stored_rows as decimal(38,0))"
-                " * bytes_per_row_milli div 1000 as bigint)"
-            ).alias("est_logical_bytes"),
-            F.expr(f"cast({disk} as bigint)").alias("est_disk_bytes"),
-            F.expr(f"cast({disk} div 1048576 as bigint)").alias("est_disk_mib"),
-        )
-        .orderBy("rate_per_s", "retention_days")
-    )
+    return storage_grid(spark, storage_base(http_log_view(spark, sf_dir)))
