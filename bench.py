@@ -103,16 +103,21 @@ def main() -> None:
         "conformal_threshold_report",
     )
     ext_queries = {n: REGISTRY[n] for n in EXT_SET if n in REGISTRY}
-    ext_timings = _noop_best_of_2(spark, ext_queries, sf_dir)
 
     # Old count()-based method, kept for comparability with BENCH_r01
-    # (runs second: any intra-query caches are warm for both passes of a
-    # given query family, as they were within r01's single pass).
+    # (runs second — DIRECTLY after the noop passes, nothing in
+    # between: any intra-query caches are warm for both passes of a
+    # given query family, as they were within r01's single pass.
+    # ADVICE r09: the ext section must not run between the two, or its
+    # unrelated query families evict/pollute those caches and perturb
+    # the comparability series).
     timings_count: dict[str, float] = {}
     for name, q in bench_queries.items():
         t0 = time.perf_counter()
         q.spark_fn(spark, sf_dir).count()
         timings_count[name] = round(time.perf_counter() - t0, 3)
+
+    ext_timings = _noop_best_of_2(spark, ext_queries, sf_dir)
 
     result = {
         "metric": "registry_bench_total",

@@ -877,11 +877,14 @@ _STORAGE_COMP_PERMILLE = 300
 _STORAGE_RATES = (1_000, 10_000, 100_000)
 _STORAGE_RETENTION_DAYS = (30, 90, 365)
 # Logical bytes of the fixed-width ClickHouse columns of one stored row
-# (http_log.rs:91-111): DateTime 4 + UInt64*3 + UInt16 2 + two
+# (http_log.rs:91-111): DateTime 4 + UInt64*3 = 24 + UInt16 2 + two
 # LowCardinality dictionary codes 1+1, plus one 1-byte varint length
-# prefix for each of the two String columns = 36; the strings' own
-# octets are summed from data.
-_STORAGE_FIXED_BYTES = 36
+# prefix for each of the two String columns 1+1 = 34; the strings' own
+# octets are summed from data. (Was 36 through r09 — off by 2 from its
+# own enumeration; ADVICE r09 caught the arithmetic. Plan + oracle +
+# streaming monitor all share this constant, so the fix shifts every
+# engine identically.)
+_STORAGE_FIXED_BYTES = 34
 
 _STORAGE_GRID_SQL = ", ".join(
     f"({r}, {d})" for r in _STORAGE_RATES for d in _STORAGE_RETENTION_DAYS

@@ -109,8 +109,18 @@ class StreamingStorageMonitor(EpochStateSink):
         if st is None:
             return None
         rate = "(cast(n_rows as decimal(38,0)) * 1000000000) div (max_us - min_us)"
+        # The projection product runs in DECIMAL(38,0) like the batch
+        # storage_grid / its HUGEINT oracle: ``div`` returns BIGINT, so
+        # the observed rate term must be re-widened before the chain —
+        # rate_milli * 86400 * retention * bytes_per_row_milli * permille
+        # overflows int64 at ~20 rows/s x 365 d x 50 B rows (the exact
+        # high-ingest scenarios the budget alarm exists for). Only the
+        # final div 1e9 result, provably back in range, narrows to
+        # bigint. Pinned by the high-rate case in
+        # tests/test_streaming_storage.py.
         proj = (
-            f"cast((({rate}) * 86400 * {self.retention_days}"
+            f"cast((cast(({rate}) as decimal(38,0)) * 86400"
+            f" * {self.retention_days}"
             f" * ((1000 * logical_bytes) div n_rows)"
             f" * {_STORAGE_COMP_PERMILLE}) div 1000000000 as bigint)"
         )

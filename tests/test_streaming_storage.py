@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from http_log_anonymizer_spark.plans import REGISTRY
 from http_log_anonymizer_spark.plans.http_log import (
     _STORAGE_COMP_PERMILLE,
+    _STORAGE_FIXED_BYTES,
     http_log_view,
 )
 from http_log_anonymizer_spark.streaming.storage import StreamingStorageMonitor
@@ -68,7 +69,7 @@ def test_observed_projection_replays_in_plain_python(spark, tmp_path):
     mon = StreamingStorageMonitor(str(tmp_path / "state"), retention_days=30)
     mon.write(_planted(spark, 101, 100), 0)
     row = mon.observed(spark).collect()[0]
-    bpr = 36 + len("198.51.7.0") + len("/r/7")  # anonymizing regexp is a no-op
+    bpr = _STORAGE_FIXED_BYTES + len("198.51.7.0") + len("/r/7")  # anonymizing regexp is a no-op
     assert row.n_rows == 101
     assert row.bytes_per_row_milli == bpr * 1000
     rate_milli = 101 * 1_000_000_000 // (100 * 1_000_000)
@@ -77,6 +78,42 @@ def test_observed_projection_replays_in_plain_python(spark, tmp_path):
         rate_milli * 86400 * 30 * (bpr * 1000) * _STORAGE_COMP_PERMILLE
     ) // 1_000_000_000
     assert row.projected_disk_bytes == want
+
+
+def test_observed_rate_is_floor_exact(spark, tmp_path):
+    # Exactly 10 rows over exactly 9 s -> 10e9/9e6 = 1111.11... ->
+    # floor 1111 milli-rows/s. Pins the 1e9 scaling of the rate term
+    # against silent drift (a wrong scale or a float division would
+    # miss this exact integer).
+    mon = StreamingStorageMonitor(str(tmp_path / "state"))
+    mon.write(_planted(spark, 10, 9), 0)
+    row = mon.observed(spark).collect()[0]
+    assert row.observed_rate_milli_per_s == 1111
+
+
+def test_high_rate_projection_does_not_overflow_int64(spark, tmp_path):
+    # 10 rows over exactly 9 us -> 10e9/9 = 1_111_111_111 milli-rows/s
+    # (~1.1M rows/s). The projection product rate_milli * 86400 * 365
+    # * bytes_per_row_milli * permille reaches ~5e23 — far past int64
+    # (~9.2e18) — so an all-bigint chain wraps or raises under ANSI
+    # mode; the DECIMAL(38,0) chain must return the exact floor
+    # replayed here in unbounded plain-Python ints.
+    mon = StreamingStorageMonitor(str(tmp_path / "state"), retention_days=365)
+    mon.write(_planted(spark, 10, 9e-6), 0)
+    row = mon.observed(spark).collect()[0]
+    rate_milli = 10 * 1_000_000_000 // 9
+    assert row.observed_rate_milli_per_s == rate_milli
+    bpr_milli = row.bytes_per_row_milli
+    product = rate_milli * 86400 * 365 * bpr_milli * _STORAGE_COMP_PERMILLE
+    assert product > 2**63  # the intermediate genuinely exceeds int64
+    want = product // 1_000_000_000  # ...while the final floor fits
+    assert want < 2**63
+    assert row.projected_disk_bytes == want
+    # and the alarm predicate sees the un-wrapped (positive) number
+    loud = StreamingStorageMonitor(
+        str(tmp_path / "state"), retention_days=365, disk_budget_bytes=want
+    )
+    assert loud.alarms(spark) == ["storage_budget"]
 
 
 def test_single_instant_stream_yields_null_rate_not_a_crash(spark, tmp_path):
