@@ -22,75 +22,79 @@ from http_log_anonymizer_spark.plans import analytics  # noqa: E402,F401
 from http_log_anonymizer_spark.plans import curation  # noqa: E402,F401
 from http_log_anonymizer_spark.plans import linkage  # noqa: E402,F401
 
-# Round-9 window (VERDICT r08 items 1, 3, 6 — exactly the prescribed
-# allocation): multimodal_phash_wide_neardup FIRST (the only registry
-# query never driver-checked — added after the r08 window filled), the
-# round's two new driver-green-required queries
-# (ann_ivf_sqrt_opq_pq_topk, the rotated production PQ tier of
-# directive 3, and storage_estimate_report, the reference capacity ask
-# of directive 6), then ALL 47 r04-stale queries — 1 + 2 + 47 = 50,
-# the verdict's own arithmetic ("47 + this one = 48 <= 50"), after
-# which nothing in the correctness union is older than r05. The
-# sessionize_events / session_window_agg rows double as re-verification
-# of this round's microsecond-gap fix (ADVICE r08). The round's one
-# OTHER new query (ann_ivf_sqrt_opq_pq_recall_report) shares its
-# entire pipeline with the windowed rotated tier and the recall-join
-# wrapper with three driver-green recall reports; it is locally
-# oracle-gated and LEADS the r10 rotation (ROADMAP).
+# Round-10 window (VERDICT r09 item 1 — exactly the prescribed
+# allocation, under the amended rotation rule "a plan-diff since the
+# last driver row outranks a staleness refresh", ROADMAP):
+#   1. ann_ivf_sqrt_opq_pq_recall_report — the one registry query
+#      never driver-checked (added after the r09 window filled).
+#   2-5. the four queries whose plans changed in r09 AFTER their last
+#      driver row (sequential_patterns + event_path_trigrams:
+#      microsecond sessionization fix; conformal_threshold_report:
+#      empty-eval LEFT-join fix; linkage_blocking_recall_report: sf100
+#      merge hints) — their r08 rows predate the code that ships.
+#   6. storage_estimate_report — plan-diffed THIS round
+#      (_STORAGE_FIXED_BYTES 36 -> 34, ADVICE r09) so its green r09
+#      row predates the shipped constant; same rule.
+#   7. capacity_observed_report — new this round (the batch twin of
+#      the streaming monitor's observed()-rate projection, carrying
+#      the ADVICE-r09 decimal-overflow arithmetic under a driver
+#      hash-check).
+#   8-50. ALL 43 r05-stale queries — 7 + 43 = 50, after which nothing
+#      in the correctness union is older than r06.
 # Everything outside the window stays locally gated by
 # tests/test_registry_oracle.py (same comparator).
 _WINDOW = [
-    "multimodal_phash_wide_neardup",  # never driver-checked (r08 verdict #1)
-    "ann_ivf_sqrt_opq_pq_topk",  # new this round (r08 verdict #3)
-    "storage_estimate_report",  # new this round (r08 verdict #6)
-    # --- all 47 r04-stale queries (r08 verdict #1: the full cohort) ---
-    "ams_f2_selfjoin_size",
-    "ann_brute_topk",
-    "ann_ivf_adc_topk",
-    "ann_ivf_kmeans_topk",
-    "ann_ivf_topk",
-    "ann_lsh_recall_report",
-    "ann_lsh_topk",
-    "ann_lsh_wide_topk",
-    "ann_quantized_topk",
-    "best_order_per_customer",
-    "bloom_membership_report",
-    "bm25_query_table",
-    "cms_user_frequency",
-    "customer_running_revenue",
-    "dedup_simhash",
-    "dedup_simhash_stats",
-    "dedup_simhash_wide",
-    "dedup_simhash_xwide",
-    "embed_neardup_gemm",
-    "embed_neardup_lsh",
-    "embed_quantization_error",
-    "hard_negative_mining",
-    "hdr_latency_quantiles",
-    "hilbert_layout",
-    "hll_user_cardinality",
-    "hybrid_rrf_fusion",
-    "ivf_cluster_stats",
-    "ivf_residual_quantization",
-    "k_anonymity_report",
-    "kmeans_cluster_sizes",
-    "nation_volume",
-    "padding_efficiency",
-    "pagerank_copurchase",
-    "pricing_summary",
-    "range_join_error_context",
-    "rerank_fusion_topk",
-    "semdedup_cells",
-    "session_window_agg",
-    "sessionize_events",
-    "source_overlap_matrix",
-    "temperature_mix_weights",
-    "triangle_counts",
-    "unigram_encode_stats",
-    "unigram_lm_vocab",
-    "user_zscore_outliers",
-    "value_percentiles",
-    "wordpiece_encode_stats",
+    "ann_ivf_sqrt_opq_pq_recall_report",  # never driver-checked (r09 #1a)
+    "sequential_patterns",  # changed r09 post-driver-row (r09 #1b)
+    "event_path_trigrams",  # changed r09 post-driver-row (r09 #1b)
+    "conformal_threshold_report",  # changed r09 post-driver-row (r09 #1b)
+    "linkage_blocking_recall_report",  # changed r09 post-driver-row (r09 #1b)
+    "storage_estimate_report",  # plan-diffed this round (ADVICE r09)
+    "capacity_observed_report",  # new this round
+    # --- all 43 r05-stale queries (r09 verdict #1: the full cohort) ---
+    "blocking_supplier",
+    "customer_order_distribution",
+    "customers_with_high_value_orders",
+    "data_quality_report",
+    "dedup_clusters",
+    "dedup_exact",
+    "dedup_prefix_filter_join",
+    "dedup_winnow_join",
+    "disjunctive_filter_revenue",
+    "distinct_users_exact",
+    "doc_fingerprints",
+    "doc_winnowing",
+    "dormant_rich_customers",
+    "dup_span_report",
+    "embedding_pca_power",
+    "gapfill_locf",
+    "grouping_sets_totals",
+    "http_anonymize_rows",
+    "http_dedup_final",
+    "http_monthly",
+    "http_top_ips",
+    "http_totals_cube",
+    "hypertable_rollup",
+    "important_parts",
+    "json_encode_rows",
+    "json_props_stats",
+    "late_shipment_priority",
+    "multimodal_decode_meta",
+    "nation_trade_flow",
+    "orders_without_lineitems",
+    "pivot_avg_value",
+    "revenue_leaders",
+    "rollup_region_nation",
+    "shipping_priority",
+    "small_quantity_revenue",
+    "supplier_part_diversity",
+    "token_stats",
+    "top_orders_per_customer",
+    "top_terms_per_lang",
+    "user_cohort_setops",
+    "value_stats",
+    "wordpiece_learn_merges",
+    "zorder_layout",
 ]
 
 

@@ -1008,3 +1008,125 @@ def storage_estimate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-SF bytes/row it reports is the number SCALE.md's
     bytes-per-row discipline tracks."""
     return storage_grid(spark, storage_base(http_log_view(spark, sf_dir)))
+
+
+def observed_base(df: DataFrame) -> DataFrame:
+    """One mergeable (logical_bytes, n_rows, min_us, max_us) summary row
+    over (timestamp, remote_addr, url, ...) rows — the map half shared
+    by capacity_observed_report and the streaming storage monitor
+    (streaming/storage.py uses it per micro-batch; min/max/sum are
+    addition/min/max-mergeable so the fold is batch-boundary
+    invariant)."""
+    return df.select(
+        storage_row_bytes().alias("b"),
+        F.unix_micros(F.col("timestamp")).alias("us"),
+    ).agg(
+        F.sum("b").cast("long").alias("logical_bytes"),
+        F.count("*").alias("n_rows"),
+        F.min("us").alias("min_us"),
+        F.max("us").alias("max_us"),
+    )
+
+
+# The observed-rate projection chain, kept textually identical between
+# the batch report below and StreamingStorageMonitor.observed(): rate
+# in milli-rows/s is exact integer division over the event-time span
+# and MUST be re-widened to DECIMAL(38,0) before the product (Spark's
+# ``div`` returns BIGINT; the all-bigint chain wraps at ~20 rows/s x
+# 365 d x 50 B rows — the ADVICE r09 overflow this query exists to
+# keep driver-hash-checked).
+_OBSERVED_RATE = "(cast(n_rows as decimal(38,0)) * 1000000000) div (max_us - min_us)"
+_OBSERVED_DISK = (
+    f"(cast(({_OBSERVED_RATE}) as decimal(38,0)) * 86400 * retention_days"
+    f" * ((1000 * logical_bytes) div n_rows)"
+    f" * {_STORAGE_COMP_PERMILLE}) div 1000000000"
+)
+_OBSERVED_ROWS = (
+    f"(cast(({_OBSERVED_RATE}) as decimal(38,0)) * 86400 * retention_days)"
+    f" div 1000"
+)
+
+
+@register(
+    "capacity_observed_report",
+    oracle=f"""
+WITH {HTTP_LOG_SQL.strip()},
+base AS (
+  SELECT CAST(sum({_STORAGE_FIXED_BYTES}
+               + strlen(regexp_replace(remote_addr, '[0-9]+$', '0'))
+               + strlen(url)) AS BIGINT) AS logical_bytes,
+         count(*) AS n_rows,
+         min(epoch_us(timestamp)) AS min_us,
+         max(epoch_us(timestamp)) AS max_us
+  FROM http_log
+),
+grid (retention_days) AS (VALUES {", ".join(f"({d})" for d in _STORAGE_RETENTION_DAYS)}),
+est AS (
+  SELECT CAST(retention_days AS BIGINT) AS retention_days,
+         n_rows,
+         (1000 * logical_bytes) // n_rows AS bytes_per_row_milli,
+         CASE WHEN max_us > min_us THEN CAST(
+           (CAST(n_rows AS HUGEINT) * 1000000000) // (max_us - min_us)
+           AS BIGINT) END AS observed_rate_milli_per_s,
+         min_us, max_us, logical_bytes
+  FROM grid CROSS JOIN base
+)
+SELECT retention_days, n_rows, bytes_per_row_milli, observed_rate_milli_per_s,
+       CASE WHEN max_us > min_us THEN CAST(
+         (CAST(observed_rate_milli_per_s AS HUGEINT) * 86400 * retention_days)
+         // 1000 AS BIGINT) END AS projected_rows,
+       CASE WHEN max_us > min_us THEN CAST(
+         (CAST(observed_rate_milli_per_s AS HUGEINT) * 86400 * retention_days
+          * bytes_per_row_milli * {_STORAGE_COMP_PERMILLE})
+         // 1000000000 AS BIGINT) END AS projected_disk_bytes
+FROM est
+ORDER BY retention_days
+""",
+)
+def capacity_observed_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capacity projection at the OBSERVED ingest rate — the batch twin
+    of StreamingStorageMonitor.observed() (streaming/storage.py) and
+    the second half of the reference's capacity requirement
+    (README.md:64-66): where storage_estimate_report prices a
+    hypothetical rate x retention grid, this measures the corpus's OWN
+    rate (exact integer milli-rows/s over the event-time span) and
+    bytes/row, then projects stored rows and on-disk bytes for each
+    retention tier.
+
+    Every number is an exact integer: the rate is floor-exact integer
+    division, and the projection products run in DECIMAL(38,0)/HUGEINT
+    end to end — the all-bigint chain provably wraps at ~20 rows/s x
+    365 d x 50 B rows (ADVICE r09 found exactly that overflow in the
+    streaming monitor), so this query keeps the widened arithmetic
+    under a driver hash-check against DuckDB's HUGEINT replay. The
+    single-instant edge (max_us == min_us) yields NULL rate/projection
+    rows rather than a division error, mirrored in both engines.
+
+    Scale shape: ONE corpus scan map-side-combined to a 4-number row
+    (shared with the streaming monitor via observed_base), broadcast
+    onto a 3-row literal retention grid — measurement cost is a single
+    scan no matter the corpus size."""
+    base = observed_base(http_log_view(spark, sf_dir))
+    grid = spark.createDataFrame(
+        [(d,) for d in _STORAGE_RETENTION_DAYS], "retention_days long"
+    )
+    return (
+        grid.crossJoin(F.broadcast(base))
+        .select(
+            "retention_days",
+            "n_rows",
+            F.expr("(1000 * logical_bytes) div n_rows").alias(
+                "bytes_per_row_milli"
+            ),
+            F.expr(
+                f"case when max_us > min_us then cast({_OBSERVED_RATE} as bigint) end"
+            ).alias("observed_rate_milli_per_s"),
+            F.expr(
+                f"case when max_us > min_us then cast({_OBSERVED_ROWS} as bigint) end"
+            ).alias("projected_rows"),
+            F.expr(
+                f"case when max_us > min_us then cast({_OBSERVED_DISK} as bigint) end"
+            ).alias("projected_disk_bytes"),
+        )
+        .orderBy("retention_days")
+    )

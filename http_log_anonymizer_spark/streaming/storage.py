@@ -29,9 +29,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from http_log_anonymizer_spark.plans.http_log import (
-    _STORAGE_COMP_PERMILLE,
+    _OBSERVED_DISK,
+    _OBSERVED_RATE,
+    observed_base,
     storage_grid,
-    storage_row_bytes,
 )
 from http_log_anonymizer_spark.streaming.reservoir import EpochStateSink
 
@@ -59,15 +60,11 @@ class StreamingStorageMonitor(EpochStateSink):
         self.disk_budget_bytes = int(disk_budget_bytes)
 
     def _base(self, batch_df: DataFrame) -> DataFrame:
-        return batch_df.select(
-            storage_row_bytes().alias("b"),
-            F.unix_micros(F.col("timestamp")).alias("us"),
-        ).agg(
-            F.sum("b").cast("long").alias("logical_bytes"),
-            F.count("*").alias("n_rows"),
-            F.min("us").alias("min_us"),
-            F.max("us").alias("max_us"),
-        )
+        # The map half is the batch capacity_observed_report's own
+        # observed_base (plans/http_log.py) — shared code, so the
+        # monitor's fold and the driver-hash-checked batch twin price
+        # rows identically by construction.
+        return observed_base(batch_df)
 
     @staticmethod
     def _merge(states: DataFrame) -> DataFrame:
@@ -108,21 +105,17 @@ class StreamingStorageMonitor(EpochStateSink):
         st = self.current(spark)
         if st is None:
             return None
-        rate = "(cast(n_rows as decimal(38,0)) * 1000000000) div (max_us - min_us)"
-        # The projection product runs in DECIMAL(38,0) like the batch
-        # storage_grid / its HUGEINT oracle: ``div`` returns BIGINT, so
-        # the observed rate term must be re-widened before the chain —
-        # rate_milli * 86400 * retention * bytes_per_row_milli * permille
-        # overflows int64 at ~20 rows/s x 365 d x 50 B rows (the exact
-        # high-ingest scenarios the budget alarm exists for). Only the
-        # final div 1e9 result, provably back in range, narrows to
-        # bigint. Pinned by the high-rate case in
-        # tests/test_streaming_storage.py.
-        proj = (
-            f"cast((cast(({rate}) as decimal(38,0)) * 86400"
-            f" * {self.retention_days}"
-            f" * ((1000 * logical_bytes) div n_rows)"
-            f" * {_STORAGE_COMP_PERMILLE}) div 1000000000 as bigint)"
+        # Rate and projection are the SHARED expression strings of the
+        # driver-hash-checked batch twin (capacity_observed_report,
+        # plans/http_log.py) — the product runs in DECIMAL(38,0) there
+        # because the all-bigint chain wraps at ~20 rows/s x 365 d x
+        # 50 B rows (the exact high-ingest scenarios the budget alarm
+        # exists for; ADVICE r09), narrowing to bigint only after the
+        # final div. Pinned by the high-rate case in
+        # tests/test_streaming_storage.py and the row-equality twin
+        # test against the batch report.
+        st = st.withColumn(
+            "retention_days", F.lit(self.retention_days).cast("long")
         )
         return st.select(
             F.col("n_rows"),
@@ -130,11 +123,11 @@ class StreamingStorageMonitor(EpochStateSink):
                 "bytes_per_row_milli"
             ),
             F.expr(
-                f"case when max_us > min_us then cast({rate} as bigint) end"
+                f"case when max_us > min_us then cast({_OBSERVED_RATE} as bigint) end"
             ).alias("observed_rate_milli_per_s"),
-            F.lit(self.retention_days).cast("long").alias("retention_days"),
+            F.col("retention_days"),
             F.expr(
-                f"case when max_us > min_us then {proj} end"
+                f"case when max_us > min_us then cast({_OBSERVED_DISK} as bigint) end"
             ).alias("projected_disk_bytes"),
         )
 

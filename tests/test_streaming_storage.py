@@ -80,6 +80,28 @@ def test_observed_projection_replays_in_plain_python(spark, tmp_path):
     assert row.projected_disk_bytes == want
 
 
+def test_observed_equals_batch_capacity_twin(spark, tmp_path):
+    # The monitor's observed() row must EQUAL the batch
+    # capacity_observed_report row for its retention tier on the same
+    # corpus, column for column (the report adds projected_rows; the
+    # shared columns must match exactly).
+    d = http_log_view(spark, SF).persist()
+    mon = StreamingStorageMonitor(str(tmp_path / "state"), retention_days=365)
+    for b in range(3):
+        mon.write(d.filter(F.col("request_time_milli") % 3 == b), b)
+    d.unpersist()
+    got = mon.observed(spark).collect()[0].asDict()
+    batch = (
+        REGISTRY["capacity_observed_report"]
+        .spark_fn(spark, SF)
+        .filter(F.col("retention_days") == 365)
+        .collect()[0]
+        .asDict()
+    )
+    for col in got:
+        assert got[col] == batch[col], col
+
+
 def test_observed_rate_is_floor_exact(spark, tmp_path):
     # Exactly 10 rows over exactly 9 s -> 10e9/9e6 = 1111.11... ->
     # floor 1111 milli-rows/s. Pins the 1e9 scaling of the rate term
