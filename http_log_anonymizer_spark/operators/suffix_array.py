@@ -113,7 +113,17 @@ def pin(df: DataFrame) -> DataFrame:
         root = tempfile.mkdtemp(prefix="graft_sa_")
     _OWNED_DIRS.append(root)
     path = f"{root}/{uuid.uuid4().hex[:8]}"
-    df.write.mode("overwrite").parquet(path)
+    # Scratch row groups are capped at 32 MiB (default 128 MiB): pin
+    # files are written once and scanned sequentially, so big row
+    # groups buy nothing, while every concurrent writer task buffers
+    # up to one row group on heap and the read-back path allocates
+    # column-chunk-sized buffers — at sf100 the default produced the
+    # 128 MB G1 humongous allocations that GC-choked hits_copurchase
+    # (SCALE.md r09/r10; 32 tasks x 128 MiB ~ 4 GiB of buffer churn in
+    # an 8 GiB heap).
+    df.write.option("parquet.block.size", 32 * 1024 * 1024).mode(
+        "overwrite"
+    ).parquet(path)
     return spark.read.parquet(path)
 
 

@@ -2260,8 +2260,19 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     dup_pk = o.groupBy("o_orderkey").agg(F.count("*").alias("cc")).filter(F.col("cc") > 1)
-    fk_cust = o.join(c.select("c_custkey"), o.o_custkey == c.c_custkey, "left_anti")
-    fk_order = l.join(o.select("o_orderkey"), l.l_orderkey == o.o_orderkey, "left_anti")
+    # merge hints (r10 sweep): the FK key sides are FULL key columns of
+    # corpus-scaled tables, but single-column pruning shrinks their
+    # size ESTIMATE far below the 64 MiB broadcast threshold long after
+    # the true HashedRelation stops fitting (measured: the static sf100
+    # plan built all 15M customer keys as a broadcast anti join).
+    # Orphan checks scan everything anyway — sort-merge anti join is
+    # the scale plan, binding at every SF.
+    fk_cust = o.join(
+        c.select("c_custkey").hint("merge"), o.o_custkey == c.c_custkey, "left_anti"
+    )
+    fk_order = l.join(
+        o.select("o_orderkey").hint("merge"), l.l_orderkey == o.o_orderkey, "left_anti"
+    )
     report = (
         row("orders_pk_unique", o_stats, dup_pk)
         .unionAll(row("orders_customer_fk", o_stats, fk_cust))

@@ -374,14 +374,19 @@ def verify_pairs(cand: DataFrame, d: DataFrame) -> DataFrame:
     shingle table (string or hashed-long arrays — set semantics are
     identical); returns (doc_a, doc_b, jr) above threshold.
 
-    The candidate set broadcasts: it is orders of magnitude smaller
-    than the corpus (that is the point of candidate generation), so the
-    first lookup becomes a broadcast hash join and the shingle table
-    skips that shuffle (~8% off dedup_minhash_lsh at sf0.1; the second
-    lookup keeps its exchange — its left side carries shingle arrays,
-    too wide to force-broadcast safely at scale)."""
+    The candidate lookups are left UNHINTED on purpose (r10 sweep —
+    the stats-less-join-side audit): candidate volume is corpus- AND
+    duplication-rate-dependent (O(n) on a clean corpus, explosive on a
+    repetitive one), so a forced F.broadcast(cand) — the pre-r10
+    formulation, worth ~8% at sf0.1 — is exactly the linkage-class
+    static-broadcast trap at 100 TB: the planner commits before any
+    true size exists and AQE cannot demote it. Unhinted, the static
+    plan is a shuffle join (join-output estimates are large) and AQE
+    re-promotes to broadcast AT RUNTIME from the candidates' ACTUAL
+    size — the small-corpus win is kept, decided from truth instead of
+    fiction. Plan-asserted in tests/test_plan_shapes.py."""
     pairs = (
-        F.broadcast(cand)
+        cand
         .join(d.select(F.col("doc_id").alias("da"), F.col("sh").alias("sh_a")), "da")
         .join(d.select(F.col("doc_id").alias("db"), F.col("sh").alias("sh_b")), "db")
         .select(
@@ -3085,8 +3090,11 @@ def minhash_estimator_error_report(spark: SparkSession, sf_dir: str) -> DataFram
 
     Scale shape: reuses the cached signature/band index build of
     dedup_minhash_lsh (one corpus pass + banded equi-join candidates);
-    the audit adds two broadcast lookups on the CANDIDATE-sized table
-    and one {_N_HASHES}+1-row aggregate — no new corpus-sized work."""
+    the audit adds two CANDIDATE-sized lookups — unhinted, so AQE
+    promotes them to broadcast at runtime from their true size (the
+    r10 stats-less-join-side rule: candidate volume is corpus- and
+    dup-rate-dependent, so a forced broadcast is the static trap) —
+    and one {_N_HASHES}+1-row aggregate; no new corpus-sized work."""
     d = _hashed_shingle_arrays(spark, sf_dir).cache()
     sig = minhash_signatures(d).cache()
     bands = band_index(sig).cache()
@@ -3107,12 +3115,12 @@ def minhash_estimator_error_report(spark: SparkSession, sf_dir: str) -> DataFram
         F.when(F.col("a0") == F.col("b0"), 1).otherwise(0),
     )
     withm = (
-        F.broadcast(cand).join(sa, "da").join(sb, "db").select(
+        cand.join(sa, "da").join(sb, "db").select(
             "da", "db", m_col.alias("m_matches")
         )
     )
     ex = (
-        F.broadcast(withm)
+        withm
         .join(d.select(F.col("doc_id").alias("da"), F.col("sh").alias("sh_a")), "da")
         .join(d.select(F.col("doc_id").alias("db"), F.col("sh").alias("sh_b")), "db")
         .select(

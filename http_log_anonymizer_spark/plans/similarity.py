@@ -1944,12 +1944,16 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = brute_topk(
         u, q, k=_TOPK, exclude_label=True, cache_key=f"annq_lab|{sf_dir}"
     )
-    # attach the negative's label: broadcast the TINY top-k result into
-    # the corpus-side lookup (the label table is corpus-sized and must
-    # never be the broadcast side)
+    # attach the negative's label: the top-k table is k rows PER QUERY
+    # — linear in the query count, i.e. corpus-scaled, so it is left
+    # unhinted (r10 stats-less-join-side rule) and AQE promotes it to
+    # the broadcast side at runtime from its true size; the label
+    # table is corpus-sized and must never be the broadcast side (a
+    # forced F.broadcast(top) — the pre-r10 form — would commit
+    # statically at any query volume)
     lab = u.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("neg_label"))
     return (
-        F.broadcast(top)
+        top
         .join(lab, "neighbor_id")
         .select("query_id", "neighbor_id", "neg_label", "rank", "cos")
         .orderBy("query_id", "rank")

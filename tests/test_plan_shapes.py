@@ -315,3 +315,72 @@ def test_chunk_type_tables_never_static_broadcast(spark):
             return
     plan = _plan(spark, "line_dedup_report")
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def _corpus_broadcast_subtrees(plan: str) -> list[str]:
+    """BroadcastExchange subtrees (HashedRelationBroadcastMode — i.e.
+    real hash-join builds, not 1-row Identity broadcasts) whose subtree
+    scans a corpus-scaled table. The r10 stats-less-join-side sweep's
+    detector: any such subtree in a STATIC plan is a broadcast the
+    planner committed to from estimates, which AQE cannot demote."""
+    import re
+
+    corpus = ("customer", "orders", "lineitem", "events", "documents",
+              "embeddings", "part")
+    lines = plan.split("\n")
+
+    def depth(s):
+        return len(re.match(r"^[\s:+\-*]*", s).group(0))
+
+    out = []
+    for i, ln in enumerate(lines):
+        if "BroadcastExchange" not in ln or "HashedRelationBroadcastMode" not in ln:
+            continue
+        d0 = depth(ln)
+        sub = [ln]
+        for j in range(i + 1, len(lines)):
+            if not lines[j].strip() or depth(lines[j]) <= d0:
+                break
+            sub.append(lines[j])
+        if any(re.search(rf"\b{t}\b", l) for t in corpus for l in sub):
+            out.append("\n".join(sub[:6]))
+    return out
+
+
+def test_candidate_pipelines_never_static_broadcast_corpus_sides(spark):
+    """r10 stats-less-join-side sweep (VERDICT r09 #3): LSH candidate
+    tables are join OUTPUTS — their true size is corpus- and dup-rate-
+    dependent while their static estimate is fiction — and the FK key
+    sides of the quality checks are full key columns whose single-
+    column pruned estimate undershoots the broadcast threshold long
+    after the true HashedRelation stops fitting (measured at sf100:
+    a 15M-key customer anti-join build). Neither may appear as a
+    static broadcast build; AQE re-promotes candidate lookups at
+    runtime from their TRUE size (verified in the suite's oracle runs).
+    Planned, not executed, against the biggest series on disk; at the
+    oracle SF only the anti-join strategy is asserted."""
+    import os
+
+    # eager-signature-build queries: sf10 keeps the build bounded
+    for d in ("/root/repo/.benchdata/sf10",):
+        if os.path.exists(os.path.join(d, "_DONE")):
+            for name in ("dedup_minhash_lsh", "split_leakage_report",
+                         "minhash_estimator_error_report"):
+                df = REGISTRY[name].spark_fn(spark, d)
+                plan = df._jdf.queryExecution().executedPlan().toString()
+                bad = _corpus_broadcast_subtrees(plan)
+                assert not bad, (name, d, bad[0])
+    # lazy-construction queries: plan at the biggest series present
+    for d in ("/root/repo/.benchdata/sf100", "/root/repo/.benchdata/sf10"):
+        if os.path.exists(os.path.join(d, "_DONE")):
+            for name in ("data_quality_report", "hard_negative_mining"):
+                df = REGISTRY[name].spark_fn(spark, d)
+                plan = df._jdf.queryExecution().executedPlan().toString()
+                bad = _corpus_broadcast_subtrees(plan)
+                assert not bad, (name, d, bad[0])
+            break
+    # at any scale: the FK orphan checks are merge-hinted, so the anti
+    # joins must be sort-merge even where a broadcast would fit
+    plan = _plan(spark, "data_quality_report")
+    assert "BroadcastHashJoin" not in plan or "LeftAnti, BuildRight" not in plan
+    assert plan.count("SortMergeJoin") >= 2
