@@ -89,3 +89,44 @@ def test_pinned_compression_permille_matches_sorted_layout(spark, tmp_path):
     measured = round(1000 * comp / logical)
     assert 250 <= _STORAGE_COMP_PERMILLE <= 400
     assert abs(measured - _STORAGE_COMP_PERMILLE) <= 100, measured
+
+
+def test_pin_is_conservative_at_scale(spark, tmp_path):
+    """r10 (VERDICT r09 item 5): the at-scale sorted layout must
+    compress AT OR BELOW the pinned planning permille — the pin is a
+    conservative upper envelope, so the grid can only over-provision.
+    Measured r10: 10 permille at sf10, 6 at sf100 (closed-domain decay;
+    see the constant's comment + SCALE.md). Runs only when the sf10
+    series is on disk; a one-file sample (~1M rows) keeps it cheap."""
+    import os
+
+    d = "/root/repo/.benchdata/sf10"
+    if not os.path.exists(os.path.join(d, "_DONE")):
+        import pytest
+
+        pytest.skip("sf10 series not generated")
+    anon = (
+        http_log_view(spark, d)
+        .limit(1_000_000)
+        .withColumn("remote_addr", F.regexp_replace("remote_addr", "[0-9]+$", "0"))
+    )
+    logical = anon.select(
+        (
+            F.lit(_STORAGE_FIXED_BYTES)
+            + F.octet_length("remote_addr")
+            + F.octet_length("url")
+        ).alias("b")
+    ).agg(F.sum("b").alias("L")).collect()[0].L
+    anon.orderBy(*SORT_KEY).coalesce(4).write.mode("overwrite").parquet(
+        str(tmp_path / "big")
+    )
+    comp = 0
+    for f in glob.glob(str(tmp_path / "big" / "*.parquet")):
+        m = pq.ParquetFile(f).metadata
+        comp += sum(
+            m.row_group(i).column(j).total_compressed_size
+            for i in range(m.num_row_groups)
+            for j in range(m.num_columns)
+        )
+    measured = round(1000 * comp / logical)
+    assert measured <= _STORAGE_COMP_PERMILLE, measured
