@@ -5013,7 +5013,12 @@ def revenue_concentration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("o_custkey"),
         F.col("c_mktsegment").alias("cohort"),
     )
-    seg = spend.join(cust, "o_custkey").select("cohort", "s")
+    # merge hint (r10 sweep): column pruning shrinks the customer build
+    # side's ESTIMATE below the broadcast threshold long after the true
+    # 15M-key HashedRelation stops fitting (the data_quality_report FK
+    # class, measured at sf100). The spend side already hash-partitions
+    # on o_custkey from its groupBy, so the SMJ adds no exchange there.
+    seg = spend.join(cust.hint("merge"), "o_custkey").select("cohort", "s")
     mx = seg.agg(F.max("s").alias("smax"))
     b0 = (
         seg.crossJoin(mx)

@@ -373,7 +373,8 @@ def test_candidate_pipelines_never_static_broadcast_corpus_sides(spark):
     # lazy-construction queries: plan at the biggest series present
     for d in ("/root/repo/.benchdata/sf100", "/root/repo/.benchdata/sf10"):
         if os.path.exists(os.path.join(d, "_DONE")):
-            for name in ("data_quality_report", "hard_negative_mining"):
+            for name in ("data_quality_report", "hard_negative_mining",
+                         "revenue_concentration_report"):
                 df = REGISTRY[name].spark_fn(spark, d)
                 plan = df._jdf.queryExecution().executedPlan().toString()
                 bad = _corpus_broadcast_subtrees(plan)
