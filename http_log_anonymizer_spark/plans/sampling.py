@@ -642,3 +642,138 @@ def neyman_allocation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap (Chamandy et al., "Estimating Uncertainty for
+# Massive Data Streams", Google 2012; Kleiner et al.'s BLB is the
+# heavier cousin) — THE distributed bootstrap: resampling n rows with
+# replacement needs global coordination, but each row's multiplicity
+# in a resample is asymptotically Poisson(1), so B independent
+# replicas are just B deterministic per-row weights folded in ONE
+# scan. Weights come from the registry's md5 idiom, so both engines
+# draw identical "randomness" and the whole replica table hash-checks.
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 32
+# Poisson(1) CDF scaled by 1e9, floor-exact: u in [0, 1e9) drawn from
+# hash64 maps to weight w by inverse CDF. Capped at 7 (truncated mass
+# 8.3e-5 — documented, identical in both engines).
+_BOOT_CDF = (
+    367879441,  # P(X<=0) = 1/e
+    735758882,  # P(X<=1)
+    919698602,  # P(X<=2)
+    981011843,  # P(X<=3)
+    996340153,  # P(X<=4)
+    999405815,  # P(X<=5)
+    999916758,  # P(X<=6)
+)
+
+
+def _boot_w_case(u_expr: str) -> str:
+    """CASE ladder mapping a [0,1e9) draw to a Poisson(1) weight —
+    identical text in Spark SQL and DuckDB."""
+    arms = " ".join(
+        f"WHEN {u_expr} < {t} THEN {w}" for w, t in enumerate(_BOOT_CDF)
+    )
+    return f"CASE {arms} ELSE {len(_BOOT_CDF)} END"
+
+
+def _boot_oracle() -> str:
+    per_j = []
+    for j in range(_BOOT_B + 1):
+        if j == 0:
+            w = "1"  # replica 0 = the unweighted point estimate
+        else:
+            u = f"({hash64_sql('o_orderkey', f'boot{j}')} % 1000000000)"
+            w = _boot_w_case(u)
+        per_j.append(
+            f"""SELECT {j} AS replica_id,
+       CAST(sum(w) AS BIGINT) AS n_eff,
+       CAST((CAST(sum(w * cents) AS HUGEINT) * 1000000)
+            // sum(w) AS BIGINT) AS mean_microcents
+FROM (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             CAST({w} AS BIGINT) AS w FROM orders)
+HAVING sum(w) > 0"""
+        )
+    return "\nUNION ALL\n".join(per_j) + "\nORDER BY replica_id"
+
+
+@register("poisson_bootstrap_report", oracle=_boot_oracle())
+def poisson_bootstrap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap uncertainty for mean order value: {_BOOT_B}
+    deterministic resample replicas of mean(o_totalprice), one row per
+    replica — replica 0 is the unweighted point estimate, replicas
+    1..{_BOOT_B} are Poisson(1)-weighted resamples whose spread IS the
+    sampling distribution (CI = order statistics of the replica means,
+    asserted in tests/test_bootstrap.py). The classic with-replacement
+    bootstrap cannot be distributed (a resample needs global
+    coordination); per-row Poisson(1) multiplicities are its
+    asymptotic equivalent and fold in one pass — the Chamandy/Google
+    streaming-bootstrap construction.
+
+    Determinism: draws are the registry's md5 idiom (hash64 of
+    'boot{{j}}|o_orderkey' mod 1e9) pushed through the floor-exact
+    integer Poisson CDF ladder (capped at 7, truncated mass 8.3e-5);
+    money is exact cents; each replica mean is one DECIMAL(38,0)
+    product with a single floor division at the edge
+    (sum_cents x 1e6 overflows BIGINT at ~150M orders — the capacity
+    report's overflow discipline). Both engines replay every bit, so
+    the driver hash pins the full replica table.
+
+    Scale shape: ONE corpus scan computing {_BOOT_B}+1 weight columns
+    inline (JVM-side md5, no explode — the corpus is never replicated
+    B-fold), folded map-side into a single row of 2x({_BOOT_B}+1)
+    sums, then unpivoted to {_BOOT_B}+1 rows driver-side-free. State
+    is O(B) no matter the corpus; mergeable by addition across
+    partitions/streams/days like the sketch quartet."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    # Weight columns as Column objects: the same CASE ladder as the
+    # oracle (_boot_w_case), built over the md5 draw.
+    def w_col(j: int):
+        if j == 0:
+            return F.lit(1).cast("long")
+        u = hash64("o_orderkey", f"boot{j}") % 1_000_000_000
+        w = F.lit(len(_BOOT_CDF))
+        expr = None
+        for wv, t in enumerate(_BOOT_CDF):
+            cond = u < F.lit(t)
+            expr = F.when(cond, wv) if expr is None else expr.when(cond, wv)
+        return expr.otherwise(len(_BOOT_CDF)).cast("long")
+
+    aggs = []
+    for j in range(_BOOT_B + 1):
+        w = w_col(j)
+        aggs.append(F.sum(w).alias(f"n{j}"))
+        aggs.append(
+            F.sum(w.cast("decimal(38,0)") * F.col("cents")).alias(f"s{j}")
+        )
+    one = o.agg(*aggs)
+    reps = one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).cast("long").alias("replica_id"),
+                        F.col(f"n{j}").cast("long").alias("n_eff"),
+                        F.col(f"s{j}").alias("s"),
+                    )
+                    for j in range(_BOOT_B + 1)
+                ]
+            )
+        ).alias("r")
+    ).select("r.replica_id", "r.n_eff", "r.s")
+    return (
+        reps.filter(F.col("n_eff") > 0)
+        .select(
+            "replica_id",
+            "n_eff",
+            F.expr(
+                "CAST((s * 1000000) div n_eff AS BIGINT)"
+            ).alias("mean_microcents"),
+        )
+        .orderBy("replica_id")
+    )
