@@ -731,28 +731,43 @@ def poisson_bootstrap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
     )
-    # Weight columns as Column objects: the same CASE ladder as the
-    # oracle (_boot_w_case), built over the md5 draw.
-    def w_col(j: int):
-        if j == 0:
-            return F.lit(1).cast("long")
-        u = hash64("o_orderkey", f"boot{j}") % 1_000_000_000
-        w = F.lit(len(_BOOT_CDF))
-        expr = None
-        for wv, t in enumerate(_BOOT_CDF):
-            cond = u < F.lit(t)
-            expr = F.when(cond, wv) if expr is None else expr.when(cond, wv)
-        return expr.otherwise(len(_BOOT_CDF)).cast("long")
+    return bootstrap_replicas(bootstrap_base(o))
 
+
+def _boot_w_col(j: int) -> "F.Column":
+    """Replica j's Poisson(1) weight as a Column — the same CASE
+    ladder as the oracle (_boot_w_case), built over the md5 draw of
+    'boot{j}|o_orderkey'. Replica 0 is the unweighted sample."""
+    if j == 0:
+        return F.lit(1).cast("long")
+    u = hash64("o_orderkey", f"boot{j}") % 1_000_000_000
+    expr = None
+    for wv, t in enumerate(_BOOT_CDF):
+        cond = u < F.lit(t)
+        expr = F.when(cond, wv) if expr is None else expr.when(cond, wv)
+    return expr.otherwise(len(_BOOT_CDF)).cast("long")
+
+
+def bootstrap_base(df: DataFrame) -> DataFrame:
+    """One mergeable row of 2x({_BOOT_B}+1) sums over (o_orderkey,
+    cents) rows — the map half shared by poisson_bootstrap_report and
+    the streaming bootstrap monitor (all sums are addition-mergeable,
+    so the monitor folds it across micro-batches and the readout is
+    batch-boundary invariant)."""
     aggs = []
     for j in range(_BOOT_B + 1):
-        w = w_col(j)
+        w = _boot_w_col(j)
         aggs.append(F.sum(w).alias(f"n{j}"))
         aggs.append(
             F.sum(w.cast("decimal(38,0)") * F.col("cents")).alias(f"s{j}")
         )
-    one = o.agg(*aggs)
-    reps = one.select(
+    return df.agg(*aggs)
+
+
+def bootstrap_replicas(base: DataFrame) -> DataFrame:
+    """The replica table (replica_id, n_eff, mean_microcents) from a
+    bootstrap_base row — the reduce half shared with the monitor."""
+    reps = base.select(
         F.explode(
             F.array(
                 *[
