@@ -3586,6 +3586,222 @@ def triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# HyperBall neighborhood function (Boldi & Vigna, "In-Core Computation
+# of Geometric Centralities with HyperBall", WWW 2011 companion /
+# arXiv:1308.2144) — the web-scale distance algorithm: each node keeps
+# a HyperLogLog of its distance-t ball, and one round of element-wise
+# register max over the edge relation advances every ball by one hop.
+# N(t) = sum over nodes of |ball(v, t)| yields the effective-diameter
+# and average-distance story exact BFS cannot touch at scale.
+# Registers are md5-derived exact integers (the CMS/HLL/AMS/bootstrap
+# idiom), so both engines hold bit-identical sketches and the whole
+# per-round report hash-verifies.
+# ---------------------------------------------------------------------------
+
+_HB_REGS = 16  # HLL registers per node (m): demo width, alpha_16 = 0.673
+_HB_ROUNDS = 3  # ball radius swept: t = 0..3
+_HB_MINSUP = 2  # same support threshold discipline as triangle_counts
+_HB_RANKBITS = 40  # rank drawn from [0, 2^40): rank = 41 - bitlength
+# alpha_16 * m^2 * 2^41 * 1000 milli-units, as ONE exact integer:
+# 673 * 256 * 2^41 (673 = round(0.673 * 1000)); fits BIGINT (3.8e17).
+_HB_NUM = 673 * 256 * (1 << 41)
+# Linear-counting fallback for small balls (raw HLL overshoots ~11x on
+# singleton sets): est = m * ln(m / V) for V zero registers, milli-
+# scaled, V = 1..16 — SIXTEEN possible values, frozen here as integer
+# literals so no engine ever evaluates a logarithm
+# (tests/test_hyperball.py re-derives the table from math.log).
+_HB_LC_MILLI = (44361, 33271, 26784, 22181, 18610, 15693, 13227, 11090,
+                9206, 7520, 5995, 4603, 3322, 2137, 1033, 0)
+# The standard HLL regime switch: LC when zeros exist and the raw
+# estimate is below 2.5 * m (in milli units).
+_HB_LC_CUTOFF_MILLI = 2500 * _HB_REGS
+
+
+def _hb_est_sql(intdiv: str) -> str:
+    """Per-node estimate from (cnt present, sum of 2^(41-rank)) — the
+    SAME text both engines run; ``intdiv`` is DIV (Spark) or // (DuckDB).
+    Expects columns cnt and sp."""
+    lc = " ".join(
+        f"WHEN {v} THEN {m}" for v, m in enumerate(_HB_LC_MILLI, start=1)
+    )
+    two41 = 1 << 41
+    return (
+        f"CASE WHEN ({_HB_REGS} - cnt) > 0 "
+        f"AND ({_HB_NUM} {intdiv} (({_HB_REGS} - cnt) * {two41} + sp)) <= {_HB_LC_CUTOFF_MILLI} "
+        f"THEN CASE ({_HB_REGS} - cnt) {lc} END "
+        f"ELSE ({_HB_NUM} {intdiv} (({_HB_REGS} - cnt) * {two41} + sp)) END"
+    )
+
+
+def _hyperball_oracle() -> str:
+    from http_log_anonymizer_spark.functions.text import hash64_sql
+
+    reg = f"({hash64_sql('node', 'hbreg')} % {_HB_REGS})"
+    u = f"({hash64_sql('node', 'hbrank')} % {1 << _HB_RANKBITS})"
+    rank = f"CASE WHEN {u} = 0 THEN 41 ELSE 41 - length(bin({u})) END"
+    parts = [
+        f"""und AS (
+  SELECT least(a.l_partkey, b.l_partkey) AS u,
+         greatest(a.l_partkey, b.l_partkey) AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  GROUP BY u, v
+  HAVING count(*) >= {2 * _HB_MINSUP}
+),
+edges AS (SELECT u AS src, v AS dst FROM und
+          UNION ALL SELECT v, u FROM und),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+nv AS (SELECT count(*) AS n_nodes FROM nodes),
+h0 AS (SELECT node, CAST({reg} AS BIGINT) AS reg,
+              CAST({rank} AS BIGINT) AS rank FROM nodes)"""
+    ]
+    for t in range(1, _HB_ROUNDS + 1):
+        parts.append(
+            f"""h{t} AS (
+  SELECT node, reg, CAST(max(rank) AS BIGINT) AS rank FROM (
+    SELECT e.dst AS node, h.reg, h.rank
+    FROM edges e JOIN h{t - 1} h ON h.node = e.src
+    UNION ALL
+    SELECT node, reg, rank FROM h{t - 1}
+  ) GROUP BY node, reg
+)"""
+        )
+    est = _hb_est_sql("//")
+    for t in range(_HB_ROUNDS + 1):
+        parts.append(
+            f"""nf{t} AS (
+  SELECT {t} AS t, CAST(sum(est) AS BIGINT) AS nf_est_milli FROM (
+    SELECT CAST({est} AS BIGINT) AS est FROM (
+      SELECT node, count(*) AS cnt,
+             sum(CAST(1 AS BIGINT) << (41 - rank)) AS sp
+      FROM h{t} GROUP BY node
+    )
+  )
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT t, nf_est_milli FROM nf{t}" for t in range(_HB_ROUNDS + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT CAST(t AS BIGINT) AS t, n_nodes, nf_est_milli,
+       CAST(nf_est_milli // n_nodes AS BIGINT) AS avg_ball_milli
+FROM ({union}) CROSS JOIN nv
+ORDER BY t"""
+    )
+
+
+@register("hyperball_neighborhood_report", oracle=_hyperball_oracle())
+def hyperball_neighborhood_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood function N(t) of the co-purchase graph for
+    t = 0..{_HB_ROUNDS} by HyperBall (Boldi & Vigna): per node one
+    {_HB_REGS}-register HyperLogLog of its distance-t ball, advanced
+    per round by an element-wise register max over the edge relation;
+    N(t) = sum of per-node ball estimates. The output row per t —
+    (t, n_nodes, nf_est_milli, avg_ball_milli) — is the
+    average-distance / effective-diameter curve: the smallest t whose
+    nf reaches 90% of the final row is the effective diameter.
+
+    Determinism: register index and rank are md5-derived exact
+    integers (rank = 41 - bitlength of a 40-bit draw — ``bin()``
+    string length, identical in both engines); the HLL estimate is
+    ONE integer division of frozen constants (alpha_16 m^2 2^41 in
+    milli units), with the small-ball linear-counting branch as a
+    SIXTEEN-literal CASE (no engine evaluates ln); merges are MAX so
+    arrival order cannot matter. DuckDB replays the full register
+    pipeline via unrolled CTEs — the sketch itself is hash-checked,
+    the estimate's TRUTH is asserted separately against exact BFS
+    (tests/test_hyperball.py, within HLL error bounds).
+
+    Scale shape: support-thresholded edges (the triangle_counts
+    pruning — weight-1 noise edges dominate raw co-occurrence graphs)
+    localCheckpoint once; state is (node, reg, rank) <= |V| x
+    {_HB_REGS} rows of three ints — NODE-sized, never edge-sized;
+    each round is one equi-join state-on-edges plus a map-side-
+    combined (node, reg) MAX — the shape that made HyperBall run on
+    billion-node web graphs with HLLs in core and the graph streamed
+    from disk. Per-round localCheckpoint keeps the t-th summary from
+    re-executing rounds 0..t-1 (the suffix-array chain lesson)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    other = li.select(F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("p2"))
+    und = (
+        li.join(other, (li.l_orderkey == other.o2) & (li.l_partkey != other.p2))
+        .groupBy(
+            F.least("l_partkey", "p2").alias("u"),
+            F.greatest("l_partkey", "p2").alias("v"),
+        )
+        .agg(F.count("*").alias("w2"))
+        .filter(F.col("w2") >= 2 * _HB_MINSUP)
+        .select("u", "v")
+        .localCheckpoint(eager=True)
+    )
+    edges = und.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionByName(
+        und.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    from http_log_anonymizer_spark.functions.text import hash64
+
+    u_draw = hash64("node", "hbrank") % (1 << _HB_RANKBITS)
+    # h0: the draw materializes as a named column first (the rank CASE
+    # references it by name in both engines)
+    h = (
+        nodes.select("node", u_draw.alias("u"))
+        .select(
+            "node",
+            (hash64("node", "hbreg") % _HB_REGS).cast("long").alias("reg"),
+            F.expr(
+                "CAST(CASE WHEN u = 0 THEN 41 ELSE 41 - length(bin(u)) END AS BIGINT)"
+            ).alias("rank"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    est = _hb_est_sql("DIV")
+
+    def nf_row(state: DataFrame, t: int) -> DataFrame:
+        per_node = state.groupBy("node").agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.expr("CAST(1 AS BIGINT) << (41 - rank)")).alias("sp"),
+        )
+        return per_node.select(
+            F.expr(f"CAST({est} AS BIGINT)").alias("e")
+        ).agg(
+            F.lit(t).cast("long").alias("t"),
+            F.sum("e").cast("long").alias("nf_est_milli"),
+        )
+    rows = [nf_row(h, 0)]
+    for t in range(1, _HB_ROUNDS + 1):
+        flows = (
+            edges.join(h, h.node == edges.src)
+            .select(F.col("dst").alias("node"), "reg", "rank")
+            .unionByName(h.select("node", "reg", "rank"))
+        )
+        h = (
+            flows.groupBy("node", "reg")
+            .agg(F.max("rank").alias("rank"))
+            .localCheckpoint(eager=True)
+        )
+        rows.append(nf_row(h, t))
+    from functools import reduce as _reduce
+
+    nf = _reduce(lambda a, b: a.unionByName(b), rows)
+    nv = nodes.agg(F.count("*").alias("n_nodes"))
+    return (
+        nf.crossJoin(F.broadcast(nv))
+        .select(
+            "t",
+            "n_nodes",
+            "nf_est_milli",
+            F.expr("CAST(nf_est_milli DIV n_nodes AS BIGINT)").alias(
+                "avg_ball_milli"
+            ),
+        )
+        .orderBy("t")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Explicit Bloom filter (Bloom, CACM 1970) — MEMBERSHIP joins the
 # exact-replay sketch family (CMS: frequency, HLL: cardinality,
 # AMS: moments): md5-derived bit positions make the filter bit-set
