@@ -3633,6 +3633,76 @@ def _hb_est_sql(intdiv: str) -> str:
     )
 
 
+def _hb_round_states(spark, sf_dir):
+    """(nodes, [h0..hT]) — the shared HyperBall register pipeline:
+    support-thresholded undirected edges localCheckpoint once, h0 =
+    each node's own md5 register, round t = element-wise register MAX
+    over the edge relation (one equi-join + one map-side-combined
+    (node, reg) MAX per round, each state localCheckpoint'd so later
+    consumers never re-execute earlier rounds). Used by both
+    hyperball_neighborhood_report and harmonic_centrality_topk."""
+    from http_log_anonymizer_spark.functions.text import hash64
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    other = li.select(F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("p2"))
+    und = (
+        li.join(other, (li.l_orderkey == other.o2) & (li.l_partkey != other.p2))
+        .groupBy(
+            F.least("l_partkey", "p2").alias("u"),
+            F.greatest("l_partkey", "p2").alias("v"),
+        )
+        .agg(F.count("*").alias("w2"))
+        .filter(F.col("w2") >= 2 * _HB_MINSUP)
+        .select("u", "v")
+        .localCheckpoint(eager=True)
+    )
+    edges = und.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionByName(
+        und.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    u_draw = hash64("node", "hbrank") % (1 << _HB_RANKBITS)
+    # h0: the draw materializes as a named column first (the rank CASE
+    # references it by name in both engines)
+    h = (
+        nodes.select("node", u_draw.alias("u"))
+        .select(
+            "node",
+            (hash64("node", "hbreg") % _HB_REGS).cast("long").alias("reg"),
+            F.expr(
+                "CAST(CASE WHEN u = 0 THEN 41 ELSE 41 - length(bin(u)) END AS BIGINT)"
+            ).alias("rank"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    states = [h]
+    for _ in range(_HB_ROUNDS):
+        flows = (
+            edges.join(h, h.node == edges.src)
+            .select(F.col("dst").alias("node"), "reg", "rank")
+            .unionByName(h.select("node", "reg", "rank"))
+        )
+        h = (
+            flows.groupBy("node", "reg")
+            .agg(F.max("rank").alias("rank"))
+            .localCheckpoint(eager=True)
+        )
+        states.append(h)
+    return nodes, states
+
+
+def _hb_node_est(state: DataFrame) -> DataFrame:
+    """Per-node ball estimate (node, est) from a register state — the
+    shared estimate half (the frozen-constant division + LC CASE of
+    _hb_est_sql)."""
+    per_node = state.groupBy("node").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.expr("CAST(1 AS BIGINT) << (41 - rank)")).alias("sp"),
+    )
+    return per_node.select(
+        "node", F.expr(f"CAST({_hb_est_sql('DIV')} AS BIGINT)").alias("est")
+    )
+
+
 def _hyperball_oracle() -> str:
     from http_log_anonymizer_spark.functions.text import hash64_sql
 
@@ -3724,65 +3794,15 @@ def hyperball_neighborhood_report(spark: SparkSession, sf_dir: str) -> DataFrame
     billion-node web graphs with HLLs in core and the graph streamed
     from disk. Per-round localCheckpoint keeps the t-th summary from
     re-executing rounds 0..t-1 (the suffix-array chain lesson)."""
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    other = li.select(F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("p2"))
-    und = (
-        li.join(other, (li.l_orderkey == other.o2) & (li.l_partkey != other.p2))
-        .groupBy(
-            F.least("l_partkey", "p2").alias("u"),
-            F.greatest("l_partkey", "p2").alias("v"),
-        )
-        .agg(F.count("*").alias("w2"))
-        .filter(F.col("w2") >= 2 * _HB_MINSUP)
-        .select("u", "v")
-        .localCheckpoint(eager=True)
-    )
-    edges = und.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionByName(
-        und.select(F.col("v").alias("src"), F.col("u").alias("dst"))
-    )
-    nodes = edges.select(F.col("src").alias("node")).distinct()
-    from http_log_anonymizer_spark.functions.text import hash64
-
-    u_draw = hash64("node", "hbrank") % (1 << _HB_RANKBITS)
-    # h0: the draw materializes as a named column first (the rank CASE
-    # references it by name in both engines)
-    h = (
-        nodes.select("node", u_draw.alias("u"))
-        .select(
-            "node",
-            (hash64("node", "hbreg") % _HB_REGS).cast("long").alias("reg"),
-            F.expr(
-                "CAST(CASE WHEN u = 0 THEN 41 ELSE 41 - length(bin(u)) END AS BIGINT)"
-            ).alias("rank"),
-        )
-        .localCheckpoint(eager=True)
-    )
-    est = _hb_est_sql("DIV")
+    nodes, states = _hb_round_states(spark, sf_dir)
 
     def nf_row(state: DataFrame, t: int) -> DataFrame:
-        per_node = state.groupBy("node").agg(
-            F.count("*").alias("cnt"),
-            F.sum(F.expr("CAST(1 AS BIGINT) << (41 - rank)")).alias("sp"),
-        )
-        return per_node.select(
-            F.expr(f"CAST({est} AS BIGINT)").alias("e")
-        ).agg(
+        return _hb_node_est(state).agg(
             F.lit(t).cast("long").alias("t"),
-            F.sum("e").cast("long").alias("nf_est_milli"),
+            F.sum("est").cast("long").alias("nf_est_milli"),
         )
-    rows = [nf_row(h, 0)]
-    for t in range(1, _HB_ROUNDS + 1):
-        flows = (
-            edges.join(h, h.node == edges.src)
-            .select(F.col("dst").alias("node"), "reg", "rank")
-            .unionByName(h.select("node", "reg", "rank"))
-        )
-        h = (
-            flows.groupBy("node", "reg")
-            .agg(F.max("rank").alias("rank"))
-            .localCheckpoint(eager=True)
-        )
-        rows.append(nf_row(h, t))
+
+    rows = [nf_row(h, t) for t, h in enumerate(states)]
     from functools import reduce as _reduce
 
     nf = _reduce(lambda a, b: a.unionByName(b), rows)
@@ -3799,6 +3819,90 @@ def hyperball_neighborhood_report(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("t")
     )
+
+
+_HB_TOP = 20
+
+
+def _harmonic_oracle() -> str:
+    base = _hyperball_oracle().split("\nSELECT CAST(t AS BIGINT)")[0]
+    est = _hb_est_sql("//")
+    parts = [base]
+    for t in range(_HB_ROUNDS + 1):
+        parts.append(
+            f""",
+e{t} AS (
+  SELECT node, CAST({est} AS BIGINT) AS est FROM (
+    SELECT node, count(*) AS cnt,
+           sum(CAST(1 AS BIGINT) << (41 - rank)) AS sp
+    FROM h{t} GROUP BY node
+  )
+)"""
+        )
+    terms = " + ".join(
+        f"((greatest(e{t}.est - e{t - 1}.est, 0) * 1000) // {t})"
+        for t in range(1, _HB_ROUNDS + 1)
+    )
+    joins = " ".join(
+        f"JOIN e{t} ON e{t}.node = e0.node" for t in range(1, _HB_ROUNDS + 1)
+    )
+    return (
+        "".join(parts)
+        + f"""
+SELECT node, harmonic_micro,
+       CAST(row_number() OVER (ORDER BY harmonic_micro DESC, node) AS BIGINT)
+         AS pos
+FROM (SELECT e0.node, CAST({terms} AS BIGINT) AS harmonic_micro
+      FROM e0 {joins})
+QUALIFY pos <= {_HB_TOP}
+ORDER BY pos"""
+    )
+
+
+@register("harmonic_centrality_topk", oracle=_harmonic_oracle())
+def harmonic_centrality_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_HB_TOP} parts by harmonic centrality — HyperBall's
+    original purpose (Boldi & Vigna: geometric centralities from
+    per-node ball sketches): H(v) = sum over reachable u of 1/d(v,u),
+    truncated at radius {_HB_ROUNDS}, computed as
+    sum_t (|ball(v,t)| - |ball(v,t-1)|) / t from the SAME register
+    pipeline as hyperball_neighborhood_report (_hb_round_states). The
+    closeness-family centrality that, unlike closeness itself, is
+    well-defined on disconnected graphs — Boldi-Vigna's argument for
+    it as THE centrality of the web-graph toolbox.
+
+    Determinism: per-node estimates are the shared frozen-constant
+    integer division; per-term ball GROWTH is clamped at 0 before the
+    1000/t division — registers only grow, but the standard LC-to-raw
+    regime switch can dip an estimate a few permille, and a negative
+    numerator would expose the one semantic the engines do NOT share
+    (Spark DIV truncates toward zero, DuckDB // floors), so the clamp
+    is correctness-load-bearing, not cosmetic. Top-k is (harmonic
+    DESC, node) with an explicit pos column.
+
+    Scale shape: inherits the node-sized register pipeline; the
+    centrality derivation is a {_HB_ROUNDS + 1}-way equi-join of
+    node-sized estimate tables plus one TakeOrdered — no new
+    edge-sized work."""
+    nodes, states = _hb_round_states(spark, sf_dir)
+    ests = [
+        _hb_node_est(h).select("node", F.col("est").alias(f"est{t}"))
+        for t, h in enumerate(states)
+    ]
+    j = ests[0]
+    for t in range(1, _HB_ROUNDS + 1):
+        j = j.join(ests[t], "node")
+    terms = " + ".join(
+        f"((greatest(est{t} - est{t - 1}, 0) * 1000) DIV {t})"
+        for t in range(1, _HB_ROUNDS + 1)
+    )
+    ranked = j.select(
+        "node", F.expr(f"CAST({terms} AS BIGINT)").alias("harmonic_micro")
+    ).orderBy(F.desc("harmonic_micro"), "node").limit(_HB_TOP)
+    w = Window.orderBy(F.desc("harmonic_micro"), "node")
+    return ranked.select(
+        "node", "harmonic_micro", F.row_number().over(w).cast("long").alias("pos")
+    ).orderBy("pos")
 
 
 # ---------------------------------------------------------------------------
