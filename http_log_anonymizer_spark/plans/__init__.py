@@ -39,8 +39,21 @@ from http_log_anonymizer_spark.plans import linkage  # noqa: E402,F401
 #      the streaming monitor's observed()-rate projection, carrying
 #      the ADVICE-r09 decimal-overflow arithmetic under a driver
 #      hash-check).
-#   8-50. ALL 43 r05-stale queries — 7 + 43 = 50, after which nothing
-#      in the correctness union is older than r06.
+#   8-10. the three queries added later this round, never
+#      driver-checked (rule 1 beats every refresh):
+#      poisson_bootstrap_report, hyperball_neighborhood_report,
+#      harmonic_centrality_topk.
+#   11-17. the seven queries whose PHYSICAL join strategy changed in
+#      this round's stats-less-broadcast sweep (rule 2 — their green
+#      rows predate the shipped plans): dedup_minhash_lsh,
+#      dedup_incremental_batch, split_leakage_report,
+#      dedup_lsh_recall_report, minhash_estimator_error_report,
+#      hard_negative_mining, revenue_concentration_report.
+#      (data_quality_report, the eighth sweep query, was already in
+#      the window below.)
+#   18-50. 33 of the 43 r05-stale queries — the 10 displaced by rules
+#      1-2 (simple TPC-H shapes, untouched since r05) stay locally
+#      gated and lead the r11 staleness cohort.
 # Everything outside the window stays locally gated by
 # tests/test_registry_oracle.py (same comparator).
 _WINDOW = [
@@ -51,20 +64,28 @@ _WINDOW = [
     "linkage_blocking_recall_report",  # changed r09 post-driver-row (r09 #1b)
     "storage_estimate_report",  # plan-diffed this round (ADVICE r09)
     "capacity_observed_report",  # new this round
-    # --- all 43 r05-stale queries (r09 verdict #1: the full cohort) ---
+    # --- never driver-checked, added later this round (rule 1) ---
+    "poisson_bootstrap_report",
+    "hyperball_neighborhood_report",
+    "harmonic_centrality_topk",
+    # --- plan-diffed by this round's broadcast sweep (rule 2) ---
+    "dedup_minhash_lsh",
+    "dedup_incremental_batch",
+    "split_leakage_report",
+    "dedup_lsh_recall_report",
+    "minhash_estimator_error_report",
+    "hard_negative_mining",
+    "revenue_concentration_report",
+    # --- 33 of the 43 r05-stale queries (rule 3) ---
     "blocking_supplier",
-    "customer_order_distribution",
-    "customers_with_high_value_orders",
     "data_quality_report",
     "dedup_clusters",
     "dedup_exact",
     "dedup_prefix_filter_join",
     "dedup_winnow_join",
-    "disjunctive_filter_revenue",
     "distinct_users_exact",
     "doc_fingerprints",
     "doc_winnowing",
-    "dormant_rich_customers",
     "dup_span_report",
     "embedding_pca_power",
     "gapfill_locf",
@@ -75,19 +96,13 @@ _WINDOW = [
     "http_top_ips",
     "http_totals_cube",
     "hypertable_rollup",
-    "important_parts",
     "json_encode_rows",
     "json_props_stats",
-    "late_shipment_priority",
     "multimodal_decode_meta",
     "nation_trade_flow",
-    "orders_without_lineitems",
-    "pivot_avg_value",
     "revenue_leaders",
     "rollup_region_nation",
     "shipping_priority",
-    "small_quantity_revenue",
-    "supplier_part_diversity",
     "token_stats",
     "top_orders_per_customer",
     "top_terms_per_lang",
