@@ -6314,3 +6314,97 @@ def bf_readout(d: DataFrame) -> DataFrame:
         .alias("conformity"),
     )
     return digits.unionByName(pooled).orderBy("digit")
+
+
+# ---------------------------------------------------------------------------
+# Skyline / Pareto frontier (Borzsony, Kossmann & Stocker, "The Skyline
+# Operator", ICDE 2001) — the multi-criteria "best tradeoffs" query:
+# within each brand, the parts for which no other part is both at
+# least as large and at least as cheap (strictly better on one axis).
+# The naive formulation is the quadratic NOT EXISTS anti-join; the
+# 2-D structure admits the sort-based linear algorithm (Chomicki et
+# al., "Skyline with Presorting", ICDE 2003), re-expressed here as ONE
+# map-side-combined aggregate plus a window over the tiny (brand,
+# size) grid — the corpus itself is never shuffled at all.
+# ---------------------------------------------------------------------------
+
+
+def _skyline_oracle() -> str:
+    return """
+WITH p AS (
+  SELECT p_partkey, p_brand, p_size,
+         CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents
+  FROM part
+),
+grid AS (
+  SELECT p_brand, p_size, min(price_cents) AS minp
+  FROM p GROUP BY p_brand, p_size
+),
+sky AS (
+  SELECT p_brand, p_size, minp,
+         min(minp) OVER (
+           PARTITION BY p_brand ORDER BY p_size DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS best_larger
+  FROM grid
+)
+SELECT pt.p_brand, pt.p_size, pt.price_cents, pt.p_partkey
+FROM p pt JOIN sky s
+  ON pt.p_brand = s.p_brand AND pt.p_size = s.p_size
+WHERE pt.price_cents = s.minp
+  AND (s.best_larger IS NULL OR pt.price_cents < s.best_larger)
+ORDER BY pt.p_brand, pt.p_size DESC, pt.p_partkey
+"""
+
+
+@register("pareto_frontier_parts", oracle=_skyline_oracle())
+def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand Pareto frontier of parts over (size: maximize,
+    retail price: minimize) — every part not dominated by a same-brand
+    part that is at least as large AND at least as cheap (strictly
+    better on one axis). Ties on both axes are mutually non-dominating
+    and all stay on the frontier (the standard skyline convention).
+
+    Scale shape — the 2-D skyline WITHOUT the quadratic anti-join and
+    without sorting the corpus: (1) one groupBy collapses the corpus
+    to the (brand, size) -> min-price grid, a map-side-combined
+    aggregate whose output is bounded by the attribute domain
+    (|brands| x |sizes|, ~1.2k rows here, domain-bounded at any corpus
+    scale); (2) the running strictly-larger-size minimum is a ROWS
+    window over that tiny grid (one row per (brand, size), so ROWS
+    1-PRECEDING is exactly "all strictly larger sizes"); (3) the
+    frontier test joins the decision grid BACK to the scan as a
+    broadcast hash join — the fact table is filtered in place, never
+    shuffled. A row survives iff it meets its cell's minimum and
+    strictly beats every larger cell's. Exact integer cents end to
+    end, so the driver hash-checks the full frontier."""
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        "p_size",
+        F.expr("CAST(round(p_retailprice * 100) AS BIGINT)").alias("price_cents"),
+    )
+    grid = p.groupBy("p_brand", "p_size").agg(F.min("price_cents").alias("minp"))
+    w = (
+        Window.partitionBy("p_brand")
+        .orderBy(F.desc("p_size"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sky = grid.select(
+        F.col("p_brand").alias("b"),
+        F.col("p_size").alias("s"),
+        "minp",
+        F.min("minp").over(w).alias("best_larger"),
+    )
+    return (
+        p.join(
+            F.broadcast(sky),
+            (p.p_brand == sky.b) & (p.p_size == sky.s),
+        )
+        .filter(
+            (F.col("price_cents") == F.col("minp"))
+            & (F.col("best_larger").isNull() | (F.col("price_cents") < F.col("best_larger")))
+        )
+        .select("p_brand", "p_size", "price_cents", "p_partkey")
+        .orderBy("p_brand", F.desc("p_size"), "p_partkey")
+    )
