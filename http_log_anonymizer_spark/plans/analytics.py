@@ -6408,3 +6408,117 @@ def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_brand", "p_size", "price_cents", "p_partkey")
         .orderBy("p_brand", F.desc("p_size"), "p_partkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Link prediction by resource-allocation index (Zhou, Lu & Zhang,
+# "Predicting missing links via local information", Eur. Phys. J. B
+# 2009) — the recommender primitive over the same support-thresholded
+# part co-purchase graph as triangle_counts: for every NON-adjacent
+# pair (u, v), score = sum over common neighbors z of 1/deg(z). RA is
+# the strongest of the classic local indices precisely because hubs
+# contribute almost nothing (1/deg), which also licenses the standard
+# production rule applied here: wedge centers above a degree cap are
+# excluded outright, bounding per-center fan-out at cap^2 while
+# discarding only negligibly-weighted evidence.
+# ---------------------------------------------------------------------------
+
+_LP_TOP = 25
+_LP_MINSUP = 2  # same co-purchase support contract as triangle_counts
+_LP_MAXDEG = 64  # hub cap for wedge centers (contract, both engines)
+_LP_SCALE = 1_000_000_000  # score unit: parts-per-billion of 1/deg
+
+
+def _link_pred_oracle() -> str:
+    return f"""
+WITH und AS (
+  SELECT least(a.l_partkey, b.l_partkey) AS u,
+         greatest(a.l_partkey, b.l_partkey) AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  GROUP BY u, v
+  HAVING count(*) >= {2 * _LP_MINSUP}
+),
+adj AS (
+  SELECT u AS z, v AS x FROM und UNION ALL SELECT v AS z, u AS x FROM und
+),
+deg AS (SELECT z AS node, count(*) AS d FROM adj GROUP BY z),
+centers AS (
+  SELECT a.z, a.x, d.d FROM adj a JOIN deg d ON a.z = d.node
+  WHERE d.d <= {_LP_MAXDEG}
+),
+wedge AS (
+  SELECT a.x AS u, b.x AS v,
+         CAST(sum({_LP_SCALE} // a.d) AS BIGINT) AS score_ppb,
+         count(*) AS n_common
+  FROM centers a JOIN centers b ON a.z = b.z AND a.x < b.x
+  GROUP BY a.x, b.x
+),
+nonedge AS (
+  SELECT w.* FROM wedge w
+  WHERE NOT EXISTS (SELECT 1 FROM und e WHERE e.u = w.u AND e.v = w.v)
+)
+SELECT u, v, score_ppb, n_common
+FROM nonedge
+ORDER BY score_ppb DESC, u, v
+LIMIT {_LP_TOP}
+"""
+
+
+@register("link_prediction_ra", oracle=_link_pred_oracle())
+def link_prediction_ra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_LP_TOP} predicted missing links in the part co-purchase
+    graph by resource-allocation index: for non-adjacent (u, v),
+    score_ppb = sum over shared neighbors z of {_LP_SCALE} DIV deg(z)
+    (exact integer parts-per-billion; identical truncation in both
+    engines on positive operands).
+
+    Scale shape, three rules. (1) SUPPORT THRESHOLDING first — the
+    same >= {_LP_MINSUP} co-purchase contract as triangle_counts cuts
+    the weight-1 noise edges that dominate raw co-occurrence graphs.
+    (2) HUB CAP on wedge centers: a center of degree D emits D^2
+    wedges, so one celebrity part can dwarf the rest of the job; RA's
+    own weighting says those wedges carry at most 1/D each, so centers
+    with deg > {_LP_MAXDEG} are dropped by contract (the standard
+    recsys rule), bounding per-center fan-out at {_LP_MAXDEG}^2 and
+    total wedge work at sum of min(deg, cap)^2 — linear in edges for
+    power-law graphs. (3) The existing-edge rejection is a LEFT ANTI
+    equi-join on (u, v), never a filter over materialized pairs. All
+    equi-joins on integer keys; the candidate never carries more than
+    four ints; top-k is TakeOrderedAndProject. Deterministic integer
+    scores, so the driver hash-checks the report."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    other = li.select(F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("p2"))
+    und = (
+        li.join(other, (li.l_orderkey == other.o2) & (li.l_partkey != other.p2))
+        .groupBy(
+            F.least("l_partkey", "p2").alias("u"),
+            F.greatest("l_partkey", "p2").alias("v"),
+        )
+        .agg(F.count("*").alias("w2"))
+        .filter(F.col("w2") >= 2 * _LP_MINSUP)
+        .select("u", "v")
+        .localCheckpoint(eager=True)
+    )
+    adj = und.select(F.col("u").alias("z"), F.col("v").alias("x")).unionByName(
+        und.select(F.col("v").alias("z"), F.col("u").alias("x"))
+    )
+    deg = adj.groupBy(F.col("z").alias("node")).agg(F.count("*").alias("d"))
+    centers = (
+        adj.join(deg, adj.z == deg.node)
+        .filter(F.col("d") <= _LP_MAXDEG)
+        .select("z", "x", "d")
+        .localCheckpoint(eager=True)
+    )
+    a = centers.select("z", F.col("x").alias("u"), "d")
+    b = centers.select(F.col("z").alias("z2"), F.col("x").alias("v"))
+    wedge = (
+        a.join(b, (a.z == b.z2) & (F.col("u") < F.col("v")))
+        .groupBy("u", "v")
+        .agg(
+            F.expr(f"CAST(sum({_LP_SCALE} DIV d) AS BIGINT)").alias("score_ppb"),
+            F.count("*").alias("n_common"),
+        )
+    )
+    nonedge = wedge.join(und, ["u", "v"], "left_anti")
+    return nonedge.orderBy(F.desc("score_ppb"), "u", "v").limit(_LP_TOP)
