@@ -506,6 +506,130 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cluster_rollup(comp)
 
 
+# Golden-record survivorship (the MDM canonicalization step — see e.g.
+# Talburt, "Entity Resolution and Information Quality", ch. 6): once
+# near-duplicate clusters exist, a downstream consumer needs ONE
+# canonical record per cluster plus attribute-level survivorship
+# decisions. Rules used here (each a standard survivorship policy):
+# completeness (canonical member = longest text, tie-break min id),
+# frequency (surviving lang = cluster mode, tie-break lexicographic),
+# and lineage (how many distinct sources merged). Shares the verified
+# near-dup pair pipeline and the recursive-CTE component replay with
+# dedup_clusters, so the whole chain stays hash-checkable.
+_GOLDEN_ORACLE = f"""
+WITH RECURSIVE {_PAIRS_CTES},
+edges2 AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION
+  SELECT doc_b AS s, doc_a AS d FROM pairs
+),
+reach(src, dst) AS (
+  SELECT s, d FROM edges2
+  UNION
+  SELECT r.src, e.d FROM reach r JOIN edges2 e ON r.dst = e.s
+),
+comp AS (
+  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+  FROM reach GROUP BY src
+),
+mem AS (
+  SELECT c.cluster_id, d.doc_id, d.lang, d.source, d.n_chars
+  FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+),
+canon AS (
+  SELECT cluster_id, doc_id AS canonical_doc, n_chars AS canonical_chars,
+         row_number() OVER (
+           PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id
+         ) AS rn
+  FROM mem
+),
+lang_mode AS (
+  SELECT cluster_id, lang AS lang_survived,
+         row_number() OVER (
+           PARTITION BY cluster_id ORDER BY count(*) DESC, lang
+         ) AS rn
+  FROM mem GROUP BY cluster_id, lang
+),
+agg AS (
+  SELECT cluster_id, count(*) AS n_members,
+         count(DISTINCT source) AS n_sources
+  FROM mem GROUP BY cluster_id
+)
+SELECT a.cluster_id, a.n_members, a.n_sources,
+       c.canonical_doc, c.canonical_chars, l.lang_survived
+FROM agg a
+JOIN canon c ON c.cluster_id = a.cluster_id AND c.rn = 1
+JOIN lang_mode l ON l.cluster_id = a.cluster_id AND l.rn = 1
+ORDER BY a.cluster_id
+"""
+
+
+@register("golden_record_report", oracle=_GOLDEN_ORACLE)
+def golden_record_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One golden record per near-duplicate cluster, with attribute
+    survivorship: canonical member by the COMPLETENESS rule (longest
+    text, tie-break min doc_id), surviving lang by the FREQUENCY rule
+    (cluster mode, tie-break lexicographic), and source LINEAGE
+    (distinct sources merged into the cluster) — the canonicalization
+    step every dedup pipeline needs between "pairs found" and "corpus
+    rewritten".
+
+    Scale shape: components are the O(log^2 n)-round distributed
+    iteration shared with dedup_clusters (node-sized state, never
+    pair-sized); membership is one doc-keyed equi-join against the
+    corpus; every survivorship rule is a groupBy/window keyed on
+    cluster_id, so the widest shuffle row is (cluster, attribute,
+    count). No rule ever needs the cluster's full text collected
+    anywhere. Deterministic tie-breaks make the whole report
+    hash-stable across engines."""
+    from http_log_anonymizer_spark.operators.components import connected_components
+
+    pairs = minhash_verified_pairs(spark, sf_dir)
+    comp = connected_components(pairs, src="doc_a", dst="doc_b").select(
+        F.col("node").alias("doc_id"), F.col("cluster").alias("cluster_id")
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    mem = comp.join(docs, "doc_id")
+    wc = Window.partitionBy("cluster_id").orderBy(F.desc("n_chars"), "doc_id")
+    canon = (
+        mem.select(
+            "cluster_id",
+            F.col("doc_id").alias("canonical_doc"),
+            F.col("n_chars").alias("canonical_chars"),
+            F.row_number().over(wc).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    wl = Window.partitionBy("cluster_id").orderBy(F.desc("cnt"), "lang_survived")
+    lang_mode = (
+        mem.groupBy("cluster_id", F.col("lang").alias("lang_survived"))
+        .agg(F.count("*").alias("cnt"))
+        .select("*", F.row_number().over(wl).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select("cluster_id", "lang_survived")
+    )
+    agg = mem.groupBy("cluster_id").agg(
+        F.count("*").alias("n_members"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+    return (
+        agg.join(canon, "cluster_id")
+        .join(lang_mode, "cluster_id")
+        .select(
+            "cluster_id",
+            "n_members",
+            "n_sources",
+            "canonical_doc",
+            "canonical_chars",
+            "lang_survived",
+        )
+        .orderBy("cluster_id")
+    )
+
+
 @register("dedup_clusters_star", oracle=_CLUSTERS_ORACLE)
 def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same duplicate clusters, computed with the adversarial-graph-safe
