@@ -6522,3 +6522,146 @@ def link_prediction_ra(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nonedge = wedge.join(und, ["u", "v"], "left_anti")
     return nonedge.orderBy(F.desc("score_ppb"), "u", "v").limit(_LP_TOP)
+
+
+# ---------------------------------------------------------------------------
+# Changepoint detection by binary segmentation (Scott & Knott 1974;
+# the CUSUM-class mean-shift test as used in PELT's single-split
+# inner step, Killick et al., JASA 2012): over the daily order-revenue
+# series, find the split date that maximizes the reduction in
+# within-segment sum of squared error — equivalently the argmax of
+# S_l^2/n_l + S_r^2/n_r. Everything is exact integer cents with one
+# contract truncation (the 1e6-scaled per-side division), so both
+# engines replay the argmax bit-identically; no floating-point SSE
+# comparisons anywhere.
+# ---------------------------------------------------------------------------
+
+_CP_TOP = 5
+_CP_SCALE = 1_000_000  # fixed-point scale for the per-side S^2/n terms
+
+
+def _changepoint_oracle() -> str:
+    return f"""
+WITH daily AS (
+  SELECT o_orderdate AS d,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DECIMAL(38,0)) AS s,
+         CAST(count(*) AS DECIMAL(38,0)) AS n
+  FROM orders GROUP BY o_orderdate
+),
+pre AS (
+  SELECT d,
+         sum(s) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sl,
+         sum(n) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nl,
+         sum(s) OVER () AS st,
+         sum(n) OVER () AS nt,
+         row_number() OVER (ORDER BY d) AS rn,
+         count(*) OVER () AS ndays
+  FROM daily
+),
+big AS (
+  SELECT d, rn, ndays,
+         CAST(sl AS HUGEINT) AS sl, CAST(nl AS HUGEINT) AS nl,
+         CAST(st AS HUGEINT) AS st, CAST(nt AS HUGEINT) AS nt
+  FROM pre
+),
+gain AS (
+  SELECT d AS split_date,
+         CAST(nl AS BIGINT) AS n_left,
+         CAST(nt - nl AS BIGINT) AS n_right,
+         CAST(sl // nl AS BIGINT) AS mean_left_cents,
+         CAST((st - sl) // (nt - nl) AS BIGINT) AS mean_right_cents,
+         CAST(greatest(
+           (sl * sl * {_CP_SCALE}) // nl
+           + ((st - sl) * (st - sl) * {_CP_SCALE}) // (nt - nl)
+           - (st * st * {_CP_SCALE}) // nt,
+           CAST(0 AS HUGEINT)
+         ) // {_CP_SCALE} AS BIGINT) AS sse_gain_cents2
+  FROM big WHERE rn < ndays
+)
+SELECT * FROM gain
+ORDER BY sse_gain_cents2 DESC, split_date
+LIMIT {_CP_TOP}
+"""
+
+
+@register("changepoint_revenue", oracle=_changepoint_oracle())
+def changepoint_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_CP_TOP} candidate mean-shift changepoints in the daily
+    order-revenue series by binary segmentation: each split date is
+    scored by the exact within-segment SSE reduction
+    S_l^2/n_l + S_r^2/n_r - S^2/n (the constant term subtracted so the
+    gain reads as an absolute improvement), computed in {_CP_SCALE}x
+    fixed point with per-term truncating division as the cross-engine
+    contract, clamped at 0 (truncation can dip a true-zero gain a unit
+    negative, and negative integer division is the one semantic the
+    engines do not share), and reported in whole cents^2 (BIGINT; the
+    ranking runs on the descaled value in both engines, so the
+    coarser tie-granularity is itself part of the contract).
+
+    Scale shape: ONE corpus scan map-side-combines to the per-day
+    (sum, count) table — output bounded by the calendar, not the
+    corpus — and every remaining step (prefix sums, the gain scan, the
+    top-{_CP_TOP}) runs on that day-sized series; the single-partition
+    window is scale-exempt by construction, the same argument as
+    storage_grid's literal grid. DECIMAL(38,0) end to end: S^2 at
+    sf100 is ~4e26 and the 1e6 scaling keeps it inside 38 digits with
+    headroom. At 1000 executors the plan is one exchange (the daily
+    rollup) plus driver-trivial tail work."""
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").alias("d"))
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DECIMAL(38,0))"
+            ).alias("s"),
+            F.expr("CAST(count(*) AS DECIMAL(38,0))").alias("n"),
+        )
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    pre = daily.select(
+        "d",
+        F.sum("s").over(w).alias("sl"),
+        F.sum("n").over(w).alias("nl"),
+        F.sum("s").over(wall).alias("st"),
+        F.sum("n").over(wall).alias("nt"),
+        F.row_number().over(Window.orderBy("d")).alias("rn"),
+        F.count("*").over(wall).alias("ndays"),
+    )
+    # Exact decimal floor division: Spark's DIV operator returns BIGINT
+    # and the 1e6-scaled S^2/n quotients (~5e20 at sf0.01 already)
+    # overflow it. (a - a % b) / b keeps everything DECIMAL: the
+    # numerator is exactly divisible, so the decimal division is an
+    # exact integer and no rounding mode is ever exercised. Operands
+    # are all positive, so this truncation == DuckDB's HUGEINT //.
+    def fdiv(a: str, b: str) -> str:
+        return f"CAST(((({a}) - (({a}) % ({b}))) / ({b})) AS DECIMAL(38,0))"
+
+    sq_l = f"(sl * sl * {_CP_SCALE})"
+    sq_r = f"((st - sl) * (st - sl) * {_CP_SCALE})"
+    sq_t = f"(st * st * {_CP_SCALE})"
+    # Clamp before the final descale: the true SSE reduction is >= 0
+    # (Cauchy-Schwarz), but the per-term truncations can push the fixed-
+    # point value a unit or two negative, and a negative numerator is
+    # the ONE integer semantic the engines do not share (Spark DIV
+    # truncates toward zero, DuckDB // floors) — the same load-bearing
+    # clamp as harmonic_centrality_topk.
+    gain_fp = (
+        f"greatest({fdiv(sq_l, 'nl')} + {fdiv(sq_r, '(nt - nl)')}"
+        f" - {fdiv(sq_t, 'nt')}, CAST(0 AS DECIMAL(38,0)))"
+    )
+    gain = pre.filter(F.col("rn") < F.col("ndays")).select(
+        F.col("d").alias("split_date"),
+        F.col("nl").cast("long").alias("n_left"),
+        (F.col("nt") - F.col("nl")).cast("long").alias("n_right"),
+        F.expr(f"CAST({fdiv('sl', 'nl')} AS BIGINT)").alias("mean_left_cents"),
+        F.expr(f"CAST({fdiv('(st - sl)', '(nt - nl)')} AS BIGINT)").alias(
+            "mean_right_cents"
+        ),
+        F.expr(
+            f"CAST({fdiv(gain_fp, str(_CP_SCALE))} AS BIGINT)"
+        ).alias("sse_gain_cents2"),
+    )
+    return gain.orderBy(F.desc("sse_gain_cents2"), "split_date").limit(_CP_TOP)
