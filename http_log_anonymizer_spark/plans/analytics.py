@@ -4201,7 +4201,7 @@ _LPA_MINSUP = 2  # drop weight-1 noise edges (the triangle_counts lesson)
 _LPA_TOP = 25
 
 
-def _lpa_oracle() -> str:
+def _lpa_oracle_ctes() -> str:
     parts = [
         f"""edges AS (
   SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS w
@@ -4230,9 +4230,12 @@ l{t + 1} AS (
   QUALIFY row_number() OVER (PARTITION BY node ORDER BY votes DESC, lbl ASC) = 1
 )"""
         )
+    return "WITH " + ",\n".join(parts)
+
+
+def _lpa_oracle() -> str:
     return (
-        "WITH "
-        + ",\n".join(parts)
+        _lpa_oracle_ctes()
         + f"""
 SELECT lbl AS community, count(*) AS n_nodes
 FROM l{_LPA_ROUNDS}
@@ -4242,36 +4245,12 @@ LIMIT {_LPA_TOP}"""
     )
 
 
-@register("label_propagation_communities", oracle=_lpa_oracle())
-def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-{_LPA_TOP} communities (by size) from {_LPA_ROUNDS} rounds of
-    synchronous label propagation over the support-thresholded
-    co-purchase graph: every node starts as its own label, and each
-    round adopts the label with the highest incident edge weight among
-    its neighbors PLUS a self-vote for its current label weighted by
-    its strongest incident edge ("inertia"), ties broken by the
-    SMALLEST label — the deterministic variant of Raghavan et al.'s
-    LPA. Plain synchronous LPA two-cycles on symmetric mutual-adoption
-    pairs (the documented GraphFrames failure mode, reproduced in
-    tests/test_graph.py); the inertia self-vote damps exactly that
-    oscillation while still letting a strictly stronger neighborhood
-    flip the node. Asynchronous/random tie-breaks don't replay; this
-    variant hash-verifies end to end.
-
-    Scale shape: the edge table comes from one self-equi-join on
-    l_orderkey, support-thresholded (>= {_LPA_MINSUP}) exactly like
-    triangle_counts — weight-1 noise edges dominate raw co-occurrence
-    graphs and contribute nothing to community structure. Each round is
-    one equi-join of labels onto edge sources (the edge exchange is
-    reused across rounds, the pagerank_copurchase memory lesson — no
-    pinning), one groupBy(dst, lbl) with map-side combine, and a
-    per-node argmax window whose partition size is bounded by the
-    node's distinct-neighbor-label count (<= degree) — never
-    corpus-global. Label state is |V| rows, stays distributed.
-
-    The graph is symmetric (both orientations survive thresholding
-    together), so every node has >= 1 in-edge and the argmax always
-    exists — no dangling-node coalesce needed."""
+def _lpa_pipeline(spark: SparkSession, sf_dir: str):
+    """(weighted symmetric edge table, final label table) of the LPA
+    rounds — factored so community_modularity_report can score the
+    SAME partition the community query reports. Pure extraction: the
+    construction is byte-identical to what label_propagation_communities
+    inlined before, so its plan and oracle are unchanged."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     other = li.select(
         F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("dst")
@@ -4304,6 +4283,40 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
             .filter(F.col("rn") == 1)
             .select("node", "lbl")
         )
+    return edges, labels
+
+
+@register("label_propagation_communities", oracle=_lpa_oracle())
+def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_LPA_TOP} communities (by size) from {_LPA_ROUNDS} rounds of
+    synchronous label propagation over the support-thresholded
+    co-purchase graph: every node starts as its own label, and each
+    round adopts the label with the highest incident edge weight among
+    its neighbors PLUS a self-vote for its current label weighted by
+    its strongest incident edge ("inertia"), ties broken by the
+    SMALLEST label — the deterministic variant of Raghavan et al.'s
+    LPA. Plain synchronous LPA two-cycles on symmetric mutual-adoption
+    pairs (the documented GraphFrames failure mode, reproduced in
+    tests/test_graph.py); the inertia self-vote damps exactly that
+    oscillation while still letting a strictly stronger neighborhood
+    flip the node. Asynchronous/random tie-breaks don't replay; this
+    variant hash-verifies end to end.
+
+    Scale shape: the edge table comes from one self-equi-join on
+    l_orderkey, support-thresholded (>= {_LPA_MINSUP}) exactly like
+    triangle_counts — weight-1 noise edges dominate raw co-occurrence
+    graphs and contribute nothing to community structure. Each round is
+    one equi-join of labels onto edge sources (the edge exchange is
+    reused across rounds, the pagerank_copurchase memory lesson — no
+    pinning), one groupBy(dst, lbl) with map-side combine, and a
+    per-node argmax window whose partition size is bounded by the
+    node's distinct-neighbor-label count (<= degree) — never
+    corpus-global. Label state is |V| rows, stays distributed.
+
+    The graph is symmetric (both orientations survive thresholding
+    together), so every node has >= 1 in-edge and the argmax always
+    exists — no dangling-node coalesce needed."""
+    _, labels = _lpa_pipeline(spark, sf_dir)
     return (
         labels.groupBy(F.col("lbl").alias("community"))
         .agg(F.count("*").alias("n_nodes"))
@@ -6665,3 +6678,147 @@ def changepoint_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sse_gain_cents2"),
     )
     return gain.orderBy(F.desc("sse_gain_cents2"), "split_date").limit(_CP_TOP)
+
+
+# ---------------------------------------------------------------------------
+# Community modularity (Newman & Girvan, Phys. Rev. E 2004) — the
+# quality score for the partition label_propagation_communities
+# reports: Q = sum over communities of [ int_c/W - (deg_c/W)^2 ],
+# where W is the total (bidirectional) edge weight, int_c the weight
+# inside c, deg_c the weighted degree of c. Scored on the SAME rounds
+# pipeline the community query runs, so "the communities we report"
+# and "the communities we score" cannot drift apart.
+# ---------------------------------------------------------------------------
+
+_MOD_TOP = 25
+
+
+def _modularity_oracle() -> str:
+    return (
+        _lpa_oracle_ctes()
+        + f""",
+lab AS (SELECT node, lbl FROM l{_LPA_ROUNDS}),
+tot AS (SELECT CAST(sum(w) AS BIGINT) AS wt FROM edges),
+internal AS (
+  SELECT ls.lbl AS community, CAST(sum(e.w) AS BIGINT) AS internal_w
+  FROM edges e
+  JOIN lab ls ON ls.node = e.src
+  JOIN lab ld ON ld.node = e.dst AND ld.lbl = ls.lbl
+  GROUP BY ls.lbl
+),
+degree AS (
+  SELECT l.lbl AS community,
+         CAST(sum(e.w) AS BIGINT) AS degree_w,
+         count(DISTINCT e.src) AS n_nodes
+  FROM edges e JOIN lab l ON l.node = e.src
+  GROUP BY l.lbl
+),
+per AS (
+  SELECT d.community, d.n_nodes,
+         coalesce(i.internal_w, 0) AS internal_w,
+         d.degree_w, t.wt AS w_total,
+         round(coalesce(i.internal_w, 0) * 1.0 / t.wt
+               - (d.degree_w * 1.0 / t.wt) * (d.degree_w * 1.0 / t.wt),
+               6) AS q_contrib
+  FROM degree d LEFT JOIN internal i ON i.community = d.community
+  CROSS JOIN tot t
+),
+pooled AS (
+  SELECT CAST(-1 AS BIGINT) AS community,
+         CAST(sum(n_nodes) AS BIGINT) AS n_nodes,
+         CAST(sum(internal_w) AS BIGINT) AS internal_w,
+         CAST(sum(degree_w) AS BIGINT) AS degree_w,
+         CAST(max(w_total) AS BIGINT) AS w_total,
+         round(sum(internal_w * 1.0 / w_total
+                   - (degree_w * 1.0 / w_total) * (degree_w * 1.0 / w_total)),
+               6) AS q_contrib
+  FROM per
+),
+topc AS (
+  SELECT * FROM per
+  ORDER BY n_nodes DESC, community
+  LIMIT {_MOD_TOP}
+)
+SELECT * FROM topc
+UNION ALL
+SELECT * FROM pooled
+ORDER BY community
+"""
+    )
+
+
+@register("community_modularity_report", oracle=_modularity_oracle())
+def community_modularity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman-Girvan modularity of the label-propagation partition:
+    per-community internal weight, weighted degree, and Q contribution
+    for the {_MOD_TOP} largest communities, plus one pooled row
+    (community = -1) whose q_contrib is the partition's total Q over
+    ALL communities — the single number that says whether the LPA
+    rounds found real structure (Q near 0 = no better than random
+    wiring given the degree sequence).
+
+    Scale shape: shares _lpa_pipeline with the community query (label
+    state |V| rows; per-round work as documented there). Scoring adds
+    two label joins onto the edge table (src then dst, both integer
+    equi-joins), ONE groupBy per term keyed on community, and a 1-row
+    total broadcast onto the bounded community table. Raw sums stay
+    exact BIGINTs; only the final Q ratio is a double, rounded to 6 in
+    both engines (the triangle_counts clustering-coefficient idiom).
+    The pooled total folds the SAME per-community doubles the report
+    shows, so the global Q is reproducible from the rows above it."""
+    edges, labels = _lpa_pipeline(spark, sf_dir)
+    lab_src = labels.select(F.col("node").alias("src"), F.col("lbl").alias("cs"))
+    lab_dst = labels.select(F.col("node").alias("dst"), F.col("lbl").alias("cd"))
+    tot = edges.agg(F.sum("w").cast("long").alias("w_total"))
+    internal = (
+        edges.join(lab_src, "src")
+        .join(lab_dst, "dst")
+        .filter(F.col("cs") == F.col("cd"))
+        .groupBy(F.col("cs").alias("community"))
+        .agg(F.sum("w").cast("long").alias("internal_w"))
+    )
+    degree = (
+        edges.join(lab_src, "src")
+        .groupBy(F.col("cs").alias("community"))
+        .agg(
+            F.sum("w").cast("long").alias("degree_w"),
+            F.countDistinct("src").alias("n_nodes"),
+        )
+    )
+    per = (
+        degree.join(internal, "community", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "community",
+            "n_nodes",
+            F.coalesce("internal_w", F.lit(0)).cast("long").alias("internal_w"),
+            "degree_w",
+            "w_total",
+        )
+        .withColumn(
+            "q_contrib",
+            F.round(
+                F.col("internal_w") * 1.0 / F.col("w_total")
+                - (F.col("degree_w") * 1.0 / F.col("w_total"))
+                * (F.col("degree_w") * 1.0 / F.col("w_total")),
+                6,
+            ),
+        )
+    )
+    topc = per.orderBy(F.desc("n_nodes"), "community").limit(_MOD_TOP)
+    pooled = per.agg(
+        F.lit(-1).cast("long").alias("community"),
+        F.sum("n_nodes").cast("long").alias("n_nodes"),
+        F.sum("internal_w").cast("long").alias("internal_w"),
+        F.sum("degree_w").cast("long").alias("degree_w"),
+        F.max("w_total").cast("long").alias("w_total"),
+        F.round(
+            F.sum(
+                F.col("internal_w") * 1.0 / F.col("w_total")
+                - (F.col("degree_w") * 1.0 / F.col("w_total"))
+                * (F.col("degree_w") * 1.0 / F.col("w_total"))
+            ),
+            6,
+        ).alias("q_contrib"),
+    )
+    return topc.unionByName(pooled).orderBy("community")
