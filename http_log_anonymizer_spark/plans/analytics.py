@@ -6822,3 +6822,110 @@ def community_modularity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("q_contrib"),
     )
     return topc.unionByName(pooled).orderBy("community")
+
+
+# ---------------------------------------------------------------------------
+# Association rules (Agrawal & Srikant, VLDB 1994 — the Apriori
+# support/confidence/lift contract, computed directly at pair depth):
+# market-basket rules u => v over order baskets, the operator that
+# turns the co-purchase counts every graph query here already builds
+# into actionable "customers who bought u also bought v" statements.
+# ---------------------------------------------------------------------------
+
+_AR_TOP = 25
+_AR_MINSUP = 3  # baskets containing BOTH items (absolute support)
+
+
+def _assoc_rules_oracle() -> str:
+    return f"""
+WITH item AS (
+  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+),
+n AS (SELECT count(DISTINCT basket) AS n_baskets FROM item),
+supp1 AS (SELECT item, count(*) AS s FROM item GROUP BY item),
+supp2 AS (
+  SELECT a.item AS u, b.item AS v, count(*) AS s2
+  FROM item a JOIN item b ON a.basket = b.basket AND a.item < b.item
+  GROUP BY a.item, b.item
+  HAVING count(*) >= {_AR_MINSUP}
+),
+rules AS (
+  SELECT r.u AS antecedent, r.v AS consequent, r.s2 AS support_both,
+         su.s AS support_ante, sv.s AS support_cons, n.n_baskets,
+         round(r.s2 * 1.0 / su.s, 6) AS confidence,
+         round(r.s2 * 1.0 * n.n_baskets / (su.s * 1.0 * sv.s), 6) AS lift
+  FROM supp2 r
+  JOIN supp1 su ON su.item = r.u
+  JOIN supp1 sv ON sv.item = r.v
+  CROSS JOIN n
+  UNION ALL
+  SELECT r.v, r.u, r.s2, sv.s, su.s, n.n_baskets,
+         round(r.s2 * 1.0 / sv.s, 6),
+         round(r.s2 * 1.0 * n.n_baskets / (su.s * 1.0 * sv.s), 6)
+  FROM supp2 r
+  JOIN supp1 su ON su.item = r.u
+  JOIN supp1 sv ON sv.item = r.v
+  CROSS JOIN n
+)
+SELECT antecedent, consequent, support_both, support_ante, support_cons,
+       confidence, lift
+FROM rules
+ORDER BY lift DESC, antecedent, consequent
+LIMIT {_AR_TOP}
+"""
+
+
+@register("association_rules_report", oracle=_assoc_rules_oracle())
+def association_rules_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_AR_TOP} market-basket rules u => v by lift (support >=
+    {_AR_MINSUP} baskets, both rule directions emitted with their own
+    confidence, lift symmetric) — the Apriori depth-2 contract:
+    support counts DISTINCT baskets (a part twice in one order is one
+    basket), confidence = P(v|u), lift = P(u,v)/(P(u)P(v)).
+
+    Scale shape: basket de-dup is one groupBy-distinct on (basket,
+    item); pair support is the standard basket self-equi-join with
+    u < v ordering, whose fan-out is sum over baskets of
+    (basket size choose 2) — bounded by basket width, not corpus size
+    (TPC-H baskets are <= 7 items; retail baskets are dozens), and the
+    support HAVING prunes before the rule join. Rule stats join the
+    pair table to the item-support table twice (integer equi-joins;
+    the item table is dimension-sized and broadcastable) and to the
+    1-row basket count. Supports stay exact BIGINTs; confidence/lift
+    are 6-rounded doubles (the established cross-engine idiom). Top-k
+    is TakeOrderedAndProject."""
+    item = (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item"))
+        .distinct()
+    )
+    n = item.agg(F.countDistinct("basket").alias("n_baskets"))
+    supp1 = item.groupBy("item").agg(F.count("*").alias("s"))
+    a = item.select("basket", F.col("item").alias("u"))
+    b = item.select(F.col("basket").alias("b2"), F.col("item").alias("v"))
+    supp2 = (
+        a.join(b, (a.basket == b.b2) & (F.col("u") < F.col("v")))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("s2"))
+        .filter(F.col("s2") >= _AR_MINSUP)
+    )
+    su = supp1.select(F.col("item").alias("u"), F.col("s").alias("su"))
+    sv = supp1.select(F.col("item").alias("v"), F.col("s").alias("sv"))
+    joined = supp2.join(su, "u").join(sv, "v").crossJoin(F.broadcast(n))
+    lift = F.round(
+        F.col("s2") * 1.0 * F.col("n_baskets") / (F.col("su") * 1.0 * F.col("sv")), 6
+    )
+
+    def _dir(ante, cons, s_ante, s_cons):
+        return joined.select(
+            F.col(ante).alias("antecedent"),
+            F.col(cons).alias("consequent"),
+            F.col("s2").alias("support_both"),
+            F.col(s_ante).alias("support_ante"),
+            F.col(s_cons).alias("support_cons"),
+            F.round(F.col("s2") * 1.0 / F.col(s_ante), 6).alias("confidence"),
+            lift.alias("lift"),
+        )
+
+    rules = _dir("u", "v", "su", "sv").unionByName(_dir("v", "u", "sv", "su"))
+    return rules.orderBy(F.desc("lift"), "antecedent", "consequent").limit(_AR_TOP)
