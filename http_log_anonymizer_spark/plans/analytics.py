@@ -6597,39 +6597,25 @@ LIMIT {_CP_TOP}
 """
 
 
-@register("changepoint_revenue", oracle=_changepoint_oracle())
-def changepoint_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-{_CP_TOP} candidate mean-shift changepoints in the daily
-    order-revenue series by binary segmentation: each split date is
-    scored by the exact within-segment SSE reduction
-    S_l^2/n_l + S_r^2/n_r - S^2/n (the constant term subtracted so the
-    gain reads as an absolute improvement), computed in {_CP_SCALE}x
-    fixed point with per-term truncating division as the cross-engine
-    contract, clamped at 0 (truncation can dip a true-zero gain a unit
-    negative, and negative integer division is the one semantic the
-    engines do not share), and reported in whole cents^2 (BIGINT; the
-    ranking runs on the descaled value in both engines, so the
-    coarser tie-granularity is itself part of the contract).
-
-    Scale shape: ONE corpus scan map-side-combines to the per-day
-    (sum, count) table — output bounded by the calendar, not the
-    corpus — and every remaining step (prefix sums, the gain scan, the
-    top-{_CP_TOP}) runs on that day-sized series; the single-partition
-    window is scale-exempt by construction, the same argument as
-    storage_grid's literal grid. DECIMAL(38,0) end to end: S^2 at
-    sf100 is ~4e26 and the 1e6 scaling keeps it inside 38 digits with
-    headroom. At 1000 executors the plan is one exchange (the daily
-    rollup) plus driver-trivial tail work."""
-    daily = (
-        _t(spark, sf_dir, "orders")
-        .groupBy(F.col("o_orderdate").alias("d"))
-        .agg(
-            F.expr(
-                "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DECIMAL(38,0))"
-            ).alias("s"),
-            F.expr("CAST(count(*) AS DECIMAL(38,0))").alias("n"),
-        )
+def changepoint_daily_base(orders: DataFrame) -> DataFrame:
+    """Map half of changepoint_revenue: the per-day (sum-of-cents,
+    count) table as exact DECIMAL(38,0)s — one corpus scan, map-side
+    combined, output bounded by the calendar. Shared with the
+    streaming changepoint monitor, whose per-batch folds merge this
+    base by day-keyed addition (sums and counts are both additive)."""
+    return orders.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.expr(
+            "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DECIMAL(38,0))"
+        ).alias("s"),
+        F.expr("CAST(count(*) AS DECIMAL(38,0))").alias("n"),
     )
+
+
+def changepoint_scan(daily: DataFrame) -> DataFrame:
+    """Reduce half of changepoint_revenue: the binary-segmentation gain
+    scan over a (d, s, n) daily table (see the query docstring for the
+    fixed-point/clamp contract). Runs on the calendar-bounded series
+    only, so the streaming monitor can replay it per readout."""
     w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     wall = Window.orderBy("d").rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
@@ -6678,6 +6664,32 @@ def changepoint_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sse_gain_cents2"),
     )
     return gain.orderBy(F.desc("sse_gain_cents2"), "split_date").limit(_CP_TOP)
+
+
+@register("changepoint_revenue", oracle=_changepoint_oracle())
+def changepoint_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_CP_TOP} candidate mean-shift changepoints in the daily
+    order-revenue series by binary segmentation: each split date is
+    scored by the exact within-segment SSE reduction
+    S_l^2/n_l + S_r^2/n_r - S^2/n (the constant term subtracted so the
+    gain reads as an absolute improvement), computed in {_CP_SCALE}x
+    fixed point with per-term truncating division as the cross-engine
+    contract, clamped at 0 (truncation can dip a true-zero gain a unit
+    negative, and negative integer division is the one semantic the
+    engines do not share), and reported in whole cents^2 (BIGINT; the
+    ranking runs on the descaled value in both engines, so the
+    coarser tie-granularity is itself part of the contract).
+
+    Scale shape: ONE corpus scan map-side-combines to the per-day
+    (sum, count) table — output bounded by the calendar, not the
+    corpus — and every remaining step (prefix sums, the gain scan, the
+    top-{_CP_TOP}) runs on that day-sized series; the single-partition
+    window is scale-exempt by construction, the same argument as
+    storage_grid's literal grid. DECIMAL(38,0) end to end: S^2 at
+    sf100 is ~4e26 and the 1e6 scaling keeps it inside 38 digits with
+    headroom. At 1000 executors the plan is one exchange (the daily
+    rollup) plus driver-trivial tail work."""
+    return changepoint_scan(changepoint_daily_base(_t(spark, sf_dir, "orders")))
 
 
 # ---------------------------------------------------------------------------
