@@ -965,6 +965,62 @@ _BMQ_QTERMS = 5  # top-tf terms of the query doc form its term set
 _BMQ_TOPK = 10
 
 
+def _bmq_pipeline(spark: SparkSession, sf_dir: str):
+    """(query-term table, full ranked top-k) of the many-query BM25
+    workload — factored so retrieval_eval_report can score the SAME
+    ranking bm25_query_table reports. Pure extraction: the construction
+    is byte-identical to what bm25_query_table inlined before, so its
+    plan and oracle are unchanged."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens_ws("text")).alias("term"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tok.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    stats = d.agg(F.count("*").alias("n")).crossJoin(
+        dl.agg((F.sum("dl") * 1.0 / F.count("*")).alias("avgdl"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("tf"), "term")
+    qt = (
+        tf.filter((F.col("doc_id") % _BMQ_STRIDE) == 0)
+        .select(F.col("doc_id").alias("query_id"), "term", "tf")
+        .select("query_id", "term", F.row_number().over(wq).alias("r"))
+        .filter(F.col("r") <= _BMQ_QTERMS)
+        .drop("r")
+    )
+    idf = F.log(1 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    contrib = (
+        tf.join(qt, "term")  # deliberate non-broadcast: query set scales with corpus
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .join(dfreq, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "doc_id",
+            (
+                idf
+                * F.col("tf")
+                * (_BM25_K1 + 1)
+                / (
+                    F.col("tf")
+                    + _BM25_K1
+                    * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("c"),
+        )
+    )
+    scored = contrib.groupBy("query_id", "doc_id").agg(
+        F.round(F.sum("c"), 4).alias("bm25")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("bm25"), "doc_id")
+    ranked = (
+        scored.select("query_id", "doc_id", F.row_number().over(w).alias("rank"), "bm25")
+        .filter(F.col("rank") <= _BMQ_TOPK)
+        .select("query_id", "doc_id", "rank", "bm25")
+    )
+    return qt, ranked
+
+
 @register(
     "bm25_query_table",
     oracle=f"""
@@ -1029,54 +1085,9 @@ def bm25_query_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     runtime. Per-query ranking is one window partitioned by query_id
     (parallel across queries), never a global sort.
     """
-    d = load_table(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(tokens_ws("text")).alias("term"))
-    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    dfreq = tok.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
-    stats = d.agg(F.count("*").alias("n")).crossJoin(
-        dl.agg((F.sum("dl") * 1.0 / F.count("*")).alias("avgdl"))
-    )
-    wq = Window.partitionBy("query_id").orderBy(F.desc("tf"), "term")
-    qt = (
-        tf.filter((F.col("doc_id") % _BMQ_STRIDE) == 0)
-        .select(F.col("doc_id").alias("query_id"), "term", "tf")
-        .select("query_id", "term", F.row_number().over(wq).alias("r"))
-        .filter(F.col("r") <= _BMQ_QTERMS)
-        .drop("r")
-    )
-    idf = F.log(1 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
-    contrib = (
-        tf.join(qt, "term")  # deliberate non-broadcast: query set scales with corpus
-        .filter(F.col("doc_id") != F.col("query_id"))
-        .join(dfreq, "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .select(
-            "query_id",
-            "doc_id",
-            (
-                idf
-                * F.col("tf")
-                * (_BM25_K1 + 1)
-                / (
-                    F.col("tf")
-                    + _BM25_K1
-                    * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
-                )
-            ).alias("c"),
-        )
-    )
-    scored = contrib.groupBy("query_id", "doc_id").agg(
-        F.round(F.sum("c"), 4).alias("bm25")
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("bm25"), "doc_id")
-    return (
-        scored.select("query_id", "doc_id", F.row_number().over(w).alias("rank"), "bm25")
-        .filter(F.col("rank") <= _BMQ_TOPK)
-        .select("query_id", "doc_id", "rank", "bm25")
-        .orderBy("query_id", "rank")
-    )
+    _, ranked = _bmq_pipeline(spark, sf_dir)
+    return ranked.orderBy("query_id", "rank")
+
 
 
 # ---------------------------------------------------------------------------
@@ -3491,3 +3502,191 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pos") <= _TR_TOP)
         .orderBy("pos")
     )
+
+
+# ---------------------------------------------------------------------------
+# Retrieval evaluation (nDCG@k / MRR / recall@k — Järvelin & Kekäläinen,
+# TOIS 2002 for DCG; the standard TREC trio): score the SAME ranking
+# bm25_query_table reports against conjunctive-containment
+# pseudo-relevance (a document is relevant to a query iff it contains
+# ALL the query's terms — boolean-AND ground truth, independent of the
+# BM25 scoring being judged). Every metric is exact integer fixed
+# point: the DCG rank weights round(1e6/log2(rank+1)) and their
+# cumulative ideal sums are PRECOMPUTED integer literals (k = 10
+# admits only ten values — no engine evaluates a logarithm, the
+# HyperBall discipline), so the whole report hash-verifies.
+# ---------------------------------------------------------------------------
+
+# round(1e6 / log2(i + 1)) for rank i = 1..k, and cumulative ideal sums
+_EVAL_W = [1000000, 630930, 500000, 430677, 386853, 356207, 333333, 315465, 301030, 289065]
+_EVAL_IDCG = [1000000, 1630930, 2130930, 2561607, 2948460, 3304667, 3638000, 3953465, 4254495, 4543560]
+
+
+def _eval_w_case(col: str) -> str:
+    whens = " ".join(
+        f"WHEN {col} = {i + 1} THEN {w}" for i, w in enumerate(_EVAL_W)
+    )
+    return f"CASE {whens} ELSE 0 END"
+
+
+def _eval_idcg_case(col: str) -> str:
+    whens = " ".join(
+        f"WHEN {col} >= {i + 1} THEN {c}"
+        for i, c in reversed(list(enumerate(_EVAL_IDCG)))
+    )
+    return f"CASE {whens} ELSE 0 END"
+
+
+def _retrieval_eval_oracle() -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) * 1.0 / count(*) FROM dl) AS avgdl
+),
+qt AS (
+  SELECT query_id, term FROM (
+    SELECT doc_id AS query_id, term,
+           row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, term) AS r
+    FROM tf WHERE doc_id % {_BMQ_STRIDE} = 0
+  ) WHERE r <= {_BMQ_QTERMS}
+),
+contrib AS (
+  SELECT q.query_id, tf.doc_id,
+         ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+           * tf.tf * ({_BM25_K1} + 1)
+           / (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / s.avgdl))
+           AS c
+  FROM tf
+  JOIN qt q ON q.term = tf.term AND tf.doc_id <> q.query_id
+  JOIN df d ON d.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+scored AS (
+  SELECT query_id, doc_id, round(sum(c), 4) AS bm25
+  FROM contrib GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS rank
+    FROM scored
+  ) WHERE rank <= {_BMQ_TOPK}
+),
+nq AS (SELECT query_id, count(*) AS nq FROM qt GROUP BY query_id),
+rel AS (
+  SELECT q.query_id, t.doc_id
+  FROM tf t JOIN qt q ON q.term = t.term AND t.doc_id <> q.query_id
+  GROUP BY q.query_id, t.doc_id
+  HAVING count(*) = max((SELECT nq FROM nq WHERE nq.query_id = q.query_id))
+),
+nrel AS (SELECT query_id, count(*) AS n_relevant FROM rel GROUP BY query_id),
+hit AS (
+  SELECT r.query_id, r.rank
+  FROM ranked r JOIN rel ON rel.query_id = r.query_id AND rel.doc_id = r.doc_id
+),
+hagg AS (
+  SELECT query_id,
+         count(*) AS hits_at_k,
+         min(rank) AS min_rank,
+         CAST(sum({_eval_w_case("rank")}) AS BIGINT) AS dcg_micro
+  FROM hit GROUP BY query_id
+),
+per AS (
+  SELECT n.query_id,
+         n.n_relevant,
+         coalesce(h.hits_at_k, 0) AS hits_at_k,
+         CAST(coalesce(h.hits_at_k, 0) * 1000000 // n.n_relevant AS BIGINT) AS recall_ppm,
+         CAST(CASE WHEN h.min_rank IS NULL THEN 0
+              ELSE 1000000 // h.min_rank END AS BIGINT) AS mrr_ppm,
+         CAST(coalesce(h.dcg_micro, 0) * 1000000
+              // {_eval_idcg_case("least(n.n_relevant, 10)")} AS BIGINT) AS ndcg_ppm
+  FROM nrel n LEFT JOIN hagg h ON h.query_id = n.query_id
+)
+SELECT query_id, n_relevant, hits_at_k, recall_ppm, mrr_ppm, ndcg_ppm FROM per
+UNION ALL
+SELECT CAST(-1 AS BIGINT),
+       CAST(sum(n_relevant) AS BIGINT),
+       CAST(sum(hits_at_k) AS BIGINT),
+       CAST(sum(hits_at_k) * 1000000 // sum(n_relevant) AS BIGINT),
+       CAST(sum(mrr_ppm) // count(*) AS BIGINT),
+       CAST(sum(ndcg_ppm) // count(*) AS BIGINT)
+FROM per
+ORDER BY query_id
+"""
+
+
+@register("retrieval_eval_report", oracle=_retrieval_eval_oracle())
+def retrieval_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TREC-style evaluation of the bm25_query_table ranking:
+    per-query n_relevant, hits@{_BMQ_TOPK}, recall, MRR and
+    nDCG@{_BMQ_TOPK} in exact parts-per-million, plus a pooled row
+    (query_id = -1: recall micro-averaged as the exact ratio of summed
+    hits to summed relevant; MRR/nDCG macro-averaged by integer
+    division over queries). Relevance is conjunctive containment — a
+    document is relevant iff it contains ALL the query's terms — so
+    the ground truth is independent of the BM25 scorer under test.
+    Queries with zero relevant documents are excluded (the standard
+    IR-eval convention).
+
+    Scale shape: shares _bmq_pipeline with bm25_query_table (the
+    posting-list equi-join story documented there). The relevance set
+    adds ONE more term-keyed join of the distinct posting table
+    against the query terms with a count-equality HAVING — the same
+    inverted-index sharding — and the metric arithmetic runs on
+    query-keyed aggregates (one row per query). The DCG weights and
+    ideal cumulative sums are ten integer literals each, so nothing
+    floating ever enters the report and the driver hash-checks it
+    end to end."""
+    qt, ranked = _bmq_pipeline(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    dtok = d.select("doc_id", F.explode(tokens_ws("text")).alias("term")).distinct()
+    nq = qt.groupBy("query_id").agg(F.count("*").alias("nq"))
+    rel = (
+        dtok.join(qt, "term")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.count("*").alias("nmatch"))
+        .join(nq, "query_id")
+        .filter(F.col("nmatch") == F.col("nq"))
+        .select("query_id", "doc_id")
+    )
+    nrel = rel.groupBy("query_id").agg(F.count("*").alias("n_relevant"))
+    hit = ranked.join(rel, ["query_id", "doc_id"]).select("query_id", "rank")
+    hagg = hit.groupBy("query_id").agg(
+        F.count("*").alias("hits_at_k"),
+        F.min("rank").alias("min_rank"),
+        F.expr(f"CAST(sum({_eval_w_case('rank')}) AS BIGINT)").alias("dcg_micro"),
+    )
+    per = nrel.join(hagg, "query_id", "left").select(
+        "query_id",
+        "n_relevant",
+        F.coalesce("hits_at_k", F.lit(0)).alias("hits_at_k"),
+        F.expr(
+            "CAST(coalesce(hits_at_k, 0) * 1000000 DIV n_relevant AS BIGINT)"
+        ).alias("recall_ppm"),
+        F.expr(
+            "CAST(CASE WHEN min_rank IS NULL THEN 0"
+            " ELSE 1000000 DIV min_rank END AS BIGINT)"
+        ).alias("mrr_ppm"),
+        F.expr(
+            f"CAST(coalesce(dcg_micro, 0) * 1000000"
+            f" DIV {_eval_idcg_case('least(n_relevant, 10)')} AS BIGINT)"
+        ).alias("ndcg_ppm"),
+    )
+    pooled = per.agg(
+        F.lit(-1).cast("long").alias("query_id"),
+        F.sum("n_relevant").cast("long").alias("n_relevant"),
+        F.sum("hits_at_k").cast("long").alias("hits_at_k"),
+        F.expr(
+            "CAST(sum(hits_at_k) * 1000000 DIV sum(n_relevant) AS BIGINT)"
+        ).alias("recall_ppm"),
+        F.expr("CAST(sum(mrr_ppm) DIV count(*) AS BIGINT)").alias("mrr_ppm"),
+        F.expr("CAST(sum(ndcg_ppm) DIV count(*) AS BIGINT)").alias("ndcg_ppm"),
+    )
+    return per.unionByName(pooled).orderBy("query_id")
