@@ -6779,6 +6779,14 @@ def community_modularity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     The pooled total folds the SAME per-community doubles the report
     shows, so the global Q is reproducible from the rows above it."""
     edges, labels = _lpa_pipeline(spark, sf_dir)
+    # NO pinning, by measurement: labels feeds two scoring joins and
+    # edges three, which looks like the classic re-derivation trap, but
+    # a same-session sf10 A/B (SCALE.md r10) shows ReusedExchange
+    # already shares the LPA rounds across the consumers — unpinned
+    # 144.1 s vs eager-localCheckpoint 164.7 s WITH GCLocker pressure
+    # from materializing the node-sized label table. The HyperBall
+    # "pin edges once" rule applies to loop-carried state consumed
+    # across ROUNDS, not to a DAG fanning out within one job.
     lab_src = labels.select(F.col("node").alias("src"), F.col("lbl").alias("cs"))
     lab_dst = labels.select(F.col("node").alias("dst"), F.col("lbl").alias("cd"))
     tot = edges.agg(F.sum("w").cast("long").alias("w_total"))
