@@ -6949,3 +6949,150 @@ def association_rules_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     rules = _dir("u", "v", "su", "sv").unionByName(_dir("v", "u", "sv", "su"))
     return rules.orderBy(F.desc("lift"), "antecedent", "consequent").limit(_AR_TOP)
+
+
+# ---------------------------------------------------------------------------
+# Multi-touch revenue attribution (the standard marketing-analytics
+# trio — first-touch / last-touch / linear; see e.g. Shao & Li,
+# "Data-driven multi-touch attribution models", KDD 2011 for the
+# taxonomy): credit each purchase's value to the touchpoints that
+# preceded it. Journeys reset at each conversion (the touch set of a
+# purchase is the user's events after the PREVIOUS purchase), the
+# universal path-reset convention. Everything is exact integer cents /
+# milli-cents so the whole report hash-verifies.
+# ---------------------------------------------------------------------------
+
+
+def _attribution_oracle() -> str:
+    return """
+WITH ev AS (
+  SELECT user_id, event_id, ts, event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS grp
+  FROM events
+),
+conv AS (
+  SELECT user_id, coalesce(grp, 0) AS grp, cents
+  FROM ev WHERE event_type = 'purchase'
+),
+touch AS (
+  SELECT user_id, coalesce(grp, 0) AS grp, event_type AS channel, ts, event_id
+  FROM ev WHERE event_type <> 'purchase'
+),
+jt AS (
+  SELECT t.user_id, t.grp, t.channel, t.ts, t.event_id, c.cents,
+         count(*) OVER (PARTITION BY t.user_id, t.grp) AS n_touches,
+         row_number() OVER (
+           PARTITION BY t.user_id, t.grp ORDER BY t.ts, t.event_id
+         ) AS pos
+  FROM touch t JOIN conv c ON c.user_id = t.user_id AND c.grp = t.grp
+),
+attributed AS (
+  SELECT channel,
+         count(*) AS n_touches,
+         CAST(sum(CASE WHEN pos = 1 THEN cents ELSE 0 END) AS BIGINT)
+           AS first_touch_cents,
+         CAST(sum(CASE WHEN pos = n_touches THEN cents ELSE 0 END) AS BIGINT)
+           AS last_touch_cents,
+         CAST(sum(cents * 1000 // n_touches) AS BIGINT) AS linear_milli
+  FROM jt GROUP BY channel
+),
+direct AS (
+  SELECT '(direct)' AS channel,
+         count(*) AS n_touches,
+         CAST(sum(c.cents) AS BIGINT) AS first_touch_cents,
+         CAST(sum(c.cents) AS BIGINT) AS last_touch_cents,
+         CAST(sum(c.cents) * 1000 AS BIGINT) AS linear_milli
+  FROM conv c
+  WHERE NOT EXISTS (
+    SELECT 1 FROM touch t WHERE t.user_id = c.user_id AND t.grp = c.grp
+  )
+)
+SELECT * FROM attributed
+UNION ALL
+SELECT * FROM direct WHERE n_touches > 0
+ORDER BY channel
+"""
+
+
+@register("attribution_report", oracle=_attribution_oracle())
+def attribution_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-channel multi-touch revenue attribution over the events
+    stream: each purchase's cents credited to the user's touchpoints
+    since their previous purchase — full credit to the first touch,
+    full credit to the last touch, and value*1000 DIV n_touches
+    milli-cents per touch for the linear model (per-touch truncation
+    is the contract; the sub-milli dust a conversion sheds is bounded
+    by its touch count). Conversions with no preceding touches land in
+    the '(direct)' bucket with full credit under every model.
+
+    Scale shape: journey assignment is ONE window over (user_id, ts,
+    event_id) — the sessionize_events partitioning, bounded per user,
+    never corpus-global — counting prior purchases so each event
+    carries its conversion-group id; touches join conversions on the
+    composite integer key (user, group), an equi-join both sides
+    already hash-partitioned by user from the window stage; per-journey
+    position/count is a second user-keyed window. Channel rollups are
+    map-side-combined sums of exact integers. The direct bucket is a
+    LEFT ANTI join, never a filter over materialized pairs."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    wprev = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ev = ev.withColumn(
+        "grp",
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).over(
+                wprev
+            ),
+            F.lit(0),
+        ),
+    )
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "grp", "cents"
+    )
+    touch = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id", "grp", F.col("event_type").alias("channel"), "ts", "event_id"
+    )
+    wj = Window.partitionBy("user_id", "grp")
+    jt = touch.join(conv, ["user_id", "grp"]).select(
+        "channel",
+        "cents",
+        F.count("*").over(wj).alias("n_touches"),
+        F.row_number().over(wj.orderBy("ts", "event_id")).alias("pos"),
+    )
+    attributed = jt.groupBy("channel").agg(
+        F.count("*").alias("n_touches"),
+        F.sum(F.when(F.col("pos") == 1, F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("first_touch_cents"),
+        F.sum(F.when(F.col("pos") == F.col("n_touches"), F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("last_touch_cents"),
+        F.expr("CAST(sum(cents * 1000 DIV n_touches) AS BIGINT)").alias(
+            "linear_milli"
+        ),
+    )
+    direct = (
+        conv.join(touch.select("user_id", "grp"), ["user_id", "grp"], "left_anti")
+        .agg(
+            F.count("*").alias("n_touches"),
+            F.sum("cents").cast("long").alias("first_touch_cents"),
+            F.sum("cents").cast("long").alias("last_touch_cents"),
+            (F.sum("cents") * 1000).cast("long").alias("linear_milli"),
+        )
+        .select(F.lit("(direct)").alias("channel"), "*")
+        .filter(F.col("n_touches") > 0)
+    )
+    return attributed.unionByName(direct).orderBy("channel")
