@@ -51,9 +51,13 @@ from http_log_anonymizer_spark.plans import linkage  # noqa: E402,F401
 #      hard_negative_mining, revenue_concentration_report.
 #      (data_quality_report, the eighth sweep query, was already in
 #      the window below.)
-#   18-50. 33 of the 43 r05-stale queries — the 10 displaced by rules
-#      1-2 (simple TPC-H shapes, untouched since r05) stay locally
-#      gated and lead the r11 staleness cohort.
+#   18-25. the eight operators added in the round-10 continuation
+#      session (pareto frontier, RA link prediction, golden record,
+#      changepoint, modularity, association rules, retrieval eval,
+#      attribution) — never driver-checked, rule 1.
+#   26-50. 25 of the 43 r05-stale queries — the 18 displaced by rules
+#      1-2 (simple TPC-H/http shapes, untouched since r05) stay
+#      locally gated and lead the r11 staleness cohort.
 # Everything outside the window stays locally gated by
 # tests/test_registry_oracle.py (same comparator).
 _WINDOW = [
@@ -68,6 +72,17 @@ _WINDOW = [
     "poisson_bootstrap_report",
     "hyperball_neighborhood_report",
     "harmonic_centrality_topk",
+    # --- never driver-checked, added in the round-10 continuation
+    #     session (rule 1): eight new operators, each oracle-green at
+    #     both gate SFs on registration ---
+    "pareto_frontier_parts",
+    "link_prediction_ra",
+    "golden_record_report",
+    "changepoint_revenue",
+    "community_modularity_report",
+    "association_rules_report",
+    "retrieval_eval_report",
+    "attribution_report",
     # --- plan-diffed by this round's broadcast sweep (rule 2) ---
     "dedup_minhash_lsh",
     "dedup_incremental_batch",
@@ -77,19 +92,15 @@ _WINDOW = [
     "hard_negative_mining",
     "revenue_concentration_report",
     # --- 33 of the 43 r05-stale queries (rule 3) ---
-    "blocking_supplier",
     "data_quality_report",
     "dedup_clusters",
     "dedup_exact",
     "dedup_prefix_filter_join",
     "dedup_winnow_join",
-    "distinct_users_exact",
     "doc_fingerprints",
     "doc_winnowing",
     "dup_span_report",
     "embedding_pca_power",
-    "gapfill_locf",
-    "grouping_sets_totals",
     "http_anonymize_rows",
     "http_dedup_final",
     "http_monthly",
@@ -97,11 +108,7 @@ _WINDOW = [
     "http_totals_cube",
     "hypertable_rollup",
     "json_encode_rows",
-    "json_props_stats",
     "multimodal_decode_meta",
-    "nation_trade_flow",
-    "revenue_leaders",
-    "rollup_region_nation",
     "shipping_priority",
     "token_stats",
     "top_orders_per_customer",
