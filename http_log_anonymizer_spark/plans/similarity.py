@@ -1951,10 +1951,17 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     # table is corpus-sized and must never be the broadcast side (a
     # forced F.broadcast(top) — the pre-r10 form — would commit
     # statically at any query volume)
+    # The label side is ALSO corpus-rooted: its column-pruned estimate
+    # undershoots the broadcast threshold at sf10+ (found by the sweep
+    # guard test the moment .benchdata/sf10 existed on disk), so the
+    # static planner would build a HashedRelation over the whole
+    # embeddings scan — the data_quality_report trap class. The binding
+    # merge hint pins the join shuffled; both sides hash-partition on
+    # the integer id.
     lab = u.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("neg_label"))
     return (
         top
-        .join(lab, "neighbor_id")
+        .join(lab.hint("merge"), "neighbor_id")
         .select("query_id", "neighbor_id", "neg_label", "rank", "cos")
         .orderBy("query_id", "rank")
     )
