@@ -7096,3 +7096,124 @@ def attribution_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_touches") > 0)
     )
     return attributed.unionByName(direct).orderBy("channel")
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity (Newman, "Assortative mixing in networks",
+# Phys. Rev. Lett. 2002) — the single number that says whether hubs
+# attach to hubs (r > 0, social-network-like) or to leaves (r < 0,
+# technological/biological-like) in the co-purchase graph. With
+# integer edge sums S1 = sum(d_u * d_v), S2 = sum(d_u + d_v),
+# S3 = sum(d_u^2 + d_v^2) over the M undirected edges, Newman's
+# Pearson coefficient reduces to exactly (4*M*S1 - S2^2) /
+# (2*M*S3 - S2^2) — one ratio of two exact integers, so only the
+# final division is floating point.
+# ---------------------------------------------------------------------------
+
+
+def _assortativity_oracle() -> str:
+    return f"""
+WITH und AS (
+  SELECT least(a.l_partkey, b.l_partkey) AS u,
+         greatest(a.l_partkey, b.l_partkey) AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  GROUP BY u, v
+  HAVING count(*) >= {2 * _LP_MINSUP}
+),
+deg AS (
+  SELECT node, count(*) AS d FROM (
+    SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und
+  ) GROUP BY node
+),
+sums AS (
+  SELECT CAST(count(*) AS HUGEINT) AS m,
+         CAST(sum(du.d * dv.d) AS HUGEINT) AS s1,
+         CAST(sum(du.d + dv.d) AS HUGEINT) AS s2,
+         CAST(sum(du.d * du.d + dv.d * dv.d) AS HUGEINT) AS s3
+  FROM und e JOIN deg du ON e.u = du.node JOIN deg dv ON e.v = dv.node
+)
+SELECT CAST(m AS BIGINT) AS n_edges,
+       (SELECT count(*) FROM deg) AS n_nodes,
+       CAST(s1 AS BIGINT) AS s1,
+       CAST(s2 AS BIGINT) AS s2,
+       CAST(s3 AS BIGINT) AS s3,
+       CASE WHEN 2 * m * s3 - s2 * s2 = 0 THEN NULL
+            ELSE round(CAST(4 * m * s1 - s2 * s2 AS DOUBLE)
+                       / CAST(2 * m * s3 - s2 * s2 AS DOUBLE), 6)
+       END AS assortativity
+FROM sums
+"""
+
+
+@register("graph_assortativity_report", oracle=_assortativity_oracle())
+def graph_assortativity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman degree assortativity of the support-thresholded
+    co-purchase graph (same >= {_LP_MINSUP} edge contract as
+    triangle_counts / link_prediction_ra): one row with the exact
+    integer edge sums S1/S2/S3 and the Pearson coefficient
+    (4*M*S1 - S2^2) / (2*M*S3 - S2^2) as the only floating-point
+    value, 6-rounded in both engines.
+
+    Scale shape: the edge build is the shared co-purchase self-join
+    (the dominant cost, measured in SCALE.md); degrees are one
+    map-side-combined groupBy; the sums are TWO integer equi-joins of
+    the node-sized degree table onto the edges folded into a single
+    1-row aggregate — no window, no driver state, nothing wider than
+    five numbers ever leaves the executors. Products run in
+    DECIMAL(38,0)/HUGEINT so a billion-edge graph with 1e3-degree
+    hubs cannot overflow the intermediate."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    other = li.select(F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("p2"))
+    und = (
+        li.join(other, (li.l_orderkey == other.o2) & (li.l_partkey != other.p2))
+        .groupBy(
+            F.least("l_partkey", "p2").alias("u"),
+            F.greatest("l_partkey", "p2").alias("v"),
+        )
+        .agg(F.count("*").alias("w2"))
+        .filter(F.col("w2") >= 2 * _LP_MINSUP)
+        .select("u", "v")
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionByName(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    ).localCheckpoint(eager=True)
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    sums = (
+        und.join(du, "u")
+        .join(dv, "v")
+        .agg(
+            F.expr("CAST(count(*) AS DECIMAL(38,0))").alias("m"),
+            F.expr("CAST(sum(du * dv) AS DECIMAL(38,0))").alias("s1"),
+            F.expr("CAST(sum(du + dv) AS DECIMAL(38,0))").alias("s2"),
+            F.expr("CAST(sum(du * du + dv * dv) AS DECIMAL(38,0))").alias("s3"),
+        )
+    )
+    nn = deg.agg(F.count("*").alias("n_nodes"))
+    return sums.crossJoin(F.broadcast(nn)).select(
+        F.col("m").cast("long").alias("n_edges"),
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        F.col("s1").cast("long").alias("s1"),
+        F.col("s2").cast("long").alias("s2"),
+        F.col("s3").cast("long").alias("s3"),
+        # a degree-regular graph has zero degree variance: denominator
+        # 0 -> NULL by contract in BOTH engines (Spark 4 ANSI throws
+        # even on double division by zero, so the guard is load-bearing)
+        F.when(
+            (2 * F.col("m") * F.col("s3") - F.col("s2") * F.col("s2")) != 0,
+            F.round(
+                (4 * F.col("m") * F.col("s1") - F.col("s2") * F.col("s2")).cast(
+                    "double"
+                )
+                / (2 * F.col("m") * F.col("s3") - F.col("s2") * F.col("s2")).cast(
+                    "double"
+                ),
+                6,
+            ),
+        ).alias("assortativity"),
+    )
