@@ -7217,3 +7217,120 @@ def graph_assortativity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("assortativity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV curves — the revenue companion to retention_cohorts
+# (which counts ACTIVE users; this accumulates VALUE): users grouped
+# by first-seen month, purchase revenue bucketed by whole-month age
+# since each user's own first event, accumulated into the cumulative
+# lifetime-value-per-user curve every growth/finance team projects
+# payback from. Exact integer cents / milli-cents end to end.
+# ---------------------------------------------------------------------------
+
+
+def _cohort_ltv_oracle() -> str:
+    return """
+WITH first_seen AS (
+  SELECT user_id, CAST(date_trunc('month', min(ts)) AS DATE) AS cohort_month,
+         min(ts) AS first_ts
+  FROM events GROUP BY user_id
+),
+csize AS (
+  SELECT cohort_month, count(*) AS cohort_size
+  FROM first_seen GROUP BY cohort_month
+),
+purch AS (
+  SELECT f.cohort_month,
+         CAST((date_part('year', e.ts) * 12 + date_part('month', e.ts))
+              - (date_part('year', f.first_ts) * 12 + date_part('month', f.first_ts))
+           AS BIGINT) AS age_months,
+         CAST(round(e.value * 100) AS BIGINT) AS cents
+  FROM events e JOIN first_seen f ON f.user_id = e.user_id
+  WHERE e.event_type = 'purchase'
+),
+by_age AS (
+  SELECT cohort_month, age_months,
+         CAST(sum(cents) AS BIGINT) AS revenue_cents
+  FROM purch GROUP BY cohort_month, age_months
+),
+cum AS (
+  SELECT cohort_month, age_months, revenue_cents,
+         CAST(sum(revenue_cents) OVER (
+           PARTITION BY cohort_month ORDER BY age_months
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS cum_revenue_cents
+  FROM by_age
+)
+SELECT CAST(c.cohort_month AS VARCHAR) AS cohort_month,
+       s.cohort_size, c.age_months, c.revenue_cents,
+       c.cum_revenue_cents,
+       CAST(c.cum_revenue_cents * 1000 // s.cohort_size AS BIGINT)
+         AS ltv_per_user_milli
+FROM cum c JOIN csize s ON s.cohort_month = c.cohort_month
+ORDER BY c.cohort_month, c.age_months
+"""
+
+
+@register("cohort_ltv_report", oracle=_cohort_ltv_oracle())
+def cohort_ltv_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative lifetime value per monthly first-seen cohort: revenue
+    cents per whole-month age since each user's OWN first event
+    (calendar-month arithmetic, exact integers), accumulated within
+    the cohort and normalized to milli-cents per cohort member with
+    truncating division as the contract. Months in which a cohort
+    booked no revenue are absent by contract (the cumulative value at
+    any present age is still exact).
+
+    Scale shape: the cohort assignment is one min-per-user groupBy;
+    purchases join that node-sized table on user_id (both sides
+    hash-partition on the key); the (cohort, age) rollup is map-side
+    combined and CALENDAR-BOUNDED — months x months rows no matter the
+    corpus — so the cumulative window runs on a tiny grid partitioned
+    by cohort. Nothing floating anywhere; the driver hash-checks the
+    whole curve."""
+    ev = _t(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("month", F.min("ts")).cast("date").alias("cohort_month"),
+        F.min("ts").alias("first_ts"),
+    )
+    csize = first_seen.groupBy("cohort_month").agg(
+        F.count("*").alias("cohort_size")
+    )
+    months = lambda c: F.year(c) * 12 + F.month(c)  # noqa: E731
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(first_seen, "user_id")
+        .select(
+            "cohort_month",
+            (months(F.col("ts")) - months(F.col("first_ts")))
+            .cast("long")
+            .alias("age_months"),
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        )
+    )
+    by_age = purch.groupBy("cohort_month", "age_months").agg(
+        F.sum("cents").cast("long").alias("revenue_cents")
+    )
+    wcum = (
+        Window.partitionBy("cohort_month")
+        .orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = by_age.withColumn(
+        "cum_revenue_cents", F.sum("revenue_cents").over(wcum).cast("long")
+    )
+    return (
+        cum.join(F.broadcast(csize), "cohort_month")
+        .select(
+            F.col("cohort_month").cast("string").alias("cohort_month"),
+            "cohort_size",
+            "age_months",
+            "revenue_cents",
+            "cum_revenue_cents",
+            F.expr(
+                "CAST(cum_revenue_cents * 1000 DIV cohort_size AS BIGINT)"
+            ).alias("ltv_per_user_milli"),
+        )
+        .orderBy("cohort_month", "age_months")
+    )
