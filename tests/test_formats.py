@@ -29,7 +29,7 @@ def _rows(spark, name, sf_dir):
     return [tuple(r) for r in REGISTRY[name].spark_fn(spark, sf_dir).collect()]
 
 
-@pytest.mark.parametrize("fmt", ["orc", "json"])
+@pytest.mark.parametrize("fmt", ["orc", "json", "csv"])
 def test_exported_corpus_answers_identically(spark, tmp_path, fmt):
     out = export_corpus(spark, SF, str(tmp_path / fmt), fmt=fmt)
     for name in _QUERIES:
@@ -44,6 +44,24 @@ def test_exported_schema_round_trips(spark, tmp_path):
         src = load_table(spark, SF, t)
         back = load_table(spark, out, t)
         assert back.schema == src.schema, t
+
+
+def test_csv_schema_and_arrays_round_trip(spark, tmp_path):
+    """CSV is flat: the float-array embedding column must survive the
+    JSON-encode/decode round trip bit-exactly (shortest-round-trip
+    float serialization), and the sidecar-driven schema must match the
+    source exactly — no inference widening."""
+    out = export_corpus(spark, SF, str(tmp_path / "csv"), fmt="csv")
+    for t in ("embeddings", "events", "documents"):
+        src = load_table(spark, SF, t)
+        rt = load_table(spark, out, t)
+        assert rt.schema == src.schema, t
+    src = load_table(spark, SF, "embeddings").orderBy("vec_id").collect()
+    rt = load_table(spark, out, "embeddings").orderBy("vec_id").collect()
+    assert len(src) == len(rt)
+    for a, b in zip(src, rt):
+        assert a.vec_id == b.vec_id
+        assert list(a.embedding) == list(b.embedding)  # bit-exact floats
 
 
 def test_parquet_still_wins_when_both_exist(spark, tmp_path):
