@@ -7334,3 +7334,197 @@ def cohort_ltv_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_month", "age_months")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical binary segmentation (depth 2 — Scott & Knott's recursion
+# applied twice): changepoint_revenue finds the best single split;
+# this query recurses once into each side and reports the resulting
+# segmentation — up to 4 segments with exact boundaries and means,
+# the piecewise-constant fit a monitoring dashboard actually draws.
+# Same fixed-point/clamp gain contract as the parent query; a side
+# with a single day is not split (fewer segments come out).
+# ---------------------------------------------------------------------------
+
+
+def _cp_gain_sql(scale: int) -> str:
+    """The clamped fixed-point gain over (sl, nl, st, nt) HUGEINTs —
+    shared text between the two changepoint oracles."""
+    return f"""greatest(
+           (sl * sl * {scale}) // nl
+           + ((st - sl) * (st - sl) * {scale}) // (nt - nl)
+           - (st * st * {scale}) // nt,
+           CAST(0 AS HUGEINT)
+         ) // {scale}"""
+
+
+def _changepoint_segments_oracle() -> str:
+    return f"""
+WITH daily AS (
+  SELECT o_orderdate AS d,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DECIMAL(38,0)) AS s,
+         CAST(count(*) AS DECIMAL(38,0)) AS n
+  FROM orders GROUP BY o_orderdate
+),
+pre0 AS (
+  SELECT d,
+         CAST(sum(s) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT) AS sl,
+         CAST(sum(n) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT) AS nl,
+         CAST(sum(s) OVER () AS HUGEINT) AS st,
+         CAST(sum(n) OVER () AS HUGEINT) AS nt,
+         row_number() OVER (ORDER BY d) AS rn,
+         count(*) OVER () AS ndays
+  FROM daily
+),
+g0 AS (
+  SELECT d, CAST({_cp_gain_sql(_CP_SCALE)} AS BIGINT) AS g
+  FROM pre0 WHERE rn < ndays
+),
+r0 AS (SELECT d AS t0 FROM g0 ORDER BY g DESC, d LIMIT 1),
+sided AS (
+  SELECT daily.d, daily.s, daily.n,
+         CASE WHEN daily.d <= r0.t0 THEN 'L' ELSE 'R' END AS side
+  FROM daily CROSS JOIN r0
+),
+pre1 AS (
+  SELECT d, side,
+         CAST(sum(s) OVER (PARTITION BY side ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT) AS sl,
+         CAST(sum(n) OVER (PARTITION BY side ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT) AS nl,
+         CAST(sum(s) OVER (PARTITION BY side) AS HUGEINT) AS st,
+         CAST(sum(n) OVER (PARTITION BY side) AS HUGEINT) AS nt,
+         row_number() OVER (PARTITION BY side ORDER BY d) AS rn,
+         count(*) OVER (PARTITION BY side) AS ndays
+  FROM sided
+),
+g1 AS (
+  SELECT d, side, CAST({_cp_gain_sql(_CP_SCALE)} AS BIGINT) AS g
+  FROM pre1 WHERE rn < ndays
+),
+r1 AS (
+  SELECT d AS t FROM (
+    SELECT d, row_number() OVER (PARTITION BY side ORDER BY g DESC, d) AS pick
+    FROM g1
+  ) WHERE pick = 1
+),
+splits AS (SELECT t0 AS t FROM r0 UNION ALL SELECT t FROM r1),
+seg AS (
+  SELECT daily.d, daily.s, daily.n,
+         1 + (SELECT count(*) FROM splits WHERE splits.t < daily.d) AS segment_id
+  FROM daily
+)
+SELECT CAST(segment_id AS BIGINT) AS segment_id,
+       CAST(min(d) AS VARCHAR) AS start_date,
+       CAST(max(d) AS VARCHAR) AS end_date,
+       CAST(sum(n) AS BIGINT) AS n_orders,
+       CAST(CAST(sum(s) AS HUGEINT) // CAST(sum(n) AS HUGEINT) AS BIGINT)
+         AS mean_cents
+FROM seg
+GROUP BY segment_id
+ORDER BY segment_id
+"""
+
+
+@register("changepoint_segments", oracle=_changepoint_segments_oracle())
+def changepoint_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth-2 binary segmentation of the daily revenue series: the
+    best root split, then the best split within each side (same
+    fixed-point/clamped gain contract as changepoint_revenue; ties to
+    the earliest date; a one-day side is not split), reported as the
+    resulting piecewise-constant segmentation — segment boundaries,
+    order counts, exact truncated mean cents.
+
+    Scale shape: the recursion never touches the corpus again — both
+    levels run windows over the SAME calendar-bounded daily table the
+    one corpus scan produced (level 1 just partitions the windows by
+    side), the split set is <= 3 rows broadcast onto the day table,
+    and segment rollup is a groupBy over <= 4 keys. Depth is fixed at
+    2 by contract; deeper trees repeat the side-partitioned window
+    with a segment column, never a driver loop per split."""
+    daily = changepoint_daily_base(_t(spark, sf_dir, "orders"))
+
+    def fdiv(a: str, b: str) -> str:
+        return f"CAST(((({a}) - (({a}) % ({b}))) / ({b})) AS DECIMAL(38,0))"
+
+    def gain_expr() -> str:
+        sq_l = f"(sl * sl * {_CP_SCALE})"
+        sq_r = f"((st - sl) * (st - sl) * {_CP_SCALE})"
+        sq_t = f"(st * st * {_CP_SCALE})"
+        fp = (
+            f"greatest({fdiv(sq_l, 'nl')} + {fdiv(sq_r, '(nt - nl)')}"
+            f" - {fdiv(sq_t, 'nt')}, CAST(0 AS DECIMAL(38,0)))"
+        )
+        return f"CAST({fdiv(fp, str(_CP_SCALE))} AS BIGINT)"
+
+    def prefixed(df: DataFrame, by_side: bool) -> DataFrame:
+        part = ["side"] if by_side else []
+        wcum = (
+            Window.partitionBy(*part)
+            .orderBy("d")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        wall = (
+            Window.partitionBy(*part)
+            .orderBy("d")
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        )
+        return df.select(
+            "d",
+            *part,
+            F.sum("s").over(wcum).alias("sl"),
+            F.sum("n").over(wcum).alias("nl"),
+            F.sum("s").over(wall).alias("st"),
+            F.sum("n").over(wall).alias("nt"),
+            F.row_number().over(Window.partitionBy(*part).orderBy("d")).alias("rn"),
+            F.count("*").over(wall).alias("ndays"),
+        )
+
+    g0 = (
+        prefixed(daily, by_side=False)
+        .filter(F.col("rn") < F.col("ndays"))
+        .select("d", F.expr(gain_expr()).alias("g"))
+    )
+    r0 = g0.orderBy(F.desc("g"), "d").limit(1).select(F.col("d").alias("t0"))
+    sided = daily.crossJoin(F.broadcast(r0)).select(
+        "d",
+        "s",
+        "n",
+        F.when(F.col("d") <= F.col("t0"), F.lit("L")).otherwise("R").alias("side"),
+    )
+    g1 = (
+        prefixed(sided, by_side=True)
+        .filter(F.col("rn") < F.col("ndays"))
+        .select("d", "side", F.expr(gain_expr()).alias("g"))
+    )
+    r1 = (
+        g1.withColumn(
+            "pick",
+            F.row_number().over(Window.partitionBy("side").orderBy(F.desc("g"), "d")),
+        )
+        .filter(F.col("pick") == 1)
+        .select(F.col("d").alias("t"))
+    )
+    splits = r0.select(F.col("t0").alias("t")).unionByName(r1)
+    scount = (
+        daily.join(F.broadcast(splits), F.col("t") < F.col("d"), "left")
+        .groupBy("d", "s", "n")
+        .agg((1 + F.count("t")).alias("segment_id"))
+    )
+    return (
+        scount.groupBy("segment_id")
+        .agg(
+            F.min("d").cast("string").alias("start_date"),
+            F.max("d").cast("string").alias("end_date"),
+            F.sum("n").cast("long").alias("n_orders"),
+            F.expr(
+                "CAST(((sum(s) - (sum(s) % sum(n))) / sum(n)) AS BIGINT)"
+            ).alias("mean_cents"),
+        )
+        .select(
+            F.col("segment_id").cast("long").alias("segment_id"),
+            "start_date",
+            "end_date",
+            "n_orders",
+            "mean_cents",
+        )
+        .orderBy("segment_id")
+    )
