@@ -7528,3 +7528,131 @@ def changepoint_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust trend (Theil 1950; Sen, JASA 1968) — the median of
+# all pairwise slopes of the daily-revenue series: a single outlier
+# day (flash sale, outage) that would drag an OLS fit moves the
+# Theil-Sen estimate not at all (29.3% breakdown point). Pairwise over
+# DAYS, so the O(n^2) pair set is calendar-bounded — never
+# corpus-bounded — and slopes are exact scaled integers (milli-cents
+# per day, truncating division contract), so the median is an order
+# statistic on integers and the whole report hash-verifies. OLS slope
+# is reported beside it from the same exact integer sums for the
+# robustness comparison.
+# ---------------------------------------------------------------------------
+
+
+def _theilsen_oracle() -> str:
+    return """
+WITH daily AS (
+  SELECT o_orderdate AS d,
+         CAST(datediff('day', DATE '1992-01-01', o_orderdate) AS BIGINT) AS x,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM orders GROUP BY o_orderdate
+),
+slopes AS (
+  -- truncation-toward-zero written in floor primitives (// floors,
+  -- Spark DIV truncates; sign/abs makes them identical)
+  SELECT CAST(CASE WHEN b.y >= a.y THEN (b.y - a.y) * 1000 // (b.x - a.x)
+              ELSE -((a.y - b.y) * 1000 // (b.x - a.x)) END AS BIGINT) AS m
+  FROM daily a JOIN daily b ON b.x > a.x
+),
+med AS (
+  -- LOWER median (quantile_disc), matching the Spark order statistic
+  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(quantile_disc(m, 0.5) AS BIGINT) AS theil_sen_milli
+  FROM slopes
+),
+ols AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(x) AS HUGEINT) AS sx,
+         CAST(sum(y) AS HUGEINT) AS sy,
+         CAST(sum(x * x) AS HUGEINT) AS sxx,
+         CAST(sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS HUGEINT) AS sxy
+  FROM daily
+)
+SELECT m.n_pairs, m.theil_sen_milli,
+       CAST((o.n * o.sxy - o.sx * o.sy) * 1000
+            // (o.n * o.sxx - o.sx * o.sx) AS BIGINT) AS ols_milli
+FROM med m CROSS JOIN ols o
+"""
+
+
+@register("theilsen_trend_report", oracle=_theilsen_oracle())
+def theilsen_trend_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row robust trend report for daily revenue: the Theil-Sen
+    slope (exact median of all pairwise day-slopes in milli-cents/day;
+    even pair counts take the LOWER median so the statistic stays an
+    actual observed slope and an exact integer in both engines) next
+    to the OLS slope from the same exact sums — a gap between them IS
+    the outlier diagnostic.
+
+    Scale shape: one corpus scan map-side-combines to the
+    calendar-bounded daily table; the pairwise self-join is over DAYS
+    (n*(n-1)/2 pairs for ~2.4k days = ~2.9M integer rows at any corpus
+    size — bounded work, the same scale-exempt argument as the
+    storage grid); the median is one aggregate over those integer
+    slopes. OLS sums run in DECIMAL(38,0)/HUGEINT: day-index times
+    cents products at sf100 reach ~1e17 per row and ~1e21 summed,
+    past BIGINT but comfortably inside 38 digits. Truncating division
+    everywhere, operands arranged non-negative or exact."""
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").alias("d"))
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)"
+            ).alias("y")
+        )
+        .select(
+            F.expr("CAST(datediff(d, DATE '1992-01-01') AS BIGINT)").alias("x"),
+            "y",
+        )
+        .localCheckpoint(eager=True)  # both sides of the day-pair self-join
+    )
+    a = daily.select(F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = daily.select(F.col("x").alias("xb"), F.col("y").alias("yb"))
+    # (yb - ya) can be negative: Spark DIV truncates toward zero while
+    # DuckDB // floors, so the slope ships as sign(dy) * (|dy| // dx) —
+    # truncation-toward-zero written out in floor-division primitives,
+    # identical in both engines. The oracle's // on a negative
+    # numerator would floor, so IT uses the same sign/abs form below.
+    slopes = a.join(b, F.col("xb") > F.col("xa")).select(
+        F.expr(
+            "CAST(CASE WHEN yb >= ya THEN (yb - ya) * 1000 DIV (xb - xa) "
+            "ELSE -((ya - yb) * 1000 DIV (xb - xa)) END AS BIGINT)"
+        ).alias("m")
+    )
+    med = slopes.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        # element_at is 1-based: lower median = position (n-1)//2 + 1,
+        # i.e. DuckDB's quantile_disc(0.5). The collect is bounded by
+        # the day-pair count, never the corpus.
+        F.expr(
+            "CAST(element_at(sort_array(collect_list(m)),"
+            " CAST((count(*) - 1) DIV 2 AS INT) + 1) AS BIGINT)"
+        ).alias("theil_sen_milli"),
+    )
+    ols = daily.agg(
+        F.expr("CAST(count(*) AS DECIMAL(38,0))").alias("n"),
+        F.expr("CAST(sum(x) AS DECIMAL(38,0))").alias("sx"),
+        F.expr("CAST(sum(y) AS DECIMAL(38,0))").alias("sy"),
+        F.expr("CAST(sum(x * x) AS DECIMAL(38,0))").alias("sxx"),
+        F.expr(
+            "CAST(sum(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))"
+            " AS DECIMAL(38,0))"
+        ).alias("sxy"),
+    )
+    num = "(n * sxy - sx * sy) * 1000"
+    den = "(n * sxx - sx * sx)"
+    ols_milli = (
+        f"CAST(CASE WHEN {num} >= 0 THEN CAST((({num}) - (({num}) % ({den})))"
+        f" / ({den}) AS DECIMAL(38,0)) "
+        f"ELSE -CAST(((-({num})) - ((-({num})) % ({den}))) / ({den})"
+        f" AS DECIMAL(38,0)) END AS BIGINT)"
+    )
+    return med.crossJoin(F.broadcast(ols)).select(
+        "n_pairs", "theil_sen_milli", F.expr(ols_milli).alias("ols_milli")
+    )
