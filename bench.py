@@ -101,6 +101,13 @@ def main() -> None:
         "textrank_keywords",
         "linkage_blocking_recall_report",
         "conformal_threshold_report",
+        # r10 continuation families (skyline / changepoint / basket /
+        # attribution) — cheap at both SFs, so the new code paths are
+        # regression-visible without touching the frozen core
+        "pareto_frontier_parts",
+        "changepoint_revenue",
+        "association_rules_report",
+        "attribution_report",
     )
     ext_queries = {n: REGISTRY[n] for n in EXT_SET if n in REGISTRY}
 

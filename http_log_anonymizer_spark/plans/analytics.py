@@ -7580,6 +7580,49 @@ FROM med m CROSS JOIN ols o
 """
 
 
+def theilsen_scan(daily_xy: DataFrame) -> DataFrame:
+    """Reduce half of theilsen_trend_report over an (x, y) daily table
+    (day index, cents) — factored so the streaming monitor can replay
+    it on its folded state. See the query docstring for contracts."""
+    daily = daily_xy.localCheckpoint(eager=True)
+    a = daily.select(F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = daily.select(F.col("x").alias("xb"), F.col("y").alias("yb"))
+    slopes = a.join(b, F.col("xb") > F.col("xa")).select(
+        F.expr(
+            "CAST(CASE WHEN yb >= ya THEN (yb - ya) * 1000 DIV (xb - xa) "
+            "ELSE -((ya - yb) * 1000 DIV (xb - xa)) END AS BIGINT)"
+        ).alias("m")
+    )
+    med = slopes.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.expr(
+            "CAST(element_at(sort_array(collect_list(m)),"
+            " CAST((count(*) - 1) DIV 2 AS INT) + 1) AS BIGINT)"
+        ).alias("theil_sen_milli"),
+    )
+    ols = daily.agg(
+        F.expr("CAST(count(*) AS DECIMAL(38,0))").alias("n"),
+        F.expr("CAST(sum(x) AS DECIMAL(38,0))").alias("sx"),
+        F.expr("CAST(sum(y) AS DECIMAL(38,0))").alias("sy"),
+        F.expr("CAST(sum(x * x) AS DECIMAL(38,0))").alias("sxx"),
+        F.expr(
+            "CAST(sum(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))"
+            " AS DECIMAL(38,0))"
+        ).alias("sxy"),
+    )
+    num = "(n * sxy - sx * sy) * 1000"
+    den = "(n * sxx - sx * sx)"
+    ols_milli = (
+        f"CAST(CASE WHEN {num} >= 0 THEN CAST((({num}) - (({num}) % ({den})))"
+        f" / ({den}) AS DECIMAL(38,0)) "
+        f"ELSE -CAST(((-({num})) - ((-({num})) % ({den}))) / ({den})"
+        f" AS DECIMAL(38,0)) END AS BIGINT)"
+    )
+    return med.crossJoin(F.broadcast(ols)).select(
+        "n_pairs", "theil_sen_milli", F.expr(ols_milli).alias("ols_milli")
+    )
+
+
 @register("theilsen_trend_report", oracle=_theilsen_oracle())
 def theilsen_trend_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row robust trend report for daily revenue: the Theil-Sen
@@ -7610,49 +7653,5 @@ def theilsen_trend_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(datediff(d, DATE '1992-01-01') AS BIGINT)").alias("x"),
             "y",
         )
-        .localCheckpoint(eager=True)  # both sides of the day-pair self-join
     )
-    a = daily.select(F.col("x").alias("xa"), F.col("y").alias("ya"))
-    b = daily.select(F.col("x").alias("xb"), F.col("y").alias("yb"))
-    # (yb - ya) can be negative: Spark DIV truncates toward zero while
-    # DuckDB // floors, so the slope ships as sign(dy) * (|dy| // dx) —
-    # truncation-toward-zero written out in floor-division primitives,
-    # identical in both engines. The oracle's // on a negative
-    # numerator would floor, so IT uses the same sign/abs form below.
-    slopes = a.join(b, F.col("xb") > F.col("xa")).select(
-        F.expr(
-            "CAST(CASE WHEN yb >= ya THEN (yb - ya) * 1000 DIV (xb - xa) "
-            "ELSE -((ya - yb) * 1000 DIV (xb - xa)) END AS BIGINT)"
-        ).alias("m")
-    )
-    med = slopes.agg(
-        F.count("*").cast("long").alias("n_pairs"),
-        # element_at is 1-based: lower median = position (n-1)//2 + 1,
-        # i.e. DuckDB's quantile_disc(0.5). The collect is bounded by
-        # the day-pair count, never the corpus.
-        F.expr(
-            "CAST(element_at(sort_array(collect_list(m)),"
-            " CAST((count(*) - 1) DIV 2 AS INT) + 1) AS BIGINT)"
-        ).alias("theil_sen_milli"),
-    )
-    ols = daily.agg(
-        F.expr("CAST(count(*) AS DECIMAL(38,0))").alias("n"),
-        F.expr("CAST(sum(x) AS DECIMAL(38,0))").alias("sx"),
-        F.expr("CAST(sum(y) AS DECIMAL(38,0))").alias("sy"),
-        F.expr("CAST(sum(x * x) AS DECIMAL(38,0))").alias("sxx"),
-        F.expr(
-            "CAST(sum(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))"
-            " AS DECIMAL(38,0))"
-        ).alias("sxy"),
-    )
-    num = "(n * sxy - sx * sy) * 1000"
-    den = "(n * sxx - sx * sx)"
-    ols_milli = (
-        f"CAST(CASE WHEN {num} >= 0 THEN CAST((({num}) - (({num}) % ({den})))"
-        f" / ({den}) AS DECIMAL(38,0)) "
-        f"ELSE -CAST(((-({num})) - ((-({num})) % ({den}))) / ({den})"
-        f" AS DECIMAL(38,0)) END AS BIGINT)"
-    )
-    return med.crossJoin(F.broadcast(ols)).select(
-        "n_pairs", "theil_sen_milli", F.expr(ols_milli).alias("ols_milli")
-    )
+    return theilsen_scan(daily)

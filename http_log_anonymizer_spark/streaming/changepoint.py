@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from http_log_anonymizer_spark.plans.analytics import (
     changepoint_daily_base,
     changepoint_scan,
+    theilsen_scan,
 )
 from http_log_anonymizer_spark.streaming.reservoir import EpochStateSink
 
@@ -74,6 +75,25 @@ class StreamingChangepointMonitor(EpochStateSink):
         if st is None or not st.take(1):
             return changepoint_scan(spark.createDataFrame([], _EMPTY))
         return changepoint_scan(st)
+
+    def trend(self, spark: SparkSession) -> DataFrame:
+        """The theilsen_trend_report readout over all arrived rows —
+        the SAME (d, s, n) state feeds both detectors: the day index
+        and cents sum the trend scan needs are derivable from it, so
+        one monitor answers both "did the level shift?" (report) and
+        "what is the robust slope?" (trend). Asserted row-equal to the
+        batch query in tests."""
+        st = self.current(spark)
+        if st is None or not st.take(1):
+            return theilsen_scan(
+                spark.createDataFrame([], "x bigint, y bigint")
+            )
+        return theilsen_scan(
+            st.select(
+                F.expr("CAST(datediff(d, DATE '1992-01-01') AS BIGINT)").alias("x"),
+                F.col("s").cast("long").alias("y"),
+            )
+        )
 
     def alarms(self, spark: SparkSession, min_gain_cents2: int) -> DataFrame:
         """Split candidates whose SSE gain meets the page threshold —

@@ -91,3 +91,17 @@ def test_alarm_pages_on_planted_shift_and_not_on_flat(spark, tmp_path):
 def test_empty_state_report_is_empty(spark, tmp_path):
     mon = StreamingChangepointMonitor(str(tmp_path / "none"))
     assert mon.report(spark).count() == 0
+
+
+def test_trend_readout_equals_batch_theilsen(spark, tmp_path):
+    d = load_table(spark, SF, "orders").persist()
+    mon = StreamingChangepointMonitor(str(tmp_path / "trend"))
+    for b in range(3):
+        mon.write(d.filter(F.col("o_orderkey") % 3 == b), b)
+    d.unpersist()
+    got = [tuple(r) for r in mon.trend(spark).collect()]
+    want = [
+        tuple(r)
+        for r in REGISTRY["theilsen_trend_report"].spark_fn(spark, SF).collect()
+    ]
+    assert got == want and len(got) == 1
