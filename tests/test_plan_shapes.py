@@ -385,3 +385,37 @@ def test_candidate_pipelines_never_static_broadcast_corpus_sides(spark):
     plan = _plan(spark, "data_quality_report")
     assert "BroadcastHashJoin" not in plan or "LeftAnti, BuildRight" not in plan
     assert plan.count("SortMergeJoin") >= 2
+
+
+def test_pareto_frontier_broadcasts_the_grid(spark):
+    """The skyline decision grid is domain-bounded and must join back
+    to the fact scan as a broadcast hash join — a shuffled join here
+    would mean the corpus is exchanged for a ~1k-row dimension."""
+    plan = _plan(spark, "pareto_frontier_parts")
+    assert "BroadcastHashJoin" in plan
+    # the fact side must not be exchanged before the join: the only
+    # Exchange subtrees are the grid build and the final global order
+    pre_join = plan.split("BroadcastHashJoin")[0]
+    assert "Exchange hashpartitioning" not in pre_join
+
+
+def test_association_rules_topk_is_take_ordered(spark):
+    plan = _plan(spark, "association_rules_report")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_attribution_windows_are_user_partitioned(spark):
+    """Journey assignment must never fall into the single-partition
+    window trap: every Window in the plan carries a partition spec."""
+    plan = _plan(spark, "attribution_report")
+    assert "CartesianProduct" not in plan
+    for frag in plan.split("Window ")[1:]:
+        spec = frag.split("\n", 1)[0]
+        assert "user_id" in spec, spec
+
+
+def test_cohort_ltv_broadcasts_cohort_sizes(spark):
+    plan = _plan(spark, "cohort_ltv_report")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
