@@ -51,11 +51,12 @@ from http_log_anonymizer_spark.plans import linkage  # noqa: E402,F401
 #      hard_negative_mining, revenue_concentration_report.
 #      (data_quality_report, the eighth sweep query, was already in
 #      the window below.)
-#   18-25. the eight operators added in the round-10 continuation
+#   18-29. the twelve operators added in the round-10 continuation
 #      session (pareto frontier, RA link prediction, golden record,
-#      changepoint, modularity, association rules, retrieval eval,
-#      attribution) — never driver-checked, rule 1.
-#   26-50. 25 of the 43 r05-stale queries — the 18 displaced by rules
+#      changepoint + depth-2 segments, modularity, association rules,
+#      retrieval eval, attribution, assortativity, cohort LTV,
+#      Theil-Sen) — never driver-checked, rule 1.
+#   30-50. 21 of the 43 r05-stale queries — the 22 displaced by rules
 #      1-2 (simple TPC-H/http shapes, untouched since r05) stay
 #      locally gated and lead the r11 staleness cohort.
 # Everything outside the window stays locally gated by
@@ -83,6 +84,10 @@ _WINDOW = [
     "association_rules_report",
     "retrieval_eval_report",
     "attribution_report",
+    "graph_assortativity_report",
+    "cohort_ltv_report",
+    "changepoint_segments",
+    "theilsen_trend_report",
     # --- plan-diffed by this round's broadcast sweep (rule 2) ---
     "dedup_minhash_lsh",
     "dedup_incremental_batch",
@@ -106,17 +111,13 @@ _WINDOW = [
     "http_monthly",
     "http_top_ips",
     "http_totals_cube",
-    "hypertable_rollup",
     "json_encode_rows",
     "multimodal_decode_meta",
     "shipping_priority",
     "token_stats",
     "top_orders_per_customer",
     "top_terms_per_lang",
-    "user_cohort_setops",
-    "value_stats",
     "wordpiece_learn_merges",
-    "zorder_layout",
 ]
 
 
