@@ -7655,3 +7655,189 @@ def theilsen_trend_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return theilsen_scan(daily)
+
+
+# ---------------------------------------------------------------------------
+# k-truss peeling (Cohen, "Trusses: cohesive subgraphs for social
+# network analysis", NSA TR 2008) — the EDGE-cohesion companion to
+# kcore_peeling_report: each round keeps only edges participating in
+# at least (k - 2) triangles among CURRENT survivors. Stricter than
+# k-core (every k-truss is inside a (k-1)-core) and the standard
+# community-scaffold extractor. Synchronous rounds of deterministic
+# integer logic, so the oracle unrolls them as CTEs like k-core.
+# ---------------------------------------------------------------------------
+
+_KTRUSS_K = 4  # each surviving edge needs >= 2 triangles
+_KTRUSS_ROUNDS = 3
+_KTRUSS_MINSUP = 2  # same noise-edge threshold as LPA/triangles/k-core
+
+
+def _ktruss_round_ctes(t: int) -> str:
+    """CTEs computing e{t+1} (surviving edges) from e{t}: degree-ordered
+    orientation, wedge join, per-edge triangle support, threshold."""
+    # AS MATERIALIZED is load-bearing: DuckDB INLINES plain CTEs at every
+    # reference, and each round references its predecessor ~5 times —
+    # 3 unrolled rounds would expand e0's lineitem self-join 100+
+    # times and exhaust the process fd limit before planning finishes.
+    return f"""deg{t} AS MATERIALIZED (
+  SELECT node, count(*) AS d FROM (
+    SELECT u AS node FROM e{t} UNION ALL SELECT v AS node FROM e{t}
+  ) GROUP BY node
+),
+fwd{t} AS MATERIALIZED (
+  SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS s,
+         CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS t
+  FROM e{t} e JOIN deg{t} du ON e.u = du.node JOIN deg{t} dv ON e.v = dv.node
+),
+tri{t} AS MATERIALIZED (
+  SELECT w1.s AS x, w1.t AS y, w2.t AS z
+  FROM fwd{t} w1 JOIN fwd{t} w2 ON w1.s = w2.s AND w1.t < w2.t
+  JOIN fwd{t} e ON e.s = w1.t AND e.t = w2.t
+),
+supp{t} AS MATERIALIZED (
+  SELECT u, v, count(*) AS ntri FROM (
+    SELECT least(x, y) AS u, greatest(x, y) AS v FROM tri{t}
+    UNION ALL
+    SELECT least(x, z) AS u, greatest(x, z) AS v FROM tri{t}
+    UNION ALL
+    SELECT least(y, z) AS u, greatest(y, z) AS v FROM tri{t}
+  ) GROUP BY u, v
+),
+e{t + 1} AS MATERIALIZED (
+  SELECT e.u, e.v FROM e{t} e
+  JOIN supp{t} s ON s.u = e.u AND s.v = e.v
+  WHERE s.ntri >= {_KTRUSS_K - 2}
+)"""
+
+
+def _ktruss_oracle() -> str:
+    parts = [
+        f"""e0 AS MATERIALIZED (
+  SELECT least(a.l_partkey, b.l_partkey) AS u,
+         greatest(a.l_partkey, b.l_partkey) AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  GROUP BY u, v
+  HAVING count(*) >= {2 * _KTRUSS_MINSUP}
+)"""
+    ]
+    for t in range(_KTRUSS_ROUNDS):
+        parts.append(_ktruss_round_ctes(t))
+    rounds_sql = "\nUNION ALL\n".join(
+        f"""SELECT {t} AS round,
+       (SELECT count(*) FROM e{t}) AS n_edges,
+       (SELECT count(*) FROM (SELECT u AS n FROM e{t} UNION SELECT v FROM e{t})) AS n_nodes"""
+        for t in range(_KTRUSS_ROUNDS + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT CAST(round AS BIGINT) AS round,
+       CAST(n_edges AS BIGINT) AS n_edges,
+       CAST(n_nodes AS BIGINT) AS n_nodes
+FROM ({rounds_sql})
+ORDER BY round
+"""
+    )
+
+
+@register("ktruss_peeling_report", oracle=_ktruss_oracle())
+def ktruss_peeling_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-round survivor counts of synchronous {_KTRUSS_K}-truss
+    peeling over the support-thresholded co-purchase graph: each round
+    recounts per-edge triangle support among current survivors and
+    keeps edges in >= {_KTRUSS_K - 2} triangles. Like k-core, the
+    registered contract is a FIXED {_KTRUSS_ROUNDS} rounds — an
+    exactly replayable upper bound on the true truss, the per-round
+    deltas showing convergence.
+
+    Scale shape: every round is the triangle_counts machinery — the
+    degree-ordered orientation bounds wedge generation at each
+    triangle's lowest-degree vertex (Suri-Vassilvitskii), the triangle
+    triple explodes to exactly three integer edge rows, support is a
+    map-side-combined groupBy on (u, v), and the threshold join prunes
+    the edge set before the next round ever builds a wedge. Edge state
+    shrinks monotonically; each round's output is localCheckpointed so
+    round t+1 starts from materialized survivors instead of replaying
+    rounds 0..t (the loop-carried-state rule — contrast the modularity
+    negative result, where the fan-out was WITHIN one job)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    other = li.select(F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("p2"))
+    edges = (
+        li.join(other, (li.l_orderkey == other.o2) & (li.l_partkey != other.p2))
+        .groupBy(
+            F.least("l_partkey", "p2").alias("u"),
+            F.greatest("l_partkey", "p2").alias("v"),
+        )
+        .agg(F.count("*").alias("w2"))
+        .filter(F.col("w2") >= 2 * _KTRUSS_MINSUP)
+        .select("u", "v")
+        .localCheckpoint(eager=True)
+    )
+
+    def survivors(e: DataFrame) -> DataFrame:
+        deg = (
+            e.select(F.col("u").alias("node"))
+            .unionByName(e.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("d"))
+        )
+        du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+        dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+        smaller = (F.col("du") < F.col("dv")) | (
+            (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+        )
+        fwd = (
+            e.join(du, "u")
+            .join(dv, "v")
+            .select(
+                F.when(smaller, F.col("u")).otherwise(F.col("v")).alias("s"),
+                F.when(smaller, F.col("v")).otherwise(F.col("u")).alias("t"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        w1 = fwd.select("s", F.col("t").alias("y"))
+        w2 = fwd.select("s", F.col("t").alias("z"))
+        closing = fwd.select(F.col("s").alias("y"), F.col("t").alias("z"))
+        tri = (
+            w1.join(w2, "s")
+            .filter(F.col("y") < F.col("z"))
+            .join(closing, ["y", "z"])
+            .select(F.col("s").alias("x"), "y", "z")
+        )
+        supp = (
+            tri.select(F.least("x", "y").alias("u"), F.greatest("x", "y").alias("v"))
+            .unionByName(
+                tri.select(
+                    F.least("x", "z").alias("u"), F.greatest("x", "z").alias("v")
+                )
+            )
+            .unionByName(
+                tri.select(
+                    F.least("y", "z").alias("u"), F.greatest("y", "z").alias("v")
+                )
+            )
+            .groupBy("u", "v")
+            .agg(F.count("*").alias("ntri"))
+            .filter(F.col("ntri") >= _KTRUSS_K - 2)
+            .select("u", "v")
+        )
+        return e.join(supp, ["u", "v"]).localCheckpoint(eager=True)
+
+    rounds = [edges]
+    for _ in range(_KTRUSS_ROUNDS):
+        rounds.append(survivors(rounds[-1]))
+
+    def counts(t: int, e: DataFrame) -> DataFrame:
+        nodes = e.select(F.col("u").alias("n")).union(
+            e.select(F.col("v").alias("n"))
+        ).distinct()
+        return e.agg(F.count("*").cast("long").alias("n_edges")).crossJoin(
+            nodes.agg(F.count("*").cast("long").alias("n_nodes"))
+        ).select(F.lit(t).cast("long").alias("round"), "n_edges", "n_nodes")
+
+    out = counts(0, rounds[0])
+    for t in range(1, _KTRUSS_ROUNDS + 1):
+        out = out.unionByName(counts(t, rounds[t]))
+    return out.orderBy("round")
