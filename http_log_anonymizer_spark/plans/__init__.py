@@ -51,12 +51,12 @@ from http_log_anonymizer_spark.plans import linkage  # noqa: E402,F401
 #      hard_negative_mining, revenue_concentration_report.
 #      (data_quality_report, the eighth sweep query, was already in
 #      the window below.)
-#   18-29. the twelve operators added in the round-10 continuation
+#   18-30. the thirteen operators added in the round-10 continuation
 #      session (pareto frontier, RA link prediction, golden record,
 #      changepoint + depth-2 segments, modularity, association rules,
 #      retrieval eval, attribution, assortativity, cohort LTV,
-#      Theil-Sen) — never driver-checked, rule 1.
-#   30-50. 21 of the 43 r05-stale queries — the 22 displaced by rules
+#      Theil-Sen, k-truss) — never driver-checked, rule 1.
+#   31-50. 20 of the 43 r05-stale queries — the 23 displaced by rules
 #      1-2 (simple TPC-H/http shapes, untouched since r05) stay
 #      locally gated and lead the r11 staleness cohort.
 # Everything outside the window stays locally gated by
@@ -88,6 +88,7 @@ _WINDOW = [
     "cohort_ltv_report",
     "changepoint_segments",
     "theilsen_trend_report",
+    "ktruss_peeling_report",
     # --- plan-diffed by this round's broadcast sweep (rule 2) ---
     "dedup_minhash_lsh",
     "dedup_incremental_batch",
@@ -114,7 +115,6 @@ _WINDOW = [
     "json_encode_rows",
     "multimodal_decode_meta",
     "shipping_priority",
-    "token_stats",
     "top_orders_per_customer",
     "top_terms_per_lang",
     "wordpiece_learn_merges",
