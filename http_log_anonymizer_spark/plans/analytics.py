@@ -6969,7 +6969,7 @@ WITH ev AS (
   SELECT user_id, event_id, ts, event_type,
          CAST(round(value * 100) AS BIGINT) AS cents,
          sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) OVER (
-           PARTITION BY user_id ORDER BY ts, event_id
+           PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
          ) AS grp
   FROM events
@@ -6986,7 +6986,7 @@ jt AS (
   SELECT t.user_id, t.grp, t.channel, t.ts, t.event_id, c.cents,
          count(*) OVER (PARTITION BY t.user_id, t.grp) AS n_touches,
          row_number() OVER (
-           PARTITION BY t.user_id, t.grp ORDER BY t.ts, t.event_id
+           PARTITION BY t.user_id, t.grp ORDER BY t.ts NULLS FIRST, t.event_id
          ) AS pos
   FROM touch t JOIN conv c ON c.user_id = t.user_id AND c.grp = t.grp
 ),
@@ -7312,9 +7312,14 @@ def cohort_ltv_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     by_age = purch.groupBy("cohort_month", "age_months").agg(
         F.sum("cents").cast("long").alias("revenue_cents")
     )
+    # NULL ages (a purchase with no timestamp) sort LAST so undated
+    # revenue cannot pollute every dated age's cumulative value —
+    # asc_nulls_last matches DuckDB's ASC default; Spark's default
+    # NULLS FIRST silently included the NULL-age row in every cum
+    # (the planted-NULL audit's divergence class).
     wcum = (
         Window.partitionBy("cohort_month")
-        .orderBy("age_months")
+        .orderBy(F.asc_nulls_last("age_months"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = by_age.withColumn(

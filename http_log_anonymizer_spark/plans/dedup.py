@@ -603,7 +603,12 @@ def golden_record_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
-    wl = Window.partitionBy("cluster_id").orderBy(F.desc("cnt"), "lang_survived")
+    # NULL-lang groups lose ties (asc_nulls_last): Spark's default ASC
+    # is NULLS FIRST while DuckDB's is NULLS LAST — the planted-NULL
+    # audit caught the mode tie going to NULL on one engine only.
+    wl = Window.partitionBy("cluster_id").orderBy(
+        F.desc("cnt"), F.asc_nulls_last("lang_survived")
+    )
     lang_mode = (
         mem.groupBy("cluster_id", F.col("lang").alias("lang_survived"))
         .agg(F.count("*").alias("cnt"))
