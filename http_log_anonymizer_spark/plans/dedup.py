@@ -813,40 +813,35 @@ def simhash_signatures(d: DataFrame, bits: int = _SIMHASH_BITS) -> DataFrame:
     assert bits < 63, bits
     n_packs = -(-bits // _PACK_FIELDS)
     tok = d.select("doc_id", F.explode(F.array_distinct(tokens_ws("text"))).alias("tk"))
-    hv = hash64("tk", "sim")
+    # The per-bit folds are rendered as SQL text and parsed by ONE
+    # F.expr each: the Column-API construction issued ~6 py4j
+    # round-trips per bit (hundreds per query, ~2 s of driver time,
+    # r10 optimization measurement) for an identical expression tree.
+    hv = "CAST(conv(substring(md5(concat('sim|', tk)), 1, 15), 16, 10) AS BIGINT)"
 
-    def _packed(p: int) -> F.Column:
-        brange = range(p * _PACK_FIELDS, min((p + 1) * _PACK_FIELDS, bits))
-        return reduce(
-            lambda acc, j: acc
-            + F.shiftleft(
-                F.shiftright(hv, j).bitwiseAND(F.lit(1)),
-                (j - p * _PACK_FIELDS) * _PACK_WIDTH,
-            ),
-            list(brange)[1:],
-            F.shiftright(hv, list(brange)[0]).bitwiseAND(F.lit(1)),
-        )
+    def _packed_sql(p: int) -> str:
+        brange = list(range(p * _PACK_FIELDS, min((p + 1) * _PACK_FIELDS, bits)))
+        terms = [f"(shiftright({hv}, {brange[0]}) & 1)"] + [
+            f"shiftleft(shiftright({hv}, {j}) & 1, {(j - p * _PACK_FIELDS) * _PACK_WIDTH})"
+            for j in brange[1:]
+        ]
+        return " + ".join(terms)
 
     packed = tok.groupBy("doc_id").agg(
         F.count("*").alias("n"),
-        *[F.sum(_packed(p)).alias(f"p{p}") for p in range(n_packs)],
+        *[F.expr(f"sum({_packed_sql(p)})").alias(f"p{p}") for p in range(n_packs)],
     )
 
-    def _cnt(j: int) -> F.Column:
+    def _cnt_sql(j: int) -> str:
         p, k = divmod(j, _PACK_FIELDS)
-        return F.shiftright(F.col(f"p{p}"), k * _PACK_WIDTH).bitwiseAND(F.lit(_PACK_MASK))
+        return f"(shiftright(p{p}, {k * _PACK_WIDTH}) & {_PACK_MASK})"
 
-    simhash = reduce(
-        lambda acc, j: acc
-        + F.when(_cnt(j) * 2 >= F.col("n"), F.lit(1 << j).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        ),
-        range(1, bits),
-        F.when(_cnt(0) * 2 >= F.col("n"), F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        ),
+    simhash = " + ".join(
+        f"(CASE WHEN {_cnt_sql(j)} * 2 >= n THEN CAST({1 << j} AS BIGINT)"
+        " ELSE CAST(0 AS BIGINT) END)"
+        for j in range(bits)
     )
-    return packed.select("doc_id", simhash.alias("simhash"))
+    return packed.select("doc_id", F.expr(simhash).alias("simhash"))
 
 
 def simhash_allpairs_pairs(sig: DataFrame, hamming_max: int = _HAMMING_MAX) -> DataFrame:
@@ -1089,45 +1084,40 @@ def simhash_signatures_words(
     :func:`simhash_signatures`, concatenated across words)."""
     assert all(b < 63 for b in word_bits), word_bits
     tok = d.select("doc_id", F.explode(F.array_distinct(tokens_ws("text"))).alias("tk"))
-    hvs = [hash64("tk", f"sim{w}") for w in range(len(word_bits))]
+    # SQL-text folds parsed by one F.expr each (same py4j-chatter
+    # rationale as :func:`simhash_signatures`; identical expression
+    # trees).
+    hvs = [
+        f"CAST(conv(substring(md5(concat('sim{w}|', tk)), 1, 15), 16, 10) AS BIGINT)"
+        for w in range(len(word_bits))
+    ]
 
     aggs = [F.count("*").alias("n")]
     for w, bits in enumerate(word_bits):
         n_packs = -(-bits // _PACK_FIELDS)
         for p in range(n_packs):
             brange = list(range(p * _PACK_FIELDS, min((p + 1) * _PACK_FIELDS, bits)))
-            packed = reduce(
-                lambda acc, j: acc
-                + F.shiftleft(
-                    F.shiftright(hvs[w], j).bitwiseAND(F.lit(1)),
-                    (j - p * _PACK_FIELDS) * _PACK_WIDTH,
-                ),
-                brange[1:],
-                F.shiftright(hvs[w], brange[0]).bitwiseAND(F.lit(1)),
-            )
-            aggs.append(F.sum(packed).alias(f"w{w}p{p}"))
+            terms = [f"(shiftright({hvs[w]}, {brange[0]}) & 1)"] + [
+                f"shiftleft(shiftright({hvs[w]}, {j}) & 1,"
+                f" {(j - p * _PACK_FIELDS) * _PACK_WIDTH})"
+                for j in brange[1:]
+            ]
+            aggs.append(F.expr(f"sum({' + '.join(terms)})").alias(f"w{w}p{p}"))
     packed = tok.groupBy("doc_id").agg(*aggs)
 
     sigs = []
     for w, bits in enumerate(word_bits):
 
-        def _cnt(j: int, w=w) -> F.Column:
+        def _cnt_sql(j: int, w=w) -> str:
             p, k = divmod(j, _PACK_FIELDS)
-            return F.shiftright(F.col(f"w{w}p{p}"), k * _PACK_WIDTH).bitwiseAND(
-                F.lit(_PACK_MASK)
-            )
+            return f"(shiftright(w{w}p{p}, {k * _PACK_WIDTH}) & {_PACK_MASK})"
 
-        sig = reduce(
-            lambda acc, j: acc
-            + F.when(_cnt(j) * 2 >= F.col("n"), F.lit(1 << j).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            ),
-            range(1, bits),
-            F.when(_cnt(0) * 2 >= F.col("n"), F.lit(1).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            ),
+        sig = " + ".join(
+            f"(CASE WHEN {_cnt_sql(j)} * 2 >= n THEN CAST({1 << j} AS BIGINT)"
+            " ELSE CAST(0 AS BIGINT) END)"
+            for j in range(bits)
         )
-        sigs.append(sig.alias(f"sig{w}"))
+        sigs.append(F.expr(sig).alias(f"sig{w}"))
     return packed.select("doc_id", *sigs)
 
 

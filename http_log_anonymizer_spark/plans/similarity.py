@@ -105,23 +105,26 @@ def _plane_dots_all(vec_col: str, planes: list[list[float]]) -> F.Column:
     ... — the exact IEEE order of :func:`_plane_dot_spark` — so bucket
     signs are bit-identical to the per-plane fold and the SQL chain.
     One small tree instead of n_planes 64-literal folds: 32 separate
-    folds cost ~20 s of Catalyst analysis/codegen per query."""
+    folds cost ~20 s of Catalyst analysis/codegen per query.
+
+    Built as ONE parsed SQL expression: the Column-API construction of
+    the 64 x n_planes literal matrix issued ~3,000 py4j round-trips
+    (one per F.lit/F.array), measured ~2 s of driver time per query at
+    any scale factor (r10 optimization, guide §5 driver overhead);
+    repr() doubles round-trip exactly through the SQL parser, so the
+    analyzed literal tree — and every result bit — is unchanged."""
     n_planes = len(planes)
-    mat_t = F.array(
-        *[
-            F.array(*[F.lit(planes[p][d]) for p in range(n_planes)])
-            for d in range(_DIM)
-        ]
-    )
-    per_dim = F.zip_with(
-        F.col(vec_col).cast("array<double>"),
-        mat_t,
-        lambda x, row: F.transform(row, lambda c: c * x),
-    )
-    return F.aggregate(
-        per_dim,
-        F.array_repeat(F.lit(0.0), n_planes),
-        lambda acc, v: F.zip_with(acc, v, lambda s, t: s + t),
+    mat_sql = "array(" + ", ".join(
+        "array("
+        + ", ".join(f"{planes[p][d]!r}D" for p in range(n_planes))
+        + ")"
+        for d in range(_DIM)
+    ) + ")"
+    return F.expr(
+        f"aggregate(zip_with(CAST({vec_col} AS ARRAY<DOUBLE>), {mat_sql}, "
+        "(x, row) -> transform(row, c -> c * x)), "
+        f"array_repeat(0.0D, {n_planes}), "
+        "(acc, v) -> zip_with(acc, v, (s, t) -> s + t))"
     )
 
 

@@ -90,6 +90,17 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # PySpark's DataFrame-debugging call-site capture (default ON)
+        # adds 3-4 extra JVM round-trips + a Python stack walk to EVERY
+        # DataFrame/Column API call (pyspark/errors/utils.py:_with_origin:
+        # a conf.get + PySparkCurrentOrigin.set/clear per call). Measured
+        # r10: warm DataFrame *construction* of expression-heavy plans
+        # (simhash/LSH bit folds) spends 2-4 s in py4j socket round-trips
+        # per query — about half of which is this tracing. It only
+        # enriches error messages with user line numbers; plans, results
+        # and execution are identical without it (guide §5: driver-side
+        # overhead in the query path).
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.showConsoleProgress", "false")
