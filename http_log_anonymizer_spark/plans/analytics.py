@@ -6914,18 +6914,46 @@ def association_rules_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row basket count. Supports stay exact BIGINTs; confidence/lift
     are 6-rounded doubles (the established cross-engine idiom). Top-k
     is TakeOrderedAndProject."""
-    item = (
+    # r10 optimization (guide §2.4, measured at sf1): the original
+    # distinct + basket self-equi-join recomputed the distinct item
+    # table under four consumers and shuffled both join sides by
+    # basket (30.5 s at sf1). One collect_set groupBy now distincts
+    # AND groups in a single exchange, pairs are generated in-task
+    # from the sorted basket array (identical (u, v), u < v multiset —
+    # the array is sorted and set-valued), and the two rule directions
+    # explode from one struct array instead of a unionByName that
+    # duplicated the whole pipeline (26 -> ~8 Exchanges, 24.2 s at
+    # sf1; top-25 output verified row-identical and oracle-green at
+    # both gate SFs).
+    baskets = (
         _t(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item"))
-        .distinct()
+        .groupBy(F.col("l_orderkey").alias("basket"))
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("items"))
     )
-    n = item.agg(F.countDistinct("basket").alias("n_baskets"))
-    supp1 = item.groupBy("item").agg(F.count("*").alias("s"))
-    a = item.select("basket", F.col("item").alias("u"))
-    b = item.select(F.col("basket").alias("b2"), F.col("item").alias("v"))
+    n = baskets.agg(F.count("*").alias("n_baskets"))
+    supp1 = (
+        baskets.select(F.explode("items").alias("item"))
+        .groupBy("item")
+        .agg(F.count("*").alias("s"))
+    )
+    # sequence(1, size-1) DESCENDS when size = 1 (Spark semantics), so
+    # single-item baskets — which contribute no pairs — must be
+    # filtered before the index walk.
+    pairs = (
+        baskets.filter(F.size("items") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(1, size(items) - 1),"
+                    " i -> transform(sequence(i + 1, size(items)),"
+                    " j -> struct(items[i - 1] AS u, items[j - 1] AS v))))"
+                )
+            ).alias("p")
+        )
+        .select("p.u", "p.v")
+    )
     supp2 = (
-        a.join(b, (a.basket == b.b2) & (F.col("u") < F.col("v")))
-        .groupBy("u", "v")
+        pairs.groupBy("u", "v")
         .agg(F.count("*").alias("s2"))
         .filter(F.col("s2") >= _AR_MINSUP)
     )
@@ -6936,8 +6964,8 @@ def association_rules_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s2") * 1.0 * F.col("n_baskets") / (F.col("su") * 1.0 * F.col("sv")), 6
     )
 
-    def _dir(ante, cons, s_ante, s_cons):
-        return joined.select(
+    def _dir_struct(ante, cons, s_ante, s_cons):
+        return F.struct(
             F.col(ante).alias("antecedent"),
             F.col(cons).alias("consequent"),
             F.col("s2").alias("support_both"),
@@ -6947,7 +6975,13 @@ def association_rules_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             lift.alias("lift"),
         )
 
-    rules = _dir("u", "v", "su", "sv").unionByName(_dir("v", "u", "sv", "su"))
+    rules = joined.select(
+        F.explode(
+            F.array(
+                _dir_struct("u", "v", "su", "sv"), _dir_struct("v", "u", "sv", "su")
+            )
+        ).alias("r")
+    ).select("r.*")
     return rules.orderBy(F.desc("lift"), "antecedent", "consequent").limit(_AR_TOP)
 
 

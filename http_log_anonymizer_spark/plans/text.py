@@ -595,10 +595,12 @@ def doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-joins back onto the bigram stream — all shuffles are on token
     keys with map-side partial counts; nothing is ever per-pair. The
     bigram TYPE table grows with the corpus (not the vocabulary), so
-    its join carries a merge hint: the static planner must not choose
-    broadcast off a post-agg size estimate (measured OOM at sf10 for
-    the trigram family), while AQE demotes back to broadcast from the
-    ACTUAL shuffle size when the table really is small. ln() is evaluated per distinct bigram join row and both
+    its join carries a shuffle_hash hint (r10: was merge — same
+    no-static-broadcast safety, the build side is hashed per
+    partition, but the token stream is no longer sorted for the
+    join): the static planner must not choose broadcast off a
+    post-agg size estimate (measured OOM at sf10 for the trigram
+    family). ln() is evaluated per distinct bigram join row and both
     engines average the same values (round(4) after avg, the float
     discipline used across the registry)."""
     d = load_table(spark, sf_dir, "documents")
@@ -615,10 +617,10 @@ def doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # score types, not tokens (see kn_doc_perplexity): the model join
     # runs over the bigram-type table; the token stream crosses once
     model = (
-        c2.join(c1.hint("merge"), ["w1"])
+        c2.join(c1.hint("shuffle_hash"), ["w1"])
         .select("w1", "w2", (-F.log(F.col("n2") * 1.0 / F.col("n1"))).alias("nll"))
     )
-    scored = bg.join(model.hint("merge"), ["w1", "w2"]).select("doc_id", "nll")
+    scored = bg.join(model.hint("shuffle_hash"), ["w1", "w2"]).select("doc_id", "nll")
     return (
         scored.groupBy("doc_id")
         .agg(F.count("*").alias("n_bigrams"), F.round(F.avg("nll"), 4).alias("avg_nll"))
@@ -810,7 +812,7 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     c1 = bg.groupBy("lang", "w1").agg(F.count("*").alias("n1"))
     # score types, not tokens (see kn_doc_perplexity)
     model = (
-        c2.join(c1.hint("merge"), ["lang", "w1"])
+        c2.join(c1.hint("shuffle_hash"), ["lang", "w1"])
         .select(
             "lang",
             "w1",
@@ -818,7 +820,7 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             (-F.log(F.col("n2") * 1.0 / F.col("n1"))).alias("nll"),
         )
     )
-    scored = bg.join(model.hint("merge"), ["lang", "w1", "w2"]).select(
+    scored = bg.join(model.hint("shuffle_hash"), ["lang", "w1", "w2"]).select(
         "doc_id", "lang", "nll"
     )
     per_doc = scored.groupBy("doc_id", "lang").agg(
@@ -1441,8 +1443,9 @@ def kn_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     reduce to ONE 3-long row (crossJoin-broadcast, never a driver
     collect); the scoring joins key on token ids. The
     bigram TYPE table grows with the corpus, so its join is
-    merge-hinted (see doc_perplexity) — AQE picks broadcast back up
-    from actual sizes when warranted. Nothing is per-pair; no Python
+    shuffle_hash-hinted (see doc_perplexity; r10: was merge — the
+    per-partition hash build is corpus-safe and skips the stream
+    sort). Nothing is per-pair; no Python
     anywhere in the plan."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", tokens_ws("text").alias("ts"))
@@ -1489,12 +1492,12 @@ def kn_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # that carries the finished nll — at sf100 the stream is 260M+ rows
     # and routing it through every model join OOM'd an 8g heap.
     model = (
-        c2.join(ctx.hint("merge"), ["w1"])
-        .join(pred.hint("merge"), ["w2"])
+        c2.join(ctx.hint("shuffle_hash"), ["w1"])
+        .join(pred.hint("shuffle_hash"), ["w2"])
         .crossJoin(F.broadcast(cc))
         .select("w1", "w2", (-F.log(prob)).alias("nll"))
     )
-    scored = bg.join(model.hint("merge"), ["w1", "w2"]).select("doc_id", "nll")
+    scored = bg.join(model.hint("shuffle_hash"), ["w1", "w2"]).select("doc_id", "nll")
     return (
         scored.groupBy("doc_id")
         .agg(F.count("*").alias("n_bigrams"), F.round(F.avg("nll"), 4).alias("avg_nll"))
@@ -1644,11 +1647,11 @@ def mkn_trigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts-of-counts collapse to ONE row per level. The trigram-type
     and continuation-type tables grow with the corpus (2.7M trigram
     types at sf10, measured — a static-planner broadcast OOM'd there),
-    so those two joins are merge-hinted (measured r08: the hint is
-    BINDING — AQE does not re-promote a user-hinted SMJ even on tiny
-    runtime sizes — which is the safe side of the trade: a forced
-    merge join can never OOM, and costs nothing measurable at the
-    sizes where broadcast would have won); the per-context and
+    so those two joins are shuffle_hash-hinted (r10: was merge —
+    both hints share the no-static-broadcast safety, but shuffled
+    hash builds the type table per partition, ~35k rows/partition
+    even at sf100's 9M types, and drops the SORT of the token stream
+    the merge join forced: measured sf1 16.6 -> 9.5 s); the per-context and
     unigram tables stay vocabulary-bounded. Nothing is per-pair and
     no Python appears anywhere in the plan."""
     # byte-bounded fan-out: each task's map-side partial aggregate over
@@ -1755,20 +1758,28 @@ def mkn_trigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     prob = (F.col("n3c") - dd3) / F.col("c12") + gamma12 * p2
     # Score TYPES, not tokens: all five model joins run over the
     # trigram-TYPE table (corpus-sublinear — 2.7M types vs 26M stream
-    # rows at sf10), and the token stream crosses ONE merge join that
+    # rows at sf10), and the token stream crosses ONE hash join that
     # carries the finished nll. Routing the 260M-row sf100 stream
     # through the five-join chain OOM'd an 8g heap; this shape ran it
     # in one shuffle per side.
+    # r10 optimization (guide §3.1): shuffle_hash instead of merge on
+    # every model join — same no-static-broadcast scale safety (the
+    # build side is hashed PER PARTITION: even sf100's 9M trigram
+    # types are ~35k rows/partition at 256 shuffle partitions, never a
+    # driver broadcast), but the 26M-row token stream is no longer
+    # SORTED by three string keys before the scoring join. Measured
+    # sf1: 16.4 -> 9.5 s full-query; plans show the SortMergeJoin
+    # chain and its Sort nodes replaced by ShuffledHashJoin.
     model = (
-        c3.join(ctx12.hint("merge"), ["w1", "w2"])
-        .join(cb.hint("merge"), ["w2", "w3"])
-        .join(ctx2.hint("merge"), ["w2"])
-        .join(cu.hint("merge"), ["w3"])
+        c3.join(ctx12.hint("shuffle_hash"), ["w1", "w2"])
+        .join(cb.hint("shuffle_hash"), ["w2", "w3"])
+        .join(ctx2.hint("shuffle_hash"), ["w2"])
+        .join(cu.hint("shuffle_hash"), ["w3"])
         .crossJoin(F.broadcast(d3))
         .crossJoin(F.broadcast(d2))
         .select("w1", "w2", "w3", (-F.log(prob)).alias("nll"))
     )
-    scored = bg3.join(model.hint("merge"), ["w1", "w2", "w3"]).select(
+    scored = bg3.join(model.hint("shuffle_hash"), ["w1", "w2", "w3"]).select(
         "doc_id", "nll"
     )
     return (
@@ -1891,12 +1902,12 @@ def ccnet_kn_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # score types, not tokens (see kn_doc_perplexity): model joins run
     # over the per-language type table; the token stream crosses once
     model = (
-        c2.join(ctx.hint("merge"), ["lang", "w1"])
-        .join(pred.hint("merge"), ["lang", "w2"])
+        c2.join(ctx.hint("shuffle_hash"), ["lang", "w1"])
+        .join(pred.hint("shuffle_hash"), ["lang", "w2"])
         .join(F.broadcast(cc), ["lang"])
         .select("lang", "w1", "w2", (-F.log(prob)).alias("nll"))
     )
-    scored = bg.join(model.hint("merge"), ["lang", "w1", "w2"]).select(
+    scored = bg.join(model.hint("shuffle_hash"), ["lang", "w1", "w2"]).select(
         "doc_id", "lang", "nll"
     )
     per_doc = scored.groupBy("doc_id", "lang").agg(
@@ -3310,10 +3321,11 @@ def rho_excess_loss_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the perplexity family's type-table discipline — all
     counting shuffles key on token types with map-side combine, the
     excess table is a bounded TYPE table materialized once
-    (localCheckpoint) and merge-joined onto the occurrence stream
-    (merge hints: the static planner must not broadcast off a post-agg
-    estimate, the measured sf10 OOM class), and nothing is ever
-    per-pair."""
+    (localCheckpoint) and hash-joined onto the occurrence stream
+    (shuffle_hash hints, r10 — was merge: the static planner must not
+    broadcast off a post-agg estimate, the measured sf10 OOM class,
+    and the per-partition hash build skips the stream sort), and
+    nothing is ever per-pair."""
     d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     toks = d.select("doc_id", "source", tokens_ws("text").alias("ts"))
     bg = toks.select(
@@ -3335,13 +3347,13 @@ def rho_excess_loss_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     nll_c = -F.log(F.col("n2c") * 1.0 / F.col("n1c"))
     nll_r = -F.log(F.col("n2r") * 1.0 / F.col("n1r"))
     ex = (
-        c2c.join(c1c.hint("merge"), "w1")
-        .join(c2r.hint("merge"), ["w1", "w2"])
-        .join(c1r.hint("merge"), "w1")
+        c2c.join(c1c.hint("shuffle_hash"), "w1")
+        .join(c2r.hint("shuffle_hash"), ["w1", "w2"])
+        .join(c1r.hint("shuffle_hash"), "w1")
         .select("w1", "w2", (nll_c - nll_r).alias("excess"))
         .localCheckpoint()
     )
-    scored = bg.join(ex.hint("merge"), ["w1", "w2"], "left").select(
+    scored = bg.join(ex.hint("shuffle_hash"), ["w1", "w2"], "left").select(
         "source", "excess"
     )
     kept = F.sum(F.when(F.col("excess") > _RHO_TAU, 1).otherwise(0)).cast("long")
