@@ -2260,18 +2260,23 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     dup_pk = o.groupBy("o_orderkey").agg(F.count("*").alias("cc")).filter(F.col("cc") > 1)
-    # merge hints (r10 sweep): the FK key sides are FULL key columns of
-    # corpus-scaled tables, but single-column pruning shrinks their
-    # size ESTIMATE far below the 64 MiB broadcast threshold long after
-    # the true HashedRelation stops fitting (measured: the static sf100
-    # plan built all 15M customer keys as a broadcast anti join).
-    # Orphan checks scan everything anyway — sort-merge anti join is
-    # the scale plan, binding at every SF.
+    # shuffle_hash hints (r10 sweep; r10-opt: was merge): the FK key
+    # sides are FULL key columns of corpus-scaled tables, but
+    # single-column pruning shrinks their size ESTIMATE far below the
+    # 64 MiB broadcast threshold long after the true HashedRelation
+    # stops fitting (measured: the static sf100 plan built all 15M
+    # customer keys as a broadcast anti join). A per-partition hash
+    # build keeps the no-static-broadcast safety without sorting the
+    # probe side (orders / lineitem, the two biggest tables).
     fk_cust = o.join(
-        c.select("c_custkey").hint("merge"), o.o_custkey == c.c_custkey, "left_anti"
+        c.select("c_custkey").hint("shuffle_hash"),
+        o.o_custkey == c.c_custkey,
+        "left_anti",
     )
     fk_order = l.join(
-        o.select("o_orderkey").hint("merge"), l.l_orderkey == o.o_orderkey, "left_anti"
+        o.select("o_orderkey").hint("shuffle_hash"),
+        l.l_orderkey == o.o_orderkey,
+        "left_anti",
     )
     report = (
         row("orders_pk_unique", o_stats, dup_pk)
@@ -5350,8 +5355,10 @@ def revenue_concentration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # side's ESTIMATE below the broadcast threshold long after the true
     # 15M-key HashedRelation stops fitting (the data_quality_report FK
     # class, measured at sf100). The spend side already hash-partitions
-    # on o_custkey from its groupBy, so the SMJ adds no exchange there.
-    seg = spend.join(cust.hint("merge"), "o_custkey").select("cohort", "s")
+    # on o_custkey from its groupBy, so the join adds no exchange there;
+    # shuffle_hash (r10-opt: was merge) keeps the no-static-broadcast
+    # safety per partition and drops both sides' sorts.
+    seg = spend.join(cust.hint("shuffle_hash"), "o_custkey").select("cohort", "s")
     mx = seg.agg(F.max("s").alias("smax"))
     b0 = (
         seg.crossJoin(mx)

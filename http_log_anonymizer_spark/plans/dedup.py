@@ -2426,16 +2426,14 @@ def line_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     removed = (F.col("cnt") >= 2) & (F.col("occ_key") != F.col("keep_key"))
     # chunk-TYPE table: grows with the corpus like the perplexity
-    # n-gram type tables — merge hint so the static planner never
-    # broadcasts it (the measured sf100 broadcast-OOM class; surfaced
-    # here by the r08 byte-bounded layout shrinking size ESTIMATES
-    # below the 64 MiB threshold at sf10). Measured: the hint is
-    # BINDING — AQE does not re-promote a user-hinted SMJ even at
-    # sf0.001 — and that is the right trade: the forced SMJ costs
-    # nothing measurable at bench scale (sf0.1 unchanged) and can
-    # never OOM at corpus scale.
+    # n-gram type tables — shuffle_hash hint (r10-opt: was merge) so
+    # the static planner never broadcasts it (the measured sf100
+    # broadcast-OOM class; surfaced here by the r08 byte-bounded
+    # layout shrinking size ESTIMATES below the 64 MiB threshold at
+    # sf10), while the per-partition hash build skips the sort of the
+    # corpus-sized occurrence stream the merge join forced.
     return (
-        occ.join(g.hint("merge"), "h")
+        occ.join(g.hint("shuffle_hash"), "h")
         .groupBy("source")
         .agg(
             F.countDistinct("doc_id").alias("n_docs"),
@@ -2622,16 +2620,14 @@ def cdc_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     removed = (F.col("cnt") >= 2) & (F.col("occ_key") != F.col("keep_key"))
     # chunk-TYPE table: grows with the corpus like the perplexity
-    # n-gram type tables — merge hint so the static planner never
-    # broadcasts it (the measured sf100 broadcast-OOM class; surfaced
-    # here by the r08 byte-bounded layout shrinking size ESTIMATES
-    # below the 64 MiB threshold at sf10). Measured: the hint is
-    # BINDING — AQE does not re-promote a user-hinted SMJ even at
-    # sf0.001 — and that is the right trade: the forced SMJ costs
-    # nothing measurable at bench scale (sf0.1 unchanged) and can
-    # never OOM at corpus scale.
+    # n-gram type tables — shuffle_hash hint (r10-opt: was merge) so
+    # the static planner never broadcasts it (the measured sf100
+    # broadcast-OOM class; surfaced here by the r08 byte-bounded
+    # layout shrinking size ESTIMATES below the 64 MiB threshold at
+    # sf10), while the per-partition hash build skips the sort of the
+    # corpus-sized occurrence stream the merge join forced.
     return (
-        occ.join(g.hint("merge"), "h")
+        occ.join(g.hint("shuffle_hash"), "h")
         .groupBy("source")
         .agg(
             F.countDistinct("doc_id").alias("n_docs"),

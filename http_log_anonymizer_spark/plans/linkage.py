@@ -469,9 +469,10 @@ def linkage_blocking_recall_report(spark: SparkSession, sf_dir: str) -> DataFram
     # merge hint (r09, found at sf100): rl_b is a stats-less derived
     # table (hash-built re-observations), so Catalyst under-estimates
     # it below the broadcast threshold and the driver OOMs building a
-    # 15M-row broadcast at sf100. The 1:1 corpus-sized join must be a
-    # sort-merge join at every scale.
-    j = c.join(b.hint("merge"), c.c_custkey == b.kb)
+    # 15M-row broadcast at sf100. The 1:1 corpus-sized join must never
+    # be a static broadcast; shuffle_hash (r10-opt: was merge) keeps
+    # that per partition without sorting either side.
+    j = c.join(b.hint("shuffle_hash"), c.c_custkey == b.kb)
     n = j.agg(F.count("*").alias("n"))
     from functools import reduce
 
@@ -491,7 +492,8 @@ def linkage_blocking_recall_report(spark: SparkSession, sf_dir: str) -> DataFram
         cand = (
             # same trap: both key-group count tables scale with the
             # corpus (distinct names ~ n); never broadcast either side
-            ca.join(cb.hint("merge"), ca.k.eqNullSafe(cb.k))
+            # (shuffle_hash, r10-opt: was merge — no sorts)
+            ca.join(cb.hint("shuffle_hash"), ca.k.eqNullSafe(cb.k))
             .agg(
                 F.coalesce(
                     F.sum(

@@ -1964,7 +1964,7 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     lab = u.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("neg_label"))
     return (
         top
-        .join(lab.hint("merge"), "neighbor_id")
+        .join(lab.hint("shuffle_hash"), "neighbor_id")
         .select("query_id", "neighbor_id", "neg_label", "rank", "cos")
         .orderBy("query_id", "rank")
     )

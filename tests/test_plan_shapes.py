@@ -315,7 +315,9 @@ def test_chunk_type_tables_never_static_broadcast(spark):
                 df = REGISTRY[name].spark_fn(spark, d)
                 plan = df._jdf.queryExecution().executedPlan().toString()
                 assert "BroadcastHashJoin" not in plan, (name, d)
-                assert "SortMergeJoin" in plan, (name, d)
+                # r10-opt: shuffle_hash replaced merge (same
+                # no-static-broadcast guard, no occurrence-stream sort)
+                assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, (name, d)
             return
     plan = _plan(spark, "line_dedup_report")
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
@@ -384,11 +386,12 @@ def test_candidate_pipelines_never_static_broadcast_corpus_sides(spark):
                 bad = _corpus_broadcast_subtrees(plan)
                 assert not bad, (name, d, bad[0])
             break
-    # at any scale: the FK orphan checks are merge-hinted, so the anti
-    # joins must be sort-merge even where a broadcast would fit
+    # at any scale: the FK orphan checks are shuffle_hash-hinted
+    # (r10-opt; previously merge), so the anti joins must be
+    # non-broadcast even where a broadcast would fit
     plan = _plan(spark, "data_quality_report")
     assert "BroadcastHashJoin" not in plan or "LeftAnti, BuildRight" not in plan
-    assert plan.count("SortMergeJoin") >= 2
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") >= 2
 
 
 def test_pareto_frontier_broadcasts_the_grid(spark):

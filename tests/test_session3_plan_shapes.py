@@ -35,10 +35,11 @@ def test_no_cartesian_and_no_python(spark, name):
 
 def test_rho_type_table_joins_are_merge(spark):
     # the excess TYPE table grows with the corpus (not the vocabulary);
-    # its join onto the occurrence stream must stay sort-merge — merge
-    # hints are BINDING (measured r08), so this pin holds against AQE
+    # its join onto the occurrence stream must never be a static
+    # broadcast — shuffle_hash hints (r10-opt; previously merge) are
+    # BINDING, so this pin holds against AQE
     plan = _plan(spark, "rho_excess_loss_report")
-    assert plan.count("SortMergeJoin") >= 1
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") >= 1
     assert "BroadcastHashJoin" not in plan
 
 
