@@ -63,9 +63,22 @@ def norm_column(vec_col: Column | str) -> Column:
 
 
 def unit_from(vec_col: Column | str, norm_col: Column | str) -> Column:
-    """Unit vector given a pre-materialized norm column."""
+    """Unit vector given a pre-materialized norm column.
+
+    The norm is referenced through ``greatest(n, n)`` — an exact
+    identity (same value, same NULL/NaN behavior) that makes the
+    reference count 2, which stops CollapseProject from inlining the
+    norm's aggregate fold INTO the transform lambda (r10, guide §2.2:
+    the two-projection defense was being collapsed away, so the 64-term
+    norm fold re-ran per element — 64x per row — in every similarity
+    query; measured ~11 s of the sf1 embed_neardup_gemm build).
+    CollapseProject inlines non-cheap producer expressions only when
+    referenced once; plans verified to keep the norm in its own
+    projection. ``norm_col`` must therefore be a materialized column
+    (alias in a previous select), never an inline aggregate — passing
+    an expression would evaluate the fold twice per element."""
     n = _c(norm_col)
-    return F.transform(_d(vec_col), lambda x: x / n)
+    return F.transform(_d(vec_col), lambda x: x / F.greatest(n, n))
 
 
 def unit_cte_sql(src: str = "embeddings") -> str:

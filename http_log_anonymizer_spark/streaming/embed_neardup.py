@@ -114,9 +114,11 @@ class EmbedNearDupSink(PartitionedStateSink):
             return
         tag = f"b{batch_id}"
 
-        u = batch.select(
-            "vec_id", unit_from("embedding", norm_column("embedding")).alias("ue")
-        ).persist()
+        u = (
+            batch.select("vec_id", "embedding", norm_column("embedding").alias("nrm"))
+            .select("vec_id", unit_from("embedding", "nrm").alias("ue"))
+            .persist()
+        )
         keys = bucket_keys(batch).persist()
 
         # 1) within-batch: candidates share a bucket in any table
