@@ -554,7 +554,12 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
             "session_value",
         )
-        .orderBy("user_id", "session_start")
+        # No final sort (r10, guide §2.4): sessions are
+        # corpus-proportional (10 M events -> 9.5 M sessions at sf10),
+        # and the trailing orderBy was ~7.6 s of the 17 s sf10 run —
+        # a full range exchange + global sort purely for output
+        # determinism, which the driver's order-insensitive comparator
+        # never needed (dedup_simhash precedent, plans/dedup.py).
     )
 
 
@@ -675,9 +680,16 @@ def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = asof_join(
         err, pur, on=["user_id"], left_ts="error_ts", right_ts="purchase_ts"
     )
+    # No final sort (r10, guide §2.4: an orderBy used only to make
+    # output deterministic is a removable full exchange + sort): the
+    # result set is deterministic and the correctness contract is
+    # order-insensitive (the driver's comparator sorts rows before
+    # hashing — the dedup_simhash precedent, plans/dedup.py). The sort
+    # was one global range-exchange of every error event; output rows
+    # scale with the corpus, so at 100 TB this sort IS the query.
     return joined.select(
         "event_id", "user_id", "error_ts", "purchase_ts", "purchase_value"
-    ).orderBy("event_id")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -156,7 +156,11 @@ def sliding_window_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("total"))
         .select(F.col("w.start").alias("window_start"), "event_type", "cnt", "total")
-        .orderBy("window_start", "event_type")
+        # No final sort (r10, guide §2.4): output rows = windows x
+        # event types, corpus-proportional; the global range sort only
+        # made output order deterministic, which the driver's
+        # order-insensitive comparator never needed (dedup_simhash
+        # precedent, plans/dedup.py).
     )
 
 
