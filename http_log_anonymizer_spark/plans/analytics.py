@@ -954,7 +954,11 @@ def range_join_error_context(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("p_event").alias("purchases_nearby"),
             F.round(F.coalesce(F.sum("p_value"), F.lit(0.0)), 2).alias("nearby_value"),
         )
-        .orderBy("event_id")
+        # No final sort (r10, guide §2.4): one row per error event —
+        # corpus-proportional — and the orderBy existed only for
+        # deterministic output order, which the driver's
+        # order-insensitive comparator never needed (dedup_simhash
+        # precedent, plans/dedup.py).
     )
 
 

@@ -812,17 +812,24 @@ def simhash_signatures(d: DataFrame, bits: int = _SIMHASH_BITS) -> DataFrame:
     oracle's CASE sum)."""
     assert bits < 63, bits
     n_packs = -(-bits // _PACK_FIELDS)
-    tok = d.select("doc_id", F.explode(F.array_distinct(tokens_ws("text"))).alias("tk"))
+    # The md5 hash is PROJECTED ONCE before the aggregation instead of
+    # being repeated inline in all {bits} sum terms: codegen's
+    # subexpression elimination does not fully dedupe it across the
+    # packed aggregate expressions (r10 measurement at sf10: 4.54 s
+    # inline vs 3.52 s projected for the warm signature build, -22%).
     # The per-bit folds are rendered as SQL text and parsed by ONE
     # F.expr each: the Column-API construction issued ~6 py4j
     # round-trips per bit (hundreds per query, ~2 s of driver time,
     # r10 optimization measurement) for an identical expression tree.
     hv = "CAST(conv(substring(md5(concat('sim|', tk)), 1, 15), 16, 10) AS BIGINT)"
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(tokens_ws("text"))).alias("tk")
+    ).select("doc_id", F.expr(hv).alias("h"))
 
     def _packed_sql(p: int) -> str:
         brange = list(range(p * _PACK_FIELDS, min((p + 1) * _PACK_FIELDS, bits)))
-        terms = [f"(shiftright({hv}, {brange[0]}) & 1)"] + [
-            f"shiftleft(shiftright({hv}, {j}) & 1, {(j - p * _PACK_FIELDS) * _PACK_WIDTH})"
+        terms = [f"(shiftright(h, {brange[0]}) & 1)"] + [
+            f"shiftleft(shiftright(h, {j}) & 1, {(j - p * _PACK_FIELDS) * _PACK_WIDTH})"
             for j in brange[1:]
         ]
         return " + ".join(terms)
@@ -1083,22 +1090,27 @@ def simhash_signatures_words(
     explode + ONE groupBy (the packed bit-vote counters of
     :func:`simhash_signatures`, concatenated across words)."""
     assert all(b < 63 for b in word_bits), word_bits
-    tok = d.select("doc_id", F.explode(F.array_distinct(tokens_ws("text"))).alias("tk"))
     # SQL-text folds parsed by one F.expr each (same py4j-chatter
     # rationale as :func:`simhash_signatures`; identical expression
-    # trees).
+    # trees), and each word's md5 stream projected ONCE before the
+    # aggregation (same codegen-CSE gap as simhash_signatures).
     hvs = [
         f"CAST(conv(substring(md5(concat('sim{w}|', tk)), 1, 15), 16, 10) AS BIGINT)"
         for w in range(len(word_bits))
     ]
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(tokens_ws("text"))).alias("tk")
+    ).select(
+        "doc_id", *[F.expr(h).alias(f"h{w}") for w, h in enumerate(hvs)]
+    )
 
     aggs = [F.count("*").alias("n")]
     for w, bits in enumerate(word_bits):
         n_packs = -(-bits // _PACK_FIELDS)
         for p in range(n_packs):
             brange = list(range(p * _PACK_FIELDS, min((p + 1) * _PACK_FIELDS, bits)))
-            terms = [f"(shiftright({hvs[w]}, {brange[0]}) & 1)"] + [
-                f"shiftleft(shiftright({hvs[w]}, {j}) & 1,"
+            terms = [f"(shiftright(h{w}, {brange[0]}) & 1)"] + [
+                f"shiftleft(shiftright(h{w}, {j}) & 1,"
                 f" {(j - p * _PACK_FIELDS) * _PACK_WIDTH})"
                 for j in brange[1:]
             ]
