@@ -7116,43 +7116,56 @@ def attribution_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0),
         ),
     )
-    conv = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "grp", "cents"
-    )
-    touch = ev.filter(F.col("event_type") != "purchase").select(
-        "user_id", "grp", F.col("event_type").alias("channel"), "ts", "event_id"
-    )
-    wj = Window.partitionBy("user_id", "grp")
-    jt = touch.join(conv, ["user_id", "grp"]).select(
-        "channel",
-        "cents",
-        F.count("*").over(wj).alias("n_touches"),
-        F.row_number().over(wj.orderBy("ts", "event_id")).alias("pos"),
-    )
-    attributed = jt.groupBy("channel").agg(
-        F.count("*").alias("n_touches"),
-        F.sum(F.when(F.col("pos") == 1, F.col("cents")).otherwise(0))
-        .cast("long")
-        .alias("first_touch_cents"),
-        F.sum(F.when(F.col("pos") == F.col("n_touches"), F.col("cents")).otherwise(0))
-        .cast("long")
-        .alias("last_touch_cents"),
-        F.expr("CAST(sum(cents * 1000 DIV n_touches) AS BIGINT)").alias(
-            "linear_milli"
-        ),
-    )
-    direct = (
-        conv.join(touch.select("user_id", "grp"), ["user_id", "grp"], "left_anti")
+    # ONE pass (r10, guide §2.4): the touch ⋈ conv self-join re-derived
+    # the scan + grp window on BOTH sides (and the direct bucket's
+    # LEFT ANTI join a third and fourth time). Instead, a second
+    # window over (user_id, grp) — a SORT ONLY: hashpartitioning on
+    # user_id already satisfies the (user_id, grp) clustering, so no
+    # new exchange — attaches each group's purchase cents, size, and
+    # touch position in place. Correct because within a (user, grp)
+    # group ordered by (ts, event_id) the closing purchase is always
+    # the LAST row (any event after it counts one more prior
+    # purchase), so touches get row_number 1..n and the group's
+    # purchase cents is the window max of the purchase-only case.
+    # Groups without a purchase (trailing touches) get NULL cents and
+    # drop; a purchase alone in its group (cnt = 1) is the '(direct)'
+    # bucket with full credit — both folded into the SAME single
+    # aggregation via a computed channel column.
+    wg = Window.partitionBy("user_id", "grp")
+    wgo = wg.orderBy("ts", "event_id")
+    is_p = F.col("event_type") == "purchase"
+    rows = ev.select(
+        "event_type",
+        F.max(F.when(is_p, F.col("cents"))).over(wg).alias("gcents"),
+        F.count("*").over(wg).alias("cnt_all"),
+        F.row_number().over(wgo).alias("rn"),
+        is_p.alias("is_p"),
+    ).select(
+        F.when(F.col("is_p") & (F.col("cnt_all") == 1), F.lit("(direct)"))
+        .when(~F.col("is_p") & F.col("gcents").isNotNull(), F.col("event_type"))
+        .alias("channel"),
+        F.col("gcents").alias("cents"),
+        F.when(F.col("is_p"), F.lit(1)).otherwise(F.col("rn")).alias("pos"),
+        F.when(F.col("is_p"), F.lit(1))
+        .otherwise(F.col("cnt_all") - 1)
+        .alias("ngrp"),
+    ).filter(F.col("channel").isNotNull())
+    return (
+        rows.groupBy("channel")
         .agg(
             F.count("*").alias("n_touches"),
-            F.sum("cents").cast("long").alias("first_touch_cents"),
-            F.sum("cents").cast("long").alias("last_touch_cents"),
-            (F.sum("cents") * 1000).cast("long").alias("linear_milli"),
+            F.sum(F.when(F.col("pos") == 1, F.col("cents")).otherwise(0))
+            .cast("long")
+            .alias("first_touch_cents"),
+            F.sum(F.when(F.col("pos") == F.col("ngrp"), F.col("cents")).otherwise(0))
+            .cast("long")
+            .alias("last_touch_cents"),
+            F.expr("CAST(sum(cents * 1000 DIV ngrp) AS BIGINT)").alias(
+                "linear_milli"
+            ),
         )
-        .select(F.lit("(direct)").alias("channel"), "*")
-        .filter(F.col("n_touches") > 0)
+        .orderBy("channel")
     )
-    return attributed.unionByName(direct).orderBy("channel")
 
 
 # ---------------------------------------------------------------------------

@@ -2600,14 +2600,29 @@ def conformal_threshold_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("split"),
         F.round(score * _CONF_GRID).cast("long").alias("q"),
     )
-    ncal = cs.filter("split = 'cal'").agg(F.count("*").alias("n_cal"))
-    nev = cs.filter("split = 'eval'").agg(F.count("*").alias("n_eval"))
-    cb = cs.filter("split = 'cal'").groupBy("q").agg(F.count("*").alias("cnt"))
+    # ONE corpus scan (r10, guide §2.4): cs was consumed by four
+    # branches (n_cal, n_eval, cal buckets, eval buckets), and with no
+    # exchange between the scan and the branch filters each one re-ran
+    # the tokenize+score pipeline — 4 corpus scans for one report.
+    # Aggregating to per-(split, grid-value) counts first is a single
+    # scan, and the result is bounded by 2 x {_CONF_GRID} rows, so the
+    # localCheckpoint that stops the four consumers from recomputing
+    # it is constant-size at any corpus.
+    sq = (
+        cs.groupBy("split", "q")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    ncal = sq.filter("split = 'cal'").agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("n_cal")
+    )
+    nev = sq.filter("split = 'eval'").agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("n_eval")
+    )
+    cb = sq.filter("split = 'cal'").select("q", "cnt")
     wq = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, 0)
     cc = cb.select("q", F.sum("cnt").over(wq).alias("cum"))
-    eb = cs.filter("split = 'eval'").groupBy("q").agg(
-        F.count("*").alias("cnt")
-    )
+    eb = sq.filter("split = 'eval'").select("q", "cnt")
     al = spark.createDataFrame(
         [(a,) for a in _CONF_ALPHAS], "alpha_pct long"
     )

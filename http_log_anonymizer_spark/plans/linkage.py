@@ -473,22 +473,37 @@ def linkage_blocking_recall_report(spark: SparkSession, sf_dir: str) -> DataFram
     # be a static broadcast; shuffle_hash (r10-opt: was merge) keeps
     # that per partition without sorting either side.
     j = c.join(b.hint("shuffle_hash"), c.c_custkey == b.kb)
-    n = j.agg(F.count("*").alias("n"))
+    # Materialize the per-strategy KEY COLUMNS of the 1:1 join ONCE
+    # (r10, guide §2.4): the report consumed j from 11 branches (the
+    # true-pair count, then caught/key-group-A/key-group-B per
+    # strategy plus the union row), and each branch re-executed the
+    # corpus scan + shuffle_hash join. The checkpointed table is the
+    # join output projected to just the 2 x |strategies| key columns
+    # (~50 B/row — narrow, spill-backed), so every branch now reads a
+    # materialized narrow table instead of re-joining the corpus.
+    jk = j.select(
+        *[
+            F.expr(expr.format(intdiv="DIV")).alias(f"{side}_{name}")
+            for name, pair in keys.items()
+            for side, expr in zip(("ka", "kb"), pair)
+        ]
+    ).localCheckpoint(eager=True)
+    n = jk.agg(F.count("*").alias("n"))
     from functools import reduce
 
     rows = []
     union_pred = None
-    for name, (ka, kb) in keys.items():
-        ka_c = F.expr(ka.format(intdiv="DIV"))
-        kb_c = F.expr(kb.format(intdiv="DIV"))
+    for name in keys:
+        ka_c = F.col(f"ka_{name}")
+        kb_c = F.col(f"kb_{name}")
         pred = ka_c.eqNullSafe(kb_c)
         if name != "block50":
             union_pred = pred if union_pred is None else (union_pred | pred)
-        caught = j.agg(
+        caught = jk.agg(
             F.sum(F.when(pred, 1).otherwise(0)).cast("long").alias("caught")
         )
-        ca = j.groupBy(ka_c.alias("k")).agg(F.count("*").alias("na"))
-        cb = j.groupBy(kb_c.alias("k")).agg(F.count("*").alias("nb"))
+        ca = jk.groupBy(ka_c.alias("k")).agg(F.count("*").alias("na"))
+        cb = jk.groupBy(kb_c.alias("k")).agg(F.count("*").alias("nb"))
         cand = (
             # same trap: both key-group count tables scale with the
             # corpus (distinct names ~ n); never broadcast either side
@@ -523,7 +538,7 @@ def linkage_blocking_recall_report(spark: SparkSession, sf_dir: str) -> DataFram
                 ).alias("candidates_per_record"),
             )
         )
-    u_caught = j.agg(
+    u_caught = jk.agg(
         F.sum(F.when(union_pred, 1).otherwise(0)).cast("long").alias("caught")
     )
     rows.append(

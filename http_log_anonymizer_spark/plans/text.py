@@ -3486,7 +3486,19 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = und.groupBy("src", "dst").agg(F.count("*").alias("w"))
     outw = edges.groupBy("src").agg(F.sum("w").alias("wout"))
-    nodes = edges.select(F.col("src").alias("node")).distinct()
+    # The (edges ⋈ outw) join is loop-invariant: materialize it ONCE
+    # with localCheckpoint instead of re-probing it inside every round
+    # (ReusedExchange shares the exchange INPUTS across rounds, but the
+    # join itself re-executed per round — r10 measurement at sf0.1:
+    # 2.45 -> 2.03 s warm, results bit-identical). Safe to pin at any
+    # corpus size: the edge table is a TYPE table (distinct adjacent
+    # token pairs, vocabulary-bounded — the reason this is NOT applied
+    # to the corpus-scaled co-purchase graphs, whose sf100 edge sets
+    # are ~1.8B rows).
+    ew = edges.join(outw, "src").localCheckpoint(eager=True)
+    nodes = ew.select(F.col("src").alias("node")).distinct().localCheckpoint(
+        eager=True
+    )
     ranks = nodes.select("node", F.lit(_TR_SCALE).cast("long").alias("r"))
     flow_expr = (
         "CAST((CAST(r AS DECIMAL(38,0)) * 85 * w) "
@@ -3494,8 +3506,7 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for _ in range(_TR_ROUNDS):
         flow = (
-            edges.join(ranks, edges.src == ranks.node)
-            .join(outw, "src")
+            ew.join(ranks, ew.src == ranks.node)
             .select(F.col("dst").alias("node"), F.expr(flow_expr).alias("f"))
             .unionByName(
                 nodes.select("node", F.lit(_TR_BASE).cast("long").alias("f"))
