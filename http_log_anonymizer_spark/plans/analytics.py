@@ -6948,16 +6948,24 @@ def association_rules_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # duplicated the whole pipeline (26 -> ~8 Exchanges, 24.2 s at
     # sf1; top-25 output verified row-identical and oracle-green at
     # both gate SFs).
+    # The basket table is materialized ONCE (localCheckpoint): it has
+    # three consumers (basket count, item supports, pair generation)
+    # and without a pin each re-ran the lineitem scan + collect_set
+    # shuffle (r10 measurement at sf1: 24.5 -> 21.8 s warm; the item
+    # support table is likewise pinned — its explode+groupBy fed both
+    # rule-direction joins).
     baskets = (
         _t(spark, sf_dir, "lineitem")
         .groupBy(F.col("l_orderkey").alias("basket"))
         .agg(F.array_sort(F.collect_set("l_partkey")).alias("items"))
+        .localCheckpoint(eager=True)
     )
     n = baskets.agg(F.count("*").alias("n_baskets"))
     supp1 = (
         baskets.select(F.explode("items").alias("item"))
         .groupBy("item")
         .agg(F.count("*").alias("s"))
+        .localCheckpoint(eager=True)
     )
     # sequence(1, size-1) DESCENDS when size = 1 (Spark semantics), so
     # single-item baskets — which contribute no pairs — must be
