@@ -2739,10 +2739,18 @@ def dedup_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     (signatures + band join), which stays candidate-bounded. At 100 TB
     the audit runs on a sampled stratum; the audited construction is
     unchanged."""
-    sh = _hashed_shingle_arrays(spark, sf_dir)
+    # Shared subtrees pinned (r10, guide §2.4): unpinned, the shingle
+    # table fed both the signature chain and the ground-truth edges
+    # (2x corpus re-derivation), the band index was probed from both
+    # sides of the candidate self-join, and — worst — the all-pairs
+    # intersection ran TWICE (the hit join and the n_true count each
+    # re-executed it): 32 document-scan references in the physical
+    # plan. truth/cand are pair tables at audit scale; sh/bands are
+    # exactly the tables dedup_minhash_lsh itself caches.
+    sh = _hashed_shingle_arrays(spark, sf_dir).localCheckpoint(eager=True)
     sig = minhash_signatures(sh)
-    bands = band_index(sig)
-    cand = band_candidates(bands, bands)
+    bands = band_index(sig).localCheckpoint(eager=True)
+    cand = band_candidates(bands, bands).localCheckpoint(eager=True)
 
     edges = sh.select("doc_id", F.explode("sh").alias("h"))
     sz = edges.groupBy("doc_id").agg(F.count("*").alias("n"))
@@ -2762,6 +2770,7 @@ def dedup_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             >= _JACCARD_THRESHOLD
         )
         .select("da", "db")
+        .localCheckpoint(eager=True)
     )
     hit = truth.join(cand, ["da", "db"])
 

@@ -3702,6 +3702,15 @@ def retrieval_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" DIV {_eval_idcg_case('least(n_relevant, 10)')} AS BIGINT)"
         ).alias("ndcg_ppm"),
     )
+    # pinned (r10, guide §2.4/§5): per feeds both the output rows and the
+    # pooled row — unpinned, the union re-derives the whole BM25 pipeline
+    # for the pooled branch (sf1 24.3 s → 13-14 s pinned). per is one row
+    # per query, so the pin is query-count-bounded at any corpus size.
+    # Measured negative: ALSO pinning rel makes it slower at every SF
+    # (sf1 21.2 s, sf0.1 +1.1 s) — rel's consumers already share the
+    # upstream exchanges via ReusedExchange, and the eager materialization
+    # of the corpus-scale explode+distinct serializes the job for nothing.
+    per = per.localCheckpoint(eager=True)
     pooled = per.agg(
         F.lit(-1).cast("long").alias("query_id"),
         F.sum("n_relevant").cast("long").alias("n_relevant"),
