@@ -1478,23 +1478,60 @@ _OPQ_SIGNS = [
 ]  # seeded once (numpy default_rng(42)), inlined so both engines share it
 
 
+def _opq_rot_matrix() -> "np.ndarray":
+    """(64 x 64) int64 matrix M with M[j][i] = H[j][i] * s_i, so the
+    rotation numerator is the exact integer matvec y = M @ q."""
+    import numpy as np
+
+    idx = np.arange(_DIM)
+    popc = np.array(
+        [[bin(int(i) & int(j)).count("1") for i in idx] for j in idx],
+        dtype=np.int64,
+    )
+    h = 1 - 2 * (popc % 2)
+    return h * np.array(_OPQ_SIGNS, dtype=np.int64)[None, :]
+
+
 def _opq_rotate(df: DataFrame) -> DataFrame:
     """Rotate (vec_id, embedding) rows: y = H @ (s * floor(x * 2^17)) / 2^20.
-    Pure Catalyst (two higher-order functions); the quantize + sign-flip
-    is hoisted into its own projection so it evaluates once per element,
-    not once per (i, j) pair."""
-    sgn = "array(" + ", ".join(f"{s}L" for s in _OPQ_SIGNS) + ")"
-    quant = (
-        f"zip_with(transform(embedding, x -> cast(floor(cast(x as double)"
-        f" * {_OPQ_QS}) as bigint)), {sgn}, (a, s) -> a * s)"
-    )
-    rot = f"""
-    transform(sequence(0, {_DIM - 1}), j ->
-      cast(aggregate(sequence(0, {_DIM - 1}), cast(0 as bigint), (acc, i) ->
-        acc + (1 - 2 * (bit_count(i & j) % 2)) * element_at(sx, i + 1)
-      ) as double) / {8 * _OPQ_QS}.0D)"""
-    return df.select("vec_id", F.expr(quant).alias("sx")).select(
-        "vec_id", F.expr(rot).alias("embedding")
+
+    Arrow-batched integer numpy kernel (r10, guide §4.2): the Hadamard
+    numerator is PURE int64 arithmetic (floor(float64(x) * 2^17) is the
+    same IEEE double multiply + floor in numpy and the JVM; the matvec
+    sums int64 exactly in any order; the final division by 2^20 of a
+    < 2^53 integer is exact), so the kernel is bit-identical to the
+    previous Catalyst HOF fold AND to the DuckDB ``rotemb`` CTE — the
+    fold was interpreted (CodegenFallback), ~4096 interpreted ops per
+    vector, measured ~10 s per corpus pass at 2k vectors; the matvec is
+    one ``q @ M.T`` per Arrow batch. NULL embeddings pass through as
+    NULL rows, matching ``transform(NULL) -> NULL``."""
+    import numpy as np
+    import pandas as pd
+
+    mat_t = _opq_rot_matrix().T  # (i, j) layout for q(row) @ M.T
+    div = float(8 * _OPQ_QS)
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            emb = pdf["embedding"]
+            mask = emb.notna().to_numpy()
+            out = np.empty(len(pdf), dtype=object)
+            if mask.any():
+                x = np.array(
+                    [np.asarray(v, dtype=np.float64) for v in emb[mask]]
+                )
+                q = np.floor(x * float(_OPQ_QS)).astype(np.int64)
+                y = (q @ mat_t).astype(np.float64) / div
+                for k, idx in enumerate(np.nonzero(mask)[0]):
+                    out[idx] = y[k]
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].astype("int64"), "embedding": out}
+            )
+
+    return df.select("vec_id", "embedding").mapInPandas(
+        gen, "vec_id long, embedding array<double>"
     )
 
 
@@ -3316,7 +3353,11 @@ def ann_srht_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    rot = _opq_rotate(e)
+    # pinned (r10, guide §2.4): unpinned, every truncation rung re-ran
+    # the rotation for BOTH its corpus scan and its query-shard pass
+    # (4 re-derivations for the 2-dim ladder); the table is gate-bounded
+    # (<= 250k rows), exactly the _sqrt_pq_scan pinning rationale.
+    rot = _opq_rotate(e).localCheckpoint()
     reports = []
     for dp in _MRL_DIMS:
         t = rot.select("vec_id", F.slice("embedding", 1, dp).alias("te"))
