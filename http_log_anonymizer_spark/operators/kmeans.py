@@ -363,6 +363,184 @@ def kmeans_quantized_table(
     return assignments, cent
 
 
+_KM_MULTI_PARTIAL_SCHEMA = StructType(
+    [
+        StructField("sub", IntegerType()),
+        StructField("cluster", IntegerType()),
+        StructField("pos", IntegerType()),
+        StructField("s", LongType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def kmeans_quantized_multi(
+    df: DataFrame,
+    n_sub: int,
+    dsub: int,
+    k: int,
+    rounds: int = 4,
+    qscale: int = 1000,
+    train_filter=None,
+    extra: tuple[str, ...] = (),
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[list[list[float]]]]:
+    """Train ``n_sub`` INDEPENDENT :func:`kmeans_quantized` instances —
+    one per ``dsub``-dim slice of ``vec_col`` — in ONE fused pass per
+    round (r10 optimization, guide §2.4/§5). The PQ tiers previously
+    trained their {n_sub} subspace codebooks sequentially: each slice
+    paid its own eager checkpoint, seed collect, per-round
+    partial+collect jobs, and a final assignment that had to be joined
+    back on vec_id ({n_sub} joins). All of that is loop-invariant
+    across subspaces:
+
+    - the seed rows minimize md5('seed|'||vec_id) — a function of
+      vec_id only, so ALL subspaces share the same k seed ROWS (one
+      collect, sliced locally);
+    - quantization commutes with slicing (floor is elementwise), so one
+      64-dim quantized table serves every subspace;
+    - per round, one mapInPandas kernel computes every subspace's
+      argmin + integer scatter-add and emits (sub, cluster, pos, s, n)
+      partials — ONE job and ONE k*n_sub*dsub-row collect per round
+      instead of n_sub;
+    - the final pass emits (vec_id, *extra, c0..c{{n_sub-1}}) directly —
+      the PQ code table with ZERO joins.
+
+    Bit-identity: integer sums are order-free, the argmin comparator is
+    :func:`_km_argmin` (the comparator the per-subspace table kernel
+    uses, equivalence-tested against the literal-expression variant),
+    and seeds/updates are the same numbers — so results are unchanged
+    vs. n_sub separate trainings and the DuckDB ``kmeans_lloyd_sql``
+    replays per-subspace CTEs verbatim. ``extra`` columns pass through
+    to the output assignment table (saves the label re-join).
+    """
+    spark = df.sparkSession
+    spark_qscale = float(qscale)
+    extra = tuple(extra)
+    extra_fields = [df.schema[c] for c in extra]
+    qv = df.select(
+        "vec_id",
+        *extra,
+        F.transform(
+            F.col(vec_col).cast("array<double>"),
+            lambda x: F.floor(x * qscale).cast("long"),
+        ).alias("qv"),
+    ).localCheckpoint(eager=True)
+
+    qv_t = qv if train_filter is None else qv.filter(train_filter).localCheckpoint(
+        eager=True
+    )
+    seed_rows = (
+        qv_t.withColumn(
+            "h",
+            F.substring(
+                F.md5(F.concat(F.lit("seed|"), F.col("vec_id").cast("string"))), 1, 15
+            ),
+        )
+        .orderBy("h", "vec_id")
+        .limit(k)
+        .collect()
+    )
+    cent: list[list[list[float]]] = [
+        [
+            [x / spark_qscale for x in r["qv"][m * dsub : (m + 1) * dsub]]
+            for r in seed_rows
+        ]
+        for m in range(n_sub)
+    ]
+
+    def _chunks(pdf: pd.DataFrame, kk: int):
+        rows_per_chunk = max(256, int(40_000_000 / max(kk * n_sub, 1)))
+        for lo in range(0, len(pdf), rows_per_chunk):
+            chunk = pdf.iloc[lo : lo + rows_per_chunk]
+            yield chunk, np.array(list(chunk["qv"]), dtype=np.int64)
+
+    def partials_fn(centroids: list[list[list[float]]]):
+        bc = spark.sparkContext.broadcast(
+            [np.array(cm, dtype=np.float64) for cm in centroids]
+        )
+
+        def gen(batches):
+            cents = bc.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                for chunk, qint in _chunks(pdf, k):
+                    frames = []
+                    for m in range(n_sub):
+                        sl = qint[:, m * dsub : (m + 1) * dsub]
+                        a = _km_argmin(sl.astype(np.float64), cents[m], spark_qscale)
+                        touched = np.unique(a)
+                        s = np.zeros((len(touched), dsub), dtype=np.int64)
+                        remap = np.searchsorted(touched, a)
+                        np.add.at(s, remap, sl)
+                        n_per = np.bincount(remap, minlength=len(touched))
+                        frames.append(
+                            pd.DataFrame(
+                                {
+                                    "sub": np.full(
+                                        len(touched) * dsub, m, dtype="int32"
+                                    ),
+                                    "cluster": np.repeat(touched, dsub).astype(
+                                        "int32"
+                                    ),
+                                    "pos": np.tile(
+                                        np.arange(dsub), len(touched)
+                                    ).astype("int32"),
+                                    "s": s.reshape(-1),
+                                    "n": np.repeat(n_per, dsub),
+                                }
+                            )
+                        )
+                    yield pd.concat(frames, ignore_index=True)
+
+        return gen
+
+    for _ in range(rounds):
+        partials = qv_t.select("qv").mapInPandas(
+            partials_fn(cent), _KM_MULTI_PARTIAL_SCHEMA
+        )
+        stats = (
+            partials.groupBy("sub", "cluster", "pos")
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+            .collect()
+        )
+        new_cent = [[list(c) for c in cm] for cm in cent]
+        for r in stats:
+            new_cent[r["sub"]][r["cluster"]][r["pos"]] = r["s"] / (
+                r["n"] * spark_qscale
+            )
+        cent = new_cent
+
+    bc_final = spark.sparkContext.broadcast(
+        [np.array(cm, dtype=np.float64) for cm in cent]
+    )
+
+    def assign_gen(batches):
+        cents = bc_final.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            for chunk, qint in _chunks(pdf, k):
+                cols = {"vec_id": chunk["vec_id"].astype("int64")}
+                for c in extra:
+                    cols[c] = chunk[c]
+                for m in range(n_sub):
+                    sl = qint[:, m * dsub : (m + 1) * dsub].astype(np.float64)
+                    cols[f"c{m}"] = _km_argmin(sl, cents[m], spark_qscale).astype(
+                        "int32"
+                    )
+                yield pd.DataFrame(cols)
+
+    out_schema = StructType(
+        [StructField("vec_id", LongType())]
+        + extra_fields
+        + [StructField(f"c{m}", IntegerType()) for m in range(n_sub)]
+    )
+    codes = qv.mapInPandas(assign_gen, out_schema)
+    return codes, cent
+
+
 def kmeans_lloyd_sql(
     k: int | str = 8,
     rounds: int = 4,

@@ -1020,10 +1020,10 @@ def kmeans_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     the driver hash-checks the learned clustering itself (VERDICT r02
     item 2). Determinism/convergence of the float variant stays pinned
     in tests/test_kmeans.py."""
-    from http_log_anonymizer_spark.operators.kmeans import kmeans_quantized
+    from http_log_anonymizer_spark.operators.kmeans import kmeans_quantized_table
 
     e = load_table(spark, sf_dir, "embeddings", spread=True, bytes_per_task=256 * 1024).select("vec_id", "embedding")
-    assignments, _centroids = kmeans_quantized(e, k=_KM_K, rounds=_KM_ROUNDS)
+    assignments, _centroids = kmeans_quantized_table(e, k=_KM_K, rounds=_KM_ROUNDS)
     return (
         assignments.groupBy("cluster")
         .agg(F.count("*").alias("n_vectors"))
@@ -1105,12 +1105,12 @@ def kmeans_silhouette_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     literal centroid arrays (no join, no shuffle for the k x d side);
     the only shuffle is the k-group rollup, map-side combined. Work is
     O(n * k * d) — the same as one extra assignment round."""
-    from http_log_anonymizer_spark.operators.kmeans import kmeans_quantized
+    from http_log_anonymizer_spark.operators.kmeans import kmeans_quantized_table
 
     e = load_table(
         spark, sf_dir, "embeddings", spread=True, bytes_per_task=256 * 1024
     ).select("vec_id", "embedding")
-    assignments, cent = kmeans_quantized(e, k=_KM_K, rounds=_KM_ROUNDS)
+    assignments, cent = kmeans_quantized_table(e, k=_KM_K, rounds=_KM_ROUNDS)
     qv = e.select(
         "vec_id",
         F.transform(
@@ -1237,10 +1237,10 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     learned index SQL-replayable, so the driver hash-checks build AND
     search end-to-end (VERDICT r02 item 2). Recall vs brute force is
     additionally asserted in tests/test_scale_operators.py."""
-    from http_log_anonymizer_spark.operators.kmeans import kmeans_quantized
+    from http_log_anonymizer_spark.operators.kmeans import kmeans_quantized_table
 
     e = load_table(spark, sf_dir, "embeddings", spread=True, bytes_per_task=256 * 1024).select("vec_id", "embedding")
-    assignments, centroids = kmeans_quantized(e, k=_KM_K, rounds=_KM_ROUNDS)
+    assignments, centroids = kmeans_quantized_table(e, k=_KM_K, rounds=_KM_ROUNDS)
     cv = spark.createDataFrame(
         [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)],
         "label int, cvec array<double>",
@@ -1661,7 +1661,7 @@ def _pq_impl(
     rotation (see ann_ivf_opq_topk) to corpus AND queries before the
     build, leaving everything downstream unchanged."""
     from http_log_anonymizer_spark.operators.kmeans import (
-        kmeans_quantized,
+        kmeans_quantized_multi,
         kmeans_quantized_table,
     )
 
@@ -1673,7 +1673,7 @@ def _pq_impl(
         # training loop re-triggers its input; rotation is per-action
         # interpreted HOF work otherwise)
         e = _opq_rotate(e).localCheckpoint()
-    assignments, centroids = kmeans_quantized(e, k=_KM_K, rounds=_KM_ROUNDS)
+    assignments, centroids = kmeans_quantized_table(e, k=_KM_K, rounds=_KM_ROUNDS)
     cv = spark.createDataFrame(
         [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)],
         "label int, cvec array<double>",
@@ -1691,25 +1691,28 @@ def _pq_impl(
         .localCheckpoint()
     )
 
-    codes = resid.select("vec_id", "label")
-    luts = []
-    for m in range(_PQ_M):
-        sub = resid.select(
-            "vec_id", F.slice("r", m * _PQ_DSUB + 1, _PQ_DSUB).alias("embedding")
+    # Fused subspace training (r10, guide §2.4/§5): the 8 codebooks
+    # previously trained sequentially — 8 eager checkpoints, 8 seed
+    # collects, 8x2 round jobs, then 8 vec_id joins to assemble the
+    # code table. kmeans_quantized_multi runs ONE job per round for all
+    # subspaces and emits (vec_id, label, c0..c7) directly (no joins);
+    # seeds/sums/argmin are the same numbers, results unchanged.
+    codes, cents = kmeans_quantized_multi(
+        resid,
+        n_sub=_PQ_M,
+        dsub=_PQ_DSUB,
+        k=kq,
+        rounds=_PQ_ROUNDS,
+        extra=("label",),
+        vec_col="r",
+    )
+    luts = [
+        spark.createDataFrame(
+            [(int(j), [float(x) for x in c]) for j, c in enumerate(cents[m])],
+            f"c{m} int, t{m} array<double>",
         )
-        if kq > 64:
-            a_m, cents_m = kmeans_quantized_table(sub, k=kq, rounds=_PQ_ROUNDS)
-        else:
-            a_m, cents_m = kmeans_quantized(sub, k=kq, rounds=_PQ_ROUNDS)
-        codes = codes.join(
-            a_m.select("vec_id", F.col("cluster").alias(f"c{m}")), "vec_id"
-        )
-        luts.append(
-            spark.createDataFrame(
-                [(int(j), [float(x) for x in c]) for j, c in enumerate(cents_m)],
-                f"c{m} int, t{m} array<double>",
-            )
-        )
+        for m in range(_PQ_M)
+    ]
 
     qsrc = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 100 == 0)
     if rotate:
@@ -2493,7 +2496,10 @@ def _sqrt_pq_scan(
     import math
 
     from http_log_anonymizer_spark.operators.ivf import ivf_probe_cells, ivf_scan_topk
-    from http_log_anonymizer_spark.operators.kmeans import kmeans_quantized_table
+    from http_log_anonymizer_spark.operators.kmeans import (
+        kmeans_quantized_multi,
+        kmeans_quantized_table,
+    )
 
     e = load_table(
         spark, sf_dir, "embeddings", spread=True, bytes_per_task=256 * 1024
@@ -2534,27 +2540,26 @@ def _sqrt_pq_scan(
         .localCheckpoint()
     )
 
-    codes = resid.select("vec_id", "label")
-    luts = []
-    for m in range(_PQ_M):
-        sub = resid.select(
-            "vec_id", F.slice("r", m * _PQ_DSUB + 1, _PQ_DSUB).alias("embedding")
+    # Fused subspace training (r10, guide §2.4/§5) — see _pq_impl: one
+    # job per round for all 8 codebooks, code table emitted with zero
+    # vec_id joins, same numbers (seeds/integer sums/argmin unchanged).
+    codes, cents = kmeans_quantized_multi(
+        resid,
+        n_sub=_PQ_M,
+        dsub=_PQ_DSUB,
+        k=_PQ_K8,
+        rounds=_PQ_ROUNDS,
+        train_filter=(F.col("vec_id") % smod == 0),
+        extra=("label",),
+        vec_col="r",
+    )
+    luts = [
+        spark.createDataFrame(
+            [(int(j), [float(x) for x in c]) for j, c in enumerate(cents[m])],
+            f"c{m} int, t{m} array<double>",
         )
-        a_m, cents_m = kmeans_quantized_table(
-            sub,
-            k=_PQ_K8,
-            rounds=_PQ_ROUNDS,
-            train_filter=(F.col("vec_id") % smod == 0),
-        )
-        codes = codes.join(
-            a_m.select("vec_id", F.col("cluster").alias(f"c{m}")), "vec_id"
-        )
-        luts.append(
-            spark.createDataFrame(
-                [(int(j), [float(x) for x in c]) for j, c in enumerate(cents_m)],
-                f"c{m} int, t{m} array<double>",
-            )
-        )
+        for m in range(_PQ_M)
+    ]
 
     # decode ONCE: n rows through the broadcast codebook joins
     rec = codes.join(F.broadcast(cv), "label")

@@ -53,6 +53,42 @@ def test_kmeans_quantized_table_matches_literal_variant(spark):
     assert r1 == r2
 
 
+def test_kmeans_quantized_multi_matches_per_subspace(spark):
+    """The fused multi-subspace trainer (kmeans_quantized_multi, the
+    r10 PQ-codebook path: one job per round for ALL subspaces, code
+    table emitted without vec_id joins) must produce the SAME learned
+    codebooks and assignments as training each dsub-dim slice
+    separately with kmeans_quantized — identical centroid floats and
+    identical per-subspace cluster codes, since the seeds, integer
+    sums, and argmin comparator are shared."""
+    from pyspark.sql import functions as F
+
+    from http_log_anonymizer_spark.operators.kmeans import (
+        kmeans_quantized,
+        kmeans_quantized_multi,
+    )
+
+    n_sub, dsub, k, rounds = 4, 16, 8, 2
+    e = load_table(spark, SF_ORACLE, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("r")
+    )
+    codes, cents = kmeans_quantized_multi(
+        e, n_sub=n_sub, dsub=dsub, k=k, rounds=rounds, extra=("label",), vec_col="r"
+    )
+    got = {r.vec_id: r for r in codes.collect()}
+    labels = {r.vec_id: r.label for r in e.select("vec_id", "label").collect()}
+    for m in range(n_sub):
+        sub = e.select(
+            "vec_id", F.slice("r", m * dsub + 1, dsub).alias("embedding")
+        )
+        a_m, c_m = kmeans_quantized(sub, k=k, rounds=rounds)
+        assert cents[m] == c_m, f"subspace {m} centroids diverge"
+        want = {r.vec_id: r.cluster for r in a_m.collect()}
+        assert {v: r[f"c{m}"] for v, r in got.items()} == want, f"codes c{m}"
+    # extra columns pass through unchanged
+    assert {v: r.label for v, r in got.items()} == labels
+
+
 def test_sqrt_ivf_recall_vs_brute_force(spark):
     """ann_ivf_sqrt_topk (sqrt-scaled cells, kernel search) must be
     deterministic and recover a solid share of the true top-5 while
