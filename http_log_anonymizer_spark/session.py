@@ -79,14 +79,20 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # Coalesce small post-shuffle stages to the size target instead
-        # of maximizing parallelism: tiny shuffles collapse to a few
-        # tasks (scheduling overhead dominates them), while big-data
-        # stages are unaffected (they exceed the size target anyway).
-        # This is the setting Spark's own docs recommend for busy
-        # clusters; map-side parallelism for CPU-heavy narrow stages is
-        # guaranteed separately by sources.batch._spread.
-        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        # Spark's default (parallelismFirst=true): AQE coalesces
+        # post-shuffle partitions no further than the default
+        # parallelism. The r02-era "false" (coalesce tiny stages to the
+        # byte-size target) was set without an isolated A/B; r10
+        # measurement showed it serializes COMPUTE-DENSE small-byte
+        # stages onto 1-2 tasks — window ranking and candidate
+        # verification over kilobyte rows with milliseconds of CPU per
+        # row (dedup_prefix_filter_join 22.9 -> 12.3 s,
+        # association_rules 4.9 -> 2.6 s, mkn 3.3 -> 2.3 s at sf0.1;
+        # A/B both orders, no regression outside noise). Data-sized
+        # stages exceed both targets and are unaffected, so this is
+        # scale-neutral; bytes are simply a bad proxy for work in the
+        # candidate-verify / report stages this engine runs.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
