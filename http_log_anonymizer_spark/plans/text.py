@@ -1322,16 +1322,41 @@ def rerank_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from http_log_anonymizer_spark.plans.similarity import _unit_table
 
     fused = REGISTRY["hybrid_rrf_fusion"].spark_fn(spark, sf_dir)
-    unit = _unit_table(spark, sf_dir, cache=False)
-    toks = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.array_distinct(tokens_ws("text")).alias("tk")
+    # r10 (guide §2.4, §3.2): pin the rank-bounded pool (queries x k
+    # rows at ANY corpus size) — it feeds both the candidate-id set
+    # below and the feature chain, and unpinned the whole retrieve+fuse
+    # pipeline would re-derive per consumer. Then SEMI-JOIN-prefilter
+    # the corpus-scale feature tables with the pool's id set (the
+    # broadcast form of the Bloom prefilter): unit-normalization and
+    # tokenization run on O(Q*k) candidate rows instead of the corpus,
+    # and the pool ids stay executor-side. LEFT-joined dimension rows
+    # outside the pool never matched, so results are unchanged.
+    pool = fused.select(
+        "query_id", "cand", F.col("rank").alias("rrf_rank")
+    ).localCheckpoint(eager=True)
+    ids = (
+        pool.select(F.col("query_id").alias("vec_id"))
+        .unionByName(pool.select(F.col("cand").alias("vec_id")))
+        .distinct()
+    )
+    unit = _unit_table(spark, sf_dir, cache=False).join(
+        F.broadcast(ids), "vec_id", "left_semi"
+    )
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .join(
+            F.broadcast(ids.select(F.col("vec_id").alias("doc_id"))),
+            "doc_id",
+            "left_semi",
+        )
+        .select("doc_id", F.array_distinct(tokens_ws("text")).alias("tk"))
     )
     uq = unit.select(F.col("vec_id").alias("query_id"), F.col("ue").alias("qe"))
     uc = unit.select(F.col("vec_id").alias("cand"), F.col("ue").alias("ce"))
     tq = toks.select(F.col("doc_id").alias("query_id"), F.col("tk").alias("qtk"))
     tc = toks.select(F.col("doc_id").alias("cand"), F.col("tk").alias("ctk"))
     feat = (
-        fused.select("query_id", "cand", F.col("rank").alias("rrf_rank"))
+        pool
         .join(uq, "query_id", "left")
         .join(uc, "cand", "left")
         .join(tq, "query_id", "left")
