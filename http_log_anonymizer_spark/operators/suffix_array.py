@@ -27,7 +27,8 @@ Scale discipline — NO single-task global windows anywhere:
 - :func:`ranked`: distributed dense rank = distinct keys ->
   ``repartitionByRange`` (total order across partitions; the TeraSort
   layout) -> per-PARTITION row_number window (parallel) + per-partition
-  count offsets (one tiny driver collect of #partitions rows).
+  count offsets (a #partitions-row table, broadcast-joined back — no
+  driver collect between the sequential doubling rounds).
 - :func:`cumsum_by_range`: distributed prefix sum with the same
   two-level pattern (range partition, per-partition cumsum, offsets of
   per-partition totals).
@@ -124,12 +125,66 @@ def pin(df: DataFrame) -> DataFrame:
     df.write.option("parquet.block.size", 32 * 1024 * 1024).mode(
         "overwrite"
     ).parquet(path)
-    return spark.read.parquet(path)
+    out = spark.read.parquet(path)
+    out._graft_pin_path = path  # noqa: SLF001 — consumed by pin_counted
+    return out
+
+
+def pin_counted(df: DataFrame) -> tuple[DataFrame, int]:
+    """:func:`pin` plus the pinned row count, read from the written
+    parquet FOOTERS driver-side (pyarrow) — zero extra Spark jobs,
+    where a ``.count()`` between the sequential doubling rounds would
+    be one more synchronous round-trip. Only used for driver-local /
+    mounted scratch roots; URI scratch falls back to one count job."""
+    out = pin(df)
+    path = out._graft_pin_path  # noqa: SLF001
+    if "://" in path:
+        return out, out.count()
+    import pyarrow.parquet as pq
+
+    n = 0
+    for name in os.listdir(path):
+        if name.endswith(".parquet"):
+            n += pq.ParquetFile(os.path.join(path, name)).metadata.num_rows
+    return out, n
 
 
 def _range_parts(df: DataFrame) -> int:
-    sc = df.sparkSession.sparkContext
-    return max(2, sc.defaultParallelism)
+    """Range-partition count for the two-level rank/cumsum patterns:
+    the session's data-proportional ``spark.sql.shuffle.partitions``
+    (session.py:shuffle_partitions_for_sf — 8 at sf0.1, 80 at sf1,
+    256 at sf10), capped at the default parallelism. Results are
+    partition-count-independent (ranks/cumsums are computed from
+    actual partition contents), so this is purely a cost knob: the
+    r10 profile showed each pin of a 32-way range layout costing
+    2-5 s at sf0.1 (32 near-empty files + commit + sample per
+    sequential doubling round) while the data fills 2-8 partitions;
+    at sf>=10 (and on any real cluster, where shuffle partitions are
+    sized >= cores) the cap keeps the old defaultParallelism value."""
+    spark = df.sparkSession
+    sc = spark.sparkContext
+    try:
+        shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        shuffle_parts = sc.defaultParallelism
+    return max(2, min(sc.defaultParallelism, shuffle_parts))
+
+
+def _partition_offsets(
+    sizes: DataFrame, agg_col: str, running: str
+) -> DataFrame:
+    """(_pid, <running>): per-partition exclusive running aggregate of
+    ``agg_col`` in _pid order — the offsets table of the two-level
+    rank/cumsum/prefix-max pattern, kept DISTRIBUTED (a window over a
+    #partitions-row table, broadcast-joined by the caller) instead of
+    the pre-r10 driver ``collect()`` + literal-map rebuild: each
+    collect was a synchronous extra job between the sequential
+    doubling rounds (~1-2.3 s per call at sf0.1, x10 calls per suffix
+    query) plus hundreds of py4j literal calls for the map. The
+    single-partition window is bounded by the partition COUNT, never
+    the data (the storage_grid literal-grid argument)."""
+    w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    return sizes.select("_pid", F.sum(agg_col).over(w).alias(running))
 
 
 def ranked(df: DataFrame, cols: list[str], out: str = "r") -> DataFrame:
@@ -138,8 +193,9 @@ def ranked(df: DataFrame, cols: list[str], out: str = "r") -> DataFrame:
     ``dense_rank() OVER (ORDER BY cols)`` but computed distributed:
     distinct keys are range-partitioned (global total order across
     partitions), ranked per-partition in parallel, and shifted by the
-    cumulative counts of earlier partitions (a #partitions-row driver
-    collect). Join the result back on ``cols`` to rank a full table."""
+    cumulative counts of earlier partitions (a #partitions-row offsets
+    table, broadcast-joined — no driver collect). Join the result back
+    on ``cols`` to rank a full table."""
     d = (
         df.select(*cols)
         .distinct()
@@ -147,59 +203,123 @@ def ranked(df: DataFrame, cols: list[str], out: str = "r") -> DataFrame:
         .withColumn("_pid", F.spark_partition_id())
     )
     # pin to scratch parquet: stabilizes the sampled range boundaries
-    # across the two passes AND keeps 10^7-row intermediates off the
-    # JVM heap (localCheckpoint pins deserialized blocks in the block
-    # manager — measured Java-heap OOM at N=27M on the default 8g)
+    # across the consuming subplans (an unpinned range exchange would
+    # re-sample per consumer — offsets from one sampling, _pids from
+    # another, silently wrong ranks) AND keeps 10^7-row intermediates
+    # off the JVM heap (localCheckpoint pins deserialized blocks in the
+    # block manager — measured Java-heap OOM at N=27M on the default 8g)
     d = pin(d)
-    sizes = {r["_pid"]: r["n"] for r in d.groupBy("_pid").agg(F.count("*").alias("n")).collect()}
-    offs, acc = {}, 0
-    for pid in sorted(sizes):
-        offs[pid] = acc
-        acc += sizes[pid]
-    omap = F.create_map(
-        *[F.lit(x) for kv in offs.items() for x in kv]
+    return _two_level_rank(d, cols, out)
+
+
+def _two_level_rank(d: DataFrame, cols: list[str], out: str) -> DataFrame:
+    """Shared tail of :func:`ranked` / :func:`ranked_numeric`: per-_pid
+    row_number + broadcast-joined exclusive partition-count offsets
+    over an already-pinned, _pid-labelled distinct-key table."""
+    sizes = d.groupBy("_pid").agg(F.count("*").alias("n"))
+    offs = _partition_offsets(sizes, "n", "_off").select(
+        "_pid", F.coalesce("_off", F.lit(0)).alias("_off")
     )
     w = Window.partitionBy("_pid").orderBy(*cols)
-    return d.select(
-        *cols,
-        (F.row_number().over(w) + omap[F.col("_pid")]).cast("long").alias(out),
+    return (
+        d.join(F.broadcast(offs), "_pid")
+        .select(
+            *cols,
+            (F.row_number().over(w) + F.col("_off")).cast("long").alias(out),
+        )
     )
+
+
+def ranked_numeric(
+    df: DataFrame, cols: list[str], n_max: int, out: str = "r",
+    assume_unique: bool = False,
+) -> DataFrame:
+    """:func:`ranked` for keys whose LEADING column is an integer in
+    [1, n_max] (the doubling rounds' previous-round dense ranks; the
+    final suffix order's total rank): the order-preserving bucket id is
+    ARITHMETIC — ``((c0 - 1) * P) div n_max`` — instead of a sampled
+    RangePartitioner, which removes the per-round sampling pass over
+    the distinct-key subtree (measured r10: one fewer sequential job
+    per doubling round) and makes placement deterministic by
+    construction (a bucket COLUMN cannot disagree with itself across
+    the offsets and row_number consumers). Keys with equal leading
+    values never split across buckets, so the lexicographic (cols)
+    order is respected exactly; bucket balance tracks the leading
+    rank's density, which after the first doubling rounds approaches
+    the corpus positions themselves (ranks unique-ify geometrically).
+    The clamp is belt-and-braces against contract drift — monotonicity
+    is what correctness needs, and least/greatest preserve it.
+    ``assume_unique`` skips the distinct when the caller guarantees
+    key tuples are unique (the final suffix order's total rank), where
+    row_number IS dense rank."""
+    parts = _range_parts(df)
+    pid = F.expr(
+        f"CAST(least({parts - 1}, greatest(0, "
+        f"(({cols[0]} - 1) * {parts}) DIV {n_max})) AS INT)"
+    )
+    d = df.select(*cols)
+    if not assume_unique:
+        d = d.distinct()
+    d = d.withColumn("_pid", pid)
+    # NO internal pin (unlike ranked()): the pin there exists to make
+    # the SAMPLED placement consistent across the offsets and
+    # row_number consumers; an arithmetic bucket column is consistent
+    # by construction, re-executed or not. Lineage truncation across
+    # rounds is the per-round pin(nr) in build_rank_tables; within one
+    # round the duplicated distinct subtree (offsets branch + window
+    # branch) shares its exchanges via stage reuse. Measured r10: one
+    # fewer 0.5-1.5 s materialization job per doubling round.
+    return _two_level_rank(d, cols, out)
 
 
 def cumsum_by_range(
-    df: DataFrame, order_col: str, val_col: str, out: str = "cum"
+    df: DataFrame, order_col: str, val_col: str, out: str = "cum",
+    n_max: int | None = None,
 ) -> DataFrame:
     """(*df.columns, out): running sum of ``val_col`` in ``order_col``
     order (inclusive of the current row), computed with the same
     two-level pattern as :func:`ranked` — per-partition window plus
     per-partition total offsets. ``order_col`` values must be unique
-    (they are suffix positions here)."""
-    d = (
-        df.repartitionByRange(_range_parts(df), F.col(order_col))
-        .withColumn("_pid", F.spark_partition_id())
-    )
+    (they are suffix positions here). ``n_max`` (when ``order_col`` is
+    an integer in [1, n_max], e.g. sa_idx) switches the bucket id to
+    the :func:`ranked_numeric` arithmetic — no sampling pass, and
+    near-perfect balance since the order values are unique."""
+    if n_max:
+        parts = _range_parts(df)
+        d = df.withColumn(
+            "_pid",
+            F.expr(
+                f"CAST(least({parts - 1}, greatest(0, "
+                f"(({order_col} - 1) * {parts}) DIV {n_max})) AS INT)"
+            ),
+        )
+    else:
+        d = (
+            df.repartitionByRange(_range_parts(df), F.col(order_col))
+            .withColumn("_pid", F.spark_partition_id())
+        )
     d = pin(d)  # same off-heap pin as ranked()
-    totals = {
-        r["_pid"]: r["t"]
-        for r in d.groupBy("_pid").agg(F.sum(val_col).alias("t")).collect()
-    }
-    offs, acc = {}, 0
-    for pid in sorted(totals):
-        offs[pid] = acc
-        acc += totals[pid] or 0
-    omap = F.create_map(*[F.lit(x) for kv in offs.items() for x in kv])
+    totals = d.groupBy("_pid").agg(F.sum(val_col).alias("t"))
+    offs = _partition_offsets(totals, "t", "_off").select(
+        "_pid", F.coalesce("_off", F.lit(0)).alias("_off")
+    )
     w = (
         Window.partitionBy("_pid")
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    return d.select(
-        *df.columns,
-        (F.sum(val_col).over(w) + omap[F.col("_pid")]).cast("long").alias(out),
-    ).drop("_pid")
+    return (
+        d.join(F.broadcast(offs), "_pid")
+        .select(
+            *df.columns,
+            (F.sum(val_col).over(w) + F.col("_off")).cast("long").alias(out),
+        )
+    )
 
 
-def build_rank_tables(tokens: DataFrame, rounds: int) -> list[DataFrame]:
+def build_rank_tables(
+    tokens: DataFrame, rounds: int, n_rows: int | None = None
+) -> list[DataFrame]:
     """rank tables [r_0 .. r_{rounds-1}], each (gpos, r): r_k orders
     corpus suffixes by their first 2^(k+1) tokens (dense,
     deterministic); the last table covers 2^rounds tokens, same as the
@@ -214,7 +334,32 @@ def build_rank_tables(tokens: DataFrame, rounds: int) -> list[DataFrame]:
     equality step (+1), which is a plain equi-join against the token
     table — no rank build needed. The corpus-last position's missing
     successor coalesces to '' (sorts before every real token and every
-    sentinel; its pair is unique anyway since the final sentinel is)."""
+    sentinel; its pair is unique anyway since the final sentinel is).
+
+    ``n_rows`` (the corpus position count — free from the corpus pin's
+    parquet footers, see :func:`pin_counted`) switches the numeric
+    doubling rounds to the ONE-PASS re-rank below. The round-0
+    STRING-pair rank always takes the sampled-range dense path.
+
+    ONE-PASS NON-DENSE ROUNDS (r10, guide §2.4 "remove shuffles
+    outright"): every consumer of a round's ranks — the next round's
+    (ra, rb) pairs, the final suffix order, the LCP descents' equality
+    probes — uses only the ranks' ORDER and EQUALITY, never their
+    density (the per-round dense_rank in the SQL oracle is the
+    oracle's own replay; final reports are invariant under any
+    order-isomorphic positive re-ranking, which tests pin by running
+    both paths to identical sa/LCP outputs). Dropping density lets a
+    round be a single window pass over the pairs table:
+    ``r = _pid * (n_rows + 1) + running_sum(key_changed)`` — pid-major
+    arithmetic buckets, dense-within-bucket — with NO distinct
+    aggregation, NO offsets branch, NO join-back. Plan per round:
+    2 pinned scans -> gpos join -> one _pid exchange -> window ->
+    write, down from the distinct + sampled range + sizes + rank-join
+    chain (measured r10: ~8 AQE stage-jobs per round -> ~5, and the
+    driver gap between stage-jobs was half the build wall at sf0.1).
+    Values stay in [1, parts*(n_rows+1)) forever (pid < parts,
+    local <= n_rows), so int64 is safe at any corpus this engine
+    reaches (27M positions x 256 buckets ~ 7e9)."""
     nxt = tokens.select((F.col("gpos") - 1).alias("gpos"), F.col("tok").alias("tok2"))
     prs = (
         tokens.join(nxt, "gpos", "left")
@@ -222,6 +367,9 @@ def build_rank_tables(tokens: DataFrame, rounds: int) -> list[DataFrame]:
     )
     r0 = prs.join(ranked(prs, ["tok", "tok2"]), ["tok", "tok2"]).select("gpos", "r")
     tables = [pin(r0)]
+    # current upper bound of rank values: r0 is dense (<= n_rows);
+    # every one-pass round emits < parts * stride
+    bound = n_rows
     for k in range(1, rounds):
         h = 1 << k  # the previous table covers 2^k tokens
         prev = tables[-1]
@@ -231,15 +379,47 @@ def build_rank_tables(tokens: DataFrame, rounds: int) -> list[DataFrame]:
             .join(b, "gpos", "left")
             .select("gpos", "ra", F.coalesce("rb", F.lit(0)).alias("rb"))
         )
-        nr = pairs.join(ranked(pairs, ["ra", "rb"]), ["ra", "rb"]).select("gpos", "r")
+        if n_rows:
+            parts = _range_parts(pairs)
+            stride = n_rows + 1
+            pid = F.expr(
+                f"CAST(least({parts - 1}, greatest(0, "
+                f"((ra - 1) * {parts}) DIV {bound})) AS INT)"
+            )
+            wp = Window.partitionBy("_pid").orderBy("ra", "rb")
+            la, lb = F.lag("ra").over(wp), F.lag("rb").over(wp)
+            chg = F.when(
+                la.isNull() | (la != F.col("ra")) | (lb != F.col("rb")), 1
+            ).otherwise(0)
+            local = F.sum(chg).over(wp.rowsBetween(Window.unboundedPreceding, 0))
+            nr = pairs.withColumn("_pid", pid).select(
+                "gpos",
+                (F.col("_pid").cast("long") * stride + local).cast("long").alias("r"),
+            )
+            bound = parts * stride
+        else:
+            nr = pairs.join(ranked(pairs, ["ra", "rb"]), ["ra", "rb"]).select(
+                "gpos", "r"
+            )
         tables.append(pin(nr))
     return tables
 
 
-def suffix_order(last_rank: DataFrame) -> DataFrame:
+def suffix_order(last_rank: DataFrame, n_rows: int | None = None) -> DataFrame:
     """(gpos, sa_idx): suffix-array order. The final rank is total
     (unique sentinels), so ranking (r, gpos) is a row_number with a
-    deterministic no-op tie-break."""
+    deterministic no-op tie-break — sa_idx itself MUST be dense 1..N
+    (downstream adjacency is sa_idx ± 1 equi-joins). With ``n_rows``
+    the bucket id is arithmetic on r, whose one-pass-round bound is
+    parts * (n_rows + 1) (see :func:`build_rank_tables`; the clamp
+    makes a stale bound a balance issue, never a correctness one), the
+    distinct is skipped (rows are unique), and NO join-back is needed
+    (row_number is computed on the full table directly)."""
+    if n_rows:
+        bound = _range_parts(last_rank) * (n_rows + 1)
+        return ranked_numeric(
+            last_rank, ["r", "gpos"], bound, out="sa_idx", assume_unique=True
+        ).select("gpos", "sa_idx")
     return last_rank.join(
         ranked(last_rank, ["r", "gpos"], out="sa_idx"), ["r", "gpos"]
     ).select("gpos", "sa_idx")
@@ -334,25 +514,18 @@ def prefix_max_by_range(
     """(*df.columns, out): running MAX of ``val_col`` in ``order_col``
     order (inclusive; nulls ignored), same two-level distributed
     pattern as :func:`cumsum_by_range` — per-partition window max plus
-    the max over all EARLIER partitions (a #partitions-row driver
-    collect). ``order_col`` values must be unique."""
+    the max over all EARLIER partitions (a #partitions-row offsets
+    table, broadcast-joined). ``order_col`` values must be unique."""
     d = (
         df.repartitionByRange(_range_parts(df), F.col(order_col))
         .withColumn("_pid", F.spark_partition_id())
     )
     d = pin(d)  # same off-heap pin as ranked()
-    maxes = {
-        r["_pid"]: r["m"]
-        for r in d.groupBy("_pid").agg(F.max(val_col).alias("m")).collect()
-    }
-    offs, run = {}, None
-    for pid in sorted(maxes):
-        offs[pid] = run
-        m = maxes[pid]
-        if m is not None and (run is None or m > run):
-            run = m
-    omap = F.create_map(
-        *[F.lit(x) for pid, m in offs.items() for x in (pid, -1 if m is None else m)]
+    maxes = d.groupBy("_pid").agg(F.max(val_col).alias("m"))
+    wprev = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = maxes.select(
+        "_pid",
+        F.coalesce(F.max("m").over(wprev), F.lit(-1)).alias("_pmax_prev"),
     )
     w = (
         Window.partitionBy("_pid")
@@ -360,12 +533,15 @@ def prefix_max_by_range(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     part_max = F.max(val_col).over(w)
-    return d.select(
-        *df.columns,
-        F.greatest(F.coalesce(part_max, F.lit(-1)), omap[F.col("_pid")])
-        .cast("long")
-        .alias(out),
-    ).drop("_pid")
+    return (
+        d.join(F.broadcast(offs), "_pid")
+        .select(
+            *df.columns,
+            F.greatest(F.coalesce(part_max, F.lit(-1)), F.col("_pmax_prev"))
+            .cast("long")
+            .alias(out),
+        )
+    )
 
 
 def adjacent_lcp_plcp(

@@ -1877,21 +1877,23 @@ def _sa_build(spark: SparkSession, sf_dir: str):
         (F.col("pos0") + 1 > F.col("n")).alias("is_sent"),
     )
 
-    from http_log_anonymizer_spark.operators.suffix_array import pin
+    from http_log_anonymizer_spark.operators.suffix_array import pin, pin_counted
 
     # off-heap pin: the exploded corpus is the largest intermediate
     # (N positions x token strings); a localCheckpoint of it OOM'd the
-    # 8g heap at N=27M (sf100)
-    corpus = pin(corpus)
+    # 8g heap at N=27M (sf100). pin_counted reads N from the written
+    # footers (no count job) — it feeds the arithmetic bucket ids that
+    # replace the per-round RangePartitioner sampling passes (r10).
+    corpus, n_pos = pin_counted(corpus)
 
-    tables = build_rank_tables(corpus.select("gpos", "tok"), _SA_ROUNDS)
-    sa = suffix_order(tables[-1])
+    tables = build_rank_tables(corpus.select("gpos", "tok"), _SA_ROUNDS, n_rows=n_pos)
+    sa = suffix_order(tables[-1], n_rows=n_pos)
     # pin: al is consumed by several downstream subplans (descent
     # output feeds lcp minima, run windows AND the min tables) — and
     # chained materialization over this base must be a parquet
     # round-trip, not a checkpoint (see operators/suffix_array.py:pin).
     al = pin(adjacent_lcp(sa, tables, corpus.select("gpos", "tok")))
-    return t2, corpus, tables, sa, al
+    return t2, corpus, tables, sa, al, n_pos
 
 
 # The corpus-prefix SQL shared by both suffix-array oracles.
@@ -2032,7 +2034,7 @@ def suffix_array_dup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     approximation for when fixed-K coverage suffices."""
     from http_log_anonymizer_spark.operators.suffix_array import cumsum_by_range
 
-    t2, corpus, tables, sa, al = _sa_build(spark, sf_dir)
+    t2, corpus, tables, sa, al, n_pos = _sa_build(spark, sf_dir)
     cd = corpus.select("gpos", "doc_id", "pos", "is_sent")
     pd_ = corpus.select(F.col("gpos").alias("prv"), F.col("doc_id").alias("pdoc"))
     ord_ = (
@@ -2052,7 +2054,7 @@ def suffix_array_dup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("chg"),
         )
     )
-    runs = cumsum_by_range(ord_, "sa_idx", "chg", out="run_id")
+    runs = cumsum_by_range(ord_, "sa_idx", "chg", out="run_id", n_max=n_pos)
     nxt = runs.select((F.col("sa_idx") - 1).alias("sa_idx"), F.col("lcp").alias("nl"))
     # coalesce nl at the lead join (not after the run-window min): the
     # corpus-last suffix has no successor row, and min() skips NULLs —
@@ -2236,7 +2238,7 @@ def suffix_selfrep_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     only bound."""
     from http_log_anonymizer_spark.operators.suffix_array import pair_lcp, pin
 
-    t2, corpus, tables, sa, al = _sa_build(spark, sf_dir)
+    t2, corpus, tables, sa, al, _n_pos = _sa_build(spark, sf_dir)
     cd = corpus.select("gpos", "doc_id", "pos", "is_sent")
     ordx = al.join(cd, "gpos").select(
         "sa_idx", "gpos", "lcp", "doc_id", "pos", "is_sent"

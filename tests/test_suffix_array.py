@@ -269,6 +269,44 @@ def test_plcp_variant_equals_full_descent_tiny(spark):
     assert plcp == full
 
 
+def test_one_pass_rounds_equal_dense_rounds(spark):
+    """The r10 one-pass non-dense doubling rounds (build_rank_tables
+    with n_rows) must produce the IDENTICAL suffix order and adjacent
+    LCPs as the dense sampled-range path — rank tables are internal,
+    only order/equality of ranks is contracted, and this pins that
+    invariance on a duplication-heavy corpus."""
+    docs = [
+        "the cat sat on the mat and the cat sat again",
+        "the cat sat on the mat and the dog sat again",
+        "a completely different document with fresh words here",
+    ]
+    toks = []
+    for d, text in enumerate(docs):
+        toks += text.split() + [f"\x00{d}"]
+    tokens = spark.createDataFrame(
+        [(i + 1, t) for i, t in enumerate(toks)], "gpos long, tok string"
+    )
+    n = len(toks)
+    dense_tables = build_rank_tables(tokens, 6)
+    dense_sa = suffix_order(dense_tables[-1])
+    fast_tables = build_rank_tables(tokens, 6, n_rows=n)
+    fast_sa = suffix_order(fast_tables[-1], n_rows=n)
+    dense_order = [r.gpos for r in dense_sa.orderBy("sa_idx").collect()]
+    fast_order = [r.gpos for r in fast_sa.orderBy("sa_idx").collect()]
+    assert fast_order == dense_order
+    dense_lcp = {
+        r.sa_idx: r.lcp
+        for r in adjacent_lcp(dense_sa, dense_tables, tokens).collect()
+    }
+    fast_lcp = {
+        r.sa_idx: r.lcp
+        for r in adjacent_lcp(fast_sa, fast_tables, tokens).collect()
+    }
+    assert fast_lcp == dense_lcp
+    # non-dense ranks are still positive (the rb-coalesce-0 floor)
+    assert fast_tables[-1].agg(F.min("r")).first()[0] >= 1
+
+
 def test_plcp_variant_equals_full_descent_duplicated_corpus(spark):
     """A duplication-heavy corpus (the operator's target workload):
     three near-identical documents with per-doc sentinels — reducible
