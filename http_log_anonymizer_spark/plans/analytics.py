@@ -4266,17 +4266,34 @@ LIMIT {_LPA_TOP}"""
     )
 
 
-def _lpa_pipeline(spark: SparkSession, sf_dir: str):
+def _lpa_pipeline(spark: SparkSession, sf_dir: str, pin_labels: bool = False):
     """(weighted symmetric edge table, final label table) of the LPA
     rounds — factored so community_modularity_report can score the
     SAME partition the community query reports. Pure extraction: the
     construction is byte-identical to what label_propagation_communities
-    inlined before, so its plan and oracle are unchanged."""
+    inlined before, so its plan and oracle are unchanged.
+
+    The thresholded edge table is pinned to scratch PARQUET (the
+    hits_copurchase discipline) — NOT localCheckpoint: the r10
+    second-session sf10 A/B that rejected pinning used heap
+    checkpoints (144.1 s unpinned vs 164.7 s pinned, GC-pressured); a
+    fresh r10 fourth-session A/B with the off-heap parquet pin reads
+    the opposite, both run orders: LPA sf10 plain 137.4/74.3 s vs
+    pinned 65.9/53.7 s, modularity sf10 unpinned 171.2/104.5 s vs
+    edges+labels pinned 61.4/86.6 s (sf0.1: ~19-34 -> ~7-13 s). The
+    rounds then iterate over a columnar scan instead of re-deriving
+    the self-join through 4 rounds of lineage, with zero block-manager
+    heap residency. ``pin_labels`` additionally pins the FINAL
+    node-sized label table — for the modularity consumer, whose two
+    scoring joins would otherwise re-derive all rounds twice; the
+    community query's single consumer doesn't need it."""
+    from http_log_anonymizer_spark.operators.suffix_array import pin
+
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     other = li.select(
         F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("dst")
     )
-    edges = (
+    edges = pin(
         li.join(other, (li.l_orderkey == other.o2) & (li.l_partkey != other.dst))
         .groupBy(F.col("l_partkey").alias("src"), "dst")
         .agg(F.count("*").alias("w"))
@@ -4304,6 +4321,8 @@ def _lpa_pipeline(spark: SparkSession, sf_dir: str):
             .filter(F.col("rn") == 1)
             .select("node", "lbl")
         )
+    if pin_labels:
+        labels = pin(labels)
     return edges, labels
 
 
@@ -4327,9 +4346,11 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
     l_orderkey, support-thresholded (>= {_LPA_MINSUP}) exactly like
     triangle_counts — weight-1 noise edges dominate raw co-occurrence
     graphs and contribute nothing to community structure. Each round is
-    one equi-join of labels onto edge sources (the edge exchange is
-    reused across rounds, the pagerank_copurchase memory lesson — no
-    pinning), one groupBy(dst, lbl) with map-side combine, and a
+    one equi-join of labels onto edge sources (the thresholded edge
+    table is pinned once to scratch parquet — the hits_copurchase
+    discipline; see _lpa_pipeline for the r10 A/B that reversed the
+    earlier heap-checkpoint verdict), one groupBy(dst, lbl) with
+    map-side combine, and a
     per-node argmax window whose partition size is bounded by the
     node's distinct-neighbor-label count (<= degree) — never
     corpus-global. Label state is |V| rows, stays distributed.
@@ -6814,15 +6835,14 @@ def community_modularity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines (the triangle_counts clustering-coefficient idiom).
     The pooled total folds the SAME per-community doubles the report
     shows, so the global Q is reproducible from the rows above it."""
-    edges, labels = _lpa_pipeline(spark, sf_dir)
-    # NO pinning, by measurement: labels feeds two scoring joins and
-    # edges three, which looks like the classic re-derivation trap, but
-    # a same-session sf10 A/B (SCALE.md r10) shows ReusedExchange
-    # already shares the LPA rounds across the consumers — unpinned
-    # 144.1 s vs eager-localCheckpoint 164.7 s WITH GCLocker pressure
-    # from materializing the node-sized label table. The HyperBall
-    # "pin edges once" rule applies to loop-carried state consumed
-    # across ROUNDS, not to a DAG fanning out within one job.
+    # Pinned pipeline (parquet, not localCheckpoint): labels feeds two
+    # scoring joins and edges three — the classic re-derivation trap.
+    # The r10 second-session A/B that kept this unpinned measured HEAP
+    # checkpoints (144.1 s unpinned vs 164.7 s pinned at sf10, GC
+    # pressure); the fourth-session A/B with the off-heap parquet pin
+    # reverses it in both run orders — see _lpa_pipeline's docstring
+    # for the numbers (sf10 171.2/104.5 -> 61.4/86.6 s).
+    edges, labels = _lpa_pipeline(spark, sf_dir, pin_labels=True)
     lab_src = labels.select(F.col("node").alias("src"), F.col("lbl").alias("cs"))
     lab_dst = labels.select(F.col("node").alias("dst"), F.col("lbl").alias("cd"))
     tot = edges.agg(F.sum("w").cast("long").alias("w_total"))
