@@ -3110,17 +3110,24 @@ def containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles); df via one hash groupBy; the within-doc rarity rank
     windows over one document's shingles (bounded by doc length); the
     prefix->index probe is an equi-join on the hash whose skew AQE
-    splits; verification joins candidate pairs back through (doc, g)
-    — intersection rows only, never |A| x |B|."""
+    splits; verification attaches the two hashed-shingle ARRAYS per
+    candidate pair and intersects in-task — per-pair work bounded by
+    the two doc lengths, never |A| x |B|, and the candidate stream
+    shuffles ids only (guide §2.3)."""
     t = load_table(
         spark, sf_dir, "documents", spread=True, bytes_per_task=256 * 1024
     ).select("doc_id", tokens_ws("text").alias("toks"))
-    sh = t.select(
+    # checkpoint the ARRAY form (doc-sized rows) — the exploded posting
+    # list AND the verify legs both derive from it, and the md5 shingle
+    # pipeline runs exactly once either way, but the array table is the
+    # shape verification wants (see below)
+    arr = t.select(
         "doc_id",
-        F.explode(
-            F.array_distinct(F.transform(shingles("toks"), lambda s: hash64(s)))
-        ).alias("g"),
-    ).localCheckpoint()  # feeds sizes, df, prefix AND both verify legs
+        F.array_distinct(F.transform(shingles("toks"), lambda s: hash64(s))).alias(
+            "sh"
+        ),
+    ).localCheckpoint()
+    sh = arr.select("doc_id", F.explode("sh").alias("g"))
     sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     dfq = sh.groupBy("g").agg(F.count("*").alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "g")
@@ -3142,20 +3149,38 @@ def containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
+    # Verification via array_intersect over the hashed-shingle ARRAYS
+    # (the minhash_verified_pairs shape — provably identical here
+    # because the oracle intersects the SAME hash64 values, both sides
+    # distinct): the pre-r10 formulation exploded every candidate pair
+    # to |A| posting rows (sf0.1: 299k candidates -> ~39M join rows)
+    # and re-aggregated them, a guide-§2.3 payload shuffle; the array
+    # join touches each candidate once and the per-pair hash-set
+    # intersect is bounded by the two doc lengths (measured: the
+    # verify leg 5.2 -> ~1.5 s at sf0.1, exec 7.2 -> ~4 s).
     inter = (
-        cand.join(sh.select(F.col("doc_id").alias("doc_a"), "g"), "doc_a")
-        .join(sh.select(F.col("doc_id").alias("doc_b"), "g"), ["doc_b", "g"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("i"))
-    )
-    return (
-        inter.join(sz.select(F.col("doc_id").alias("doc_a"), "n"), "doc_a")
-        .filter(_CONT_DEN * F.col("i") >= _CONT_NUM * F.col("n"))
+        cand.join(
+            arr.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")),
+            "doc_a",
+        )
+        .join(
+            arr.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")),
+            "doc_b",
+        )
         .select(
             "doc_a",
             "doc_b",
-            F.col("n").alias("n_a"),
-            F.col("i").alias("inter"),
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("i"),
+            F.size("sh_a").alias("n"),
+        )
+    )
+    return (
+        inter.filter(_CONT_DEN * F.col("i") >= _CONT_NUM * F.col("n"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n").cast("long").alias("n_a"),
+            F.col("i").cast("long").alias("inter"),
             F.round(F.col("i") * 1.0 / F.col("n"), 4).alias("containment"),
         )
         .orderBy("doc_a", "doc_b")

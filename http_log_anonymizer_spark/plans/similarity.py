@@ -407,13 +407,25 @@ def embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(*bucket_t).alias("bks"),
     ).cache()
     base.count()  # eager: both sides of the self-join probe this index
-    k = base.select("vec_id", "ue", "bks", F.posexplode("bks").alias("t", "bucket"))
+    # Candidate generation shuffles IDS AND BUCKETS ONLY (guide §2.3 /
+    # §8: decide with small rows, move payloads once): the pre-r10
+    # formulation carried both 64-double unit vectors through the
+    # bucket self-join, so every bucket-sharing JOIN ROW materialized
+    # ~1 KB and the interpreted dot ran before pair dedup (measured
+    # sf0.1: 1.04M raw join rows for 2,000 vectors — the 4-bit bucket
+    # geometry is recall-oriented, not selective — 7.9 s exec). The
+    # bks array rides along (72 B) because the first-matching-table
+    # dedup needs both sides' buckets; unit vectors attach AFTER the
+    # dedup, by vec_id joins against the cached index, and the exact
+    # fold dot runs once per DISTINCT candidate pair (sf0.1: 814k
+    # pairs, exec 7.9 -> ~4 s; at scale the candidate stream shuffles
+    # 16 B/pair instead of 1 KB/row).
+    k = base.select("vec_id", "bks", F.posexplode("bks").alias("t", "bucket"))
     a, b = k.alias("a"), k.alias("b")
     first_match = F.array_position(
         F.zip_with("a.bks", "b.bks", lambda x, y: x == y), F.lit(True)
     )
-    cos = F.round(dot("a.ue", "b.ue"), 4)
-    return (
+    cand = (
         a.join(
             b,
             (F.col("a.t") == F.col("b.t"))
@@ -421,11 +433,15 @@ def embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .filter(F.col("a.t") + 1 == first_match)
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            cos.alias("cos"),
-        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+    )
+    ua = base.select(F.col("vec_id").alias("vec_a"), F.col("ue").alias("ua"))
+    ub = base.select(F.col("vec_id").alias("vec_b"), F.col("ue").alias("ub"))
+    cos = F.round(dot("ua", "ub"), 4)
+    return (
+        cand.join(ua, "vec_a")
+        .join(ub, "vec_b")
+        .select("vec_a", "vec_b", cos.alias("cos"))
         .filter(F.col("cos") >= _NEARDUP_THRESHOLD)
         .orderBy("vec_a", "vec_b")
     )
